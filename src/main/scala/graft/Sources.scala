@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table readers + the reference-shaped views built on them.
+  *
+  * The reference reads MongoDB collections with inferred schemas
+  * (`Tugas 2/IDX Financial Report/idx_transform.py:294-310`,
+  * `Tugas 2/Yfinance API/yfinance_transform.py:113-115`); our engine reads
+  * columnar parquet — scans are distributed, vectorized, and support
+  * predicate pushdown + column pruning via Catalyst, which the reference's
+  * driver-side `find()` materialization forecloses.
+  *
+  * At 100 TB these readers are the only place that needs to change
+  * (point `sfDir` at the real lake); everything downstream is declarative.
+  */
+object Sources {
+
+  /** Full-collection scan (reference S1/S2). Schema comes from the parquet
+    * footer — no sampling pass, no driver materialization. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Column existence probe (reference S6, `yfinance_transform.py:117`). */
+  def hasColumn(df: DataFrame, name: String): Boolean = df.columns.contains(name)
+
+  /** Collection existence probe (reference S5, `idx_transform.py:290-292`):
+    * in the parquet world, a catalog/file check instead of
+    * `list_collection_names`. */
+  def tableExists(sfDir: String, name: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
+
+  /** OHLCV-bar-shaped view of `lineitem` (FIXTURES.md §2): stands in for the
+    * per-company Yahoo-Finance Mongo collections
+    * (`yfinance_transform.py:60-88`, columns Date/Open/High/Low/Close/
+    * Volume/Dividends/`Stock Splits`). The reference encodes company
+    * identity in the *collection name* (951 collections, one SparkSession
+    * each, `yfinance_transform.py:104-107`); the scalable single-table form
+    * carries a `symbol` column instead — at 100 TB this is a partition
+    * column, not 951 separate scans.
+    *
+    * `Stock Splits` keeps the reference's space-containing column name
+    * (`yfinance_transform.py:60`) so backtick handling is exercised; it is
+    * renamed to `stock_splits` at the aggregation boundary.
+    */
+  def ohlcv(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir).select(
+      col("l_shipdate").as("Date"),
+      col("l_quantity").as("Open"),
+      col("l_extendedprice").as("High"),
+      col("l_discount").as("Low"),
+      col("l_tax").as("Close"),
+      col("l_orderkey").cast("double").as("Volume"),
+      (col("l_discount") * col("l_tax")).as("Dividends"),
+      (col("l_quantity") % lit(2.0)).as("Stock Splits"),
+      col("l_suppkey").as("symbol"))
+
+  /** News-article-shaped view of `documents` (FIXTURES.md §3): the IQPLUS
+    * article schema judul/konten/waktu/tanggal_artikel
+    * (`iqplus_market_transform.py:118-125`). */
+  def news(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(
+      col("doc_id"),
+      col("source").as("judul"),
+      col("text").as("konten"),
+      col("doc_id").cast("string").as("waktu"),
+      col("lang").as("tanggal_artikel"))
+}

@@ -25,6 +25,32 @@ object SparkEntry {
     "yf_month_agg" -> ((s, dir) =>
       yf.Ohlcv.aggregatePeriod(Sources.ohlcv(s, dir), "yyyy-MM", "month")
         .orderBy("period_key")),
+
+    // IDX 32-column financial report: nested-struct projection, string→
+    // double casts, fillna, coalesce, nullif ratios, pinned column order
+    // (idx_transform.py:107-273).
+    "idx_financials" -> ((s, dir) =>
+      idx.FinancialReport.transform(
+        idx.FinancialReport.fixtureFromOrders(Sources.orders(s, dir)))
+        .orderBy("company_code")),
+
+    // Genuine null-handling semantics (the reference's coalesce is
+    // degenerate — fillna runs first): coalesce over actually-null
+    // numeric + string columns, and na.fill (idx_transform.py:160-183,
+    // iqplus defensive defaults :121-124).
+    "idx_null_handling" -> ((s, dir) => {
+      val c = Sources.customer(s, dir)
+      c.select(
+        col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_acctbal")).as("bal_null"),
+        when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_name")).as("name_null"))
+        .withColumn("bal_coalesced", coalesce(col("bal_null"), lit(0.0)))
+        .withColumn("name_defaulted", coalesce(col("name_null"), lit("")))
+        .na.fill(-1.0, Seq("bal_null"))
+        .withColumnRenamed("bal_null", "bal_filled")
+        .drop("name_null")
+        .orderBy("c_custkey")
+    }),
   )
 
   // ---------------------------------------------------------------- oracle
@@ -63,5 +89,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "yf_month_agg" -> yfAggOracle("%Y-%m", "month"),
+    "idx_financials" -> idx.FinancialReport.oracleSql,
+    "idx_null_handling" ->
+      """SELECT c_custkey,
+        |  COALESCE(CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END, -1.0) AS bal_filled,
+        |  COALESCE(CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_coalesced,
+        |  COALESCE(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END, '') AS name_defaulted
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

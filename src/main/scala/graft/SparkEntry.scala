@@ -23,7 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "yf_month_agg" -> ((s, dir) =>
-      yf.Ohlcv.aggregatePeriod(Sources.ohlcv(s, dir), "yyyy-MM", "month")
+      stabilized(yf.Ohlcv.aggregatePeriod(Sources.ohlcv(s, dir), "yyyy-MM", "month"))
         .orderBy("period_key")),
 
     // IDX 32-column financial report: nested-struct projection, string→
@@ -33,6 +33,64 @@ object SparkEntry {
       idx.FinancialReport.transform(
         idx.FinancialReport.fixtureFromOrders(Sources.orders(s, dir)))
         .orderBy("company_code")),
+
+    // YF year rollup (yfinance_transform.py:121,132 label="year").
+    "yf_year_agg" -> ((s, dir) =>
+      stabilized(yf.Ohlcv.aggregatePeriod(Sources.ohlcv(s, dir), "yyyy", "year"))
+        .orderBy("period_key")),
+
+    // YF day branch: raw rows + period_key + agg_type, no aggregation
+    // (yfinance_transform.py:122-128).
+    "yf_day_raw" -> ((s, dir) => {
+      val d = yf.Ohlcv.dayBranch(Sources.ohlcv(s, dir))
+      d.orderBy(d.columns.map(c => col(s"`$c`")): _*)
+    }),
+
+    // Scale-path variant of the month rollup: window partitioned by symbol
+    // so no single-partition exchange exists at cluster scale.
+    "yf_symbol_month_agg" -> ((s, dir) =>
+      stabilized(yf.Ohlcv.aggregatePeriodBySymbol(Sources.ohlcv(s, dir), "yyyy-MM", "month"))
+        .orderBy("symbol", "period_key")),
+
+    // Broadcast catalog join (SURVEY.md §2.5): company identity via an
+    // explicit equi-join against the small dimension instead of the
+    // reference's 951 collection names; rolled up per company.
+    "yf_catalog_join" -> ((s, dir) => {
+      val bars = Sources.ohlcv(s, dir)
+      yf.Ohlcv.joinCatalog(bars, Sources.supplier(s, dir), "symbol", "s_suppkey")
+        .groupBy(col("symbol"), col("s_name").as("company_name"))
+        .agg(
+          count(lit(1)).as("n_bars"),
+          util.Stable.exactSum(col("Volume")).as("sum_volume"),
+          max(col("High")).as("max_high"))
+        .orderBy("symbol")
+    }),
+
+    // Count action as a 1-row DataFrame (idx_transform.py:314,
+    // yfinance_transform.py:141).
+    "yf_count" -> ((s, dir) =>
+      Sources.ohlcv(s, dir).agg(count(lit(1)).as("n_rows"))),
+
+    // Engine surface beyond the reference (SURVEY.md §2.4): filter +
+    // projection — both must reach the parquet scan (pushdown/pruning).
+    "filter_project" -> ((s, dir) =>
+      Sources.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01"))
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Union multiplex (SURVEY.md §2.8): the reference's 4-collection IDX
+    // loop read as one unioned frame, rolled up per year.
+    "idx_union_years" -> ((s, dir) => {
+      val o = Sources.orders(s, dir).withColumn("year", year(col("o_orderdate")))
+      val years = Seq(1995, 1996, 1997)
+      years.map(y => o.filter(col("year") === y))
+        .reduce(_.unionByName(_))
+        .groupBy("year")
+        .agg(count(lit(1)).as("n_orders"), util.Stable.exactSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("year")
+    }),
 
     // Genuine null-handling semantics (the reference's coalesce is
     // degenerate — fillna runs first): coalesce over actually-null
@@ -62,33 +120,72 @@ object SparkEntry {
       |         l_extendedprice AS "High", l_discount AS "Low",
       |         l_tax AS "Close", CAST(l_orderkey AS DOUBLE) AS "Volume",
       |         l_discount * l_tax AS "Dividends",
-      |         l_quantity % 2.0 AS "Stock Splits"
+      |         l_quantity % 2.0 AS "Stock Splits",
+      |         l_suppkey AS symbol
       |  FROM lineitem)""".stripMargin
+
+  /** Replaces stddev_* doubles with their 7-sig-digit string form so the
+    * hash compare is stable (see [[util.Stable.sig]]); all other columns
+    * pass through untouched. */
+  private def stabilized(df: DataFrame): DataFrame =
+    df.select(df.columns.map { c =>
+      if (c.startsWith("stddev_")) util.Stable.sig(col(c)).as(c) else col(c)
+    }: _*)
 
   /** The 36-aggregate list, generated from the same column list the Spark
     * side uses so names can never drift. */
   private def aggSelectList: String =
     yf.Ohlcv.barColumns.map { case (src, out) =>
-      s"""ROUND(avg("$src"),6) AS avg_$out, ROUND(sum("$src"),6) AS sum_$out,
-         |    max("$src") AS max_$out, min("$src") AS min_$out,
-         |    ROUND(stddev_samp("$src"),6) AS stddev_$out""".stripMargin
+      val x = s""""$src""""
+      s"""${util.Stable.exactAvgSql(x)} AS avg_$out, ${util.Stable.exactSumSql(x)} AS sum_$out,
+         |    max($x) AS max_$out, min($x) AS min_$out,
+         |    ${util.Stable.sigSql(s"stddev_samp($x)")} AS stddev_$out""".stripMargin
     }.mkString(",\n    ") + ",\n    count(*) AS row_count"
 
-  private def yfAggOracle(fmt: String, label: String): String =
+  private def yfAggOracle(fmt: String, label: String, bySymbol: Boolean = false): String = {
+    val groupCols = if (bySymbol) "symbol, period_key" else "period_key"
+    val part = if (bySymbol) "PARTITION BY symbol " else ""
     s"""WITH $barsCte,
        |agg AS (
-       |  SELECT strftime("Date", '$fmt') AS period_key,
+       |  SELECT ${if (bySymbol) "symbol, " else ""}strftime("Date", '$fmt') AS period_key,
        |    $aggSelectList
-       |  FROM bars GROUP BY period_key)
+       |  FROM bars GROUP BY $groupCols)
        |SELECT *,
-       |  CAST(row_number() OVER (ORDER BY period_key) AS INTEGER) AS ${label}_number,
+       |  CAST(row_number() OVER (${part}ORDER BY period_key) AS INTEGER) AS ${label}_number,
        |  '$label' AS agg_type
-       |FROM agg ORDER BY period_key""".stripMargin
+       |FROM agg ORDER BY $groupCols""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "yf_month_agg" -> yfAggOracle("%Y-%m", "month"),
+    "yf_year_agg" -> yfAggOracle("%Y", "year"),
+    "yf_symbol_month_agg" -> yfAggOracle("%Y-%m", "month", bySymbol = true),
+    "yf_day_raw" ->
+      s"""WITH $barsCte
+         |SELECT *, strftime("Date", '%Y-%m-%d') AS period_key, 'day' AS agg_type
+         |FROM bars
+         |ORDER BY "Date", "Open", "High", "Low", "Close", "Volume",
+         |  "Dividends", "Stock Splits", symbol""".stripMargin,
+    "yf_catalog_join" ->
+      s"""WITH $barsCte
+         |SELECT b.symbol, s.s_name AS company_name, count(*) AS n_bars,
+         |  CAST(sum(CAST(b."Volume" AS DECIMAL(38,8))) AS DOUBLE) AS sum_volume, max(b."High") AS max_high
+         |FROM bars b JOIN supplier s ON b.symbol = s.s_suppkey
+         |GROUP BY b.symbol, s.s_name ORDER BY b.symbol""".stripMargin,
+    "yf_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+        |  AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "idx_union_years" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS "year",
+        |  count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1995, 1996, 1997)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "idx_financials" -> idx.FinancialReport.oracleSql,
     "idx_null_handling" ->
       """SELECT c_custkey,

@@ -33,18 +33,19 @@ object Ohlcv {
     "Stock Splits" -> "stock_splits")
 
   /** mean/sum/max/min/stddev per bar column + row_count = 36 aggregates.
-    * Sums/means/stddevs are rounded to 6 dp so results are stable under
-    * summation-order differences (SURVEY.md §7.4); max/min are exact.
+    * Sums/means use [[graft.util.Stable]] exact-decimal accumulation —
+    * order-independent (reproducible on any partitioning, and exact for
+    * money at scale); max/min/stddev are plain doubles.
     * Spark `stddev` = stddev_samp (NULL on 1-row groups) — kept as-is. */
   private def aggExprs: Seq[Column] =
     barColumns.flatMap { case (src, out) =>
       val c = col(s"`$src`")
       Seq(
-        round(avg(c), 6).as(s"avg_$out"),
-        round(sum(c), 6).as(s"sum_$out"),
+        graft.util.Stable.exactAvg(c).as(s"avg_$out"),
+        graft.util.Stable.exactSum(c).as(s"sum_$out"),
         max(c).as(s"max_$out"),
         min(c).as(s"min_$out"),
-        round(stddev(c), 6).as(s"stddev_$out"))
+        stddev(c).as(s"stddev_$out"))
     } :+ count(lit(1)).as("row_count")
 
   /** `withColumn("period_key", date_format(Date, fmt))` — the calendar

@@ -92,6 +92,42 @@ object SparkEntry {
         .orderBy("year")
     }),
 
+    // IQPLUS pipeline (U1-U3 + W2): deterministic extractive split-merge
+    // summarizer UDF + pinned 1-based index. Not SQL-expressible → no
+    // oracle entry (rows-only check), but deterministic across re-runs.
+    "news_summarize" -> ((s, dir) =>
+      news.Summarize.transform(Sources.news(s, dir)).orderBy("index")),
+
+    // Chunking surface (U1) on synthesized long sentence-structured text
+    // (testdata docs are short and dot-free): ~20x repetition pushes docs
+    // past the 1024-token budget so the split-merge path really runs.
+    "news_chunking" -> ((s, dir) => {
+      val docs = Sources.documents(s, dir)
+        .withColumn("long_text",
+          regexp_replace(concat_ws(". ", (0 until 20).map(_ => col("text")): _*),
+            " the ", ". "))
+      docs.select(
+        col("doc_id"),
+        news.Summarize.tokenCountUdf(col("long_text")).as("n_tokens"),
+        news.Summarize.chunkCountUdf(col("long_text")).as("n_chunks"),
+        news.Summarize.tokenCountUdf(news.Summarize.summarizeUdf(col("long_text")))
+          .as("n_summary_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // SQL-expressible text stats (SURVEY.md §5.1): char/word/sentence
+    // counts via higher-order functions, checked against DuckDB.
+    "news_text_stats" -> ((s, dir) =>
+      Sources.documents(s, dir)
+        .withColumn("dotted", expr("replace(text, ' the ', '. ')"))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("len_text"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+          size(filter(split(col("dotted"), "\\."),
+            x => trim(x) =!= "")).cast("long").as("n_sentences"))
+        .orderBy("doc_id")),
+
     // Genuine null-handling semantics (the reference's coalesce is
     // degenerate — fillna runs first): coalesce over actually-null
     // numeric + string columns, and na.fill (idx_transform.py:160-183,
@@ -186,6 +222,13 @@ object SparkEntry {
         |FROM orders
         |WHERE year(o_orderdate) IN (1995, 1996, 1997)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "news_text_stats" ->
+      """WITH d AS (SELECT *, replace(text, ' the ', '. ') AS dotted FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len_text,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(string_split(dotted, '.'), x -> trim(x) <> '')) AS BIGINT) AS n_sentences
+        |FROM d ORDER BY doc_id""".stripMargin,
     "idx_financials" -> idx.FinancialReport.oracleSql,
     "idx_null_handling" ->
       """SELECT c_custkey,

@@ -128,6 +128,27 @@ object SparkEntry {
             x => trim(x) =!= "")).cast("long").as("n_sentences"))
         .orderBy("doc_id")),
 
+    // Exact dedup (training-data extension): normalize → md5 fingerprint
+    // → hash group-by. One shuffle on a fixed-width key at any scale.
+    "dedup_exact" -> ((s, dir) =>
+      dedup.Dedup.exactGroups(
+        dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text")
+        .orderBy("fingerprint")),
+
+    // n-gram Jaccard near-dedup via the explode→join→count pattern —
+    // docs sharing zero shingles never meet (no cartesian product).
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      dedup.Dedup.jaccardPairs(
+        dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash + banded LSH with exact-Jaccard verification restricted to
+    // candidate docs — the sub-quadratic scale path for near-dedup.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      dedup.Dedup.lshVerifiedPairs(
+        dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
+        .orderBy("id_a", "id_b")),
+
     // Genuine null-handling semantics (the reference's coalesce is
     // degenerate — fillna runs first): coalesce over actually-null
     // numeric + string columns, and na.fill (idx_transform.py:160-183,
@@ -230,6 +251,21 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(dotted, '.'), x -> trim(x) <> '')) AS BIGINT) AS n_sentences
         |FROM d ORDER BY doc_id""".stripMargin,
     "idx_financials" -> idx.FinancialReport.oracleSql,
+    "dedup_exact" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql}
+         |${dedup.Dedup.exactGroupsSql("docs")}
+         |ORDER BY fingerprint""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, None)}
+         |SELECT * FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.lshCandidatesCtes("docs")},
+         |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, Some("cand"))}
+         |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
+         |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
     "idx_null_handling" ->
       """SELECT c_custkey,
         |  COALESCE(CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END, -1.0) AS bal_filled,

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Dedup.augmented(Sources.documents(spark, sfDir)).cache()
+
+  test("shingles: distinct word trigrams in order, short docs empty") {
+    val r = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "A  b\tC"))
+      .toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text")).as("sh")).collect()
+    assert(r(0).getSeq[String](0) === Seq("a b c", "b c d", "c d e"))
+    assert(r(1).getSeq[String](0) === Seq.empty)
+    assert(r(2).getSeq[String](0) === Seq("a b c")) // normalized case + whitespace
+  }
+
+  test("exact groups catch every case/whitespace-variant copy") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").cache()
+    val dupGroups = groups.filter(col("n_copies") >= 2)
+    // every +300000 injection dedups with its source (a 'datum' rewrite of
+    // a doc without the token 'data' also lands in a dup group, so ≥)
+    val nExactInjected = Sources.documents(spark, sfDir)
+      .filter(col("doc_id") % 11 === 0).count()
+    assert(nExactInjected > 0 && dupGroups.count() >= nExactInjected)
+    val byCopy = docs.filter(col("doc_id") >= 300000).count()
+    val matched = dupGroups.filter(col("canonical_id") < 100000).count()
+    assert(byCopy === nExactInjected && matched === dupGroups.count())
+  }
+
+  test("jaccard: exact copy pairs score 1.0; tail-append pairs score high but < 1") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).cache()
+    val exactPairs = pairs.filter(col("id_b") === col("id_a") + 300000)
+    assert(exactPairs.count() > 0)
+    assert(exactPairs.filter(col("jaccard") =!= 1.0).count() === 0)
+    // tail-append strictly adds shingles → jaccard < 1, and for most docs
+    // stays near-dup high (repetitive small-vocab docs can dip lower)
+    // id_a < 100000 keeps only base→junk-append pairs: (200000+x, 300000+x)
+    // also differ by 100000 and can legitimately be exact (no 'data' token)
+    val nearPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.0)
+      .filter(col("id_b") === col("id_a") + 100000 && col("id_a") < 100000).cache()
+    assert(nearPairs.count() > 0)
+    assert(nearPairs.filter(col("jaccard") >= 1.0).count() === 0)
+    assert(nearPairs.agg(avg("jaccard")).head.getDouble(0) > 0.6)
+  }
+
+  test("LSH verified pairs are a subset of brute-force pairs with high recall") {
+    val brute = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+    val lsh = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.6)
+    val b = brute.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l = lsh.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(l.subsetOf(b))
+    assert(l.size.toDouble / b.size > 0.9, s"recall ${l.size}/${b.size}")
+  }
+
+  test("minhash signature has the configured width and is deterministic") {
+    val sig = Seq((1L, "one two three four five six"))
+      .toDF("doc_id", "text")
+      .select(Dedup.minhashSignature(Dedup.shingles(col("text"))).as("sig"))
+    val a = sig.head.getSeq[String](0)
+    val b = sig.head.getSeq[String](0)
+    assert(a.size === Dedup.NumHashes && a === b)
+    assert(a.forall(_.matches("[0-9a-f]{32}")))
+  }
+
+  test("candidate generation never pairs a doc with itself and is ordered") {
+    val cand = Dedup.lshCandidates(docs, "doc_id", "text")
+    assert(cand.filter(col("id_a") >= col("id_b")).count() === 0)
+  }
+}

@@ -142,6 +142,16 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Jaccard with a shingle document-frequency cap — the skew guard that
+    // keeps a boilerplate n-gram shared by k docs from contributing
+    // k(k-1)/2 join rows; at corpus scale this is what makes the shingle
+    // join survive hot keys.
+    "dedup_jaccard_capped" -> ((s, dir) =>
+      dedup.Dedup.jaccardPairs(
+        dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.5,
+        maxDocFreq = Some(10L))
+        .orderBy("id_a", "id_b")),
+
     // MinHash + banded LSH with exact-Jaccard verification restricted to
     // candidate docs — the sub-quadratic scale path for near-dedup.
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -258,6 +268,10 @@ object SparkEntry {
     "dedup_jaccard_pairs" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, None)}
+         |SELECT * FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "dedup_jaccard_capped" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.jaccardPairsCtes("docs", 0.5, None, maxDocFreq = Some(10L))}
          |SELECT * FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for large-scale training-data pipelines — the
   * north-star extension surface beyond the reference's own operators
@@ -45,14 +46,39 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word-`n`-gram shingles of the normalized text, as a column.
-    * Docs shorter than `n` words yield an empty array. */
+    * Docs shorter than `n` words yield an empty array.
+    *
+    * Implemented as a Scala UDF over the (codegen'd) normalized text rather
+    * than `transform(sequence(...))`+`array_distinct`: Spark's higher-order
+    * array functions are evaluated interpreted per row, and profiling at
+    * sf0.1 showed the HOF chain dominating the whole dedup pipeline (9 s of
+    * a 22 s query). The UDF is one tight JVM loop per row; values are
+    * identical (first-occurrence-order distinct n-grams, like
+    * `array_distinct` over an in-order sliding window).
+    */
   def shingles(textCol: Column, n: Int = ShingleN): Column = {
-    val words = split(normalize(textCol), " ")
-    array_distinct(
-      when(size(words) >= n,
-        transform(sequence(lit(1), size(words) - (n - 1)),
-          i => array_join(slice(words, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>")))
+    val mk = udf { (s: String) =>
+      if (s == null) Array.empty[String]
+      else {
+        val words = s.split(" ")
+        if (words.length < n) Array.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String]
+          var i = 0
+          while (i <= words.length - n) {
+            val sb = new java.lang.StringBuilder(words(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+            seen.add(sb.toString)
+            i += 1
+          }
+          val out = new Array[String](seen.size)
+          seen.toArray(out)
+          out
+        }
+      }
+    }
+    mk(normalize(textCol))
   }
 
   /** (doc id, shingle) exploded view — the unit of the explode→join
@@ -64,32 +90,62 @@ object Dedup {
     * counting: |A∩B| from the join, |A| and |B| from per-doc counts.
     * `candidates` (optional) restricts the join to ids occurring in the
     * candidate pair set — the LSH verification path. */
+  /** `maxDocFreq`: drop shingles occurring in more than that many docs
+    * before pairing — the standard skew guard against boilerplate n-grams
+    * (a shingle shared by k docs contributes k(k-1)/2 join rows; at corpus
+    * scale an unguarded hot shingle is a quadratic blowup on one key).
+    * Jaccard is then defined over the surviving "discriminative" shingle
+    * space on BOTH the intersection and union side, so it remains a true
+    * Jaccard of (filtered) sets. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double,
-                   candidates: Option[DataFrame] = None): DataFrame = {
+                   candidates: Option[DataFrame] = None,
+                   maxDocFreq: Option[Long] = None): DataFrame = {
     val shAll = shingleRows(docs, idCol, textCol)
-    val sh = candidates match {
+    // The shingle view feeds three consumers (per-doc counts + both self-
+    // join sides); persist so the normalize→split→n-gram derivation runs
+    // once, not three times. At cluster scale this is the standard
+    // materialize-the-exploded-view step of a shingle join.
+    val sh = (candidates match {
       case Some(cand) =>
-        val ids = cand.select(col("id_a").as("id"))
-          .union(cand.select(col("id_b").as("id"))).distinct()
-        shAll.join(ids, "id")
+        shAll.join(candidateIds(cand), "id")
       case None => shAll
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = jaccardFromShingles(sh, threshold, maxDocFreq)
+    candidates match {
+      case Some(cand) => pairs.join(cand, Seq("id_a", "id_b"), "left_semi")
+      case None => pairs
+    }
+  }
+
+  /** Distinct doc ids occurring in a candidate pair set. */
+  private def candidateIds(cand: DataFrame): DataFrame =
+    cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+
+  /** Jaccard pairs from an (id, sh) shingle view the caller has already
+    * restricted/persisted. */
+  private def jaccardFromShingles(sh0: DataFrame, threshold: Double,
+                                  maxDocFreq: Option[Long] = None): DataFrame = {
+    // (id, sh) rows are distinct per doc, so doc frequency = row count.
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val keep = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("sh")
+        sh0.join(keep, "sh").persist(StorageLevel.MEMORY_AND_DISK)
+      case None => sh0
     }
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    val withSizes = common
+    common
       .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    candidates match {
-      case Some(cand) => withSizes.join(cand, Seq("id_a", "id_b"), "left_semi")
-      case None => withSizes
-    }
   }
 
   /** MinHash signature: element j = min over shingles of md5(j ':' sh).
@@ -109,13 +165,36 @@ object Dedup {
     }: _*)
   }
 
-  /** Candidate pairs: docs sharing any (band index, band key). */
-  def lshCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withBands = docs
-      .withColumn("sh", shingles(col(textCol)))
-      .filter(size(col("sh")) > 0)
-      .select(col(idCol).as("id"), posexplode(bandKeys(minhashSignature(col("sh")))))
+  /** Candidate pairs: docs sharing any (band index, band key).
+    *
+    * The signature is computed in flat form — explode shingles, project the
+    * [[NumHashes]] md5 columns in one whole-stage-codegen pass, then
+    * `min(h_j)` per doc in a partial+final hash aggregate — rather than via
+    * [[minhashSignature]]'s array expression: higher-order array functions
+    * are interpreted per row, while the flat plan is codegen end-to-end and
+    * map-side combines before the one shuffle on doc id. Values are
+    * identical (lexicographic min over the same md5 strings; docs with no
+    * shingles drop out of the explode, matching the `size > 0` filter).
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    lshCandidatesFromShingles(shingleRows(docs, idCol, textCol))
+
+  /** LSH candidates from an (id, sh) shingle view. */
+  private def lshCandidatesFromShingles(sh: DataFrame): DataFrame = {
+    val rows = NumHashes / NumBands
+    val sig = sh.groupBy("id").agg(
+      min(md5(concat(lit("0:"), col("sh")))).as("h0"),
+      (1 until NumHashes).map(j =>
+        min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j")): _*)
+    val bandKeyCols = (0 until NumBands).map { b =>
+      md5(concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"h$r")): _*))
+    }
+    // Persist before the self-join so the minhash plan runs once, not per
+    // join side.
+    val withBands = sig
+      .select(col("id"), posexplode(array(bandKeyCols: _*)))
       .toDF("id", "band_idx", "band_key")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     withBands.as("a")
       .join(withBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -127,9 +206,16 @@ object Dedup {
   /** Full near-dedup: LSH candidates, then exact Jaccard verification over
     * candidate docs only. */
   def lshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
-                       threshold: Double): DataFrame =
-    jaccardPairs(docs, idCol, textCol, threshold,
-      candidates = Some(lshCandidates(docs, idCol, textCol)))
+                       threshold: Double): DataFrame = {
+    // One shingle-derivation pass feeds BOTH the minhash banding and the
+    // Jaccard verification (at cluster scale: materialize the exploded
+    // shingle view once, reuse it across the LSH stages). Candidates feed
+    // the id restriction AND the final semi-join; persist both.
+    val shAll = shingleRows(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidatesFromShingles(shAll).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shAll.join(candidateIds(cand), "id").persist(StorageLevel.MEMORY_AND_DISK)
+    jaccardFromShingles(sh, threshold).join(cand, Seq("id_a", "id_b"), "left_semi")
+  }
 
   // --------------------------------------------------------------- oracle
 
@@ -158,15 +244,23 @@ object Dedup {
   /** CTE chain ending in `pairs(id_a, id_b, jaccard)`. With a candidate
     * CTE name, the shingle set is restricted to candidate ids; the final
     * SELECT must still semi-join `pairs` against the candidates. */
-  def jaccardPairsCtes(docsRel: String, threshold: Double, candidatesCte: Option[String]): String = {
+  def jaccardPairsCtes(docsRel: String, threshold: Double, candidatesCte: Option[String],
+                       maxDocFreq: Option[Long] = None): String = {
     val shSrc = candidatesCte match {
       case Some(c) =>
-        s"""sh AS (SELECT * FROM sh_all WHERE id IN
+        s"""sh0 AS (SELECT * FROM sh_all WHERE id IN
            |  (SELECT id_a FROM $c UNION SELECT id_b FROM $c))""".stripMargin
-      case None => "sh AS (SELECT * FROM sh_all)"
+      case None => "sh0 AS (SELECT * FROM sh_all)"
+    }
+    val shFiltered = maxDocFreq match {
+      case Some(cap) =>
+        s"""sh AS (SELECT s.* FROM sh0 s JOIN
+           |  (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $cap) k USING (sh))""".stripMargin
+      case None => "sh AS (SELECT * FROM sh0)"
     }
     s"""sh_all AS (${shingleRowsSql(docsRel)}),
        |$shSrc,
+       |$shFiltered,
        |counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
        |common AS (
        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
@@ -208,13 +302,21 @@ object Dedup {
     *  - +200000: moderate edit (every 'data' token rewritten) */
   def augmented(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
+    // Junk tokens carry the doc id so no two injected docs share them:
+    // appending *identical* junk to 1000 docs makes each junk shingle a
+    // 1000-doc hot key and the pair join quadratic in it (measured: 2.7 M
+    // pre-threshold pairs at sf0.1, ~1.5 M from three junk shingles alone).
+    val idStr = col("doc_id").cast("string")
+    val junk = concat(
+      lit(" zz"), idStr, lit(" yy"), idStr, lit(" xx"), idStr,
+      lit(" qq"), idStr, lit(" vv"), idStr)
     base
       .unionByName(base.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(upper(col("text")), lit("  ")).as("text")))
       .unionByName(base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" zz yy xx qq vv")).as("text")))
+          concat(col("text"), junk).as("text")))
       .unionByName(base.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 200000).as("doc_id"),
           expr("replace(text, 'data', 'datum')").as("text")))
@@ -223,7 +325,10 @@ object Dedup {
   val augmentedSql: String =
     """(SELECT doc_id, text FROM documents
       | UNION ALL SELECT doc_id + 300000, upper(text) || '  ' FROM documents WHERE doc_id % 11 = 0
-      | UNION ALL SELECT doc_id + 100000, text || ' zz yy xx qq vv' FROM documents WHERE doc_id % 5 = 0
+      | UNION ALL SELECT doc_id + 100000,
+      |   text || ' zz' || doc_id || ' yy' || doc_id || ' xx' || doc_id ||
+      |   ' qq' || doc_id || ' vv' || doc_id
+      |   FROM documents WHERE doc_id % 5 = 0
       | UNION ALL SELECT doc_id + 200000, replace(text, 'data', 'datum') FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
   def lshCandidatesCtes(docsRel: String): String =

@@ -159,6 +159,32 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Exact cosine top-k over the embeddings table: broadcast query set ×
+    // in-place corpus scan — the ANN correctness baseline.
+    "sim_brute_topk" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      sim.Similarity.bruteTopK(emb.filter(col("id") < 5), emb, 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Random-hyperplane LSH approximate top-k: sketch bands → candidate
+    // equi-join → exact cosine re-rank of candidates only. The sub-linear
+    // scale path for similarity search.
+    "sim_ann_rhp" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      sim.Similarity.rhpTopK(emb.filter(col("id") < 5), emb, 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding-cosine near-dup pairs: full-sketch equality candidates +
+    // exact cosine verification (no pairwise scan).
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      sim.Similarity.cosinePairs(
+        sim.Similarity.augmented(Sources.embeddings(s, dir)), 0.95)
+        .orderBy("id_a", "id_b")),
+
     // Genuine null-handling semantics (the reference's coalesce is
     // degenerate — fillna runs first): coalesce over actually-null
     // numeric + string columns, and na.fill (idx_transform.py:160-183,
@@ -280,6 +306,21 @@ object SparkEntry {
          |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
          |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
          |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "sim_brute_topk" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |${sim.Similarity.bruteTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim_ann_rhp" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |${sim.Similarity.rhpTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH aug AS ${sim.Similarity.augmentedSql},
+         |${sim.Similarity.cosinePairsSql("aug", 0.95)}
+         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin,
     "idx_null_handling" ->
       """SELECT c_custkey,
         |  COALESCE(CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END, -1.0) AS bal_filled,

@@ -1,0 +1,219 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Approximate-nearest-neighbor similarity search over an embedding column
+  * (`Array[Float]`) — the training-data-pipeline extension surface beyond
+  * the reference (which has no vector data at all; its only "similarity"
+  * notion is the BART summarizer's relevance ranking,
+  * `Tugas 2/IQPLUS News/iqplus_market_transform.py:49-89`).
+  *
+  * Two tiers:
+  *  1. [[bruteTopK]] — exact cosine top-k: broadcast the (small) query set
+  *     against the corpus, one pass, no shuffle beyond the per-query top-k.
+  *     The correctness baseline, and the right plan whenever
+  *     |queries| × |corpus| work fits the cluster (it parallelizes
+  *     perfectly: the corpus never moves).
+  *  2. [[rhpTopK]] — random-hyperplane (SimHash-for-cosine) LSH: each
+  *     vector gets a [[NumBits]]-bit sign sketch; sketches are split into
+  *     [[NumBands]] bands; a corpus vector is a candidate for a query iff
+  *     some band matches exactly (equi-join on band key — never a cross
+  *     join); exact cosine re-ranks candidates only. At corpus scale this
+  *     is the standard sub-linear path: sketching is a per-row projection,
+  *     candidate generation one shuffle on (band, key).
+  *
+  * Cross-engine determinism (the DuckDB oracle must hash-match): every
+  * dot product is a *sequential left fold over doubles in array order* —
+  * Spark `aggregate(zip_with(...))` ⇔ DuckDB `list_reduce(list_transform
+  * (list_zip(...)))` produce bit-identical IEEE sums — and the hyperplane
+  * signs are ±1 constants derived from md5 *at plan-build time* in Scala,
+  * embedded as literals into both the Spark plan and the generated SQL.
+  */
+object Similarity {
+
+  val NumBits = 16
+  val NumBands = 4 // 4 bands x 4 bits
+  val BitsPerBand: Int = NumBits / NumBands
+
+  /** Rademacher hyperplanes: sign(j,d) = +1 iff the first hex char of
+    * md5("j:d") is >= '8'. Pure compile-time constants — identical in the
+    * generated SQL by construction. */
+  val hyperplanes: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumBits) { j =>
+      Array.tabulate(64) { d =>
+        val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
+        // first hex char >= '8'  ⇔  high bit of first byte set
+        if ((hex(0) & 0x80) != 0) 1 else -1
+      }
+    }
+  }
+
+  /** Sequential in-order dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** The embedding column as doubles (floats widen exactly). */
+  def vec(c: Column): Column = c.cast("array<double>")
+
+  /** Signed projection onto hyperplane `j`: sum of ±component. */
+  private def signedProj(v: Column, j: Int): Column = {
+    val signs = array(hyperplanes(j).map(s => lit(s.toDouble)): _*)
+    dot(v, signs)
+  }
+
+  /** Band keys: [[NumBands]] strings of '0'/'1' sketch bits. */
+  def bandKeyCols(v: Column): Seq[Column] =
+    (0 until NumBands).map { b =>
+      concat((b * BitsPerBand until (b + 1) * BitsPerBand).map { j =>
+        when(signedProj(v, j) > 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    }
+
+  /** Exact cosine top-k of `corpus` for each row of `queries` (both must
+    * have (id, vec) where vec is float/double array). The query set is
+    * broadcast — the corpus is scanned once in place, never shuffled. */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"), vec(col("vec")).as("qv")))
+    val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+    val scored = c.crossJoin(q)
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** (id, band_idx, band_key) exploded sketch view. */
+  private def bands(df: DataFrame, idAs: String): DataFrame =
+    df.select(col("id"), vec(col("vec")).as("v"))
+      .select(col("id").as(idAs), posexplode(array(bandKeyCols(col("v")): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+
+  /** RHP-LSH approximate top-k: candidates share >= 1 sketch band with the
+    * query; exact cosine re-ranks candidates only. */
+  def rhpTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val qb = broadcast(bands(queries, "query_id"))
+    val cb = bands(corpus, "vec_id")
+    val cand = cb.join(qb, Seq("band_idx", "band_key"))
+      .select("query_id", "vec_id").distinct()
+    val q = broadcast(queries.select(col("id").as("query_id"), vec(col("vec")).as("qv")))
+    val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+    val scored = cand.join(c, "vec_id").join(q, "query_id")
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates = identical full
+    * [[NumBits]]-bit sketch (direction-preserving copies always collide;
+    * one equi-join on the sketch key, no pairwise scan), verified by exact
+    * cosine >= `threshold`. */
+  def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val sk = vectors
+      .select(col("id"), vec(col("vec")).as("v"))
+      .withColumn("sketch", concat(bandKeyCols(col("v")): _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sk.as("a").join(sk.as("b"),
+        col("a.sketch") === col("b.sketch") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Deterministic near-dup injection over `embeddings` (the synthetic
+    * vectors are random ⇒ no true near-dups exist): +100000 = the same
+    * direction rescaled (cosine exactly 1 up to FP), +200000 = first
+    * component zeroed (small angular perturbation). Mirrored in
+    * [[augmentedSql]]. */
+  def augmented(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id").as("id"),
+      vec(col("embedding")).as("vec"))
+    base
+      .unionByName(base.filter(col("id") % 10 === 0)
+        .select((col("id") + 100000).as("id"),
+          transform(col("vec"), x => x * 1.5).as("vec")))
+      .unionByName(base.filter(col("id") % 7 === 0)
+        .select((col("id") + 200000).as("id"),
+          // Spark transform index is 0-based (DuckDB's is 1-based)
+          transform(col("vec"), (x, i) => when(i === 0, 0.0).otherwise(x)).as("vec")))
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  /** In-order double fold dot product (bit-identical to [[dot]]). */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, x) -> acc + x)"
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** ±1 hyperplane literal for plane `j` (same constants as
+    * [[hyperplanes]]). */
+  private def planeSql(j: Int): String =
+    hyperplanes(j).map(s => s"$s.0").mkString("[", ",", "]")
+
+  def bandKeySql(v: String, b: Int): String =
+    (b * BitsPerBand until (b + 1) * BitsPerBand).map { j =>
+      s"(CASE WHEN ${dotSql(v, planeSql(j))} > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  def sketchSql(v: String): String =
+    (0 until NumBands).map(bandKeySql(v, _)).mkString(" || ")
+
+  /** `vecs(id, vec DOUBLE[])` view of the embeddings table. */
+  val vecsSql: String =
+    "(SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings)"
+
+  val augmentedSql: String =
+    s"""(SELECT id, vec FROM $vecsSql v
+       | UNION ALL SELECT id + 100000, list_transform(vec, x -> x * 1.5)
+       |   FROM $vecsSql v WHERE id % 10 = 0
+       | UNION ALL SELECT id + 200000,
+       |   list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN 0.0 ELSE x END)
+       |   FROM $vecsSql v WHERE id % 7 = 0)""".stripMargin
+
+  def bruteTopKSql(queriesRel: String, corpusRel: String, k: Int): String =
+    s"""scored AS (
+       |  SELECT q.id AS query_id, c.id AS vec_id,
+       |    ${cosineSql("q.vec", "c.vec")} AS sim
+       |  FROM $corpusRel c CROSS JOIN $queriesRel q),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)""".stripMargin
+
+  def rhpTopKSql(queriesRel: String, corpusRel: String, k: Int): String = {
+    val bandRows = (0 until NumBands)
+      .map(b => s"SELECT id, $b AS band_idx, ${bandKeySql("vec", b)} AS band_key FROM src")
+      .mkString("\nUNION ALL ")
+    s"""qb AS (WITH src AS (SELECT * FROM $queriesRel q) $bandRows),
+       |cb AS (WITH src AS (SELECT * FROM $corpusRel c) $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT qb.id AS query_id, cb.id AS vec_id
+       |  FROM cb JOIN qb ON cb.band_idx = qb.band_idx AND cb.band_key = qb.band_key),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    ${cosineSql("q.vec", "c.vec")} AS sim
+       |  FROM cand
+       |  JOIN $corpusRel c ON c.id = cand.vec_id
+       |  JOIN $queriesRel q ON q.id = cand.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)""".stripMargin
+  }
+
+  def cosinePairsSql(vectorsRel: String, threshold: Double): String =
+    s"""sk AS (SELECT id, vec, ${sketchSql("vec")} AS sketch FROM $vectorsRel v),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, ${cosineSql("a.vec", "b.vec")} AS sim
+       |  FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.id < b.id)""".stripMargin
+}

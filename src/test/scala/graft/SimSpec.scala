@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import sim.Similarity
+
+class SimSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb = Sources.embeddings(spark, sfDir)
+    .select(col("vec_id").as("id"), col("embedding").as("vec")).cache()
+
+  test("cosine: identical vectors score ~1, orthogonal score 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f)),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val sims = df.select(Similarity.cosine(
+      Similarity.vec(col("a")), Similarity.vec(col("b"))).as("sim"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(sims(1) === 0.0)
+    assert(math.abs(sims(2) - 1.0) < 1e-12)
+  }
+
+  test("bruteTopK: rank 1 of each query is the query itself at sim ~1") {
+    val top = Similarity.bruteTopK(emb.filter(col("id") < 5), emb, 10).cache()
+    val r1 = top.filter(col("rank") === 1).orderBy("query_id").collect()
+    assert(r1.length === 5)
+    r1.foreach { r =>
+      assert(r.getAs[Long]("query_id") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
+    // exactly k results per query, ranks contiguous
+    val perQuery = top.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perQuery.filter(col("n") =!= 10 || col("mx") =!= 10).count() === 0)
+  }
+
+  test("rhpTopK: results are a subset of brute scores with the query itself found") {
+    val brute = Similarity.bruteTopK(emb.filter(col("id") < 5), emb, 10)
+    val ann = Similarity.rhpTopK(emb.filter(col("id") < 5), emb, 10).cache()
+    // the query shares every sketch band with itself → always candidate,
+    // always rank 1
+    val r1 = ann.filter(col("rank") === 1).collect()
+    assert(r1.length === 5 && r1.forall(r =>
+      r.getAs[Long]("query_id") === r.getAs[Long]("vec_id")))
+    // ANN sims must agree exactly with brute sims on shared (q, v) pairs
+    val joined = ann.as("a").join(brute.as("b"),
+      $"a.query_id" === $"b.query_id" && $"a.vec_id" === $"b.vec_id")
+    assert(joined.filter($"a.sim" =!= $"b.sim").count() === 0)
+  }
+
+  test("cosinePairs finds every rescaled copy at sim ~1") {
+    val aug = Similarity.augmented(Sources.embeddings(spark, sfDir))
+    val pairs = Similarity.cosinePairs(aug, 0.95).cache()
+    val nScaled = emb.filter(col("id") % 10 === 0).count()
+    val scaledPairs = pairs.filter(col("id_b") === col("id_a") + 100000 && col("id_a") < 100000)
+    assert(scaledPairs.count() === nScaled)
+    assert(scaledPairs.filter(abs(col("sim") - 1.0) > 1e-9).count() === 0)
+  }
+
+  test("hyperplane constants are ±1 and stable across calls") {
+    val h1 = Similarity.hyperplanes
+    assert(h1.length === Similarity.NumBits && h1.forall(_.length === 64))
+    assert(h1.flatten.forall(s => s == 1 || s == -1))
+    // not degenerate: both signs occur in every plane's first half
+    assert(h1.forall(p => p.take(32).contains(1) || p.drop(32).contains(1)))
+  }
+}

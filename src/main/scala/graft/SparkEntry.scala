@@ -159,6 +159,28 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Language ID via stopword-profile scoring with deterministic argmax —
+    // single-pass projection, no shuffle at any scale.
+    "text_lang_id" -> ((s, dir) =>
+      text.TextAnalysis.langId(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace tokens + BPE-ish regex pre-tokenization.
+    "text_tokens" -> ((s, dir) =>
+      text.TextAnalysis.tokenStats(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Quality scoring: length/stopword/punct/digit signals + composite.
+    "text_quality" -> ((s, dir) =>
+      text.TextAnalysis.qualityScore(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Document fingerprinting: content md5 + word-level polynomial
+    // rolling hash (Rabin-Karp shape).
+    "text_fingerprint" -> ((s, dir) =>
+      text.TextAnalysis.fingerprints(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Exact cosine top-k over the embeddings table: broadcast query set ×
     // in-place corpus scan — the ANN correctness baseline.
     "sim_brute_topk" -> ((s, dir) => {
@@ -306,6 +328,18 @@ object SparkEntry {
          |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
          |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
          |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "text_lang_id" ->
+      s"""${text.TextAnalysis.langIdSql("documents", "doc_id", "text")}
+         |ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      s"""${text.TextAnalysis.tokenStatsSql("documents", "doc_id", "text")}
+         |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""${text.TextAnalysis.qualityScoreSql("documents", "doc_id", "text")}
+         |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""${text.TextAnalysis.fingerprintsSql("documents", "doc_id", "text")}
+         |ORDER BY doc_id""".stripMargin,
     "sim_brute_topk" ->
       s"""WITH vecs AS ${sim.Similarity.vecsSql},
          |${sim.Similarity.bruteTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}

@@ -159,6 +159,14 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
 
+    // SimHash near-dedup: 16-bit sign sketch per doc (one md5 per shingle,
+    // flat partial+final aggregate), banded candidate equi-join, full-width
+    // hamming verification.
+    "dedup_simhash" -> ((s, dir) =>
+      dedup.Dedup.simhashPairs(
+        dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
     // Language ID via stopword-profile scoring with deterministic argmax —
     // single-pass projection, no shuffle at any scale.
     "text_lang_id" -> ((s, dir) =>
@@ -328,6 +336,10 @@ object SparkEntry {
          |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
          |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
          |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.simhashPairsCtes("docs")}
+         |SELECT * FROM shpairs ORDER BY id_a, id_b""".stripMargin,
     "text_lang_id" ->
       s"""${text.TextAnalysis.langIdSql("documents", "doc_id", "text")}
          |ORDER BY doc_id""".stripMargin,

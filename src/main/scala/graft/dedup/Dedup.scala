@@ -217,6 +217,51 @@ object Dedup {
     jaccardFromShingles(sh, threshold).join(cand, Seq("id_a", "id_b"), "left_semi")
   }
 
+  // -------------------------------------------------------------- simhash
+
+  val SimhashBits = 16
+  val SimhashBands = 2 // 2 bands x 8 bits → catches hamming ≤ 1 for sure
+  val SimhashMaxHamming = 3
+
+  /** 16-bit SimHash per doc: weight_j(shingle) = +1 iff hex char j of
+    * md5(shingle) >= '8'; bit_j = (Σ weights > 0). Flat codegen shape —
+    * one md5 per shingle row, 16 conditional sums in a partial+final hash
+    * aggregate; one shuffle on doc id. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol).withColumn("h", md5(col("sh")))
+    val sums = (0 until SimhashBits).map(j =>
+      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
+    sh.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"), concat((0 until SimhashBits).map(j =>
+        when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: candidates share one of the
+    * [[SimhashBands]] bands (equi-join, no pairwise scan), verified by
+    * full-width hamming distance <= [[SimhashMaxHamming]]. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bitsPerBand = SimhashBits / SimhashBands
+    val skRaw = simhash(docs, idCol, textCol)
+    val sk = skRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = sk.select(col("id"), col("simhash"), posexplode(array(
+      (0 until SimhashBands).map(b =>
+        substring(col("simhash"), b * bitsPerBand + 1, bitsPerBand)): _*)))
+      .toDF("id", "simhash", "band_idx", "band_key")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+    val hamming = (0 until SimhashBits).map(j =>
+      when(substring(col("sh_a"), j + 1, 1) =!= substring(col("sh_b"), j + 1, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    cand.withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   // --------------------------------------------------------------- oracle
 
   /** DuckDB mirrors, generated from the same constants. `docsRel` must
@@ -330,6 +375,34 @@ object Dedup {
       |   ' qq' || doc_id || ' vv' || doc_id
       |   FROM documents WHERE doc_id % 5 = 0
       | UNION ALL SELECT doc_id + 200000, replace(text, 'data', 'datum') FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** CTE chain ending in `shpairs(id_a, id_b, hamming)`. */
+  def simhashPairsCtes(docsRel: String): String = {
+    val bitsPerBand = SimhashBits / SimhashBands
+    val sums = (0 until SimhashBits).map(j =>
+      s"sum(CASE WHEN substring(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val bits = (0 until SimhashBits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    val bandRows = (0 until SimhashBands).map(b =>
+      s"SELECT id, simhash, $b AS band_idx, substring(simhash, ${b * bitsPerBand + 1}, $bitsPerBand) AS band_key FROM sk")
+      .mkString("\nUNION ALL ")
+    val hamming = (0 until SimhashBits).map(j =>
+      s"(CASE WHEN substring(sh_a, ${j + 1}, 1) <> substring(sh_b, ${j + 1}, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""shr AS (SELECT id, sh, md5(sh) AS h FROM (${shingleRowsSql(docsRel)})),
+       |sums AS (SELECT id, $sums FROM shr GROUP BY id),
+       |sk AS (SELECT id, $bits AS simhash FROM sums),
+       |skbands AS ($bandRows),
+       |shcand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM skbands a JOIN skbands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+       |shpairs AS (
+       |  SELECT id_a, id_b, CAST($hamming AS BIGINT) AS hamming
+       |  FROM shcand WHERE $hamming <= $SimhashMaxHamming)""".stripMargin
+  }
 
   def lshCandidatesCtes(docsRel: String): String =
     s"""sig AS (

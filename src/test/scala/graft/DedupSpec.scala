@@ -66,6 +66,23 @@ class DedupSpec extends SparkSpec {
     assert(a.forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("simhash is 16 bits of 0/1 and identical for normalized exact copies") {
+    val sk = Dedup.simhash(docs, "doc_id", "text").cache()
+    assert(sk.filter(!col("simhash").rlike("^[01]{16}$")).count() === 0)
+    val copies = sk.as("a").join(sk.as("b"), col("b.id") === col("a.id") + 300000)
+    assert(copies.count() > 0)
+    assert(copies.filter(col("a.simhash") =!= col("b.simhash")).count() === 0)
+  }
+
+  test("simhashPairs catches every exact-copy pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text").cache()
+    val nExact = Sources.documents(spark, sfDir).filter(col("doc_id") % 11 === 0).count()
+    val exact = pairs.filter(col("id_b") === col("id_a") + 300000 && col("id_a") < 100000)
+    assert(exact.count() === nExact)
+    assert(exact.filter(col("hamming") =!= 0).count() === 0)
+    assert(pairs.filter(col("hamming") > Dedup.SimhashMaxHamming).count() === 0)
+  }
+
   test("candidate generation never pairs a doc with itself and is ordered") {
     val cand = Dedup.lshCandidates(docs, "doc_id", "text")
     assert(cand.filter(col("id_a") >= col("id_b")).count() === 0)

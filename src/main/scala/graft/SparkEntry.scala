@@ -159,6 +159,23 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Multimodal catalog + resize/frame-sample planning over opaque binary
+    // payloads with typed metadata — the queryable half of a media
+    // pipeline (payload untouched, metadata pushdown-friendly).
+    "mm_catalog" -> ((s, dir) =>
+      multimodal.Multimodal.resizePlan(
+        multimodal.Multimodal.synthesize(Sources.documents(s, dir)), 128)
+        .orderBy("media_id")),
+
+    // Decode + feature extraction via per-partition batch mapPartitions —
+    // the real codec boundary (decoder stubbed deterministically; the
+    // Dataset encoders, binary schema, and batch shape are the product).
+    // Not SQL-expressible per the contract → rows-only check.
+    "mm_decode_features" -> ((s, dir) =>
+      multimodal.Multimodal.decodeFeatures(
+        multimodal.Multimodal.mediaDataset(s, Sources.documents(s, dir)))
+        .toDF().orderBy("media_id")),
+
     // SimHash near-dedup: 16-bit sign sketch per doc (one md5 per shingle,
     // flat partial+final aggregate), banded candidate equi-join, full-width
     // hamming verification.
@@ -340,6 +357,9 @@ object SparkEntry {
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.simhashPairsCtes("docs")}
          |SELECT * FROM shpairs ORDER BY id_a, id_b""".stripMargin,
+    "mm_catalog" ->
+      s"""${multimodal.Multimodal.catalogSql("documents", 128)}
+         |ORDER BY media_id""".stripMargin,
     "text_lang_id" ->
       s"""${text.TextAnalysis.langIdSql("documents", "doc_id", "text")}
          |ORDER BY doc_id""".stripMargin,

@@ -29,7 +29,14 @@ object Sources {
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects by default; `nanosAsLong` reads it as BIGINT
+    * nanoseconds (SPARK-40819). Downstream time math therefore works on
+    * integer nanos — exact, and mirrored in DuckDB via `epoch_ns`. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

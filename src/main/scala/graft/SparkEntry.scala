@@ -159,6 +159,13 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Gap-based sessionization over events: lag + conditional flag +
+    // running-sum window, all partitioned by user_id (no global window),
+    // then per-session rollup. The batch form of streaming session state.
+    "events_sessionize" -> ((s, dir) =>
+      events.Sessionize.sessionStats(Sources.events(s, dir))
+        .orderBy("user_id", "session_idx")),
+
     // Multimodal catalog + resize/frame-sample planning over opaque binary
     // payloads with typed metadata — the queryable half of a media
     // pipeline (payload untouched, metadata pushdown-friendly).
@@ -357,6 +364,9 @@ object SparkEntry {
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.simhashPairsCtes("docs")}
          |SELECT * FROM shpairs ORDER BY id_a, id_b""".stripMargin,
+    "events_sessionize" ->
+      s"""${events.Sessionize.sessionStatsSql("events")}
+         |ORDER BY user_id, session_idx""".stripMargin,
     "mm_catalog" ->
       s"""${multimodal.Multimodal.catalogSql("documents", 128)}
          |ORDER BY media_id""".stripMargin,

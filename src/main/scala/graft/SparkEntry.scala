@@ -159,6 +159,15 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Tumbling event-time window aggregate — the batch face of the
+    // Structured Streaming surface (the same transform runs watermarked on
+    // a stream; StreamingSpec asserts stream ≡ batch).
+    "events_hourly_window" -> ((s, dir) =>
+      streaming.Streams.hourlyTypeCounts(
+        Sources.events(s, dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+        .orderBy("w_start", "event_type")),
+
     // Gap-based sessionization over events: lag + conditional flag +
     // running-sum window, all partitioned by user_id (no global window),
     // then per-session rollup. The batch form of streaming session state.
@@ -367,6 +376,9 @@ object SparkEntry {
     "events_sessionize" ->
       s"""${events.Sessionize.sessionStatsSql("events")}
          |ORDER BY user_id, session_idx""".stripMargin,
+    "events_hourly_window" ->
+      s"""${streaming.Streams.hourlyTypeCountsSql("events")}
+         |ORDER BY w_start, event_type""".stripMargin,
     "mm_catalog" ->
       s"""${multimodal.Multimodal.catalogSql("documents", 128)}
          |ORDER BY media_id""".stripMargin,

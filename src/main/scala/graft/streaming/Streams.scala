@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.util.Stable
+
+/** A typed event for the streaming surface (timestamps are real
+  * `java.sql.Timestamp`s here — streams carry event time, not the batch
+  * parquet's nano-long encoding). */
+case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+
+/** Emitted session summary from streaming sessionization. */
+case class SessionUpdate(user_id: Long, session_start_ms: Long,
+                         session_end_ms: Long, n_events: Long, sum_value: Double)
+
+/** Internal per-user session accumulator. */
+case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+
+/** Structured Streaming surface (SURVEY.md §2.10: the reference is pure
+  * batch — this is engine surface beyond reference behavior, built the
+  * way Spark wants it: event-time windows + watermarks for bounded state,
+  * `flatMapGroupsWithState` for custom session state).
+  *
+  * Every transform here is defined on a plain `DataFrame`/`Dataset` so the
+  * SAME code runs in batch (driver gate / oracle) and on a stream
+  * (`readStream` → transform → `writeStream`) — that symmetry is the
+  * Structured Streaming contract, and the specs assert it with
+  * `MemoryStream`.
+  */
+object Streams {
+
+  /** Tumbling event-time window aggregate. On a stream, pair with
+    * [[withWatermarked]] so state is dropped after `watermark`. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Stable.exactSum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Watermarked variant for streaming use (late rows beyond the
+    * watermark are dropped; aggregation state is bounded). */
+  def withWatermarked(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    hourlyTypeCounts(events.withWatermark("ts", watermark))
+
+  /** Streaming sessionization with explicit state: the streaming
+    * counterpart of [[graft.events.Sessionize]]. A session closes when a
+    * later event for the same user arrives more than `gapMs` after the
+    * session's last event; closed sessions are emitted, open state is
+    * kept per user key. (Event-driven only: a production variant would
+    * add an event-time timeout to also flush sessions on quiet streams —
+    * a processing-time timeout keeps the micro-batch loop spinning, which
+    * stalls `processAllAvailable`-style draining.) */
+  def sessionize(events: Dataset[StreamEvent],
+                 gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) => {
+            // events within a micro-batch arrive unordered: sort by time
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionUpdate]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionUpdate(userId, s.startMs, s.lastMs, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            closed.reverseIterator
+          }
+      }
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  /** DuckDB mirror of [[hourlyTypeCounts]] (the oracle's events view has
+    * a true µs TIMESTAMP `ts`): bucket to the hour, emit bounds. */
+  def hourlyTypeCountsSql(eventsRel: String): String =
+    s"""SELECT
+       |  time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+       |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS w_end,
+       |  event_type,
+       |  count(*) AS n_events,
+       |  ${Stable.exactSumSql("value")} AS sum_value
+       |FROM $eventsRel GROUP BY 1, 2, 3""".stripMargin
+}

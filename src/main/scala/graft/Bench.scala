@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: run every query once at the smallest SF so JIT + whole-stage
+    // codegen compilation is paid before timing, not by whichever query
+    // happens to run first (measured: 18 s cold vs 2 s warm for the same
+    // plan). Falls back to the bench SF if the small SF is absent.
+    val warmDir = Seq("/root/testdata/sf0.001", sfDir)
+      .find(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d))).get
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+    }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

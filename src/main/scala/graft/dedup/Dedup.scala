@@ -48,37 +48,18 @@ object Dedup {
   /** Distinct word-`n`-gram shingles of the normalized text, as a column.
     * Docs shorter than `n` words yield an empty array.
     *
-    * Implemented as a Scala UDF over the (codegen'd) normalized text rather
-    * than `transform(sequence(...))`+`array_distinct`: Spark's higher-order
+    * Backed by the native [[graft.functions.WordShingles]] Catalyst
+    * expression (codegen'd; one static call per row) rather than
+    * `transform(sequence(...))`+`array_distinct` — Spark's higher-order
     * array functions are evaluated interpreted per row, and profiling at
-    * sf0.1 showed the HOF chain dominating the whole dedup pipeline (9 s of
-    * a 22 s query). The UDF is one tight JVM loop per row; values are
-    * identical (first-occurrence-order distinct n-grams, like
-    * `array_distinct` over an in-order sliding window).
+    * sf0.1 showed that chain dominating the whole dedup pipeline (9 s of
+    * a 22 s query) — or a Scala UDF, which pays an encoder round-trip.
     */
   def shingles(textCol: Column, n: Int = ShingleN): Column = {
-    val mk = udf { (s: String) =>
-      if (s == null) Array.empty[String]
-      else {
-        val words = s.split(" ")
-        if (words.length < n) Array.empty[String]
-        else {
-          val seen = new java.util.LinkedHashSet[String]
-          var i = 0
-          while (i <= words.length - n) {
-            val sb = new java.lang.StringBuilder(words(i))
-            var j = 1
-            while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
-            seen.add(sb.toString)
-            i += 1
-          }
-          val out = new Array[String](seen.size)
-          seen.toArray(out)
-          out
-        }
-      }
-    }
-    mk(normalize(textCol))
+    val normalized = normalize(textCol)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(normalized), n))
   }
 
   /** (doc id, shingle) exploded view — the unit of the explode→join

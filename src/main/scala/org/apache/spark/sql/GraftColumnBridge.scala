@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters so the
+  * engine can expose native Catalyst expressions (e.g.
+  * `graft.functions.WordShingles`) as ordinary `Column`s. Same technique
+  * used by public Spark-ecosystem libraries that ship custom expressions
+  * (a one-file shim in the `org.apache.spark.sql` package). */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -18,6 +18,22 @@ class DedupSpec extends SparkSpec {
     assert(r(2).getSeq[String](0) === Seq("a b c")) // normalized case + whitespace
   }
 
+  test("WordShingles: interpreted eval matches the codegen path and handles nulls") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = functions.WordShingles(BoundReference(0, StringType, nullable = true), 3)
+    val row = org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString("a b c d"))
+    val got = e.eval(row).asInstanceOf[ArrayData].toArray[UTF8String](StringType).map(_.toString)
+    assert(got.toSeq === Seq("a b c", "b c d"))
+    assert(functions.WordShingles(Literal(null, StringType), 3).eval() === null)
+    // codegen path: exercised via the Column API (plans show `* Generate`)
+    val viaColumn = Seq(("a b c d")).toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh")).head.getSeq[String](0)
+    assert(viaColumn === got.toSeq)
+  }
+
   test("exact groups catch every case/whitespace-variant copy") {
     val groups = Dedup.exactGroups(docs, "doc_id", "text").cache()
     val dupGroups = groups.filter(col("n_copies") >= 2)

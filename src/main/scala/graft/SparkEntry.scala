@@ -241,6 +241,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-style ANN: deterministic coarse quantizer → nearest-centroid
+    // assignment (write-once index at scale) → nprobe bucket probe →
+    // exact re-rank of bucket members only.
+    "sim_ann_ivf" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      sim.Similarity.ivfTopK(emb.filter(col("id") < 5), emb, 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding-cosine near-dup pairs: full-sketch equality candidates +
     // exact cosine verification (no pairwise scan).
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -402,6 +412,11 @@ object SparkEntry {
     "sim_ann_rhp" ->
       s"""WITH vecs AS ${sim.Similarity.vecsSql},
          |${sim.Similarity.rhpTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim_ann_ivf" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |${sim.Similarity.ivfTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
          |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
     "dedup_embedding_cosine" ->

@@ -112,6 +112,42 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style approximate top-k (the other standard ANN scale path,
+    * alongside [[rhpTopK]]): a deterministic coarse quantizer (every
+    * `centroidMod`-th corpus vector is a centroid — a trained k-means
+    * would slot in here unchanged), each corpus vector assigned to its
+    * nearest centroid once (broadcast centroids, argmax by cosine), each
+    * query probing its `nprobe` nearest centroid buckets, exact cosine
+    * re-ranking bucket members only. At corpus scale the assignment is a
+    * write-once index; probing reads `nprobe/|centroids|` of the data. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroidMod: Int = 31, nprobe: Int = 3): DataFrame = {
+    val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+    val cents = broadcast(
+      corpus.filter(col("id") % centroidMod === 0)
+        .select(col("id").as("cent_id"), vec(col("vec")).as("centv")))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = c.crossJoin(cents)
+      .select(col("vec_id"), col("cv"), col("cent_id"),
+        cosine(col("cv"), col("centv")).as("csim"))
+      .withColumn("r", row_number().over(byVec))
+      .filter(col("r") === 1)
+      .select("vec_id", "cv", "cent_id")
+    val q = queries.select(col("id").as("query_id"), vec(col("vec")).as("qv"))
+    val byQuery = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
+    val probes = broadcast(q.crossJoin(cents)
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        cosine(col("qv"), col("centv")).as("csim"))
+      .withColumn("r", row_number().over(byQuery))
+      .filter(col("r") <= nprobe)
+      .select("query_id", "qv", "cent_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(probes, "cent_id")
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates = identical full
     * [[NumBits]]-bit sketch (direction-preserving copies always collide;
     * one equi-join on the sketch key, no pairwise scan), verified by exact
@@ -210,6 +246,32 @@ object Similarity {
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
        |  FROM scored)""".stripMargin
   }
+
+  def ivfTopKSql(queriesRel: String, corpusRel: String, k: Int,
+                 centroidMod: Int = 31, nprobe: Int = 3): String =
+    s"""cents AS (SELECT id AS cent_id, vec AS centv FROM $corpusRel c
+       |  WHERE id % $centroidMod = 0),
+       |assigned AS (
+       |  SELECT vec_id, cv, cent_id FROM (
+       |    SELECT v.id AS vec_id, v.vec AS cv, cents.cent_id,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY ${cosineSql("v.vec", "cents.centv")} DESC, cents.cent_id) AS r
+       |    FROM $corpusRel v CROSS JOIN cents)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.id AS query_id, q.vec AS qv, cents.cent_id,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cosineSql("q.vec", "cents.centv")} DESC, cents.cent_id) AS r
+       |    FROM $queriesRel q CROSS JOIN cents)
+       |  WHERE r <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, ${cosineSql("p.qv", "a.cv")} AS sim
+       |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)""".stripMargin
 
   def cosinePairsSql(vectorsRel: String, threshold: Double): String =
     s"""sk AS (SELECT id, vec, ${sketchSql("vec")} AS sketch FROM $vectorsRel v),

@@ -50,6 +50,21 @@ class SimSpec extends SparkSpec {
     assert(joined.filter($"a.sim" =!= $"b.sim").count() === 0)
   }
 
+  test("ivfTopK: query always lands in its own probed bucket; sims agree with brute") {
+    val brute = Similarity.bruteTopK(emb.filter(col("id") < 5), emb, 10)
+    val ivf = Similarity.ivfTopK(emb.filter(col("id") < 5), emb, 10).cache()
+    // the query's own assigned centroid is also its first probe → the
+    // query is always among its candidates, at sim ~1 → rank 1
+    val r1 = ivf.filter(col("rank") === 1).collect()
+    assert(r1.length === 5 && r1.forall(r =>
+      r.getAs[Long]("query_id") === r.getAs[Long]("vec_id")))
+    val joined = ivf.as("a").join(brute.as("b"),
+      $"a.query_id" === $"b.query_id" && $"a.vec_id" === $"b.vec_id")
+    assert(joined.filter($"a.sim" =!= $"b.sim").count() === 0)
+    // every query yields k results (buckets are big enough at any sf)
+    assert(ivf.groupBy("query_id").count().filter(col("count") =!= 10).count() === 0)
+  }
+
   test("cosinePairs finds every rescaled copy at sim ~1") {
     val aug = Similarity.augmented(Sources.embeddings(spark, sfDir))
     val pairs = Similarity.cosinePairs(aug, 0.95).cache()

@@ -71,6 +71,15 @@ object SparkEntry {
     "yf_count" -> ((s, dir) =>
       Sources.ohlcv(s, dir).agg(count(lit(1)).as("n_rows"))),
 
+    // Sort + limit (engine surface, SURVEY.md §2.8): top-k by price —
+    // plans as TakeOrderedAndProject (per-partition top-k, then merge;
+    // no global sort materialization). Tie-broken for determinism.
+    "top_orders" -> ((s, dir) =>
+      Sources.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)),
+
     // Engine surface beyond the reference (SURVEY.md §2.4): filter +
     // projection — both must reach the parquet scan (pushdown/pruning).
     "filter_project" -> ((s, dir) =>
@@ -341,6 +350,9 @@ object SparkEntry {
          |FROM bars b JOIN supplier s ON b.symbol = s.s_suppkey
          |GROUP BY b.symbol, s.s_name ORDER BY b.symbol""".stripMargin,
     "yf_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'

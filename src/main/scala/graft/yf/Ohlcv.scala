@@ -89,4 +89,19 @@ object Ohlcv {
     * never shuffled, at any fact-side scale. */
   def joinCatalog(bars: DataFrame, catalog: DataFrame, barsKey: String, catKey: String): DataFrame =
     bars.join(broadcast(catalog), bars(barsKey) === catalog(catKey))
+
+  /** The reference's multi-sink (K2, `yfinance_transform.py:125-137`):
+    * day raw + month/year rollups appended into ONE target collection,
+    * rows discriminated by `agg_type`. Idiomatic parquet form: one
+    * partitioned dataset, `partitionBy("agg_type")` — each branch lands
+    * in its own partition directory (readable per-branch with full
+    * partition pruning, or together with `mergeSchema` since day rows
+    * and rollup rows are schema-heterogeneous, exactly like the
+    * reference's mixed Mongo documents). */
+  def writeAll(bars: DataFrame, outDir: String): Unit =
+    Seq(
+      dayBranch(bars),
+      aggregatePeriod(bars, "yyyy-MM", "month"),
+      aggregatePeriod(bars, "yyyy", "year"))
+      .foreach(_.write.mode("append").partitionBy("agg_type").parquet(outDir))
 }

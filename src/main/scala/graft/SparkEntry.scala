@@ -71,6 +71,33 @@ object SparkEntry {
     "yf_count" -> ((s, dir) =>
       Sources.ohlcv(s, dir).agg(count(lit(1)).as("n_rows"))),
 
+    // Distinct aggregation (engine surface beyond the reference):
+    // per-month distinct symbol count — plans as a two-phase distinct
+    // aggregate (partial dedup before the shuffle).
+    "yf_distinct_symbols" -> ((s, dir) =>
+      yf.Ohlcv.withPeriodKey(Sources.ohlcv(s, dir), "yyyy-MM")
+        .groupBy("period_key")
+        .agg(
+          countDistinct(col("symbol")).as("n_symbols"),
+          count(lit(1)).as("n_bars"))
+        .orderBy("period_key")),
+
+    // ROLLUP (engine surface): year → (year, month) → grand-total in one
+    // pass via Catalyst's Expand operator, with grouping() flags
+    // disambiguating real NULLs from subtotal rows.
+    "yf_rollup" -> ((s, dir) => {
+      val bars = Sources.ohlcv(s, dir)
+        .withColumn("y", year(col("Date")))
+        .withColumn("m", month(col("Date")))
+      bars.rollup("y", "m")
+        .agg(
+          count(lit(1)).as("n_bars"),
+          util.Stable.exactSum(col("Volume")).as("sum_volume"),
+          grouping(col("y")).cast("int").as("g_y"),
+          grouping(col("m")).cast("int").as("g_m"))
+        .orderBy(col("g_y"), col("g_m"), col("y"), col("m"))
+    }),
+
     // Sort + limit (engine surface, SURVEY.md §2.8): top-k by price —
     // plans as TakeOrderedAndProject (per-partition top-k, then merge;
     // no global sort materialization). Tie-broken for determinism.
@@ -350,6 +377,21 @@ object SparkEntry {
          |FROM bars b JOIN supplier s ON b.symbol = s.s_suppkey
          |GROUP BY b.symbol, s.s_name ORDER BY b.symbol""".stripMargin,
     "yf_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "yf_distinct_symbols" ->
+      s"""WITH $barsCte
+         |SELECT strftime("Date", '%Y-%m') AS period_key,
+         |  count(DISTINCT symbol) AS n_symbols, count(*) AS n_bars
+         |FROM bars GROUP BY 1 ORDER BY 1""".stripMargin,
+    "yf_rollup" ->
+      s"""WITH $barsCte,
+         |ym AS (SELECT CAST(year("Date") AS INTEGER) AS y,
+         |              CAST(month("Date") AS INTEGER) AS m, "Volume" FROM bars)
+         |SELECT y, m, count(*) AS n_bars,
+         |  ${util.Stable.exactSumSql(""""Volume"""")} AS sum_volume,
+         |  CAST(CASE WHEN GROUPING(y) THEN 1 ELSE 0 END AS INTEGER) AS g_y,
+         |  CAST(CASE WHEN GROUPING(m) THEN 1 ELSE 0 END AS INTEGER) AS g_m
+         |FROM ym GROUP BY ROLLUP(y, m)
+         |ORDER BY g_y, g_m, y, m""".stripMargin,
     "top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

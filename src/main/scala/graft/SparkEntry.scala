@@ -159,7 +159,7 @@ object SparkEntry {
         .select(
           col("doc_id"),
           length(col("text")).cast("long").as("len_text"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+          size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("n_words"),
           size(filter(split(col("dotted"), "\\."),
             x => trim(x) =!= "")).cast("long").as("n_sentences"))
         .orderBy("doc_id")),
@@ -410,7 +410,7 @@ object SparkEntry {
       """WITH d AS (SELECT *, replace(text, ' the ', '. ') AS dotted FROM documents)
         |SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS len_text,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_words,
         |  CAST(len(list_filter(string_split(dotted, '.'), x -> trim(x) <> '')) AS BIGINT) AS n_sentences
         |FROM d ORDER BY doc_id""".stripMargin,
     "idx_financials" -> idx.FinancialReport.oracleSql,
@@ -461,22 +461,22 @@ object SparkEntry {
     "sim_brute_topk" ->
       s"""WITH vecs AS ${sim.Similarity.vecsSql},
          |${sim.Similarity.bruteTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
-         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+         |SELECT query_id, vec_id, sim, rank FROM topk
          |ORDER BY query_id, rank""".stripMargin,
     "sim_ann_rhp" ->
       s"""WITH vecs AS ${sim.Similarity.vecsSql},
          |${sim.Similarity.rhpTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
-         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+         |SELECT query_id, vec_id, sim, rank FROM topk
          |ORDER BY query_id, rank""".stripMargin,
     "sim_ann_ivf" ->
       s"""WITH vecs AS ${sim.Similarity.vecsSql},
          |${sim.Similarity.ivfTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
-         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+         |SELECT query_id, vec_id, sim, rank FROM topk
          |ORDER BY query_id, rank""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH aug AS ${sim.Similarity.augmentedSql},
          |${sim.Similarity.cosinePairsSql("aug", 0.95)}
-         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.95
+         |SELECT id_a, id_b, sim FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
     "idx_null_handling" ->
       """SELECT c_custkey,

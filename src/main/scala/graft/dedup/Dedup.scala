@@ -34,8 +34,9 @@ object Dedup {
   val NumHashes = 12
   val NumBands = 4 // 4 bands x 3 rows
 
-  /** Case/whitespace-insensitive canonical text form. */
-  def normalize(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+  /** Case/whitespace-insensitive canonical text form (shared contract:
+    * [[graft.util.Norm]]). */
+  def normalize(c: Column): Column = graft.util.Norm.normalize(c)
 
   /** Exact-duplicate groups: fingerprint, canonical (min) id, copy count.
     * (Spark: md5 of UTF-8 bytes; identical in DuckDB.) */
@@ -136,14 +137,6 @@ object Dedup {
     val mins = (0 until NumHashes).map(j =>
       array_min(transform(shCol, x => md5(concat(lit(s"$j:"), x)))))
     array(mins: _*)
-  }
-
-  /** Band keys: md5 of the '|'-joined signature rows of each band. */
-  def bandKeys(sigCol: Column): Column = {
-    val rows = NumHashes / NumBands
-    array((0 until NumBands).map { b =>
-      md5(concat_ws("|", (0 until rows).map(r => sigCol.getItem(b * rows + r)): _*))
-    }: _*)
   }
 
   /** Candidate pairs: docs sharing any (band index, band key).
@@ -248,7 +241,7 @@ object Dedup {
   /** DuckDB mirrors, generated from the same constants. `docsRel` must
     * expose (doc_id, text). */
 
-  def normalizeSql(x: String): String = s"regexp_replace(lower(trim($x)), '\\s+', ' ', 'g')"
+  def normalizeSql(x: String): String = graft.util.Norm.normalizeSql(x)
 
   def exactGroupsSql(docsRel: String): String =
     s"""SELECT md5(${normalizeSql("text")}) AS fingerprint,

@@ -24,7 +24,8 @@ object Sessionize {
   val DefaultGapUs: Long = 30L * 60 * 1000000L // 30 minutes
 
   /** Events + session_idx (1-based per user): a new session starts at the
-    * first event or when the gap to the previous event exceeds `gapNs`. */
+    * first event or when the gap to the previous event exceeds `gapUs`
+    * (microseconds). */
   def assignSessions(events: DataFrame, gapUs: Long = DefaultGapUs): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)

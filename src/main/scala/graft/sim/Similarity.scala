@@ -38,13 +38,17 @@ object Similarity {
   val NumBands = 4 // 4 bands x 4 bits
   val BitsPerBand: Int = NumBits / NumBands
 
+  /** Embedding dimensionality the [[hyperplanes]] are generated for
+    * (declared before them — object vals initialize in order). */
+  val VecDim = 64
+
   /** Rademacher hyperplanes: sign(j,d) = +1 iff the first hex char of
     * md5("j:d") is >= '8'. Pure compile-time constants — identical in the
     * generated SQL by construction. */
   val hyperplanes: Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(NumBits) { j =>
-      Array.tabulate(64) { d =>
+      Array.tabulate(VecDim) { d =>
         val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
         // first hex char >= '8'  ⇔  high bit of first byte set
         if ((hex(0) & 0x80) != 0) 1 else -1
@@ -59,8 +63,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** The embedding column as doubles (floats widen exactly). */
-  def vec(c: Column): Column = c.cast("array<double>")
+  /** The embedding column as doubles (floats widen exactly), guarded on
+    * dimensionality: `zip_with` pads mismatched arrays with nulls, which
+    * would silently null every dot product and zero every sketch —
+    * degenerating the "sub-linear" LSH paths into all-pairs scans. Fail
+    * fast instead (`assert_true` throws per-row on violation). */
+  def vec(c: Column): Column =
+    when(assert_true(size(c) === VecDim,
+      lit(s"embedding must have $VecDim dims to match the sketch hyperplanes")).isNull,
+      c.cast("array<double>"))
 
   /** Signed projection onto hyperplane `j`: sum of ±component. */
   private def signedProj(v: Column, j: Int): Column = {
@@ -224,7 +235,8 @@ object Similarity {
        |ranked AS (
        |  SELECT query_id, vec_id, sim,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
-       |  FROM scored)""".stripMargin
+       |  FROM scored),
+       |topk AS (SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= $k)""".stripMargin
 
   def rhpTopKSql(queriesRel: String, corpusRel: String, k: Int): String = {
     val bandRows = (0 until NumBands)
@@ -244,7 +256,8 @@ object Similarity {
        |ranked AS (
        |  SELECT query_id, vec_id, sim,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
-       |  FROM scored)""".stripMargin
+       |  FROM scored),
+       |topk AS (SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= $k)""".stripMargin
   }
 
   def ivfTopKSql(queriesRel: String, corpusRel: String, k: Int,
@@ -271,11 +284,14 @@ object Similarity {
        |ranked AS (
        |  SELECT query_id, vec_id, sim,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
-       |  FROM scored)""".stripMargin
+       |  FROM scored),
+       |topk AS (SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= $k)""".stripMargin
 
   def cosinePairsSql(vectorsRel: String, threshold: Double): String =
     s"""sk AS (SELECT id, vec, ${sketchSql("vec")} AS sketch FROM $vectorsRel v),
        |pairs AS (
-       |  SELECT a.id AS id_a, b.id AS id_b, ${cosineSql("a.vec", "b.vec")} AS sim
-       |  FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.id < b.id)""".stripMargin
+       |  SELECT * FROM (
+       |    SELECT a.id AS id_a, b.id AS id_b, ${cosineSql("a.vec", "b.vec")} AS sim
+       |    FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.id < b.id)
+       |  WHERE sim >= $threshold)""".stripMargin
 }

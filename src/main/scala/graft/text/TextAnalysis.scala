@@ -27,7 +27,7 @@ object TextAnalysis {
 
   val HashMod = 1000000007L
 
-  private def norm(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+  private def norm(c: Column): Column = graft.util.Norm.normalize(c)
   private def words(c: Column): Column = split(norm(c), " ")
 
   /** Tokens from `textCol` matching one stopword profile, as a count. */
@@ -58,7 +58,7 @@ object TextAnalysis {
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol),
-      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_ws_tokens"),
+      size(split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(col(textCol),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("n_bpe_tokens"))
 
@@ -103,8 +103,7 @@ object TextAnalysis {
 
   // --------------------------------------------------------------- oracle
 
-  private def normSql(x: String): String =
-    s"regexp_replace(lower(trim($x)), '\\s+', ' ', 'g')"
+  private def normSql(x: String): String = graft.util.Norm.normalizeSql(x)
   private def wordsSql(x: String): String = s"string_split(${normSql(x)}, ' ')"
 
   private def stopHitsSql(x: String, stops: Seq[String]): String = {
@@ -130,7 +129,7 @@ object TextAnalysis {
 
   def tokenStatsSql(docsRel: String, idCol: String, textCol: String): String =
     s"""SELECT $idCol,
-       |  CAST(len(string_split_regex(trim($textCol), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(string_split_regex(trim($textCol), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_ws_tokens,
        |  CAST(len(regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
        |FROM $docsRel""".stripMargin
 

@@ -15,12 +15,22 @@ class SimSpec extends SparkSpec {
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
       (Array(1.0f, 0.0f), Array(0.0f, 2.0f)),
       (Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    // raw cast here: vec() additionally guards dimensionality (below)
     val sims = df.select(Similarity.cosine(
-      Similarity.vec(col("a")), Similarity.vec(col("b"))).as("sim"))
+      col("a").cast("array<double>"), col("b").cast("array<double>")).as("sim"))
       .collect().map(_.getDouble(0))
     assert(math.abs(sims(0) - 1.0) < 1e-12)
     assert(sims(1) === 0.0)
     assert(math.abs(sims(2) - 1.0) < 1e-12)
+  }
+
+  test("vec() fails fast on wrong dimensionality instead of silently nulling") {
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      bad.select(Similarity.vec(col("vec"))).collect()
+    }
+    assert(e.getMessage.contains("64") ||
+      Option(e.getCause).exists(_.getMessage.contains("64")))
   }
 
   test("bruteTopK: rank 1 of each query is the query itself at sim ~1") {

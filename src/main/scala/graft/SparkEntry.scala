@@ -82,6 +82,25 @@ object SparkEntry {
           count(lit(1)).as("n_bars"))
         .orderBy("period_key")),
 
+    // Salted two-phase aggregation (hot-key skew guard): the month key is
+    // genuinely hot (~83 groups for the whole table), so phase 1 spreads
+    // each month over 16 salt buckets, phase 2 merges 16 partials per
+    // month. Results are identical to the direct groupBy — the oracle is
+    // the plain unsalted SQL.
+    "yf_salted_month_agg" -> ((s, dir) => {
+      val bars = yf.Ohlcv.withPeriodKey(Sources.ohlcv(s, dir), "yyyy-MM")
+      util.Salt.saltedAgg(bars, Seq("period_key"), col("symbol"), 16, Seq(
+        (count(lit(1)).as("n_bars"),
+          sum(col("n_bars")).as("n_bars")),
+        (sum(col("Volume").cast(util.Stable.MoneyDec)).as("sum_volume"),
+          sum(col("sum_volume")).cast("double").as("sum_volume")),
+        (max(col("High")).as("max_high"),
+          max(col("max_high")).as("max_high")),
+        (min(col("Low")).as("min_low"),
+          min(col("min_low")).as("min_low"))))
+        .orderBy("period_key")
+    }),
+
     // ROLLUP (engine surface): year → (year, month) → grand-total in one
     // pass via Catalyst's Expand operator, with grouping() flags
     // disambiguating real NULLs from subtotal rows.
@@ -381,6 +400,13 @@ object SparkEntry {
       s"""WITH $barsCte
          |SELECT strftime("Date", '%Y-%m') AS period_key,
          |  count(DISTINCT symbol) AS n_symbols, count(*) AS n_bars
+         |FROM bars GROUP BY 1 ORDER BY 1""".stripMargin,
+    "yf_salted_month_agg" ->
+      s"""WITH $barsCte
+         |SELECT strftime("Date", '%Y-%m') AS period_key,
+         |  count(*) AS n_bars,
+         |  ${util.Stable.exactSumSql(""""Volume"""")} AS sum_volume,
+         |  max("High") AS max_high, min("Low") AS min_low
          |FROM bars GROUP BY 1 ORDER BY 1""".stripMargin,
     "yf_rollup" ->
       s"""WITH $barsCte,

@@ -214,6 +214,14 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
 
+    // As-of join (operator Spark lacks natively, composed from windows —
+    // design-rule tier (a)): each click gets the latest error at or
+    // before it per user. The oracle runs DuckDB's NATIVE ASOF JOIN, so
+    // two independent implementations check each other.
+    "events_asof_join" -> ((s, dir) =>
+      events.AsofJoin.lastEventBefore(Sources.events(s, dir), "click", "error")
+        .orderBy("event_id")),
+
     // Tumbling event-time window aggregate — the batch face of the
     // Structured Streaming surface (the same transform runs watermarked on
     // a stream; StreamingSpec asserts stream ≡ batch).
@@ -466,6 +474,9 @@ object SparkEntry {
     "events_sessionize" ->
       s"""${events.Sessionize.sessionStatsSql("events")}
          |ORDER BY user_id, session_idx""".stripMargin,
+    "events_asof_join" ->
+      s"""${events.AsofJoin.lastEventBeforeSql("events", "click", "error")}
+         |ORDER BY 1""".stripMargin,
     "events_hourly_window" ->
       s"""${streaming.Streams.hourlyTypeCountsSql("events")}
          |ORDER BY w_start, event_type""".stripMargin,

@@ -27,6 +27,24 @@ class SessionizeSpec extends SparkSpec {
     assert(stats(2).getAs[Long]("n_events") === 1)
   }
 
+  test("as-of join attaches the latest match at-or-before each probe, ties included") {
+    val u = 1000000L // µs in ns
+    val ev = Seq(
+      (1L, 10L * 1000 * u, 7L, "error", 0.0),
+      (2L, 20L * 1000 * u, 7L, "click", 0.0),  // after error 1 → 10s
+      (3L, 30L * 1000 * u, 7L, "error", 0.0),
+      (4L, 30L * 1000 * u, 7L, "click", 0.0),  // same ts as error 3 → tie includes it
+      (5L, 5L * 1000 * u, 8L, "click", 0.0),   // user 8 has no prior error → null
+      (6L, 40L * 1000 * u, 8L, "error", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = events.AsofJoin.lastEventBefore(ev, "click", "error")
+      .orderBy("event_id").collect()
+    assert(r.length === 3)
+    assert(r(0).getAs[Long]("last_match_ts_us") === 10L * 1000 * 1000)
+    assert(r(1).getAs[Long]("last_match_ts_us") === 30L * 1000 * 1000)
+    assert(r(2).isNullAt(r(2).fieldIndex("last_match_ts_us")))
+  }
+
   test("full events table: sessions partition all events and durations are sane") {
     val ev = Sources.events(spark, sfDir)
     val stats = Sessionize.sessionStats(ev).cache()

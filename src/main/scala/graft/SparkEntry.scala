@@ -214,6 +214,33 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Semi-structured extraction: the events props column is a JSON
+    // string; from_json with an explicit schema parses it executor-side
+    // (codegen'd Jackson, no UDF), the standard shape for metadata-bearing
+    // training-data rows.
+    "events_json_extract" -> ((s, dir) =>
+      Sources.events(s, dir)
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          util.Stable.exactSum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // PIVOT (engine surface): per-user event-type counts as columns, with
+    // the pivot value list pinned explicitly so the output schema is
+    // deterministic (no extra distinct pass, stable column order).
+    "events_pivot" -> ((s, dir) =>
+      Sources.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")),
+
     // As-of join (operator Spark lacks natively, composed from windows —
     // design-rule tier (a)): each click gets the latest error at or
     // before it per user. The oracle runs DuckDB's NATIVE ASOF JOIN, so
@@ -474,6 +501,19 @@ object SparkEntry {
     "events_sessionize" ->
       s"""${events.Sessionize.sessionStatsSql("events")}
          |ORDER BY user_id, session_idx""".stripMargin,
+    "events_json_extract" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  ${util.Stable.exactSumSql("CAST(props->>'k' AS INTEGER)")} AS sum_k,
+         |  max(CAST(props->>'k' AS INTEGER)) AS max_k
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_asof_join" ->
       s"""${events.AsofJoin.lastEventBeforeSql("events", "click", "error")}
          |ORDER BY 1""".stripMargin,

@@ -7,20 +7,38 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE partition coalescing stays at its defaults (parallelismFirst):
+      // measured at sf0.1/local[32], size-based coalescing
+      // (parallelismFirst=false) collapsed the shingle self-joins — small
+      // shuffle INPUT, exploding join OUTPUT — onto 1-2 cores and cost
+      // +60% total. The round-1 "32 cores slower than 8" regression was
+      // lazy-cache double computation (fixed in util.Views.materialize),
+      // not partition-count overhead.
+      // events.parquet carries INT64 TIMESTAMP(NANOS); read as BIGINT nanos
+      // (session-level so no reader mutates conf mid-query — SPARK-40819).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated filter for fast iteration on one query.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warm-up: run every query once at the smallest SF so JIT + whole-stage
     // codegen compilation is paid before timing, not by whichever query
     // happens to run first (measured: 18 s cold vs 2 s warm for the same
     // plan). Falls back to the bench SF if the small SF is absent.
     val warmDir = Seq("/root/testdata/sf0.001", sfDir)
       .find(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d))).get
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+    queries.foreach { case (name, fn) =>
+      try { fn(spark, warmDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      }
     }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
@@ -35,8 +53,16 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.values.count(_ < 0)
+    // Failures are visible in the JSON itself ("failed" + the -1 entries),
+    // so a consumer reading the metric alone can tell coverage shrank.
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also write to a file: stdout passes through sbt's [info] prefixing,
+    // which downstream JSON parsers trip over.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     spark.stop()
   }
 }

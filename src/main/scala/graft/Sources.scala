@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
 object Sources {
 
   /** Full-collection scan (reference S1/S2). Schema comes from the parquet
-    * footer — no sampling pass, no driver materialization. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    * footer — no sampling pass, no driver materialization. Guarded by the
+    * S5 existence probe (the reference checks `list_collection_names`
+    * before reading, `idx_transform.py:290-292`) so a missing table fails
+    * with a clear message instead of an analyzer path error. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(tableExists(sfDir, name),
+      s"table '$name' does not exist under $sfDir (S5 existence probe)")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
@@ -30,11 +36,14 @@ object Sources {
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default; `nanosAsLong` reads it as BIGINT
-    * nanoseconds (SPARK-40819). Downstream time math therefore works on
+    * parquet reader rejects unless `spark.sql.legacy.parquet.nanosAsLong`
+    * is set — AT SESSION BUILD TIME (Verify/Bench/TestSession all set it;
+    * a reader must never mutate session conf as a side effect). With it,
+    * `ts` arrives as BIGINT nanoseconds and downstream time math works on
     * integer nanos — exact, and mirrored in DuckDB via `epoch_ns`. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
     table(spark, sfDir, "events")
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
@@ -62,8 +71,13 @@ object Sources {
     * (`yfinance_transform.py:60`) so backtick handling is exercised; it is
     * renamed to `stock_splits` at the aggregation boundary.
     */
-  def ohlcv(spark: SparkSession, sfDir: String): DataFrame =
-    lineitem(spark, sfDir).select(
+  def ohlcv(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+    // S6 column probe before shaping, exactly where the reference guards
+    // on the Date column's presence (`yfinance_transform.py:117`).
+    require(hasColumn(li, "l_shipdate"),
+      "lineitem is missing l_shipdate (S6 column probe)")
+    li.select(
       col("l_shipdate").as("Date"),
       col("l_quantity").as("Open"),
       col("l_extendedprice").as("High"),
@@ -73,6 +87,7 @@ object Sources {
       (col("l_discount") * col("l_tax")).as("Dividends"),
       (col("l_quantity") % lit(2.0)).as("Stock Splits"),
       col("l_suppkey").as("symbol"))
+  }
 
   /** News-article-shaped view of `documents` (FIXTURES.md §3): the IQPLUS
     * article schema judul/konten/waktu/tanggal_artikel

@@ -2,7 +2,6 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for large-scale training-data pipelines — the
   * north-star extension surface beyond the reference's own operators
@@ -85,14 +84,14 @@ object Dedup {
                    maxDocFreq: Option[Long] = None): DataFrame = {
     val shAll = shingleRows(docs, idCol, textCol)
     // The shingle view feeds three consumers (per-doc counts + both self-
-    // join sides); persist so the normalize→split→n-gram derivation runs
-    // once, not three times. At cluster scale this is the standard
-    // materialize-the-exploded-view step of a shingle join.
-    val sh = (candidates match {
+    // join sides); materialize (eager persist — see [[graft.util.Views]])
+    // so the normalize→split→n-gram derivation runs once, not once per
+    // concurrent consumer stage.
+    val sh = graft.util.Views.materialize(candidates match {
       case Some(cand) =>
         shAll.join(candidateIds(cand), "id")
       case None => shAll
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    })
     val pairs = jaccardFromShingles(sh, threshold, maxDocFreq)
     candidates match {
       case Some(cand) => pairs.join(cand, Seq("id_a", "id_b"), "left_semi")
@@ -114,7 +113,7 @@ object Dedup {
       case Some(cap) =>
         val keep = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("sh")
-        sh0.join(keep, "sh").persist(StorageLevel.MEMORY_AND_DISK)
+        graft.util.Views.materialize(sh0.join(keep, "sh"))
       case None => sh0
     }
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
@@ -163,12 +162,11 @@ object Dedup {
     val bandKeyCols = (0 until NumBands).map { b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"h$r")): _*))
     }
-    // Persist before the self-join so the minhash plan runs once, not per
-    // join side.
-    val withBands = sig
+    // Materialize before the self-join so the minhash plan runs once, not
+    // once per concurrently-scheduled join side.
+    val withBands = graft.util.Views.materialize(sig
       .select(col("id"), posexplode(array(bandKeyCols: _*)))
-      .toDF("id", "band_idx", "band_key")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .toDF("id", "band_idx", "band_key"))
     withBands.as("a")
       .join(withBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -184,10 +182,11 @@ object Dedup {
     // One shingle-derivation pass feeds BOTH the minhash banding and the
     // Jaccard verification (at cluster scale: materialize the exploded
     // shingle view once, reuse it across the LSH stages). Candidates feed
-    // the id restriction AND the final semi-join; persist both.
-    val shAll = shingleRows(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidatesFromShingles(shAll).persist(StorageLevel.MEMORY_AND_DISK)
-    val sh = shAll.join(candidateIds(cand), "id").persist(StorageLevel.MEMORY_AND_DISK)
+    // the id restriction AND the final semi-join; materialize both so no
+    // concurrent stage recomputes them (see [[graft.util.Views]]).
+    val shAll = graft.util.Views.materialize(shingleRows(docs, idCol, textCol))
+    val cand = graft.util.Views.materialize(lshCandidatesFromShingles(shAll))
+    val sh = graft.util.Views.materialize(shAll.join(candidateIds(cand), "id"))
     jaccardFromShingles(sh, threshold).join(cand, Seq("id_a", "id_b"), "left_semi")
   }
 
@@ -215,8 +214,7 @@ object Dedup {
     * full-width hamming distance <= [[SimhashMaxHamming]]. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bitsPerBand = SimhashBits / SimhashBands
-    val skRaw = simhash(docs, idCol, textCol)
-    val sk = skRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val sk = graft.util.Views.materialize(simhash(docs, idCol, textCol))
     val bands = sk.select(col("id"), col("simhash"), posexplode(array(
       (0 until SimhashBands).map(b =>
         substring(col("simhash"), b * bitsPerBand + 1, bitsPerBand)): _*)))

@@ -3,7 +3,6 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor similarity search over an embedding column
   * (`Array[Float]`) — the training-data-pipeline extension surface beyond
@@ -164,10 +163,9 @@ object Similarity {
     * one equi-join on the sketch key, no pairwise scan), verified by exact
     * cosine >= `threshold`. */
   def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val sk = vectors
+    val sk = graft.util.Views.materialize(vectors
       .select(col("id"), vec(col("vec")).as("v"))
-      .withColumn("sketch", concat(bandKeyCols(col("v")): _*))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sketch", concat(bandKeyCols(col("v")): _*)))
     sk.as("a").join(sk.as("b"),
         col("a.sketch") === col("b.sketch") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -21,10 +21,15 @@ import org.apache.spark.sql.types.DecimalType
   *    accumulated FP drift across billions of rows.
   *  - [[exactAvg]]: exact sum cast to double, divided by count — one IEEE
   *    division of identical inputs, bit-identical everywhere.
-  *  - [[sig]]: 7-significant-digit scientific formatting for genuinely
-  *    irrational aggregates (stddev): value never terminates on a decimal
-  *    midpoint, so correctly-rounded %.6e is stable across engines
-  *    (DuckDB equivalent: `printf('%.6e', x)`).
+  *  - [[sig]]: 5-significant-digit scientific formatting for genuinely
+  *    irrational aggregates (stddev): the value never terminates on a
+  *    decimal midpoint, so correctly-rounded %.4e is stable across engines
+  *    (DuckDB equivalent: `printf('%.4e', x)`). 5 digits (not 7) because
+  *    the two engines' stddev accumulations can differ by an ulp AND Java
+  *    format_string rounds HALF_UP while C printf rounds half-even: a
+  *    group landing within an ulp of a 7th-significant-digit boundary
+  *    could format differently. Fewer digits widen that safety margin
+  *    ~100x; the full-precision double is still in the parquet dump.
   */
 object Stable {
   val MoneyDec: DecimalType = DecimalType(38, 8)
@@ -34,10 +39,10 @@ object Stable {
   def exactAvg(c: Column): Column = exactSum(c) / count(c)
 
   def sig(c: Column): Column =
-    when(c.isNull, lit(null).cast("string")).otherwise(format_string("%.6e", c))
+    when(c.isNull, lit(null).cast("string")).otherwise(format_string("%.4e", c))
 
   /** DuckDB SQL mirrors. */
   def exactSumSql(x: String): String = s"CAST(sum(CAST(($x) AS DECIMAL(38,8))) AS DOUBLE)"
   def exactAvgSql(x: String): String = s"${exactSumSql(x)} / count($x)"
-  def sigSql(x: String): String = s"printf('%.6e', $x)"
+  def sigSql(x: String): String = s"printf('%.4e', $x)"
 }

@@ -15,11 +15,11 @@ class StableSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("sig formats to 7 significant digits and passes NULL through") {
+  test("sig formats to 5 significant digits and passes NULL through") {
     import spark.implicits._
     val r = Seq(Some(math.sqrt(2.0)), None).toDF("x")
       .select(util.Stable.sig(col("x"))).collect()
-    assert(r(0).getString(0) === "1.414214e+00")
+    assert(r(0).getString(0) === "1.4142e+00")
     assert(r(1).isNullAt(0))
   }
 }

@@ -282,8 +282,9 @@ object SparkEntry {
         multimodal.Multimodal.mediaDataset(s, Sources.documents(s, dir)))
         .toDF().orderBy("media_id")),
 
-    // SimHash near-dedup: 16-bit sign sketch per doc (one md5 per shingle,
-    // flat partial+final aggregate), banded candidate equi-join, full-width
+    // SimHash near-dedup: 64-bit sign sketch per doc (two md5s per shingle,
+    // flat partial+final aggregate), 4x16-bit banded candidate equi-join
+    // (65 536 keys per band — sub-quadratic at corpus scale), full-width
     // hamming verification.
     "dedup_simhash" -> ((s, dir) =>
       dedup.Dedup.simhashPairs(

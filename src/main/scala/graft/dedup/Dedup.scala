@@ -192,16 +192,26 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  val SimhashBits = 16
-  val SimhashBands = 2 // 2 bands x 8 bits → catches hamming ≤ 1 for sure
+  val SimhashBits = 64
+  val SimhashBands = 4 // 4 bands x 16 bits → catches hamming ≤ 3 for sure
   val SimhashMaxHamming = 3
 
-  /** 16-bit SimHash per doc: weight_j(shingle) = +1 iff hex char j of
-    * md5(shingle) >= '8'; bit_j = (Σ weights > 0). Flat codegen shape —
-    * one md5 per shingle row, 16 conditional sums in a partial+final hash
-    * aggregate; one shuffle on doc id. */
+  /** 64-bit SimHash per doc: the bit source is the 64 hex chars of
+    * md5(shingle) ‖ md5('1:' ‖ shingle); weight_j(shingle) = +1 iff hex
+    * char j >= '8' (the char's high bit — 64 independent bits per
+    * shingle); bit_j = (Σ weights > 0). Flat codegen shape — two md5s per
+    * shingle row, 64 conditional sums in a partial+final hash aggregate;
+    * one shuffle on doc id.
+    *
+    * 64 bits (not 16) is the scale requirement, not a nicety: band-key
+    * space is 2^bitsPerBand per band, and with 8-bit bands every band
+    * bucket holds N/256 docs at corpus scale, making the candidate
+    * self-join quadratic per bucket. 16-bit bands give 65 536 keys per
+    * band — bucket occupancy stays O(N/65536) and only genuinely similar
+    * docs collide. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol).withColumn("h", md5(col("sh")))
+    val sh = shingleRows(docs, idCol, textCol)
+      .withColumn("h", concat(md5(col("sh")), md5(concat(lit("1:"), col("sh")))))
     val sums = (0 until SimhashBits).map(j =>
       sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
     sh.groupBy("id").agg(sums.head, sums.tail: _*)
@@ -362,7 +372,7 @@ object Dedup {
     val hamming = (0 until SimhashBits).map(j =>
       s"(CASE WHEN substring(sh_a, ${j + 1}, 1) <> substring(sh_b, ${j + 1}, 1) THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""shr AS (SELECT id, sh, md5(sh) AS h FROM (${shingleRowsSql(docsRel)})),
+    s"""shr AS (SELECT id, sh, md5(sh) || md5('1:' || sh) AS h FROM (${shingleRowsSql(docsRel)})),
        |sums AS (SELECT id, $sums FROM shr GROUP BY id),
        |sk AS (SELECT id, $bits AS simhash FROM sums),
        |skbands AS ($bandRows),

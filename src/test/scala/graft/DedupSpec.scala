@@ -82,12 +82,40 @@ class DedupSpec extends SparkSpec {
     assert(a.forall(_.matches("[0-9a-f]{32}")))
   }
 
-  test("simhash is 16 bits of 0/1 and identical for normalized exact copies") {
+  test("simhash is 64 bits of 0/1 and identical for normalized exact copies") {
     val sk = Dedup.simhash(docs, "doc_id", "text").cache()
-    assert(sk.filter(!col("simhash").rlike("^[01]{16}$")).count() === 0)
+    assert(sk.filter(!col("simhash").rlike(s"^[01]{${Dedup.SimhashBits}}$$")).count() === 0)
     val copies = sk.as("a").join(sk.as("b"), col("b.id") === col("a.id") + 300000)
     assert(copies.count() > 0)
     assert(copies.filter(col("a.simhash") =!= col("b.simhash")).count() === 0)
+  }
+
+  test("simhash band-key space disperses: far more possible keys than the old 256") {
+    // The scale property the 64-bit sketch buys: each band key is 16 bits
+    // (65 536 possible values per band vs 256 total before), so corpus-scale
+    // bucket occupancy is O(N/65536) per band, not N/256. On the fixture:
+    // distinct keys per band must be close to the number of docs (dissimilar
+    // docs almost never share a band key), i.e. no crowding into a tiny
+    // keyspace.
+    val bitsPerBand = Dedup.SimhashBits / Dedup.SimhashBands
+    assert(math.pow(2, bitsPerBand).toLong === 65536L)
+    val sk = Dedup.simhash(docs, "doc_id", "text").cache()
+    val nDocs = sk.count()
+    val bands = sk.select(col("id"), posexplode(array(
+      (0 until Dedup.SimhashBands).map(b =>
+        substring(col("simhash"), b * bitsPerBand + 1, bitsPerBand)): _*)))
+      .toDF("id", "band_idx", "band_key")
+    val occupancy = bands.groupBy("band_idx", "band_key")
+      .count().agg(max("count")).head.getLong(0)
+    val distinctPerBand = bands.groupBy("band_idx")
+      .agg(countDistinct("band_key").as("n")).agg(min("n")).head.getLong(0)
+    // ~4/5 of docs get a unique key per band — the fixture injects ~30%
+    // duplicates that SHOULD share keys with their source; dissimilar docs
+    // almost never collide. With 8-bit bands (256 keys) this would be
+    // impossible for nDocs >> 256.
+    assert(distinctPerBand > (nDocs * 4) / 5,
+      s"band keys crowd: $distinctPerBand distinct for $nDocs docs")
+    assert(occupancy < 10, s"hottest band bucket holds $occupancy docs")
   }
 
   test("simhashPairs catches every exact-copy pair at hamming 0") {

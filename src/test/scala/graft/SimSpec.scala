@@ -86,7 +86,7 @@ class SimSpec extends SparkSpec {
 
   test("hyperplane constants are ±1 and stable across calls") {
     val h1 = Similarity.hyperplanes
-    assert(h1.length === Similarity.NumBits && h1.forall(_.length === 64))
+    assert(h1.length === Similarity.PairBits && h1.forall(_.length === 64))
     assert(h1.flatten.forall(s => s == 1 || s == -1))
     // not degenerate: both signs occur in every plane's first half
     assert(h1.forall(p => p.take(32).contains(1) || p.drop(32).contains(1)))

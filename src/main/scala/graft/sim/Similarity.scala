@@ -130,19 +130,30 @@ object Similarity {
   }
 
   /** IVF-style approximate top-k (the other standard ANN scale path,
-    * alongside [[rhpTopK]]): a deterministic coarse quantizer (every
-    * `centroidMod`-th corpus vector is a centroid — a trained k-means
-    * would slot in here unchanged), each corpus vector assigned to its
-    * nearest centroid once (broadcast centroids, argmax by cosine), each
-    * query probing its `nprobe` nearest centroid buckets, exact cosine
-    * re-ranking bucket members only. At corpus scale the assignment is a
-    * write-once index; probing reads `nprobe/|centroids|` of the data. */
+    * alongside [[rhpTopK]]): a FIXED-`numCentroids` coarse quantizer —
+    * the centroid set is a deterministic pseudo-random sample of exactly
+    * `numCentroids` corpus vectors (ranked by md5 of the id; a trained
+    * k-means table would slot in here unchanged), each corpus vector
+    * assigned to its nearest centroid once (broadcast centroids, argmax
+    * by cosine), each query probing its `nprobe` nearest centroid
+    * buckets, exact cosine re-ranking bucket members only.
+    *
+    * `numCentroids` is a PARAMETER, never derived from corpus size: the
+    * broadcast is bounded at `numCentroids x VecDim` doubles and the
+    * assignment cost at O(numCentroids x N) regardless of corpus scale
+    * (a corpus-proportional centroid set would make the broadcast OOM
+    * and the assignment quadratic). The sample itself is scale-safe:
+    * orderBy+limit plans as TakeOrderedAndProject — per-partition top-k,
+    * then a k-row merge on the driver. At corpus scale the assignment is
+    * a write-once index; probing reads `nprobe/numCentroids` of the
+    * data. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              centroidMod: Int = 31, nprobe: Int = 3): DataFrame = {
+              numCentroids: Int = 16, nprobe: Int = 3): DataFrame = {
     val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
     val cents = broadcast(
-      corpus.filter(col("id") % centroidMod === 0)
-        .select(col("id").as("cent_id"), vec(col("vec")).as("centv")))
+      corpus.select(col("id").as("cent_id"), vec(col("vec")).as("centv"))
+        .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
+        .limit(numCentroids))
     val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
     val assigned = c.crossJoin(cents)
       .select(col("vec_id"), col("cv"), col("cent_id"),
@@ -271,9 +282,9 @@ object Similarity {
   }
 
   def ivfTopKSql(queriesRel: String, corpusRel: String, k: Int,
-                 centroidMod: Int = 31, nprobe: Int = 3): String =
+                 numCentroids: Int = 16, nprobe: Int = 3): String =
     s"""cents AS (SELECT id AS cent_id, vec AS centv FROM $corpusRel c
-       |  WHERE id % $centroidMod = 0),
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $numCentroids),
        |assigned AS (
        |  SELECT vec_id, cv, cent_id FROM (
        |    SELECT v.id AS vec_id, v.vec AS cv, cents.cent_id,

@@ -319,16 +319,35 @@ object Dedup {
 
   // ------------------------------------------------------------- fixture
 
+  /** Injected-duplicate id offsets. 1e12 apart so they are disjoint from
+    * any plausible real doc_id space (5 × 10^12 docs ≈ 5 000 PB of text;
+    * the old +100000 offsets collided with real ids past sf≈2) — and the
+    * disjointness is not assumed but ENFORCED per row by [[augmented]]'s
+    * guard, so a corpus that does violate it fails loudly instead of
+    * silently corrupting fixture semantics. Note (base, edit+1e12=exact)
+    * style cross-variant id arithmetic still collides by construction:
+    * tests filtering on id differences need an `id_a < NearOffset`
+    * guard exactly as before. */
+  val NearOffset = 1000000000000L
+  val EditOffset = 2000000000000L
+  val ExactOffset = 3000000000000L
+
   /** Deterministic duplicate injection over `documents` — the driver
     * testdata has no duplicate pairs at sf0.01, so the dedup queries
     * operate on this augmented corpus (mirrored exactly in
     * [[augmentedSql]] so both engines see identical input):
-    *  - +300000: byte-different exact dup (upper case + trailing blanks —
-    *    caught only through normalization)
-    *  - +100000: near dup (5 appended junk tokens, Jaccard ≈ 0.9)
-    *  - +200000: moderate edit (every 'data' token rewritten) */
+    *  - +[[ExactOffset]]: byte-different exact dup (upper case + trailing
+    *    blanks — caught only through normalization)
+    *  - +[[NearOffset]]: near dup (5 appended junk tokens, Jaccard ≈ 0.9)
+    *  - +[[EditOffset]]: moderate edit (every 'data' token rewritten) */
   def augmented(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
+    // Fail fast if a real id would collide with the injected id space
+    // (assert_true throws per-row on violation, null otherwise).
+    val guardedId = when(
+      assert_true(col("doc_id") >= 0 && col("doc_id") < NearOffset,
+        lit(s"doc_id must be in [0, $NearOffset) for disjoint dup injection")).isNull,
+      col("doc_id"))
+    val base = docs.select(guardedId.as("doc_id"), col("text"))
     // Junk tokens carry the doc id so no two injected docs share them:
     // appending *identical* junk to 1000 docs makes each junk shingle a
     // 1000-doc hot key and the pair join quadratic in it (measured: 2.7 M
@@ -339,24 +358,24 @@ object Dedup {
       lit(" qq"), idStr, lit(" vv"), idStr)
     base
       .unionByName(base.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
+        .select((col("doc_id") + ExactOffset).as("doc_id"),
           concat(upper(col("text")), lit("  ")).as("text")))
       .unionByName(base.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + NearOffset).as("doc_id"),
           concat(col("text"), junk).as("text")))
       .unionByName(base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"),
+        .select((col("doc_id") + EditOffset).as("doc_id"),
           expr("replace(text, 'data', 'datum')").as("text")))
   }
 
   val augmentedSql: String =
-    """(SELECT doc_id, text FROM documents
-      | UNION ALL SELECT doc_id + 300000, upper(text) || '  ' FROM documents WHERE doc_id % 11 = 0
-      | UNION ALL SELECT doc_id + 100000,
-      |   text || ' zz' || doc_id || ' yy' || doc_id || ' xx' || doc_id ||
-      |   ' qq' || doc_id || ' vv' || doc_id
-      |   FROM documents WHERE doc_id % 5 = 0
-      | UNION ALL SELECT doc_id + 200000, replace(text, 'data', 'datum') FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+    s"""(SELECT doc_id, text FROM documents
+       | UNION ALL SELECT doc_id + $ExactOffset, upper(text) || '  ' FROM documents WHERE doc_id % 11 = 0
+       | UNION ALL SELECT doc_id + $NearOffset,
+       |   text || ' zz' || doc_id || ' yy' || doc_id || ' xx' || doc_id ||
+       |   ' qq' || doc_id || ' vv' || doc_id
+       |   FROM documents WHERE doc_id % 5 = 0
+       | UNION ALL SELECT doc_id + $EditOffset, replace(text, 'data', 'datum') FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
   /** CTE chain ending in `shpairs(id_a, id_b, hamming)`. */
   def simhashPairsCtes(docsRel: String): String = {

@@ -191,20 +191,30 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Injected-near-dup id offsets: 1e12 apart like
+    * [[graft.dedup.Dedup.NearOffset]] (disjoint from any plausible real
+    * vec_id space, guarded per row rather than assumed). */
+  val ScaledOffset = 1000000000000L
+  val PerturbedOffset = 2000000000000L
+
   /** Deterministic near-dup injection over `embeddings` (the synthetic
-    * vectors are random ⇒ no true near-dups exist): +100000 = the same
-    * direction rescaled (cosine exactly 1 up to FP), +200000 = first
-    * component zeroed (small angular perturbation). Mirrored in
-    * [[augmentedSql]]. */
+    * vectors are random ⇒ no true near-dups exist): +[[ScaledOffset]] =
+    * the same direction rescaled (cosine exactly 1 up to FP),
+    * +[[PerturbedOffset]] = first component zeroed (small angular
+    * perturbation). Mirrored in [[augmentedSql]]. */
   def augmented(embeddings: DataFrame): DataFrame = {
-    val base = embeddings.select(col("vec_id").as("id"),
+    val guardedId = when(
+      assert_true(col("vec_id") >= 0 && col("vec_id") < ScaledOffset,
+        lit(s"vec_id must be in [0, $ScaledOffset) for disjoint near-dup injection")).isNull,
+      col("vec_id"))
+    val base = embeddings.select(guardedId.as("id"),
       vec(col("embedding")).as("vec"))
     base
       .unionByName(base.filter(col("id") % 10 === 0)
-        .select((col("id") + 100000).as("id"),
+        .select((col("id") + ScaledOffset).as("id"),
           transform(col("vec"), x => x * 1.5).as("vec")))
       .unionByName(base.filter(col("id") % 7 === 0)
-        .select((col("id") + 200000).as("id"),
+        .select((col("id") + PerturbedOffset).as("id"),
           // Spark transform index is 0-based (DuckDB's is 1-based)
           transform(col("vec"), (x, i) => when(i === 0, 0.0).otherwise(x)).as("vec")))
   }
@@ -242,9 +252,9 @@ object Similarity {
 
   val augmentedSql: String =
     s"""(SELECT id, vec FROM $vecsSql v
-       | UNION ALL SELECT id + 100000, list_transform(vec, x -> x * 1.5)
+       | UNION ALL SELECT id + $ScaledOffset, list_transform(vec, x -> x * 1.5)
        |   FROM $vecsSql v WHERE id % 10 = 0
-       | UNION ALL SELECT id + 200000,
+       | UNION ALL SELECT id + $PerturbedOffset,
        |   list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN 0.0 ELSE x END)
        |   FROM $vecsSql v WHERE id % 7 = 0)""".stripMargin
 

@@ -37,27 +37,27 @@ class DedupSpec extends SparkSpec {
   test("exact groups catch every case/whitespace-variant copy") {
     val groups = Dedup.exactGroups(docs, "doc_id", "text").cache()
     val dupGroups = groups.filter(col("n_copies") >= 2)
-    // every +300000 injection dedups with its source (a 'datum' rewrite of
+    // every +ExactOffset injection dedups with its source (a 'datum' rewrite of
     // a doc without the token 'data' also lands in a dup group, so ≥)
     val nExactInjected = Sources.documents(spark, sfDir)
       .filter(col("doc_id") % 11 === 0).count()
     assert(nExactInjected > 0 && dupGroups.count() >= nExactInjected)
-    val byCopy = docs.filter(col("doc_id") >= 300000).count()
-    val matched = dupGroups.filter(col("canonical_id") < 100000).count()
+    val byCopy = docs.filter(col("doc_id") >= Dedup.ExactOffset).count()
+    val matched = dupGroups.filter(col("canonical_id") < Dedup.NearOffset).count()
     assert(byCopy === nExactInjected && matched === dupGroups.count())
   }
 
   test("jaccard: exact copy pairs score 1.0; tail-append pairs score high but < 1") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).cache()
-    val exactPairs = pairs.filter(col("id_b") === col("id_a") + 300000)
+    val exactPairs = pairs.filter(col("id_b") === col("id_a") + Dedup.ExactOffset)
     assert(exactPairs.count() > 0)
     assert(exactPairs.filter(col("jaccard") =!= 1.0).count() === 0)
     // tail-append strictly adds shingles → jaccard < 1, and for most docs
     // stays near-dup high (repetitive small-vocab docs can dip lower)
-    // id_a < 100000 keeps only base→junk-append pairs: (200000+x, 300000+x)
-    // also differ by 100000 and can legitimately be exact (no 'data' token)
+    // id_a < NearOffset keeps only base→junk-append pairs: (EditOffset+x, ExactOffset+x)
+    // also differ by NearOffset and can legitimately be exact (no 'data' token)
     val nearPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.0)
-      .filter(col("id_b") === col("id_a") + 100000 && col("id_a") < 100000).cache()
+      .filter(col("id_b") === col("id_a") + Dedup.NearOffset && col("id_a") < Dedup.NearOffset).cache()
     assert(nearPairs.count() > 0)
     assert(nearPairs.filter(col("jaccard") >= 1.0).count() === 0)
     assert(nearPairs.agg(avg("jaccard")).head.getDouble(0) > 0.6)
@@ -85,7 +85,7 @@ class DedupSpec extends SparkSpec {
   test("simhash is 64 bits of 0/1 and identical for normalized exact copies") {
     val sk = Dedup.simhash(docs, "doc_id", "text").cache()
     assert(sk.filter(!col("simhash").rlike(s"^[01]{${Dedup.SimhashBits}}$$")).count() === 0)
-    val copies = sk.as("a").join(sk.as("b"), col("b.id") === col("a.id") + 300000)
+    val copies = sk.as("a").join(sk.as("b"), col("b.id") === col("a.id") + Dedup.ExactOffset)
     assert(copies.count() > 0)
     assert(copies.filter(col("a.simhash") =!= col("b.simhash")).count() === 0)
   }
@@ -121,7 +121,7 @@ class DedupSpec extends SparkSpec {
   test("simhashPairs catches every exact-copy pair at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text").cache()
     val nExact = Sources.documents(spark, sfDir).filter(col("doc_id") % 11 === 0).count()
-    val exact = pairs.filter(col("id_b") === col("id_a") + 300000 && col("id_a") < 100000)
+    val exact = pairs.filter(col("id_b") === col("id_a") + Dedup.ExactOffset && col("id_a") < Dedup.NearOffset)
     assert(exact.count() === nExact)
     assert(exact.filter(col("hamming") =!= 0).count() === 0)
     assert(pairs.filter(col("hamming") > Dedup.SimhashMaxHamming).count() === 0)

@@ -79,7 +79,7 @@ class SimSpec extends SparkSpec {
     val aug = Similarity.augmented(Sources.embeddings(spark, sfDir))
     val pairs = Similarity.cosinePairs(aug, 0.95).cache()
     val nScaled = emb.filter(col("id") % 10 === 0).count()
-    val scaledPairs = pairs.filter(col("id_b") === col("id_a") + 100000 && col("id_a") < 100000)
+    val scaledPairs = pairs.filter(col("id_b") === col("id_a") + Similarity.ScaledOffset && col("id_a") < Similarity.ScaledOffset)
     assert(scaledPairs.count() === nScaled)
     assert(scaledPairs.filter(abs(col("sim") - 1.0) > 1e-9).count() === 0)
   }

@@ -49,6 +49,21 @@ object Sources {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** The committed Daftar_Saham-shaped catalog fixture (header
+    * `Kode,Nama Perusahaan` like the reference's CSV; `Kode` here is the
+    * integer symbol key the OHLCV view carries). */
+  val CatalogCsvPath = "/root/repo/data/daftar_saham.csv"
+
+  /** Header-CSV catalog read (reference S3: `yfinance_transform.py:23-30`
+    * reads Daftar_Saham.csv to enumerate the universe). A REAL
+    * `spark.read.csv` scan — header handling plus explicit typing via
+    * cast (no schema-inference pass, which would cost a second read of
+    * the file; at scale, explicit schemas are the only sane CSV
+    * contract). */
+  def stockCatalog(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true").csv(CatalogCsvPath)
+      .select(col("Kode").cast("int").as("Kode"), col("Nama Perusahaan"))
+
   /** Column existence probe (reference S6, `yfinance_transform.py:117`). */
   def hasColumn(df: DataFrame, name: String): Boolean = df.columns.contains(name)
 

@@ -66,6 +66,52 @@ object SparkEntry {
         .orderBy("symbol")
     }),
 
+    // Reference-fidelity month aggregate (yfinance_transform.py:53-90):
+    // the reference's EXACT output schema — stat-major column blocks with
+    // std_* aliases — alongside the engine-native interleaved form above.
+    "yf_month_agg_ref" -> ((s, dir) =>
+      stabilized(yf.Ohlcv.aggregatePeriodRef(Sources.ohlcv(s, dir), "yyyy-MM", "month"))
+        .orderBy("period_key")),
+
+    // Real CSV catalog read (S3, yfinance_transform.py:23-30 +
+    // Daftar_Saham.csv): header CSV -> explicit casts -> broadcast join
+    // against the fact table, rolled up per symbol.
+    "yf_csv_catalog_join" -> ((s, dir) => {
+      val bars = Sources.ohlcv(s, dir)
+      yf.Ohlcv.joinCatalog(bars, Sources.stockCatalog(s), "symbol", "Kode")
+        .groupBy(col("symbol"), col("Nama Perusahaan").as("company_name"))
+        .agg(
+          count(lit(1)).as("n_bars"),
+          util.Stable.exactSum(col("Volume")).as("sum_volume"),
+          max(col("High")).as("max_high"))
+        .orderBy("symbol")
+    }),
+
+    // Bucketed co-located join (the 100 TB join strategy SCALE.md names):
+    // both sides bucketed+sorted on the join key at WRITE time, so the
+    // join itself needs no exchange on either side — the shuffle is paid
+    // once and amortized over every future join. BucketSpec asserts the
+    // exchange-free plan; this entry proves the results correct against
+    // a plain-join oracle.
+    "bucketed_join" -> ((s, dir) => {
+      Sources.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_bucketed")
+      Sources.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_bucketed")
+      s.table("graft_lineitem_bucketed")
+        .join(s.table("graft_orders_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_items"),
+          util.Stable.exactSum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_custkey")
+    }),
+
     // Count action as a 1-row DataFrame (idx_transform.py:314,
     // yfinance_transform.py:141).
     "yf_count" -> ((s, dir) =>
@@ -386,7 +432,9 @@ object SparkEntry {
     * pass through untouched. */
   private def stabilized(df: DataFrame): DataFrame =
     df.select(df.columns.map { c =>
-      if (c.startsWith("stddev_")) util.Stable.sig(col(c)).as(c) else col(c)
+      if (c.startsWith("stddev_") || c.startsWith("std_"))
+        util.Stable.sig(col(c)).as(c)
+      else col(c)
     }: _*)
 
   /** The 36-aggregate list, generated from the same column list the Spark
@@ -398,6 +446,20 @@ object SparkEntry {
          |    max($x) AS max_$out, min($x) AS min_$out,
          |    ${util.Stable.sigSql(s"stddev_samp($x)")} AS stddev_$out""".stripMargin
     }.mkString(",\n    ") + ",\n    count(*) AS row_count"
+
+  /** Stat-major `std_*` select list matching the reference's exact output
+    * schema ([[yf.Ohlcv.aggregatePeriodRef]]). */
+  private def aggSelectListRef: String = {
+    val blocks: Seq[(String, String => String)] = Seq(
+      "avg" -> (x => util.Stable.exactAvgSql(x)),
+      "sum" -> (x => util.Stable.exactSumSql(x)),
+      "max" -> (x => s"max($x)"),
+      "min" -> (x => s"min($x)"),
+      "std" -> (x => util.Stable.sigSql(s"stddev_samp($x)")))
+    blocks.flatMap { case (st, f) =>
+      yf.Ohlcv.barColumns.map { case (src, out) => s"""${f(s""""$src"""")} AS ${st}_$out""" }
+    }.mkString(",\n    ") + ",\n    count(*) AS row_count"
+  }
 
   private def yfAggOracle(fmt: String, label: String, bySymbol: Boolean = false): String = {
     val groupCols = if (bySymbol) "symbol, period_key" else "period_key"
@@ -417,6 +479,29 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "yf_month_agg" -> yfAggOracle("%Y-%m", "month"),
+    "yf_month_agg_ref" ->
+      s"""WITH $barsCte,
+         |agg AS (
+         |  SELECT strftime("Date", '%Y-%m') AS period_key,
+         |    $aggSelectListRef
+         |  FROM bars GROUP BY period_key)
+         |SELECT *,
+         |  CAST(row_number() OVER (ORDER BY period_key) AS INTEGER) AS month_number,
+         |  'month' AS agg_type
+         |FROM agg ORDER BY period_key""".stripMargin,
+    "yf_csv_catalog_join" ->
+      s"""WITH $barsCte,
+         |cat AS (SELECT CAST(Kode AS INTEGER) AS Kode, "Nama Perusahaan"
+         |        FROM read_csv('${Sources.CatalogCsvPath}', header=true))
+         |SELECT b.symbol, c."Nama Perusahaan" AS company_name, count(*) AS n_bars,
+         |  ${util.Stable.exactSumSql(""""Volume"""")} AS sum_volume, max(b."High") AS max_high
+         |FROM bars b JOIN cat c ON b.symbol = c.Kode
+         |GROUP BY b.symbol, c."Nama Perusahaan" ORDER BY b.symbol""".stripMargin,
+    "bucketed_join" ->
+      s"""SELECT o_custkey, count(*) AS n_items,
+         |  ${util.Stable.exactSumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "yf_year_agg" -> yfAggOracle("%Y", "year"),
     "yf_symbol_month_agg" -> yfAggOracle("%Y-%m", "month", bySymbol = true),
     "yf_day_raw" ->

@@ -77,6 +77,30 @@ object Ohlcv {
       .withColumn("agg_type", lit(label))
   }
 
+  /** Reference-fidelity aggregate: the EXACT output schema of
+    * `yfinance_transform.py:53-90` — stat-major column blocks (avg ×7,
+    * sum ×7, max ×7, min ×7, std ×7) with the reference's `std_*` aliases,
+    * then row_count, {label}_number, agg_type. [[aggregatePeriod]] keeps
+    * the engine's per-column interleaved `stddev_*` form (documented
+    * deviation); this variant is drop-in schema-compatible with the
+    * reference's output collection. Values still use the
+    * [[graft.util.Stable]] exact-decimal accumulation (the fidelity point
+    * is names + order, not resurrecting FP drift). */
+  def aggregatePeriodRef(bars: DataFrame, fmt: String, label: String): DataFrame = {
+    val stats: Seq[(String, Column => Column)] = Seq(
+      "avg" -> (c => graft.util.Stable.exactAvg(c)),
+      "sum" -> (c => graft.util.Stable.exactSum(c)),
+      "max" -> (c => max(c)),
+      "min" -> (c => min(c)),
+      "std" -> (c => stddev(c)))
+    val aggs = stats.flatMap { case (st, f) =>
+      barColumns.map { case (src, out) => f(col(s"`$src`")).as(s"${st}_$out") }
+    } :+ count(lit(1)).as("row_count")
+    withPeriodKey(bars, fmt).groupBy(col("period_key")).agg(aggs.head, aggs.tail: _*)
+      .withColumn(s"${label}_number", row_number().over(Window.orderBy(col("period_key"))))
+      .withColumn("agg_type", lit(label))
+  }
+
   /** Day branch (`yfinance_transform.py:122-128`): raw rows + period_key +
     * agg_type, no aggregation. */
   def dayBranch(bars: DataFrame): DataFrame =

@@ -54,10 +54,9 @@ object Streams {
     * counterpart of [[graft.events.Sessionize]]. A session closes when a
     * later event for the same user arrives more than `gapMs` after the
     * session's last event; closed sessions are emitted, open state is
-    * kept per user key. (Event-driven only: a production variant would
-    * add an event-time timeout to also flush sessions on quiet streams —
-    * a processing-time timeout keeps the micro-batch loop spinning, which
-    * stalls `processAllAvailable`-style draining.) */
+    * kept per user key. Event-driven only — [[sessionizeWithTimeout]] is
+    * the production variant that also flushes sessions on quiet streams
+    * via an event-time timeout. */
   def sessionize(events: Dataset[StreamEvent],
                  gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
@@ -83,6 +82,61 @@ object Streams {
               }
             }
             cur.foreach(state.update)
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** [[sessionize]] plus an EVENT-TIME timeout: sessions also flush when
+    * the stream's watermark passes `lastEvent + gapMs`, so a user who
+    * simply goes quiet still gets their session emitted (the event-driven
+    * variant above only closes a session when a LATER event for the same
+    * user arrives). Event-time — not processing-time — so the flush is
+    * driven by data progress and replays deterministically; a
+    * processing-time timeout would also keep the micro-batch loop
+    * spinning on idle streams.
+    *
+    * Requires a watermark on `ts` (set here): the watermark is what
+    * `GroupState.setTimeoutTimestamp` is compared against. State is
+    * bounded: every group either updates (new events) or times out and is
+    * removed once the watermark passes its deadline. */
+  def sessionizeWithTimeout(events: Dataset[StreamEvent],
+                            gapMs: Long = 30L * 60 * 1000,
+                            watermark: String = "10 minutes"): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed lastMs + gapMs with no new events: the
+            // session is definitively closed (no on-time event can extend
+            // it any more).
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, s.startMs, s.lastMs, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionUpdate]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionUpdate(userId, s.startMs, s.lastMs, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
             closed.reverseIterator
           }
       }

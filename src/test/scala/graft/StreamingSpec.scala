@@ -58,6 +58,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout flushes a quiet user's session once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamEvent]
+    // user 1 goes quiet after minute 15; no later user-1 event ever
+    // arrives. (Times start at minute 5, off the initial watermark=0
+    // boundary — a row AT the watermark is dropped as late.)
+    stream.addData(ev(1, 5, 1, "a", 1.0), ev(2, 15, 1, "a", 2.0))
+    val q = Streams.sessionizeWithTimeout(stream.toDS(),
+        gapMs = 30L * 60000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("timeout_sessions").count() === 0) // still open
+      // OTHER-user event at minute 120 drives the watermark to 110 min,
+      // past user 1's deadline (15 + 30 = 45 min) → user 1's session is
+      // flushed by TIMEOUT, not by any user-1 event.
+      stream.addData(ev(3, 120, 2, "b", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("timeout_sessions").filter(col("user_id") === 1).collect()
+      assert(rows.length === 1)
+      val s = rows.head
+      assert(s.getAs[Long]("n_events") === 2L)
+      assert(s.getAs[Double]("sum_value") === 3.0)
+      assert(s.getAs[Long]("session_end_ms") === 15L * 60000)
+    } finally q.stop()
+  }
+
   test("out-of-order events within a batch still form one ordered session") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamEvent]

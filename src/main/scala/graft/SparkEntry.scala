@@ -94,6 +94,11 @@ object SparkEntry {
     // exchange-free plan; this entry proves the results correct against
     // a plain-join oracle.
     "bucketed_join" -> ((s, dir) => {
+      // The warehouse directory outlives the in-memory catalog across
+      // sessions: a fresh session sees no table but the location still
+      // exists (LOCATION_ALREADY_EXISTS). Drop both halves explicitly.
+      dropManagedTable(s, "graft_orders_bucketed")
+      dropManagedTable(s, "graft_lineitem_bucketed")
       Sources.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -413,6 +418,16 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
   )
+
+  /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
+    * managed table's files survive the in-memory catalog across JVMs). */
+  private def dropManagedTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
 
   // ---------------------------------------------------------------- oracle
 

@@ -210,10 +210,16 @@ object Dedup {
     * band — bucket occupancy stays O(N/65536) and only genuinely similar
     * docs collide. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol)
-      .withColumn("h", concat(md5(col("sh")), md5(concat(lit("1:"), col("sh")))))
+    // Per-shingle bit source via the native SimhashMask expression (two
+    // digests + bit tests, one call per row) instead of concat(md5, md5)
+    // plus 64 substring slices per row; bit j of the mask == the oracle
+    // mirror's hex-char-j test on md5(sh) || md5('1:' || sh).
+    val mask = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SimhashMask(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sh"))))
+    val sh = shingleRows(docs, idCol, textCol).withColumn("m", mask)
     val sums = (0 until SimhashBits).map(j =>
-      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
+      sum(when(shiftright(col("m"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
     sh.groupBy("id").agg(sums.head, sums.tail: _*)
       .select(col("id"), concat((0 until SimhashBits).map(j =>
         when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))

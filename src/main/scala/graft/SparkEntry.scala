@@ -117,6 +117,27 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // K2 multi-sink round trip (yfinance_transform.py:125-137): day raw +
+    // month/year rollups APPENDED into one partitioned dataset
+    // discriminated by agg_type, then read back (mergeSchema — the
+    // branches are schema-heterogeneous like the reference's mixed Mongo
+    // documents) and summarized per branch. Restricted to symbol < 100 so
+    // the sink exercise stays write-bounded at bench SF.
+    "yf_multi_sink" -> ((s, dir) => {
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_multi_sink")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(out)) fs.delete(out, true) // append sink: start clean
+      yf.Ohlcv.writeAll(Sources.ohlcv(s, dir).filter(col("symbol") < 100),
+        out.toString)
+      s.read.option("mergeSchema", "true").parquet(out.toString)
+        .groupBy("agg_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("period_key")).as("n_periods"))
+        .orderBy("agg_type")
+    }),
+
     // Count action as a 1-row DataFrame (idx_transform.py:314,
     // yfinance_transform.py:141).
     "yf_count" -> ((s, dir) =>
@@ -517,6 +538,16 @@ object SparkEntry {
          |  ${util.Stable.exactSumSql("l_extendedprice")} AS sum_price
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "yf_multi_sink" ->
+      s"""WITH $barsCte,
+         |b AS (SELECT * FROM bars WHERE symbol < 100)
+         |SELECT 'day' AS agg_type, count(*) AS n_rows,
+         |  count(DISTINCT strftime("Date", '%Y-%m-%d')) AS n_periods FROM b
+         |UNION ALL SELECT 'month', count(DISTINCT strftime("Date", '%Y-%m')),
+         |  count(DISTINCT strftime("Date", '%Y-%m')) FROM b
+         |UNION ALL SELECT 'year', count(DISTINCT strftime("Date", '%Y')),
+         |  count(DISTINCT strftime("Date", '%Y')) FROM b
+         |ORDER BY agg_type""".stripMargin,
     "yf_year_agg" -> yfAggOracle("%Y", "year"),
     "yf_symbol_month_agg" -> yfAggOracle("%Y-%m", "month", bySymbol = true),
     "yf_day_raw" ->

@@ -68,9 +68,16 @@ object Similarity {
       graft.functions.SignSketch(
         org.apache.spark.sql.GraftColumnBridge.expression(v), bits))
 
-  /** Sequential in-order dot product of two double-array columns. */
+  /** Sequential in-order dot product of two double-array columns, via the
+    * native [[graft.functions.VecDot]] expression (codegen'd single pass;
+    * bit-identical to the interpreted `aggregate(zip_with(...))` fold it
+    * replaces AND to the DuckDB `list_reduce` mirror — same IEEE op
+    * order). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.VecDot(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

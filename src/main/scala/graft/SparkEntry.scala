@@ -99,12 +99,23 @@ object SparkEntry {
       // exists (LOCATION_ALREADY_EXISTS). Drop both halves explicitly.
       dropManagedTable(s, "graft_orders_bucketed")
       dropManagedTable(s, "graft_lineitem_bucketed")
+      // One year's slice: the bucketing mechanics (write-time shuffle,
+      // exchange-free join) are identical, the per-call write cost stays
+      // bounded at bench SF. Oracle applies the same filters.
+      // repartition ON THE BUCKET KEY before writing: without it every
+      // input partition writes a file per bucket (tasks x buckets small
+      // files — the classic bucketed-write file explosion); aligned, each
+      // task owns whole buckets and file count == bucket count.
       Sources.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("graft_orders_bucketed")
       Sources.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01"))
         .select("l_orderkey", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
         .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("graft_lineitem_bucketed")
       s.table("graft_lineitem_bucketed")
@@ -128,7 +139,11 @@ object SparkEntry {
         s.conf.get("spark.sql.warehouse.dir"), "graft_multi_sink")
       val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(out)) fs.delete(out, true) // append sink: start clean
-      yf.Ohlcv.writeAll(Sources.ohlcv(s, dir).filter(col("symbol") < 100),
+      // coalesce: 60k rows don't need 32 writer tasks x 3 branches worth
+      // of files (small-file hygiene; at 100 TB you'd size writer tasks to
+      // target file size the same way).
+      yf.Ohlcv.writeAll(
+        Sources.ohlcv(s, dir).filter(col("symbol") < 100).coalesce(8),
         out.toString)
       s.read.option("mergeSchema", "true").parquet(out.toString)
         .groupBy("agg_type")
@@ -536,7 +551,10 @@ object SparkEntry {
     "bucketed_join" ->
       s"""SELECT o_custkey, count(*) AS n_items,
          |  ${util.Stable.exactSumSql("l_extendedprice")} AS sum_price
-         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |FROM (SELECT * FROM lineitem
+         |      WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01') l
+         |JOIN (SELECT * FROM orders WHERE year(o_orderdate) = 1995) o
+         |  ON l.l_orderkey = o.o_orderkey
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "yf_multi_sink" ->
       s"""WITH $barsCte,

@@ -270,6 +270,54 @@ object SparkEntry {
             x => trim(x) =!= "")).cast("long").as("n_sentences"))
         .orderBy("doc_id")),
 
+    // Corpus vocabulary (training-data extension): per-word document
+    // frequency + occurrence count, top-k by df. One shuffle on the word
+    // key with partial aggregation; the top-k is TakeOrderedAndProject
+    // (per-partition heads, k-row driver merge) — never a global sort.
+    "text_vocab" -> ((s, dir) => {
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      words.groupBy("word")
+        .agg(
+          count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("word"))
+        .limit(100)
+    }),
+
+    // Anti-join (engine surface): users who clicked but never made a
+    // high-value purchase — plans as a broadcast/shuffled ANTI join (the
+    // excluded side never materializes beyond its keys). The value
+    // threshold keeps the right side selective so the anti-join survives
+    // rows (every user has every event type in the synthetic data).
+    "events_anti_join" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+      val clickers = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+      val bigSpenders = ev
+        .filter(col("event_type") === "purchase" && col("value") > 95.0)
+        .select("user_id").distinct()
+      clickers.join(bigSpenders, Seq("user_id"), "left_anti")
+        .orderBy("user_id")
+    }),
+
+    // Exact quantiles (engine surface): per-type p50/p95 of value.
+    // Spark `percentile` is the exact sort-based aggregate (the
+    // approx_percentile sketch is the at-scale alternative when a full
+    // sort per group is too dear); DuckDB mirrors with quantile_cont.
+    // Interpolated values are sig-formatted — the two engines' linear
+    // interpolation can differ in the last ulp.
+    "events_quantiles" -> ((s, dir) =>
+      Sources.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          util.Stable.sig(expr("percentile(value, 0.5D)")).as("p50"),
+          util.Stable.sig(expr("percentile(value, 0.95D)")).as("p95"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
     // Exact dedup (training-data extension): normalize → md5 fingerprint
     // → hash group-by. One shuffle on a fixed-width key at any scale.
     "dedup_exact" -> ((s, dir) =>
@@ -625,6 +673,27 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(dotted, '.'), x -> trim(x) <> '')) AS BIGINT) AS n_sentences
         |FROM d ORDER BY doc_id""".stripMargin,
     "idx_financials" -> idx.FinancialReport.oracleSql,
+    "events_quantiles" ->
+      s"""SELECT event_type,
+         |  ${util.Stable.sigSql("quantile_cont(value, 0.5)")} AS p50,
+         |  ${util.Stable.sigSql("quantile_cont(value, 0.95)")} AS p95,
+         |  count(*) AS n_events
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_vocab" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents)
+         |SELECT word, count(*) AS n_occurrences, count(DISTINCT doc_id) AS df
+         |FROM w WHERE word <> ''
+         |GROUP BY word ORDER BY df DESC, word LIMIT 100""".stripMargin,
+    "events_anti_join" ->
+      """WITH clickers AS (
+        |  SELECT user_id, count(*) AS n_clicks FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT c.user_id, c.n_clicks FROM clickers c
+        |WHERE c.user_id NOT IN
+        |  (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95.0)
+        |ORDER BY c.user_id""".stripMargin,
     "dedup_exact" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql}
          |${dedup.Dedup.exactGroupsSql("docs")}

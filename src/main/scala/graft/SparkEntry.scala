@@ -384,6 +384,15 @@ object SparkEntry {
       events.AsofJoin.lastEventBefore(Sources.events(s, dir), "click", "error")
         .orderBy("event_id")),
 
+    // Range join via binning (operator Spark lacks natively — composed
+    // per design-rule tier (a)): purchases within 2 minutes after each
+    // error, per user, as an EQUI-join on (user, time-bin) + exact BETWEEN
+    // filter — never a nested loop. Oracle = DuckDB's native inequality
+    // join, so two independent implementations check each other.
+    "events_range_join" -> ((s, dir) =>
+      events.RangeJoin.windowedMatches(Sources.events(s, dir), "error", "purchase")
+        .orderBy("l_id")),
+
     // Tumbling event-time window aggregate — the batch face of the
     // Structured Streaming surface (the same transform runs watermarked on
     // a stream; StreamingSpec asserts stream ≡ batch).
@@ -736,6 +745,9 @@ object SparkEntry {
     "events_asof_join" ->
       s"""${events.AsofJoin.lastEventBeforeSql("events", "click", "error")}
          |ORDER BY 1""".stripMargin,
+    "events_range_join" ->
+      s"""${events.RangeJoin.windowedMatchesSql("events", "error", "purchase")}
+         |ORDER BY l_id""".stripMargin,
     "events_hourly_window" ->
       s"""${streaming.Streams.hourlyTypeCountsSql("events")}
          |ORDER BY w_start, event_type""".stripMargin,

@@ -204,6 +204,20 @@ object SparkEntry {
         .orderBy(col("g_y"), col("g_m"), col("y"), col("m"))
     }),
 
+    // PER-KEY top-k via the engine's own whole-operator plan node
+    // (design-rule tier c: custom LogicalPlan + Strategy + SparkPlan,
+    // registered through GraftExtensions): bounded k-row heaps per key,
+    // two-phase like an aggregate — the shuffle moves at most k rows per
+    // (key, map task) instead of every row, and no per-key sort ever
+    // materializes. The window row_number form is the oracle.
+    "top_orders_per_customer" -> ((s, dir) =>
+      plans.TopK.perKey(
+        Sources.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        keyCols = Seq("o_custkey"),
+        orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        k = 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))),
+
     // Sort + limit (engine surface, SURVEY.md §2.8): top-k by price —
     // plans as TakeOrderedAndProject (per-partition top-k, then merge;
     // no global sort materialization). Tie-broken for determinism.
@@ -663,6 +677,11 @@ object SparkEntry {
     "top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "top_orders_per_customer" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'

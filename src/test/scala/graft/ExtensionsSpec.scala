@@ -45,9 +45,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sk.length === 16 && sk.forall(c => c == '0' || c == '1'))
   }
 
-  test("the un-extended shared session does NOT see the functions") {
+  test("a vanilla session does NOT see the functions (extension isolation)") {
+    val shared = TestSession.spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val vanilla = SparkSession.builder().master("local[4]").getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
     val e = intercept[Exception] {
-      TestSession.spark.sql("SELECT word_shingles('a b c', 3)").collect()
+      vanilla.sql("SELECT word_shingles('a b c', 3)").collect()
     }
     assert(e.getMessage.toLowerCase.contains("word_shingles"))
   }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import plans.TopK
+
+/** The tier-(c) whole-operator extension: logical node → strategy →
+  * two-phase physical exec. Equivalence against the window composition,
+  * plan shape, and the map-side shuffle bound. */
+class TopKSpec extends SparkSpec {
+
+  private lazy val orders = Sources.orders(spark, sfDir)
+    .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def viaOperator(k: Int) = TopK.perKey(orders,
+    Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), k)
+
+  test("plans as partial + final TopKPerKeyExec with one Exchange between") {
+    val plan = viaOperator(3).queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2, s"expected 2 execs in:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"expected a key exchange in:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"must not fall back to window/sort:\n$plan")
+  }
+
+  test("equals the window row_number composition, ties broken identically") {
+    val k = 3
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+    val got = viaOperator(k)
+    assert(got.count() === viaWindow.count())
+    assert(got.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(got).isEmpty)
+  }
+
+  test("never emits more than k rows per key; emits all rows for small keys") {
+    val got = viaOperator(2).groupBy("o_custkey").count()
+    assert(got.filter(col("count") > 2).count() === 0)
+    val singletons = orders.groupBy("o_custkey").count().filter(col("count") === 1).count()
+    assert(singletons === 0 ||
+      viaOperator(2).groupBy("o_custkey").count().filter(col("count") === 1).count() >= singletons)
+  }
+
+  test("partial stage bounds the shuffle: k rows per key per input partition") {
+    // With the input forced into p partitions, the exchange input is at
+    // most k * keys * p rows — verified indirectly: the partial exec's
+    // output (= rows entering the exchange) equals the final result when
+    // the input is a single partition (partial == final on 1 partition).
+    val one = TopK.perKey(orders.coalesce(1),
+      Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    assert(one.count() === viaOperator(3).count())
+  }
+}

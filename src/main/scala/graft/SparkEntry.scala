@@ -356,6 +356,23 @@ object SparkEntry {
         maxDocFreq = Some(10L))
         .orderBy("id_a", "id_b")),
 
+    // Duplicate clusters: connected components of the (df-capped) Jaccard
+    // pair graph via iterative min-label propagation — diameter-bounded
+    // rounds of join+aggregate, driver controls iteration only. Completes
+    // the dedup pipeline: pairs -> clusters -> canonical survivor
+    // (is_canonical = doc is its cluster's min id). Oracle = DuckDB
+    // RECURSIVE CTE transitive closure (independent algorithm, same
+    // unique fixpoint).
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val pairs = dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.6,
+        maxDocFreq = Some(10L))
+      dedup.Dedup.clusters(docs, "doc_id", pairs)
+        .withColumn("is_canonical",
+          (col("doc_id") === col("cluster_id")).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash + banded LSH with exact-Jaccard verification restricted to
     // candidate docs — the sub-quadratic scale path for near-dedup.
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -734,6 +751,13 @@ object SparkEntry {
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.jaccardPairsCtes("docs", 0.5, None, maxDocFreq = Some(10L))}
          |SELECT * FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, None, maxDocFreq = Some(10L))},
+         |${dedup.Dedup.clustersSql("docs", "pairs")}
+         |SELECT doc_id, cluster_id,
+         |  CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
+         |FROM clusters ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.lshCandidatesCtes("docs")},

@@ -190,6 +190,83 @@ object Dedup {
     jaccardFromShingles(sh, threshold).join(cand, Seq("id_a", "id_b"), "left_semi")
   }
 
+  // ------------------------------------------------------------- clusters
+
+  /** Duplicate CLUSTERS from a near-dup pair set: connected components of
+    * the pair graph, labeled by each component's minimum doc id (the
+    * canonical survivor a dedup pipeline keeps). Docs in no pair form
+    * singleton clusters of themselves.
+    *
+    * Iterative min-label propagation: every round each vertex takes the
+    * min of its own label and its neighbors' labels; at fixpoint every
+    * member of a component carries the component min. The driver loop
+    * controls ITERATION only (a `changed` count per round — no row data
+    * ever moves through the driver); each round is one join + one
+    * aggregate, i.e. two key-partitioned shuffles, and the round count is
+    * the graph DIAMETER — for dedup graphs (small star/chain clusters)
+    * that is 2-4, independent of corpus size, so the 100 TB cost is ~6-8
+    * bounded shuffles. Labels are materialized per round and the previous
+    * round unpersisted, so cache footprint stays one label table.
+    *
+    * (The oracle runs a DuckDB RECURSIVE CTE transitive closure — an
+    * independent algorithm arriving at the same unique fixpoint.) */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+               maxIters: Int = 50): DataFrame = {
+    val verts = docs.select(col(idCol).as("id"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val e = graft.util.Views.materialize(edges)
+    var labels = graft.util.Views.materialize(
+      verts.select(col("id"), col("id").as("label")))
+    // Convergence probe: per-vertex labels only ever DECREASE, so the
+    // label-sum strictly decreases every round until fixpoint.
+    // DECIMAL(38,0) so a 10^12-scale id space never overflows the sum at
+    // corpus cardinality.
+    //
+    // Each round ends in an EAGER localCheckpoint: iterative DataFrames
+    // otherwise nest the previous round's plan inside the next, and
+    // Catalyst re-analyzes the deepening tree every round (measured:
+    // per-round cost GREW 0.9 → 1.5 → 2.8 s over three rounds of
+    // constant-size data). Lineage truncation keeps rounds O(1). At
+    // cluster scale, substitute a reliable `checkpoint()` to durable
+    // storage — same role, survives executor loss.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(dec))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborLabels = e.join(labels, e("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(neighborLabels).groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true) // eager: materializes + truncates lineage
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** DuckDB mirror of [[clusters]]: recursive-CTE transitive closure from
+    * each vertex, then min over reached vertices. `pairsCte` must expose
+    * (id_a, id_b); ends in `clusters(doc_id, cluster_id)`. */
+  def clustersSql(docsRel: String, pairsCte: String): String =
+    s"""edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM $pairsCte
+       |  UNION ALL SELECT id_b, id_a FROM $pairsCte),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT doc_id, doc_id FROM $docsRel
+       |    UNION
+       |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+       |  SELECT * FROM r),
+       |clusters AS (
+       |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
   // -------------------------------------------------------------- simhash
 
   val SimhashBits = 64

@@ -127,6 +127,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("hamming") > Dedup.SimhashMaxHamming).count() === 0)
   }
 
+  test("clusters: endpoints share a label, canonical is the min, singletons self-label") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, maxDocFreq = Some(10L))
+      .cache()
+    val cl = Dedup.clusters(docs, "doc_id", pairs).cache()
+    // every pair's two ends landed in the same cluster
+    val mismatched = pairs.as("p")
+      .join(cl.as("a"), col("p.id_a") === col("a.doc_id"))
+      .join(cl.as("b"), col("p.id_b") === col("b.doc_id"))
+      .filter(col("a.cluster_id") =!= col("b.cluster_id"))
+    assert(mismatched.count() === 0)
+    // cluster label = min member id (it IS a member)
+    val byCluster = cl.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+    assert(byCluster.filter(col("cluster_id") =!= col("mn")).count() === 0)
+    // docs in no pair are their own cluster
+    val inPairs = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val singletons = cl.join(inPairs, Seq("doc_id"), "left_anti")
+    assert(singletons.filter(col("doc_id") =!= col("cluster_id")).count() === 0)
+    // every doc got exactly one label
+    assert(cl.count() === docs.count())
+  }
+
   test("candidate generation never pairs a doc with itself and is ordered") {
     val cand = Dedup.lshCandidates(docs, "doc_id", "text")
     assert(cand.filter(col("id_a") >= col("id_b")).count() === 0)

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cardinality sketches — the at-scale substitute for exact
+  * `countDistinct` (which shuffles every distinct value): HyperLogLog
+  * sketches aggregate partially per partition, merge associatively, and
+  * estimate within a few percent. No DuckDB oracle is possible (each
+  * engine's HLL implementation differs), so the contract is spec-tested:
+  * bounded relative error vs the exact count, and LOSSLESS mergeability —
+  * the property that makes pre-aggregated per-partition/per-day sketches
+  * equal to one sketch over everything, i.e. the incremental-pipeline
+  * pattern at 100 TB. */
+class SketchAggSpec extends SparkSpec {
+
+  private lazy val docs = Sources.documents(spark, sfDir)
+
+  test("approx_count_distinct is within 5% of exact on words") {
+    val words = docs.select(explode(split(util.Norm.normalize(col("text")), " ")).as("w"))
+    val exact = words.agg(countDistinct(col("w"))).head.getLong(0)
+    val approx = words.agg(approx_count_distinct(col("w"))).head.getLong(0)
+    assert(exact > 0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("HLL sketches merge: union of per-group sketches tracks one global sketch") {
+    // per-group partial sketches (what each partition/day would persist)...
+    val perGroup = docs.groupBy("lang")
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+    // ...merged, then estimated
+    val merged = perGroup
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head.getLong(0)
+    val direct = docs
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("est"))
+      .head.getLong(0)
+    // merge is register-level, but sparse->dense mode transitions inside
+    // the union can shift the estimate by a hair (observed 499 vs 500) —
+    // assert the merged estimate tracks the direct one tightly, and both
+    // track the exact count
+    assert(math.abs(merged - direct).toDouble / direct < 0.01,
+      s"merged $merged vs direct $direct")
+    val exact = docs.agg(countDistinct(col("doc_id"))).head.getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact")
+  }
+}

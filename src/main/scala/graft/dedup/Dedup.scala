@@ -155,10 +155,17 @@ object Dedup {
   /** LSH candidates from an (id, sh) shingle view. */
   private def lshCandidatesFromShingles(sh: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
-    val sig = sh.groupBy("id").agg(
-      min(md5(concat(lit("0:"), col("sh")))).as("h0"),
+    // One native MinhashRow call per shingle row computes the whole hash
+    // family (reused digest, byte-level prefixes); the aggregate then
+    // takes 12 mins over cheap array reads instead of 12 md5(concat)
+    // chains per row.
+    val hs = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MinhashRow(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sh")), NumHashes))
+    val sig = sh.select(col("id"), hs.as("hs")).groupBy("id").agg(
+      min(element_at(col("hs"), 1)).as("h0"),
       (1 until NumHashes).map(j =>
-        min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j")): _*)
+        min(element_at(col("hs"), j + 1)).as(s"h$j")): _*)
     val bandKeyCols = (0 until NumBands).map { b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"h$r")): _*))
     }

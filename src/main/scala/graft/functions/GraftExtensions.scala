@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "sign_sketch(vec[, bits]) takes 1 or 2 arguments")
       }))
     ext.injectFunction((
+      FunctionIdentifier("minhash_row"),
+      new ExpressionInfo(classOf[MinhashRow].getName, "minhash_row"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => MinhashRow(s, graft.dedup.Dedup.NumHashes)
+        case Seq(s, n) => MinhashRow(s, litInt(n, "hash count"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_row(shingle[, n]) takes 1 or 2 arguments")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash_mask"),
       new ExpressionInfo(classOf[SimhashMask].getName, "simhash_mask"),
       (args: Seq[Expression]) => args match {

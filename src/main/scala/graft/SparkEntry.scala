@@ -271,6 +271,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Oracle-checked half of the U1 chunking surface: token count +
+    // greedy-packing chunk count per doc (the summarizer itself stays
+    // rows-only — not SQL-expressible). The DuckDB oracle REPLAYS the
+    // greedy fold as a recursive CTE, an independent implementation of
+    // the same state machine (quirks included).
+    "news_chunk_counts" -> ((s, dir) => {
+      val docs = Sources.documents(s, dir)
+        .withColumn("long_text",
+          regexp_replace(concat_ws(". ", (0 until 20).map(_ => col("text")): _*),
+            " the ", ". "))
+      docs.select(
+        col("doc_id"),
+        news.Summarize.tokenCountUdf(col("long_text")).cast("long").as("n_tokens"),
+        news.Summarize.chunkCountUdf(col("long_text")).cast("long").as("n_chunks"))
+        .orderBy("doc_id")
+    }),
+
     // SQL-expressible text stats (SURVEY.md §5.1): char/word/sentence
     // counts via higher-order functions, checked against DuckDB.
     "news_text_stats" -> ((s, dir) =>
@@ -710,6 +727,13 @@ object SparkEntry {
         |FROM orders
         |WHERE year(o_orderdate) IN (1995, 1996, 1997)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "news_chunk_counts" -> {
+      val longText = "regexp_replace(" +
+        (0 until 20).map(_ => "text").mkString("concat_ws('. ', ", ", ", ")") +
+        ", ' the ', '. ', 'g')"
+      s"""${news.Summarize.chunkCountsSql("documents", longText)}
+         |ORDER BY doc_id""".stripMargin
+    },
     "news_text_stats" ->
       """WITH d AS (SELECT *, replace(text, ' the ', '. ') AS dotted FROM documents)
         |SELECT doc_id,

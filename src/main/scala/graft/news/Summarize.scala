@@ -130,4 +130,55 @@ object Summarize {
       .withColumn("rangkuman", summarizeUdf(col("konten")))
       .select(col("index"), col("judul"), col("konten"), col("rangkuman"),
         col("waktu"), col("tanggal_artikel"))
+
+  // --------------------------------------------------------------- oracle
+
+  /** The [[tokenRe]] pattern as a DuckDB (RE2) literal — same Unicode
+    * classes, same alternation. */
+  val tokenReSql: String = """[\p{L}\p{M}]+|\p{N}+|[^\p{L}\p{M}\p{N}\s]"""
+
+  /** DuckDB mirror of [[tokenCount]] + [[splitText]]'s CHUNK COUNT: the
+    * greedy token-budget fold replayed as a RECURSIVE CTE — one state row
+    * per (doc, sentences-consumed) advancing `(cnt, flushed)` exactly like
+    * the Scala loop, including the flush-even-an-empty-chunk quirk
+    * (`cnt + n > budget` increments `flushed` regardless of `cnt`) and
+    * the trailing non-empty chunk (+1 iff any sentence was consumed).
+    * `textExpr` must be a SQL expression over `$docsRel` columns
+    * producing the text. Ends in a SELECT of
+    * (doc_id, n_tokens, n_chunks). */
+  def chunkCountsSql(docsRel: String, textExpr: String,
+                     maxTokens: Int = MaxTokens): String =
+    s"""WITH RECURSIVE
+       |base AS (SELECT doc_id, $textExpr AS t FROM $docsRel),
+       |toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t, '$tokenReSql')) AS BIGINT) AS n_tokens
+       |  FROM base),
+       |sl AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split(t, '.'), x -> trim(x)),
+       |                x -> x <> '') AS ss
+       |  FROM base),
+       |sents AS (
+       |  SELECT doc_id, generate_subscripts(ss, 1) AS i,
+       |    len(regexp_extract_all(unnest(ss) || '.', '$tokenReSql')) AS ntok
+       |  FROM sl),
+       |state AS (
+       |  SELECT doc_id, 0 AS idx, 0 AS cnt, 0 AS flushed FROM base
+       |  UNION ALL
+       |  SELECT st.doc_id, st.idx + 1,
+       |    CASE WHEN st.cnt + s.ntok > $maxTokens THEN s.ntok
+       |         ELSE st.cnt + s.ntok END,
+       |    st.flushed + CASE WHEN st.cnt + s.ntok > $maxTokens THEN 1 ELSE 0 END
+       |  FROM state st JOIN sents s ON s.doc_id = st.doc_id AND s.i = st.idx + 1),
+       |last AS (
+       |  SELECT doc_id, idx, flushed,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY idx DESC) AS rn
+       |  FROM state),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    CAST(flushed + CASE WHEN idx > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_chunks
+       |  FROM last WHERE rn = 1)
+       |SELECT t.doc_id, t.n_tokens, c.n_chunks
+       |FROM toks t JOIN chunks c USING (doc_id)""".stripMargin
 }

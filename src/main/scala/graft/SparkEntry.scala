@@ -821,6 +821,24 @@ object SparkEntry {
     "mm_catalog" ->
       s"""${multimodal.Multimodal.catalogSql("documents", 128)}
          |ORDER BY media_id""".stripMargin,
+    // The stubbed decode is deterministic byte statistics over the UTF-8
+    // payload, and the fixture text is pure ASCII (verified: octet_length
+    // == length for every doc), so char code points == payload bytes and
+    // the whole mapPartitions pass is mirrorable in SQL. A REAL codec
+    // would be rows-only — this pins the plumbing (schema, encoders,
+    // batch shape) cross-engine while the stub stands in.
+    "mm_decode_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN length(text) = 0 THEN -1
+        |            ELSE ascii(substring(text, 1, 1)) END AS INTEGER) AS first_byte,
+        |  CAST(coalesce(list_sum([ascii(text[i]) FOR i IN range(1, length(text) + 1)]), 0)
+        |       AS BIGINT) AS byte_sum,
+        |  CAST(octet_length(encode(text)) // 256 + 1 AS INTEGER) AS n_frames,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(coalesce(list_sum([ascii(text[i]) FOR i IN range(1, length(text) + 1)]), 0) AS DOUBLE)
+        |            / octet_length(encode(text)) END AS mean_byte
+        |FROM documents ORDER BY media_id""".stripMargin,
     "text_lang_id" ->
       s"""${text.TextAnalysis.langIdSql("documents", "doc_id", "text")}
          |ORDER BY doc_id""".stripMargin,

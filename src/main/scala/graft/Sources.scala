@@ -51,8 +51,11 @@ object Sources {
 
   /** The committed Daftar_Saham-shaped catalog fixture (header
     * `Kode,Nama Perusahaan` like the reference's CSV; `Kode` here is the
-    * integer symbol key the OHLCV view carries). */
-  val CatalogCsvPath = "/root/repo/data/daftar_saham.csv"
+    * integer symbol key the OHLCV view carries). Overridable for
+    * checkouts outside /root/repo; read once so the Spark reader and the
+    * generated oracle SQL always agree on the same path. */
+  val CatalogCsvPath: String = sys.env.getOrElse(
+    "SPARK_GRAFT_CATALOG_CSV", "/root/repo/data/daftar_saham.csv")
 
   /** Header-CSV catalog read (reference S3: `yfinance_transform.py:23-30`
     * reads Daftar_Saham.csv to enumerate the universe). A REAL

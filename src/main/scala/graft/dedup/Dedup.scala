@@ -230,31 +230,43 @@ object Dedup {
     // DECIMAL(38,0) so a 10^12-scale id space never overflows the sum at
     // corpus cardinality.
     //
-    // Each round ends in an EAGER localCheckpoint: iterative DataFrames
-    // otherwise nest the previous round's plan inside the next, and
-    // Catalyst re-analyzes the deepening tree every round (measured:
-    // per-round cost GREW 0.9 → 1.5 → 2.8 s over three rounds of
-    // constant-size data). Lineage truncation keeps rounds O(1). At
-    // cluster scale, substitute a reliable `checkpoint()` to durable
-    // storage — same role, survives executor loss.
+    // Each round materializes into a cache and continues from a
+    // LINEAGE-TRUNCATED view of it: iterative DataFrames otherwise nest
+    // the previous round's plan inside the next, and Catalyst re-analyzes
+    // the deepening tree every round (measured: per-round cost GREW
+    // 0.9 → 1.5 → 2.8 s over three rounds of constant-size data).
+    // persist + truncate (not localCheckpoint) so each round's single
+    // cached copy is freed DETERMINISTICALLY by unpersist — checkpoint
+    // blocks only die on GC, accumulating one full label table per round.
+    // At cluster scale, a reliable checkpoint() to durable storage plays
+    // the truncation role and survives executor loss.
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast(dec))).head.getDecimal(0)
     var prevSum = labelSum(labels)
+    var cached = labels // the round's persisted table (what unpersist frees)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val neighborLabels = e.join(labels, e("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
       val next = labels.union(neighborLabels).groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true) // eager: materializes + truncates lineage
-      val nextSum = labelSum(next)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next) // fills the cache + probes convergence
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist()
-      labels = next
+      cached.unpersist()
+      cached = next
+      labels = org.apache.spark.sql.GraftColumnBridge.lineageTruncated(next)
       iter += 1
     }
+    // Fail LOUDLY on non-convergence: returning partial labels would be
+    // silently wrong (and diverge from the oracle's true closure). The
+    // round count is the graph diameter, so hitting maxIters means the
+    // pair graph is pathologically chained — raise maxIters deliberately.
+    require(converged,
+      s"label propagation did not converge within $maxIters rounds — " +
+        "pair-graph diameter exceeds maxIters; raise it explicitly")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -42,9 +42,13 @@ object SketchUtil {
     * bit-identical across engines even when a projection lands near 0.
     */
   def signSketch(v: ArrayData, bits: Int): UTF8String = {
+    require(v.numElements() == VecDim,
+      s"embedding must have $VecDim dims to match the sketch hyperplanes, got ${v.numElements()}")
+    // null elements → null sketch (toDoubleArray would NPE on generic
+    // arrays and silently zero unsafe ones)
+    var k = 0
+    while (k < VecDim) { if (v.isNullAt(k)) return null; k += 1 }
     val arr = v.toDoubleArray()
-    require(arr.length == VecDim,
-      s"embedding must have $VecDim dims to match the sketch hyperplanes, got ${arr.length}")
     val out = new Array[Byte](bits)
     var j = 0
     while (j < bits) {

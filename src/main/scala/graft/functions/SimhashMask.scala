@@ -12,6 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object SimhashMaskUtil {
   private val digestTL: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val Prefix = "1:".getBytes("UTF-8")
 
   /** 64-bit mask whose bit j (0 = lowest) is set iff hex char j of
     * md5(s) ‖ md5("1:" ‖ s) is >= '8'.
@@ -27,7 +28,7 @@ object SimhashMaskUtil {
     md.reset()
     val d1 = md.digest(bytes)
     md.reset()
-    md.update("1:".getBytes("UTF-8"))
+    md.update(Prefix)
     val d2 = md.digest(bytes)
     var m = 0L
     var i = 0

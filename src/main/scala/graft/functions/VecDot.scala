@@ -13,15 +13,23 @@ object VecMathUtil {
     * (acc, x) -> acc + x)` AND of Spark's interpreted
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so swapping either for
     * this is bit-for-bit neutral. Mismatched lengths fail fast (zip_with
-    * would null-pad and silently null the product). */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toDoubleArray()
-    val y = b.toDoubleArray()
-    require(x.length == y.length,
-      s"dot product over mismatched lengths: ${x.length} vs ${y.length}")
+    * would null-pad and silently null the product); a NULL ELEMENT yields
+    * a null result, matching the interpreted fold it replaced (a raw
+    * toDoubleArray would NPE on generic arrays and silently read unsafe
+    * null slots as 0.0).
+    *
+    * Boxed return: `java.lang.Double`, or null on null elements. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"dot product over mismatched lengths: $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
-    while (i < x.length) { acc += x(i) * y(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 }

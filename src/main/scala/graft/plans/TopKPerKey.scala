@@ -77,8 +77,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         private var current: Iterator[InternalRow] = Iterator.empty
         override def hasNext: Boolean = {
           while (!current.hasNext && entries.hasNext) {
-            // dequeueAll returns ascending under ord = best-first order
-            current = entries.next().dequeueAll.iterator
+            // dequeueAll drains the max-heap head-first = WORST-first
+            // under ord; reverse to honor the best-first emission contract
+            current = entries.next().dequeueAll.reverseIterator
           }
           current.hasNext
         }

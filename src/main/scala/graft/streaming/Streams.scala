@@ -57,6 +57,34 @@ object Streams {
     * kept per user key. Event-driven only — [[sessionizeWithTimeout]] is
     * the production variant that also flushes sessions on quiet streams
     * via an event-time timeout. */
+  /** The greedy session-merge fold shared by both streaming variants:
+    * sort the micro-batch (events within a batch arrive unordered), merge
+    * into the open state, close sessions at gaps. `lastMs` advances with
+    * `max` — an out-of-order-but-on-time event from a LATER batch (its ts
+    * between the watermark and the open session's end) must extend the
+    * counted set without REGRESSING the session end or the timeout
+    * deadline. Returns (closed sessions in order, final open state). */
+  private def mergeBatch(userId: Long, rows: Iterator[StreamEvent],
+                         initial: Option[SessionState],
+                         gapMs: Long): (List[SessionUpdate], Option[SessionState]) = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var closed = List.empty[SessionUpdate]
+    var cur = initial
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastMs <= gapMs =>
+          cur = Some(SessionState(s.startMs, math.max(s.lastMs, t), s.n + 1, s.sum + e.value))
+        case Some(s) =>
+          closed ::= SessionUpdate(userId, s.startMs, s.lastMs, s.n, s.sum)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
   def sessionize(events: Dataset[StreamEvent],
                  gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
@@ -64,26 +92,10 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (userId, rows, state: GroupState[SessionState]) => {
-            // events within a micro-batch arrive unordered: sort by time
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[SessionUpdate]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, t, s.n + 1, s.sum + e.value))
-                case Some(s) =>
-                  closed ::= SessionUpdate(userId, s.startMs, s.lastMs, s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach(state.update)
-            closed.reverseIterator
-          }
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val (closed, cur) = mergeBatch(userId, rows, state.getOption, gapMs)
+          cur.foreach(state.update)
+          closed.iterator
       }
   }
 
@@ -118,26 +130,12 @@ object Streams {
             state.remove()
             Iterator.single(SessionUpdate(userId, s.startMs, s.lastMs, s.n, s.sum))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[SessionUpdate]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, t, s.n + 1, s.sum + e.value))
-                case Some(s) =>
-                  closed ::= SessionUpdate(userId, s.startMs, s.lastMs, s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
+            val (closed, cur) = mergeBatch(userId, rows, state.getOption, gapMs)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + gapMs)
             }
-            closed.reverseIterator
+            closed.iterator
           }
       }
   }

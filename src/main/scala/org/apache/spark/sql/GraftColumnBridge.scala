@@ -17,4 +17,14 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Lineage-truncated view of `df`: a DataFrame whose plan is a flat
+    * scan of `df`'s physical RDD. For iterative algorithms this stops
+    * Catalyst re-analyzing a per-round-deepening plan, while — unlike
+    * `localCheckpoint` — the storage stays the caller's `persist`ed
+    * cache, freeable deterministically with `unpersist` (checkpoint
+    * blocks are only released when the RDD is GC'd). */
+  def lineageTruncated(df: DataFrame): DataFrame =
+    df.sparkSession.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
 }

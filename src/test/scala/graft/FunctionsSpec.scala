@@ -31,6 +31,18 @@ class FunctionsSpec extends SparkSpec {
     // expression-level: nulls propagate instead of throwing
     val vd = VecDot(Literal(null, ArrayType(DoubleType)), Literal(null, ArrayType(DoubleType)))
     assert(vd.eval(InternalRow.empty) === null)
+    // a NULL ELEMENT nulls the product (matches the interpreted
+    // aggregate(zip_with) fold this replaces), never NPEs or reads 0.0
+    val withNull = new GenericArrayData(Array[Any](1.0, null, 3.0))
+    assert(VecMathUtil.dot(withNull, arr(1, 1, 1)) === null)
+    assert(VecMathUtil.dot(arr(1, 1, 1), withNull) === null)
+  }
+
+  test("SignSketch: null element yields null sketch") {
+    val vals = new Array[Any](SketchUtil.VecDim)
+    (0 until SketchUtil.VecDim).foreach(i => vals(i) = 1.0)
+    vals(7) = null
+    assert(SketchUtil.signSketch(new GenericArrayData(vals), 16) === null)
   }
 
   test("SignSketch: prefix property, plane constants, null propagation") {

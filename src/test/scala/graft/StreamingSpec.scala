@@ -86,6 +86,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an out-of-order but on-time event from a later batch never regresses the session end") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamEvent]
+    stream.addData(ev(1, 5, 7, "a", 1.0), ev(2, 15, 7, "a", 2.0))
+    val q = Streams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: minute-12 event arrives AFTER the minute-15 one was
+      // processed — it must extend the counted set without moving the
+      // session end (or any timeout deadline) backwards
+      stream.addData(ev(3, 12, 7, "a", 4.0))
+      q.processAllAvailable()
+      stream.addData(ev(4, 120, 7, "a", 0.5)) // gap closes the session
+      q.processAllAvailable()
+      val s = spark.table("ooo_sessions").collect().head
+      assert(s.getAs[Long]("n_events") === 3L)
+      assert(s.getAs[Double]("sum_value") === 7.0)
+      assert(s.getAs[Long]("session_end_ms") === 15L * 60000)
+    } finally q.stop()
+  }
+
   test("out-of-order events within a batch still form one ordered session") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamEvent]

@@ -35,6 +35,17 @@ class TopKSpec extends SparkSpec {
     assert(got.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(got).isEmpty)
   }
 
+  test("emits each key's rows best-first (no re-sort needed within a key)") {
+    val got = viaOperator(3).withColumn("pos", monotonically_increasing_id())
+    val w = Window.partitionBy("o_custkey").orderBy(col("pos"))
+    // within a key, emission order must be non-increasing by price (the
+    // declared sort); an increase means the heap drained worst-first
+    val violations = got
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .filter(col("prev_price") < col("o_totalprice"))
+    assert(violations.count() === 0)
+  }
+
   test("never emits more than k rows per key; emits all rows for small keys") {
     val got = viaOperator(2).groupBy("o_custkey").count()
     assert(got.filter(col("count") > 2).count() === 0)

@@ -41,9 +41,20 @@ case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 }
 
 /** Physical per-key bounded-heap top-k; `partial` mirrors the two-phase
-  * hash-aggregate shape (see [[TopKPerKeyPlan]]). */
+  * hash-aggregate shape (see [[TopKPerKeyPlan]]).
+  *
+  * The PARTIAL phase's key→heap map is memory-BOUNDED: when admitting a
+  * row whose key would push the map past `flushKeys` distinct keys, the
+  * phase emits every heap's current contents and starts a fresh epoch
+  * (the analogue of a partial hash aggregate degrading gracefully on
+  * high-cardinality keys — correctness is unaffected because the FINAL
+  * phase re-merges all epochs per key; the shuffle just carries up to
+  * k × epochs rows per key instead of k). The final phase never flushes:
+  * its input is clustered by key, so an early emission would split a
+  * key's result — its footprint is bounded at k rows × keys-in-partition,
+  * the same residency as any final hash aggregate. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+                          partial: Boolean, flushKeys: Int, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -56,13 +67,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val sortOrder = order
     val n = k
     val childOutput = child.output
+    val flushLimit = if (partial) flushKeys else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // ord sorts "best first"; the heap is a max-heap under ord, so its
       // head is the WORST retained row — the eviction candidate.
       val ord = RowOrdering.create(sortOrder, childOutput)
       val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -72,18 +84,45 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         if (heap.size < n) heap.enqueue(row.copy())
         else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
       }
-      val entries = heaps.values().iterator()
-      new Iterator[InternalRow] {
-        private var current: Iterator[InternalRow] = Iterator.empty
-        override def hasNext: Boolean = {
-          while (!current.hasNext && entries.hasNext) {
-            // dequeueAll drains the max-heap head-first = WORST-first
-            // under ord; reverse to honor the best-first emission contract
-            current = entries.next().dequeueAll.reverseIterator
+      // Drains a SNAPSHOT of the heaps and clears the map, so the caller
+      // can keep inserting into a fresh epoch while emission proceeds.
+      def drainAll(): Iterator[InternalRow] = {
+        val vals = new java.util.ArrayList[scala.collection.mutable.PriorityQueue[InternalRow]](heaps.values())
+        heaps.clear()
+        val entries = vals.iterator()
+        new Iterator[InternalRow] {
+          private var current: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!current.hasNext && entries.hasNext) {
+              // dequeueAll drains the max-heap head-first = WORST-first
+              // under ord; reverse to honor the best-first emission contract
+              current = entries.next().dequeueAll.reverseIterator
+            }
+            current.hasNext
           }
-          current.hasNext
+          override def next(): InternalRow = current.next()
         }
-        override def next(): InternalRow = current.next()
+      }
+      new Iterator[InternalRow] {
+        private var emitting: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!emitting.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+            var flushed = false
+            while (!flushed && iter.hasNext) {
+              val row = iter.next()
+              // flush BEFORE admitting a row that would create a key past
+              // the budget — the map never exceeds flushLimit keys
+              if (heaps.size() >= flushLimit && heaps.get(keyProj(row)) == null) {
+                emitting = drainAll()
+                flushed = true
+              }
+              insert(row)
+            }
+            if (!flushed && !iter.hasNext && !heaps.isEmpty) emitting = drainAll()
+          }
+          emitting.hasNext
+        }
+        override def next(): InternalRow = emitting.next()
       }
     }
   }
@@ -96,10 +135,18 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   * [[TopKPerKeyExec]]; injected via
   * `SparkSessionExtensions.injectPlannerStrategy`. */
 object TopKPerKeyStrategy extends SparkStrategy {
+  /** Session conf bounding the partial phase's distinct-key residency;
+    * worst-case partial memory is this many keys × k retained rows. */
+  val FlushKeysConf = "spark.graft.topk.partialFlushKeys"
+  val DefaultFlushKeys: Int = 1 << 17
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true,
+      val flushKeys = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(FlushKeysConf, DefaultFlushKeys.toString).toInt
+      require(flushKeys >= 1, s"$FlushKeysConf must be >= 1")
+      TopKPerKeyExec(keys, order, k, partial = false, flushKeys,
+        TopKPerKeyExec(keys, order, k, partial = true, flushKeys,
           planLater(child))) :: Nil
     case _ => Nil
   }

@@ -33,12 +33,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Top-k banding: 16 sketch bits in 4 bands of 4 — recall-oriented
-    * (a 4-bit band key is deliberately permissive so every query finds
-    * candidates; re-ranking is exact). */
+  /** Top-k banding DEFAULT profile: 16 sketch bits in 4 bands of 4 —
+    * recall-oriented (a 4-bit band key is deliberately permissive so every
+    * query finds candidates at fixture scale; re-ranking is exact). This
+    * is the sf0.01 default; it is NOT the corpus-scale setting — see
+    * [[ScaleBits]]/[[ScaleBands]]. */
   val NumBits = 16
   val NumBands = 4 // 4 bands x 4 bits
   val BitsPerBand: Int = NumBits / NumBands
+
+  /** Corpus-SCALE banding profile: 64 bits in 8 bands of 8. A 4-bit band
+    * key has only 16 values — at corpus scale every band bucket holds
+    * N/16 vectors and the candidate join degenerates toward all-pairs.
+    * 8-bit bands give 256 keys/band (bucket occupancy N/256 per band) and
+    * the 8-band OR keeps recall: a near-neighbor at angle θ matches some
+    * band with prob 1-(1-(1-θ/π)^8)^8 — ~0.98 at cos 0.95. Pass these to
+    * [[rhpTopK]] explicitly; both profiles are spec-tested
+    * (SimSpec "scale banding profile"). */
+  val ScaleBits = 64
+  val ScaleBands = 8 // 8 bands x 8 bits
 
   /** Near-dup candidate key width ([[cosinePairs]]): 64 bits, NOT 16.
     * The candidate join buckets on full-sketch equality, so the keyspace
@@ -92,48 +105,77 @@ object Similarity {
       lit(s"embedding must have $VecDim dims to match the sketch hyperplanes")).isNull,
       c.cast("array<double>"))
 
-  /** Band keys of a materialized sketch column: [[NumBands]] substrings
-    * of '0'/'1' sketch bits. */
-  private def bandKeysOf(sketch: Column): Seq[Column] =
-    (0 until NumBands).map(b =>
-      substring(sketch, b * BitsPerBand + 1, BitsPerBand))
+  /** Band keys of a materialized sketch column: `bands` substrings of
+    * `bitsPerBand` '0'/'1' sketch bits each. */
+  private def bandKeysOf(sketch: Column, bitsPerBand: Int, bands: Int): Seq[Column] =
+    (0 until bands).map(b =>
+      substring(sketch, b * bitsPerBand + 1, bitsPerBand))
+
+  /** Per-query top-k of a scored (query_id, vec_id, sim) frame through the
+    * engine's own [[graft.plans.TopKPerKeyExec]] (bounded k-row heaps,
+    * two-phase like an aggregate) — NOT a `row_number` window, which would
+    * ship every scored row through one exchange and sort per key. The
+    * rank column is assigned by a window AFTER the operator, over at most
+    * k rows per query — a bounded input at any corpus scale. */
+  private def rankPerKey(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(scored,
+      keyCols = Seq("query_id"),
+      orderBy = Seq("sim" -> false, "vec_id" -> true), k = k)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+  }
 
   /** Exact cosine top-k of `corpus` for each row of `queries` (both must
     * have (id, vec) where vec is float/double array). The query set is
-    * broadcast — the corpus is scanned once in place, never shuffled. */
+    * broadcast — the corpus is scanned once in place, never shuffled; the
+    * per-query top-k is the custom bounded-heap operator, so only ≤ k
+    * rows per (query, map task) ever reach an exchange (NOT all N×Q
+    * scored rows, which is what the row_number form shipped). */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("id").as("query_id"), vec(col("vec")).as("qv")))
     val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
     val scored = c.crossJoin(q)
       .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+    rankPerKey(scored, k)
   }
 
-  /** (id, band_idx, band_key) exploded sketch view. The sketch is
-    * computed ONCE per row (projected to a column), then sliced. */
-  private def bands(df: DataFrame, idAs: String): DataFrame =
-    df.select(col("id"), vec(col("vec")).as("v"))
-      .select(col("id"), sketchCol(col("v"), NumBits).as("sk"))
-      .select(col("id").as(idAs), posexplode(array(bandKeysOf(col("sk")): _*)))
+  /** (idAs, band_idx, band_key) exploded view of a sketched frame
+    * (id, sk). */
+  private def explodeBands(sk: DataFrame, idCol: String, idAs: String,
+                           bitsPerBand: Int, bands: Int): DataFrame =
+    sk.select(col(idCol).as(idAs),
+        posexplode(array(bandKeysOf(col("sk"), bitsPerBand, bands): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
 
   /** RHP-LSH approximate top-k: candidates share >= 1 sketch band with the
-    * query; exact cosine re-ranks candidates only. */
-  def rhpTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val qb = broadcast(bands(queries, "query_id"))
-    val cb = bands(corpus, "vec_id")
-    val cand = cb.join(qb, Seq("band_idx", "band_key"))
+    * query; exact cosine re-ranks candidates only (through the bounded-
+    * heap per-key operator, never a full-shuffle window).
+    *
+    * The corpus is scanned ONCE: the sketched (vec_id, cv, sk) view is
+    * materialized and feeds BOTH the band explosion and the re-rank join
+    * (mirroring [[cosinePairs]]). `bits`/`bands` select the banding
+    * profile — [[NumBits]]/[[NumBands]] (fixture default) or
+    * [[ScaleBits]]/[[ScaleBands]] (corpus scale). */
+  def rhpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bits: Int = NumBits, bands: Int = NumBands): DataFrame = {
+    require(bits % bands == 0 && bits >= 1 &&
+      bits <= graft.functions.SketchUtil.MaxBits,
+      s"bits must divide into bands and fit the ${graft.functions.SketchUtil.MaxBits} hyperplanes")
+    val bitsPerBand = bits / bands
+    val csk = graft.util.Views.materialize(
+      corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+        .withColumn("sk", sketchCol(col("cv"), bits)))
+    val qsk = queries.select(col("id").as("query_id"), vec(col("vec")).as("qv"))
+      .withColumn("sk", sketchCol(col("qv"), bits))
+    val qb = broadcast(explodeBands(qsk, "query_id", "query_id", bitsPerBand, bands))
+    val cand = explodeBands(csk, "vec_id", "vec_id", bitsPerBand, bands)
+      .join(qb, Seq("band_idx", "band_key"))
       .select("query_id", "vec_id").distinct()
-    val q = broadcast(queries.select(col("id").as("query_id"), vec(col("vec")).as("qv")))
-    val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
-    val scored = cand.join(c, "vec_id").join(q, "query_id")
+    val q = broadcast(qsk.select("query_id", "qv"))
+    val scored = cand.join(csk.select("vec_id", "cv"), "vec_id").join(q, "query_id")
       .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+    rankPerKey(scored, k)
   }
 
   /** IVF-style approximate top-k (the other standard ANN scale path,
@@ -161,26 +203,28 @@ object Similarity {
       corpus.select(col("id").as("cent_id"), vec(col("vec")).as("centv"))
         .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
         .limit(numCentroids))
-    val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    val assigned = c.crossJoin(cents)
-      .select(col("vec_id"), col("cv"), col("cent_id"),
-        cosine(col("cv"), col("centv")).as("csim"))
-      .withColumn("r", row_number().over(byVec))
-      .filter(col("r") === 1)
+    // Nearest-centroid argmax = per-vector top-1 through the bounded-heap
+    // operator: the map side collapses the N×numCentroids scored rows to
+    // one row per vector per partition BEFORE any exchange (the window
+    // form shuffled and sorted all N×numCentroids assignment rows).
+    val assigned = graft.plans.TopK.perKey(
+      c.crossJoin(cents)
+        .select(col("vec_id"), col("cv"), col("cent_id"),
+          cosine(col("cv"), col("centv")).as("csim")),
+      keyCols = Seq("vec_id"),
+      orderBy = Seq("csim" -> false, "cent_id" -> true), k = 1)
       .select("vec_id", "cv", "cent_id")
     val q = queries.select(col("id").as("query_id"), vec(col("vec")).as("qv"))
-    val byQuery = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
-    val probes = broadcast(q.crossJoin(cents)
-      .select(col("query_id"), col("qv"), col("cent_id"),
-        cosine(col("qv"), col("centv")).as("csim"))
-      .withColumn("r", row_number().over(byQuery))
-      .filter(col("r") <= nprobe)
+    val probes = broadcast(graft.plans.TopK.perKey(
+      q.crossJoin(cents)
+        .select(col("query_id"), col("qv"), col("cent_id"),
+          cosine(col("qv"), col("centv")).as("csim")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq("csim" -> false, "cent_id" -> true), k = nprobe)
       .select("query_id", "qv", "cent_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(probes, "cent_id")
+    val scored = assigned.join(probes, "cent_id")
       .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+    rankPerKey(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates = identical full

@@ -84,6 +84,54 @@ class SimSpec extends SparkSpec {
     assert(scaledPairs.filter(abs(col("sim") - 1.0) > 1e-9).count() === 0)
   }
 
+  test("all three top-k paths re-rank through TopKPerKeyExec, not a full-shuffle window") {
+    // Like BucketSpec's zero-Exchange assert: the plan must carry the
+    // custom bounded-heap operator. A Window node MAY remain — it assigns
+    // ranks over the operator's ≤ k-per-query output, a bounded input —
+    // but the partial/final exec pair has to be what bounds the shuffle.
+    val q = emb.filter(col("id") < 5)
+    Seq(
+      "brute" -> Similarity.bruteTopK(q, emb, 10),
+      "rhp" -> Similarity.rhpTopK(q, emb, 10),
+      "ivf" -> Similarity.ivfTopK(q, emb, 10)).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert("TopKPerKey".r.findAllIn(plan).size >= 2,
+        s"$name must plan partial+final TopKPerKeyExec:\n$plan")
+    }
+    // IVF routes the centroid argmax and the probe selection through the
+    // operator too: 3 perKey calls = 6 execs
+    val ivfPlan = Similarity.ivfTopK(q, emb, 10).queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(ivfPlan).size >= 6,
+      s"ivf must use the operator for argmax + probes + re-rank:\n$ivfPlan")
+  }
+
+  test("scale banding profile (64 bits, 8x8) still finds direction-preserved copies") {
+    // Queries = the rescaled copies injected by augmented(); each shares
+    // EVERY sketch bit with its base vector (sign sketches are scale-
+    // invariant), so under any banding profile the base must be the
+    // top-1 hit at sim ~1. Run both profiles; the scale profile's
+    // 256-value band keys are the corpus-scale setting (default stays
+    // the recall-tuned fixture profile — asserted here too).
+    assert(Similarity.NumBits === 16 && Similarity.NumBands === 4)
+    assert(Similarity.ScaleBits === 64 && Similarity.ScaleBands === 8)
+    val aug = Similarity.augmented(Sources.embeddings(spark, sfDir))
+    val queries = aug.filter(col("id") >= Similarity.ScaledOffset && col("id") < 2 * Similarity.ScaledOffset)
+    val corpus = aug.filter(col("id") < Similarity.ScaledOffset)
+    val nQueries = queries.count()
+    assert(nQueries > 0)
+    for ((bits, bands) <- Seq(
+        (Similarity.NumBits, Similarity.NumBands),
+        (Similarity.ScaleBits, Similarity.ScaleBands))) {
+      val top1 = Similarity.rhpTopK(queries, corpus, 1, bits, bands).cache()
+      assert(top1.count() === nQueries, s"profile ${bits}x$bands lost queries")
+      val wrong = top1.filter(
+        col("vec_id") =!= col("query_id") - Similarity.ScaledOffset ||
+          abs(col("sim") - 1.0) > 1e-9)
+      assert(wrong.count() === 0, s"profile ${bits}x$bands missed a copy")
+      top1.unpersist()
+    }
+  }
+
   test("hyperplane constants are ±1 and stable across calls") {
     val h1 = Similarity.hyperplanes
     assert(h1.length === Similarity.PairBits && h1.forall(_.length === 64))

@@ -54,6 +54,34 @@ class TopKSpec extends SparkSpec {
       viaOperator(2).groupBy("o_custkey").count().filter(col("count") === 1).count() >= singletons)
   }
 
+  test("a low partial flush budget over a high-cardinality key still matches the window oracle") {
+    // Force the partial phase to flush constantly: a 2-key budget over
+    // o_custkey (hundreds of distinct customers per partition) makes the
+    // map-side emit many epochs per key. Correctness must be unaffected —
+    // the final phase re-merges all epochs — and emission must stay
+    // best-first within each key (the final phase never flushes).
+    val k = 3
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+    val conf = plans.TopKPerKeyStrategy.FlushKeysConf
+    for (budget <- Seq(1, 2)) {
+      spark.conf.set(conf, budget.toString)
+      try {
+        val got = viaOperator(k)
+        assert(got.count() === viaWindow.count(), s"budget=$budget row count")
+        assert(got.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(got).isEmpty,
+          s"budget=$budget content")
+        val pos = viaOperator(k).withColumn("pos", monotonically_increasing_id())
+        val wp = Window.partitionBy("o_custkey").orderBy(col("pos"))
+        assert(pos.withColumn("prev_price", lag(col("o_totalprice"), 1).over(wp))
+          .filter(col("prev_price") < col("o_totalprice")).count() === 0,
+          s"budget=$budget emission order")
+      } finally spark.conf.unset(conf)
+    }
+  }
+
   test("partial stage bounds the shuffle: k rows per key per input partition") {
     // With the input forced into p partitions, the exchange input is at
     // most k * keys * p rows — verified indirectly: the partial exec's

@@ -223,8 +223,21 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val e = graft.util.Views.materialize(edges)
-    var labels = graft.util.Views.materialize(
-      verts.select(col("id"), col("id").as("label")))
+    // Iterate over EDGE vertices only: a vertex in no pair never changes
+    // its label, so singletons — the overwhelming majority of any real
+    // corpus — never enter a round's join/aggregate. Per-round cost
+    // scales with the DUPLICATE-GRAPH size, not the corpus: at 100 TB
+    // with ~1% near-dups the loop moves ~1% of the vertex set per round.
+    // Singletons rejoin as self-labeled clusters after the fixpoint.
+    //
+    // The seed is ROUND 1 FUSED: from identity labels, round 1 computes
+    // min(id, min of neighbor ids) — a plain aggregate over the edge
+    // list, no join needed (a neighbor's identity label IS its id). This
+    // skips both the identity-label materialization and round 1's join.
+    var labels = e.select(col("src").as("id"), col("src").as("label"))
+      .union(e.select(col("dst").as("id"), col("src").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Convergence probe: per-vertex labels only ever DECREASE, so the
     // label-sum strictly decreases every round until fixpoint.
     // DECIMAL(38,0) so a 10^12-scale id space never overflows the sum at
@@ -241,12 +254,17 @@ object Dedup {
     // At cluster scale, a reliable checkpoint() to durable storage plays
     // the truncation role and survives executor loss.
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(dec))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an empty edge-vertex set is NULL — normalize to 0 so an
+      // all-singleton corpus (no pairs) converges on the first probe
+      val s = df.agg(sum(col("label").cast(dec))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    var prevSum = labelSum(labels) // fills the seed's cache
     var cached = labels // the round's persisted table (what unpersist frees)
-    var iter = 0
-    var converged = false
+    var converged = prevSum.signum() == 0 && labels.isEmpty // no pairs at all
+    labels = org.apache.spark.sql.GraftColumnBridge.lineageTruncated(labels)
+    var iter = 1 // the fused seed IS round 1
     while (!converged && iter < maxIters) {
       val neighborLabels = e.join(labels, e("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
@@ -267,7 +285,12 @@ object Dedup {
     require(converged,
       s"label propagation did not converge within $maxIters rounds — " +
         "pair-graph diameter exceeds maxIters; raise it explicitly")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // Singletons re-enter here: one left join of the corpus against the
+    // (small) converged edge-vertex labels; a missing label means the
+    // vertex was in no pair and is its own cluster.
+    verts.join(labels.select(col("id"), col("label")), Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** DuckDB mirror of [[clusters]]: recursive-CTE transitive closure from

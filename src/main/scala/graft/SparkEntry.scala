@@ -358,6 +358,12 @@ object SparkEntry {
 
     // n-gram Jaccard near-dedup via the explode→join→count pattern —
     // docs sharing zero shingles never meet (no cartesian product).
+    // DIAGNOSTIC FORM, not the scale path: with no df cap and no
+    // candidate restriction, one boilerplate shingle shared by k docs
+    // contributes k(k-1)/2 join rows. At corpus scale use
+    // `dedup_jaccard_capped` (mandatory skew guard) or the LSH pipeline;
+    // this entry exists as the exact-recall baseline those are judged
+    // against (SCALE.md "Deduplication").
     "dedup_jaccard_pairs" -> ((s, dir) =>
       dedup.Dedup.jaccardPairs(
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)

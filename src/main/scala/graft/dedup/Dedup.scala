@@ -70,7 +70,12 @@ object Dedup {
   /** All pairs with n-gram Jaccard ≥ `threshold`, via shingle-join
     * counting: |A∩B| from the join, |A| and |B| from per-doc counts.
     * `candidates` (optional) restricts the join to ids occurring in the
-    * candidate pair set — the LSH verification path. */
+    * candidate pair set — the LSH verification path.
+    *
+    * At corpus scale pass `maxDocFreq` (skew guard) or `candidates`
+    * (bounded join): the unrestricted uncapped form is the exact-recall
+    * DIAGNOSTIC baseline only — quadratic on any hot shingle (see
+    * SCALE.md "Deduplication"). */
   /** `maxDocFreq`: drop shingles occurring in more than that many docs
     * before pairing — the standard skew guard against boilerplate n-grams
     * (a shingle shared by k docs contributes k(k-1)/2 join rows; at corpus

@@ -153,6 +153,26 @@ object SparkEntry {
         .orderBy("agg_type")
     }),
 
+    // Partition-pruned read-back of ONE branch of the multi-sink (the
+    // reference's per-collection read, yfinance_transform.py:131-137):
+    // explicit branch schema + agg_type filter → the scan lists and reads
+    // ONLY the month branch's files (PartitionFilters, no mergeSchema
+    // full scan — SinkSpec asserts the plan; SCALE.md "Sinks").
+    "yf_sink_pruned" -> ((s, dir) => {
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_sink_pruned")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(out)) fs.delete(out, true) // append sink: start clean
+      val bars = Sources.ohlcv(s, dir).filter(col("symbol") < 100).coalesce(8)
+      yf.Ohlcv.writeAll(bars, out.toString)
+      val monthSchema = yf.Ohlcv.aggregatePeriod(bars, "yyyy-MM", "month").schema
+      yf.Ohlcv.readBranch(s, out.toString, monthSchema, "month")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("period_key")).as("n_periods"),
+          sum(col("row_count")).as("sum_bars"))
+    }),
+
     // Count action as a 1-row DataFrame (idx_transform.py:314,
     // yfinance_transform.py:141).
     "yf_count" -> ((s, dir) =>
@@ -349,6 +369,42 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy("event_type")),
 
+    // Approximate quantiles — the at-scale alternative to the exact
+    // sort-per-group percentile above. The GK sketch's rank-error
+    // guarantee (ε = 1/accuracy) is ENFORCED in the query itself: the
+    // approx result's true rank is counted against the corpus and
+    // assert_true fails the query if it falls outside the bound, so every
+    // verified run re-proves the error bound; the emitted columns are the
+    // exact percentiles, oracle-checked as usual (the sketch value itself
+    // is engine-specific — not comparable cross-engine).
+    "events_quantiles_approx" -> ((s, dir) => {
+      val acc = 1000
+      val ev = Sources.events(s, dir)
+      val stats = ev.groupBy("event_type").agg(
+        expr(s"approx_percentile(value, 0.5D, $acc)").as("ap50"),
+        expr(s"approx_percentile(value, 0.95D, $acc)").as("ap95"),
+        expr("percentile(value, 0.5D)").as("p50x"),
+        expr("percentile(value, 0.95D)").as("p95x"),
+        count(lit(1)).as("n_events"))
+      val ranks = ev
+        .join(broadcast(stats.select("event_type", "ap50", "ap95")), "event_type")
+        .groupBy("event_type").agg(
+          sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("ap95"), 1L).otherwise(0L)).as("r95"))
+      def guarded(r: org.apache.spark.sql.Column, q: Double,
+                  out: org.apache.spark.sql.Column) =
+        when(assert_true(
+          abs(r - lit(q) * col("n_events")) <= col("n_events") * 2.0 / acc + 2,
+          lit(s"approx_percentile($q) outside the GK rank-error bound")).isNull,
+          out)
+      stats.join(ranks, "event_type")
+        .select(col("event_type"),
+          guarded(col("r50"), 0.5, util.Stable.sig(col("p50x"))).as("p50"),
+          guarded(col("r95"), 0.95, util.Stable.sig(col("p95x"))).as("p95"),
+          col("n_events"))
+        .orderBy("event_type")
+    }),
+
     // Exact dedup (training-data extension): normalize → md5 fingerprint
     // → hash group-by. One shuffle on a fixed-width key at any scale.
     "dedup_exact" -> ((s, dir) =>
@@ -402,6 +458,22 @@ object SparkEntry {
       dedup.Dedup.lshVerifiedPairs(
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
+
+    // The CLOSED 100 TB dedup pipeline (SCALE.md "Deduplication"): LSH
+    // candidates → exact-Jaccard-verified pairs → connected-component
+    // clusters — every stage sub-quadratic (banded candidate equi-join,
+    // candidate-restricted verification, label propagation over the
+    // duplicate graph only). `dedup_clusters` above builds from
+    // capped-Jaccard pairs; this entry is the advertised end-to-end LSH
+    // path, against the same RECURSIVE-CTE closure oracle.
+    "dedup_clusters_lsh" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val pairs = dedup.Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.6)
+      dedup.Dedup.clusters(docs, "doc_id", pairs)
+        .withColumn("is_canonical",
+          (col("doc_id") === col("cluster_id")).cast("int"))
+        .orderBy("doc_id")
+    }),
 
     // Semi-structured extraction: the events props column is a JSON
     // string; from_json with an explicit schema parses it executor-side
@@ -537,6 +609,22 @@ object SparkEntry {
       val emb = Sources.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       sim.Similarity.ivfTopK(emb.filter(col("id") < 5), emb, 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF with a TRAINED quantizer: one deterministic Lloyd iteration
+    // (exact-decimal means — DuckDB-replayable) refines the sampled
+    // centroids, then the identical probe path. Demonstrates the
+    // "a trained k-means table drops in unchanged" seam as fact.
+    "sim_ann_ivf_trained" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // The trained table feeds both the assignment and the probe side —
+      // materialize so the training pass (a full assignment scan) runs
+      // once, exactly as a written-once index would at cluster scale.
+      val cents = util.Views.materialize(
+        sim.Similarity.trainCentroids(emb, numCentroids = 16, iters = 1))
+      sim.Similarity.ivfTopKWith(emb.filter(col("id") < 5), emb, 10, cents)
         .orderBy("query_id", "rank")
     }),
 
@@ -677,6 +765,14 @@ object SparkEntry {
          |UNION ALL SELECT 'year', count(DISTINCT strftime("Date", '%Y')),
          |  count(DISTINCT strftime("Date", '%Y')) FROM b
          |ORDER BY agg_type""".stripMargin,
+    "yf_sink_pruned" ->
+      s"""WITH $barsCte,
+         |b AS (SELECT * FROM bars WHERE symbol < 100),
+         |m AS (SELECT strftime("Date", '%Y-%m') AS period_key,
+         |        count(*) AS row_count FROM b GROUP BY 1)
+         |SELECT count(*) AS n_rows, count(DISTINCT period_key) AS n_periods,
+         |  CAST(sum(row_count) AS BIGINT) AS sum_bars
+         |FROM m""".stripMargin,
     "yf_year_agg" -> yfAggOracle("%Y", "year"),
     "yf_symbol_month_agg" -> yfAggOracle("%Y-%m", "month", bySymbol = true),
     "yf_day_raw" ->
@@ -754,6 +850,16 @@ object SparkEntry {
          |  ${util.Stable.sigSql("quantile_cont(value, 0.95)")} AS p95,
          |  count(*) AS n_events
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same oracle as events_quantiles: the query emits the EXACT
+    // percentiles (the GK rank-bound check on the approx values runs
+    // inside the query via assert_true — a failed bound fails the row
+    // count, not just a spec).
+    "events_quantiles_approx" ->
+      s"""SELECT event_type,
+         |  ${util.Stable.sigSql("quantile_cont(value, 0.5)")} AS p50,
+         |  ${util.Stable.sigSql("quantile_cont(value, 0.95)")} AS p95,
+         |  count(*) AS n_events
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_vocab" ->
       s"""WITH w AS (
          |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
@@ -785,6 +891,17 @@ object SparkEntry {
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, None, maxDocFreq = Some(10L))},
          |${dedup.Dedup.clustersSql("docs", "pairs")}
+         |SELECT doc_id, cluster_id,
+         |  CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
+         |FROM clusters ORDER BY doc_id""".stripMargin,
+    "dedup_clusters_lsh" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.lshCandidatesCtes("docs")},
+         |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, Some("cand"))},
+         |vpairs AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b),
+         |${dedup.Dedup.clustersSql("docs", "vpairs")}
          |SELECT doc_id, cluster_id,
          |  CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
          |FROM clusters ORDER BY doc_id""".stripMargin,
@@ -870,6 +987,12 @@ object SparkEntry {
     "sim_ann_ivf" ->
       s"""WITH vecs AS ${sim.Similarity.vecsSql},
          |${sim.Similarity.ivfTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |SELECT query_id, vec_id, sim, rank FROM topk
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim_ann_ivf_trained" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |${sim.Similarity.trainedCentsSql("vecs")},
+         |${sim.Similarity.ivfProbeSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
          |SELECT query_id, vec_id, sim, rank FROM topk
          |ORDER BY query_id, rank""".stripMargin,
     "dedup_embedding_cosine" ->

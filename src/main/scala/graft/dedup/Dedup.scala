@@ -222,6 +222,13 @@ object Dedup {
     *
     * (The oracle runs a DuckDB RECURSIVE CTE transitive closure — an
     * independent algorithm arriving at the same unique fixpoint.) */
+  /** Session conf: when set to a directory, each label-propagation round
+    * materializes via a RELIABLE `checkpoint()` into it (survives executor
+    * loss — the cluster-scale durability SCALE.md's cluster story needs)
+    * instead of the local persist+lineage-truncation default. Same
+    * fixpoint either way (ClustersSpec proves it both ways). */
+  val CheckpointDirConf = "spark.graft.clusters.checkpointDir"
+
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                maxIters: Int = 50): DataFrame = {
     val verts = docs.select(col(idCol).as("id"))
@@ -239,10 +246,9 @@ object Dedup {
     // min(id, min of neighbor ids) — a plain aggregate over the edge
     // list, no join needed (a neighbor's identity label IS its id). This
     // skips both the identity-label materialization and round 1's join.
-    var labels = e.select(col("src").as("id"), col("src").as("label"))
+    val seed = e.select(col("src").as("id"), col("src").as("label"))
       .union(e.select(col("dst").as("id"), col("src").as("label")))
       .groupBy("id").agg(min("label").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Convergence probe: per-vertex labels only ever DECREASE, so the
     // label-sum strictly decreases every round until fixpoint.
     // DECIMAL(38,0) so a 10^12-scale id space never overflows the sum at
@@ -256,31 +262,65 @@ object Dedup {
     // persist + truncate (not localCheckpoint) so each round's single
     // cached copy is freed DETERMINISTICALLY by unpersist — checkpoint
     // blocks only die on GC, accumulating one full label table per round.
-    // At cluster scale, a reliable checkpoint() to durable storage plays
-    // the truncation role and survives executor loss.
+    // At cluster scale, set [[CheckpointDirConf]]: each round then runs a
+    // reliable `checkpoint()` to durable storage, which both truncates
+    // lineage and survives executor loss (a lost cached block under the
+    // persist path would otherwise recompute through a TRUNCATED lineage
+    // that no longer exists on a restarted executor).
+    val ckptDir = docs.sparkSession.conf.getOption(CheckpointDirConf)
+    ckptDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
+    // Materialize one round: returns (the view the next round builds on,
+    // the handle whose storage the round-retirement frees). Checkpoint is
+    // EAGER — the returned frame reads from durable files, lineage
+    // already truncated; unpersist on it is a harmless no-op (checkpoint
+    // files are retired by the context cleaner, not per-round).
+    def materializeRound(df: DataFrame): (DataFrame, DataFrame) = ckptDir match {
+      case Some(_) =>
+        val c = df.checkpoint()
+        (c, c)
+      case None =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (org.apache.spark.sql.GraftColumnBridge.lineageTruncated(p), p)
+    }
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // sum over an empty edge-vertex set is NULL — normalize to 0 so an
-      // all-singleton corpus (no pairs) converges on the first probe
-      val s = df.agg(sum(col("label").cast(dec))).head.getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
+      // A NULL sum is only trusted as "empty input" when the input really
+      // is empty: NULL also arises when the label→decimal cast nulls out
+      // (non-numeric ids) or the DECIMAL(38,0) sum overflows with ANSI
+      // off — silently treating those as 0 would make every round's sum
+      // equal and declare convergence after one round, returning WRONG
+      // clusters for any diameter>2 graph. Count both sides of the cast
+      // and fail loudly on either corruption instead.
+      val r = df.agg(
+        sum(col("label").cast(dec)),
+        count(col("label")),
+        count(col("label").cast(dec))).head
+      val (s, n, nCast) = (r.getDecimal(0), r.getLong(1), r.getLong(2))
+      require(n == nCast,
+        s"convergence probe: ${n - nCast} labels nulled by the DECIMAL(38,0) " +
+          "cast — doc ids must be numeric for min-label propagation")
+      if (s == null) {
+        require(n == 0,
+          "convergence probe: NULL label sum over a non-empty vertex set — " +
+            "DECIMAL(38,0) overflow; the probe cannot adjudicate convergence")
+        java.math.BigDecimal.ZERO // genuinely empty: all-singleton corpus
+      } else s
     }
-    var prevSum = labelSum(labels) // fills the seed's cache
-    var cached = labels // the round's persisted table (what unpersist frees)
-    var converged = prevSum.signum() == 0 && labels.isEmpty // no pairs at all
-    labels = org.apache.spark.sql.GraftColumnBridge.lineageTruncated(labels)
+    var (labels, cached) = materializeRound(seed)
+    var prevSum = labelSum(cached) // fills the seed's cache + probes
+    var converged = prevSum.signum() == 0 && cached.isEmpty // no pairs at all
     var iter = 1 // the fused seed IS round 1
     while (!converged && iter < maxIters) {
       val neighborLabels = e.join(labels, e("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
       val next = labels.union(neighborLabels).groupBy("id").agg(min("label").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next) // fills the cache + probes convergence
+      val (nLabels, nCached) = materializeRound(next)
+      val nextSum = labelSum(nCached) // fills the cache + probes convergence
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       cached.unpersist()
-      cached = next
-      labels = org.apache.spark.sql.GraftColumnBridge.lineageTruncated(next)
+      cached = nCached
+      labels = nLabels
       iter += 1
     }
     // Fail LOUDLY on non-convergence: returning partial labels would be

@@ -58,6 +58,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   override def output: Seq[Attribute] = child.output
 
+  /** Output-row metric: for the PARTIAL phase this is exactly the number
+    * of rows entering the exchange — the operator's core scale claim
+    * (≤ k × keys × partitions, + flush epochs) is observable per query and
+    * pinned by TopKSpec rather than argued in prose. */
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
@@ -68,6 +76,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val n = k
     val childOutput = child.output
     val flushLimit = if (partial) flushKeys else Int.MaxValue
+    val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // ord sorts "best first"; the heap is a max-heap under ord, so its
@@ -122,7 +131,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           }
           emitting.hasNext
         }
-        override def next(): InternalRow = emitting.next()
+        override def next(): InternalRow = {
+          numOutputRows += 1
+          emitting.next()
+        }
       }
     }
   }

@@ -156,12 +156,23 @@ object Similarity {
     * materialized and feeds BOTH the band explosion and the re-rank join
     * (mirroring [[cosinePairs]]). `bits`/`bands` select the banding
     * profile — [[NumBits]]/[[NumBands]] (fixture default) or
-    * [[ScaleBits]]/[[ScaleBands]] (corpus scale). */
+    * [[ScaleBits]]/[[ScaleBands]] (corpus scale).
+    *
+    * SIDE EFFECT: the sketched-corpus view is materialized (an eager
+    * count job runs at DataFrame-construction time) and stays cached —
+    * like [[cosinePairs]]'s sketch view, it is the operator's reusable
+    * index and is deliberately not unpersisted here (the result would be
+    * consumed lazily after this method returns). Callers composing many
+    * invocations over different corpora should `spark.catalog.clearCache()`
+    * between them — Bench does, per query. */
   def rhpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = NumBits, bands: Int = NumBands): DataFrame = {
-    require(bits % bands == 0 && bits >= 1 &&
+    // bands is validated BEFORE the modulo so bands=0 reports this message,
+    // not an ArithmeticException.
+    require(bands >= 1 && bits >= bands && bits % bands == 0 &&
       bits <= graft.functions.SketchUtil.MaxBits,
-      s"bits must divide into bands and fit the ${graft.functions.SketchUtil.MaxBits} hyperplanes")
+      s"bands must be in [1, bits] and divide bits; bits must fit the " +
+        s"${graft.functions.SketchUtil.MaxBits} hyperplanes")
     val bitsPerBand = bits / bands
     val csk = graft.util.Views.materialize(
       corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
@@ -197,12 +208,24 @@ object Similarity {
     * a write-once index; probing reads `nprobe/numCentroids` of the
     * data. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              numCentroids: Int = 16, nprobe: Int = 3): DataFrame = {
+              numCentroids: Int = 16, nprobe: Int = 3): DataFrame =
+    ivfTopKWith(queries, corpus, k, sampledCentroids(corpus, numCentroids), nprobe)
+
+  /** Deterministic pseudo-random centroid sample: exactly `numCentroids`
+    * corpus vectors ranked by md5 of the id (TakeOrderedAndProject —
+    * per-partition top-k then a k-row driver merge, scale-safe). */
+  def sampledCentroids(corpus: DataFrame, numCentroids: Int): DataFrame =
+    corpus.select(col("id").as("cent_id"), vec(col("vec")).as("centv"))
+      .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
+      .limit(numCentroids)
+
+  /** [[ivfTopK]] with a caller-supplied centroid table `(cent_id, centv)`
+    * — the seam where a TRAINED quantizer ([[trainCentroids]], or any
+    * k-means table computed offline) drops in unchanged. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                  centroids: DataFrame, nprobe: Int = 3): DataFrame = {
     val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
-    val cents = broadcast(
-      corpus.select(col("id").as("cent_id"), vec(col("vec")).as("centv"))
-        .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
-        .limit(numCentroids))
+    val cents = broadcast(centroids.select("cent_id", "centv"))
     // Nearest-centroid argmax = per-vector top-1 through the bounded-heap
     // operator: the map side collapses the N×numCentroids scored rows to
     // one row per vector per partition BEFORE any exchange (the window
@@ -225,6 +248,54 @@ object Similarity {
     val scored = assigned.join(probes, "cent_id")
       .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
     rankPerKey(scored, k)
+  }
+
+  /** Deterministic Lloyd-refined coarse quantizer for [[ivfTopKWith]]:
+    * `iters` rounds of assign-to-nearest (cosine argmax via the
+    * bounded-heap top-1 — map-side collapse before any exchange) followed
+    * by per-centroid element-wise means, seeded from
+    * [[sampledCentroids]]. Turns the "a trained k-means table drops in
+    * unchanged" claim into demonstrated fact.
+    *
+    * Cross-engine determinism: each dimension's sum accumulates as
+    * DECIMAL(38,18) — exact, ORDER-INDEPENDENT addition (a plain double
+    * `avg` would vary with Spark's partial-aggregation order run to run)
+    * — then divides as doubles, so the DuckDB mirror
+    * ([[trainedCentsSql]]) reproduces the centroid table. A residual
+    * last-decimal-digit difference (the engines' half-up vs half-even
+    * rounding of the double→decimal cast) perturbs a centroid by ~1e-18
+    * — far below any realistic argmax margin, so bucket assignments, and
+    * hence the exact-cosine final output, are unaffected. Centroids that
+    * lose every member drop out (both engines group over assigned
+    * members).
+    *
+    * At corpus scale each iteration is one broadcast-assignment pass
+    * (O(numCentroids × N) dot products; the only shuffle is the
+    * numCentroids-key mean aggregate, partial+final). `iters` stays
+    * small (1-2): the coarse quantizer needs rough balance, not k-means
+    * convergence. */
+  def trainCentroids(corpus: DataFrame, numCentroids: Int = 16,
+                     iters: Int = 1): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+    var cents = sampledCentroids(corpus, numCentroids)
+    for (_ <- 0 until iters) {
+      val assigned = graft.plans.TopK.perKey(
+        c.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cv"), col("cent_id"),
+            cosine(col("cv"), col("centv")).as("csim")),
+        keyCols = Seq("vec_id"),
+        orderBy = Seq("csim" -> false, "cent_id" -> true), k = 1)
+      val sums = (0 until VecDim).map(d =>
+        sum(element_at(col("cv"), d + 1).cast(dec)).as(s"s$d"))
+      cents = assigned.groupBy("cent_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cent_id"),
+          array((0 until VecDim).map(d =>
+            col(s"s$d").cast("double") / col("n")): _*).as("centv"))
+    }
+    cents
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates = identical full
@@ -346,7 +417,35 @@ object Similarity {
                  numCentroids: Int = 16, nprobe: Int = 3): String =
     s"""cents AS (SELECT id AS cent_id, vec AS centv FROM $corpusRel c
        |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $numCentroids),
-       |assigned AS (
+       |${ivfProbeSql(queriesRel, corpusRel, k, nprobe)}""".stripMargin
+
+  /** CTE chain ending in `cents(cent_id, centv)`: the [[trainCentroids]]
+    * mirror for ONE Lloyd iteration over the md5-sampled seed — exact
+    * DECIMAL(38,18) per-dimension sums, double division (same operand
+    * order as the Spark side). */
+  def trainedCentsSql(corpusRel: String, numCentroids: Int = 16): String = {
+    val means = (0 until VecDim).map(d =>
+      s"CAST(sum(CAST(cv[${d + 1}] AS DECIMAL(38,18))) AS DOUBLE) / count(*)")
+      .mkString("[", ",\n      ", "]")
+    s"""cents0 AS (SELECT id AS cent_id, vec AS centv FROM $corpusRel c
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $numCentroids),
+       |assigned0 AS (
+       |  SELECT vec_id, cv, cent_id FROM (
+       |    SELECT v.id AS vec_id, v.vec AS cv, cents0.cent_id,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY ${cosineSql("v.vec", "cents0.centv")} DESC, cents0.cent_id) AS r
+       |    FROM $corpusRel v CROSS JOIN cents0)
+       |  WHERE r = 1),
+       |cents AS (
+       |  SELECT cent_id, $means AS centv
+       |  FROM assigned0 GROUP BY cent_id)""".stripMargin
+  }
+
+  /** Probe/re-rank CTE chain of the IVF path — assumes a
+    * `cents(cent_id, centv)` CTE is already in scope; ends in `topk`. */
+  def ivfProbeSql(queriesRel: String, corpusRel: String, k: Int,
+                  nprobe: Int = 3): String =
+    s"""assigned AS (
        |  SELECT vec_id, cv, cent_id FROM (
        |    SELECT v.id AS vec_id, v.vec AS cv, cents.cent_id,
        |      row_number() OVER (PARTITION BY v.id

@@ -128,4 +128,20 @@ object Ohlcv {
       aggregatePeriod(bars, "yyyy-MM", "month"),
       aggregatePeriod(bars, "yyyy", "year"))
       .foreach(_.write.mode("append").partitionBy("agg_type").parquet(outDir))
+
+  /** Pruned SINGLE-branch read of a [[writeAll]] dataset — the
+    * per-collection read-back face of the multi-sink (the reference reads
+    * one collection at a time, `yfinance_transform.py:131-137`). The
+    * branch schema is passed EXPLICITLY: the branches are
+    * schema-heterogeneous, so a schema-inferring whole-directory read
+    * would either need mergeSchema (a footer read of every file in every
+    * branch) or pick an arbitrary file's schema. With the schema pinned,
+    * the `agg_type` equality lands in the scan's PartitionFilters and
+    * only that branch's files are listed and read — SinkSpec asserts the
+    * pruned plan, `yf_sink_pruned` oracle-checks the result. */
+  def readBranch(spark: org.apache.spark.sql.SparkSession, outDir: String,
+                 branchSchema: org.apache.spark.sql.types.StructType,
+                 aggType: String): DataFrame =
+    spark.read.schema(branchSchema).parquet(outDir)
+      .filter(col("agg_type") === lit(aggType))
 }

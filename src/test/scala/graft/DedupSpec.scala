@@ -149,6 +149,28 @@ class DedupSpec extends SparkSpec {
     assert(cl.count() === docs.count())
   }
 
+  test("clusters: reliable-checkpoint rounds reach the same fixpoint as the persist path") {
+    // A chain graph (diameter 7) forces several propagation rounds, so
+    // both materialization paths genuinely iterate. Same fixpoint either
+    // way; the checkpoint path must actually write durable round files
+    // into the configured directory.
+    val chainDocs = (1L to 8L).toSeq.toDF("doc_id")
+    val chainPairs = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val base = Dedup.clusters(chainDocs, "doc_id", chainPairs)
+      .orderBy("doc_id").collect()
+    assert(base.length === 8 && base.forall(_.getLong(1) === 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set(Dedup.CheckpointDirConf, dir)
+    try {
+      val ck = Dedup.clusters(chainDocs, "doc_id", chainPairs)
+        .orderBy("doc_id").collect()
+      assert(ck.toSeq === base.toSeq)
+      def nFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(nFiles).sum else 1
+      assert(nFiles(new java.io.File(dir)) > 0, "no checkpoint files written")
+    } finally spark.conf.unset(Dedup.CheckpointDirConf)
+  }
+
   test("candidate generation never pairs a doc with itself and is ordered") {
     val cand = Dedup.lshCandidates(docs, "doc_id", "text")
     assert(cand.filter(col("id_a") >= col("id_b")).count() === 0)

@@ -132,6 +132,61 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("trainCentroids: deterministic full-dim centroids, bounded count") {
+    val c1 = Similarity.trainCentroids(emb, 16, iters = 1).orderBy("cent_id").collect()
+    val c2 = Similarity.trainCentroids(emb, 16, iters = 1).orderBy("cent_id").collect()
+    assert(c1.nonEmpty && c1.length <= 16)
+    // exact-decimal sums make the means order-independent → bit-identical
+    // across runs (a double avg would drift with partial-agg order)
+    assert(c1.map(_.toString).toSeq === c2.map(_.toString).toSeq)
+    assert(c1.forall(_.getSeq[Double](1).length === Similarity.VecDim))
+    // two iterations also run (Spark-side; the oracle mirrors one)
+    assert(Similarity.trainCentroids(emb, 16, iters = 2).collect().nonEmpty)
+  }
+
+  test("trained IVF: self-hit at rank 1, recall >= the sampled quantizer's") {
+    // 20 queries, not 5: per-query recall on a 500-vector fixture is
+    // coarse (10 hits each), and the sampled-vs-trained comparison needs
+    // enough queries to measure the quantizer, not one query's luck.
+    // Everything here is deterministic (fixed fixture, md5 seed, exact-
+    // decimal means), so the recalls are stable run to run.
+    val q = emb.filter(col("id") < 20)
+    val truth = Similarity.bruteTopK(q, emb, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val sampledRecall = recall(Similarity.ivfTopK(q, emb, 10))
+    val cents1 = Similarity.trainCentroids(emb, 16, iters = 1)
+    val trained = Similarity.ivfTopKWith(q, emb, 10, cents1).cache()
+    // the query's own argmax centroid is also its first probe, trained or
+    // not → the query always finds itself
+    val r1 = trained.filter(col("rank") === 1).collect()
+    assert(r1.length === 20 && r1.forall(r =>
+      r.getAs[Long]("query_id") === r.getAs[Long]("vec_id")))
+    val trainedRecall = recall(trained)
+    assert(trainedRecall >= sampledRecall,
+      s"trained recall $trainedRecall < sampled $sampledRecall")
+    // a second Lloyd iteration keeps improving (or holds) the quantizer
+    val cents2 = Similarity.trainCentroids(emb, 16, iters = 2)
+    val trained2Recall = recall(Similarity.ivfTopKWith(q, emb, 10, cents2))
+    assert(trained2Recall >= trainedRecall,
+      s"iters=2 recall $trained2Recall < iters=1 $trainedRecall")
+  }
+
+  test("rhpTopK rejects invalid banding profiles with a clear message") {
+    val q = emb.filter(col("id") < 5)
+    val e0 = intercept[IllegalArgumentException](
+      Similarity.rhpTopK(q, emb, 10, bits = 16, bands = 0))
+    assert(e0.getMessage.contains("bands"))
+    val e5 = intercept[IllegalArgumentException](
+      Similarity.rhpTopK(q, emb, 10, bits = 16, bands = 5))
+    assert(e5.getMessage.contains("divide"))
+  }
+
   test("hyperplane constants are ±1 and stable across calls") {
     val h1 = Similarity.hyperplanes
     assert(h1.length === Similarity.PairBits && h1.forall(_.length === 64))

@@ -29,4 +29,22 @@ class SinkSpec extends SparkSpec {
     yf.Ohlcv.writeAll(bars, out)
     assert(spark.read.parquet(s"$out/agg_type=day").count() === 2 * bars.count())
   }
+
+  test("readBranch: explicit-schema branch read prunes partitions at the scan") {
+    val out = Files.createTempDirectory("graft_sink_prune").toString
+    val bars = Sources.ohlcv(spark, sfDir)
+    yf.Ohlcv.writeAll(bars, out)
+    val monthSchema = yf.Ohlcv.aggregatePeriod(bars, "yyyy-MM", "month").schema
+    val month = yf.Ohlcv.readBranch(spark, out, monthSchema, "month")
+    // the discriminator equality reaches the scan as a PARTITION filter —
+    // only the month branch's files are listed and read; no mergeSchema
+    // footer sweep over the other branches
+    val planStr = month.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*agg_type".r.findFirstIn(planStr).isDefined,
+      s"expected agg_type in PartitionFilters:\n$planStr")
+    // result is exactly the branch, with the pinned branch schema
+    assert(month.count() ===
+      yf.Ohlcv.aggregatePeriod(bars, "yyyy-MM", "month").count())
+    assert(month.columns.toSeq === monthSchema.fieldNames.toSeq)
+  }
 }

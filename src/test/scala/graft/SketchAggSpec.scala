@@ -45,4 +45,22 @@ class SketchAggSpec extends SparkSpec {
     assert(math.abs(merged - exact).toDouble / exact < 0.05,
       s"estimate $merged vs exact $exact")
   }
+
+  test("approx_percentile lands within the GK rank-error bound of exact") {
+    // The at-scale substitute for the exact sort-per-group percentile
+    // (events_quantiles): the GK sketch guarantees the returned element's
+    // RANK is within eps*n of the target (eps = 1/accuracy). Distinct
+    // values (multiplication by a coprime mod a prime) make rank = the
+    // count of values <= the result, so the bound is checked exactly.
+    // A deliberately coarse accuracy exercises the bound for real.
+    val n = 10000L
+    val acc = 100
+    val df = spark.range(n).select((col("id") * 7919 % 104729).cast("double").as("v"))
+    for (q <- Seq(0.5, 0.95)) {
+      val ap = df.agg(expr(s"approx_percentile(v, ${q}D, $acc)")).head.getDouble(0)
+      val rank = df.filter(col("v") <= ap).count()
+      assert(math.abs(rank - q * n) <= n.toDouble / acc + 1,
+        s"q=$q approx=$ap rank=$rank target=${q * n} bound=${n / acc}")
+    }
+  }
 }

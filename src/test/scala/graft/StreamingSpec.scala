@@ -109,6 +109,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream sessionization with timeout equals batch sessionStats on a shared fixture") {
+    // The claimed backfill→live migration path: the SAME event fixture
+    // through the streaming state machine (flatMapGroupsWithState +
+    // event-time timeout) and the batch window composition
+    // (events.Sessionize.sessionStats) must yield identical session
+    // boundaries and aggregates. Timestamps: stream carries ms
+    // Timestamps, batch carries the parquet nano-long encoding — compare
+    // on the µs timeline both converge to.
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      ev(1, 5, 1, "a", 1.0), ev(2, 15, 1, "b", 2.0), // u1 session 1
+      ev(5, 10, 2, "c", 5.0), // u2 session 1 (flushed by TIMEOUT only)
+      ev(3, 60, 1, "a", 3.0), ev(4, 65, 1, "a", 4.0), // u1 session 2
+      ev(6, 95, 2, "a", 6.0), ev(7, 100, 2, "b", 7.0)) // u2 session 2
+    val stream = MemoryStream[StreamEvent]
+    val q = Streams.sessionizeWithTimeout(stream.toDS(),
+        gapMs = 30L * 60000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("parity_sessions")
+      .outputMode("append").start()
+    try {
+      // two on-time batches (unordered within), then a sentinel user far
+      // in the future to drive the watermark past every open deadline so
+      // the tail sessions flush by event-time timeout
+      stream.addData(all(1), all(0), all(2))
+      q.processAllAvailable()
+      stream.addData(all(3), all(4), all(5), all(6))
+      q.processAllAvailable()
+      stream.addData(ev(8, 10000, 99, "z", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("parity_sessions")
+        .filter(col("user_id") =!= 99)
+        .select(col("user_id"),
+          (col("session_start_ms") * 1000).as("t_start_us"),
+          (col("session_end_ms") * 1000).as("t_end_us"),
+          col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // batch face: same events as nano-long rows (the events.parquet
+      // encoding sessionStats is defined over)
+      val batchInput = all
+        .map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = events.Sessionize
+        .sessionStats(batchInput, gapUs = 30L * 60000 * 1000L)
+        .select("user_id", "t_start_us", "t_end_us", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed === batch)
+      assert(streamed.length === 4) // 2 sessions per user
+    } finally q.stop()
+  }
+
   test("out-of-order events within a batch still form one ordered session") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamEvent]

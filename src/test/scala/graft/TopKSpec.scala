@@ -82,6 +82,34 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("partial-phase metric: measured rows entering the exchange <= k x keys x partitions") {
+    // The operator's core scale property, pinned by MEASUREMENT (the
+    // numOutputRows SQL metric) rather than indirection: 10 keys spread
+    // over 4 partitions, 10k input rows — the partial phase may emit at
+    // most k*keys*partitions = 80 rows into the shuffle.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (p, k, keys, n) = (4, 2, 10, 10000L)
+      val df = spark.range(n)
+        .select((col("id") % keys).as("key"), col("id").as("v"))
+        .repartition(p)
+      val top = TopK.perKey(df, Seq("key"), Seq("v" -> false), k)
+      assert(top.collect().length === keys * k) // executes THIS plan instance
+      val execs = top.queryExecution.executedPlan.collect {
+        case t: plans.TopKPerKeyExec => t
+      }
+      assert(execs.size === 2)
+      val partialRows = execs.find(_.partial).get.metrics("numOutputRows").value
+      val finalRows = execs.find(!_.partial).get.metrics("numOutputRows").value
+      assert(finalRows === keys.toLong * k)
+      assert(partialRows <= k.toLong * keys * p,
+        s"partial emitted $partialRows > bound ${k * keys * p}")
+      assert(partialRows < n,
+        s"partial must shrink the shuffle: $partialRows vs $n input rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("partial stage bounds the shuffle: k rows per key per input partition") {
     // With the input forced into p partitions, the exchange input is at
     // most k * keys * p rows — verified indirectly: the partial exec's

@@ -232,8 +232,15 @@ object Dedup {
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                maxIters: Int = 50): DataFrame = {
     val verts = docs.select(col(idCol).as("id"))
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Symmetrize via explode, NOT union(pairs, pairs.swapped): the union
+    // form scans the pair plan twice, and a pair set fed by the LSH
+    // pipeline is expensive to produce (measured: the union form cost
+    // dedup_clusters_lsh an extra ~4 s at sf0.1 — one whole redundant
+    // verification-join pass). One scan, two rows per pair.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val e = graft.util.Views.materialize(edges)
     // Iterate over EDGE vertices only: a vertex in no pair never changes
     // its label, so singletons — the overwhelming majority of any real

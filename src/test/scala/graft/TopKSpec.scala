@@ -110,6 +110,28 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("randomized equivalence: operator == window oracle across shapes (seeded)") {
+    // Hash-derived synthetic data (no rand(): retries must see identical
+    // values) across cardinality shapes: few hot keys, many sparse keys,
+    // ties in the order column, k larger than some groups.
+    import spark.implicits._
+    val rows = (1 to 3000).map { i =>
+      val key = (i * 2654435761L % 97) % (if (i % 2 == 0) 7 else 211)
+      val v = (i * 40503L % 1009) % 50 // forces ties on v → tiebreaker matters
+      (key, v.toDouble, i.toLong)
+    }
+    val df = rows.toDF("key", "v", "id").repartition(5)
+    for (k <- Seq(1, 4, 40)) {
+      val w = Window.partitionBy("key").orderBy(col("v").desc, col("id"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+      val got = TopK.perKey(df, Seq("key"), Seq("v" -> false, "id" -> true), k)
+      assert(got.count() === viaWindow.count(), s"k=$k count")
+      assert(got.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(got).isEmpty,
+        s"k=$k content")
+    }
+  }
+
   test("partial stage bounds the shuffle: k rows per key per input partition") {
     // With the input forced into p partitions, the exchange input is at
     // most k * keys * p rows — verified indirectly: the partial exec's

@@ -561,6 +561,46 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text")
         .orderBy("id_a", "id_b")),
 
+    // Deterministic STRATIFIED sampling — "k docs per language" is the
+    // standard corpus-balancing step of a training-data pipeline, done
+    // scale-right: rank key = md5(doc_id) (hash-derived, so retries and
+    // speculative tasks see identical samples — never rand()), selection
+    // through the bounded-heap per-key operator (≤ k rows per (stratum,
+    // map task) reach the exchange; a row_number window would shuffle the
+    // whole corpus). Oracle = the QUALIFY window form.
+    "docs_sample_stratified" -> ((s, dir) =>
+      plans.TopK.perKey(
+        Sources.documents(s, dir).select(col("doc_id"), col("lang"))
+          .withColumn("rk", md5(col("doc_id").cast("string").cast("binary"))),
+        keyCols = Seq("lang"),
+        orderBy = Seq("rk" -> true, "doc_id" -> true), k = 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")),
+
+    // TF-IDF term weighting (training-data relevance scoring): term
+    // frequency per (doc, word), document frequency over the FULL corpus
+    // (one shuffle each, partial aggregation), idf = ln((N+1)/(df+1))
+    // smoothed. The corpus size joins in as a broadcast 1-row aggregate —
+    // no driver-side count. Scores are sig-stabilized (ln's last ulp is
+    // not a cross-engine contract); the doc_id slice bounds output rows,
+    // not the computation.
+    "text_tfidf" -> ((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val words = docs.select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tf.filter(col("doc_id") < 50)
+        .join(dfreq, "word")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          util.Stable.sig(col("tf") *
+            log((col("n_docs") + 1).cast("double") / (col("df") + 1))).as("tfidf"))
+        .orderBy("doc_id", "word")
+    }),
+
     // Language ID via stopword-profile scoring with deterministic argmax —
     // single-pass projection, no shuffle at any scale.
     "text_lang_id" -> ((s, dir) =>
@@ -962,6 +1002,24 @@ object SparkEntry {
         |       ELSE CAST(coalesce(list_sum([ascii(text[i]) FOR i IN range(1, length(text) + 1)]), 0) AS DOUBLE)
         |            / octet_length(encode(text)) END AS mean_byte
         |FROM documents ORDER BY media_id""".stripMargin,
+    "docs_sample_stratified" ->
+      """SELECT lang, doc_id FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT t.doc_id, t.word, t.tf, d.df,
+         |  ${util.Stable.sigSql("t.tf * ln(CAST(n_docs + 1 AS DOUBLE) / (d.df + 1))")} AS tfidf
+         |FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
+         |WHERE t.doc_id < 50
+         |ORDER BY t.doc_id, t.word""".stripMargin,
     "text_lang_id" ->
       s"""${text.TextAnalysis.langIdSql("documents", "doc_id", "text")}
          |ORDER BY doc_id""".stripMargin,

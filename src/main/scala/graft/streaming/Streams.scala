@@ -50,6 +50,21 @@ object Streams {
   def withWatermarked(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     hourlyTypeCounts(events.withWatermark("ts", watermark))
 
+  /** Streaming EXACT dedup on the ingest path — the live twin of
+    * [[graft.dedup.Dedup.exactGroups]] (a training-data pipeline dedups
+    * at ingest as well as in batch): duplicates of `idCols` arriving
+    * within the watermark horizon are dropped; per-key state is evicted
+    * once the watermark passes its event time + delay, so state is
+    * bounded by the horizon's key cardinality, not the stream's history.
+    * (A duplicate arriving AFTER its original's state evicted re-emits —
+    * the horizon is the dedup contract, exactly Spark's
+    * `dropDuplicatesWithinWatermark` semantics; full-history exact dedup
+    * is the batch path's job.) */
+  def dedupedWithinWatermark(events: DataFrame, idCols: Seq[String],
+                             watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Streaming sessionization with explicit state: the streaming
     * counterpart of [[graft.events.Sessionize]]. A session closes when a
     * later event for the same user arrives more than `gapMs` after the

@@ -109,6 +109,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate ids within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamEvent]
+    val q = Streams.dedupedWithinWatermark(stream.toDF(), Seq("event_id"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // same id twice in one batch → one row
+      stream.addData(ev(1, 5, 1, "a", 1.0), ev(1, 6, 1, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() === 1)
+      // same id again across batches, still within the horizon → dropped
+      stream.addData(ev(1, 8, 1, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() === 1)
+      // a new id passes through
+      stream.addData(ev(2, 30, 1, "b", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() === 2)
+    } finally q.stop()
+  }
+
   test("stream sessionization with timeout equals batch sessionStats on a shared fixture") {
     // The claimed backfill→live migration path: the SAME event fixture
     // through the streaming state machine (flatMapGroupsWithState +

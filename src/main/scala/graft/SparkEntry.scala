@@ -561,6 +561,49 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text")
         .orderBy("id_a", "id_b")),
 
+    // Benchmark DECONTAMINATION (training-data extension): eval-side
+    // n-gram containment between the train corpus and a (small,
+    // broadcast) benchmark set — the pre-ship overlap scan of every LLM
+    // data pipeline. The fixture's eval set is a deterministic slice of
+    // documents; at scale it is a separate table, same plan.
+    "dedup_contamination" -> ((s, dir) => {
+      // Eval set = the base docs whose injected copies (exact, junk-
+      // appended, edited) live in the train side — so real contamination
+      // exists to find: a copy contains every shingle of its base doc →
+      // containment 1.0 (threshold 0.8 admits the edit variants too).
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val isEval = col("doc_id") % 5 === 0 && col("doc_id") < dedup.Dedup.NearOffset
+      dedup.Dedup.contaminationPairs(
+        docs.filter(!isEval), docs.filter(isEval),
+        "doc_id", "text", threshold = 0.8)
+        .orderBy("train_id", "eval_id")
+    }),
+
+    // Training-SHARD packing: assign docs to token-budget shards, packed
+    // independently within deterministic hash buckets (bucket = parallel
+    // packer; at scale each bucket's running sum is a partitioned window,
+    // never a global order). A doc lands in the shard its start offset
+    // falls in — offset = the running token sum BEFORE the doc.
+    "docs_pack_shards" -> ((s, dir) => {
+      val buckets = 32
+      val budget = 2000L
+      val docs = Sources.documents(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+          .cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("rk", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs
+        .withColumn("bucket", pmod(col("doc_id"), lit(buckets)))
+        .withColumn("rk", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("shard_idx",
+          floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+        .select("bucket", "doc_id", "n_tokens", "shard_idx")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic STRATIFIED sampling — "k docs per language" is the
     // standard corpus-balancing step of a training-data pipeline, done
     // scale-right: rank key = md5(doc_id) (hash-derived, so retries and
@@ -1002,6 +1045,25 @@ object SparkEntry {
         |       ELSE CAST(coalesce(list_sum([ascii(text[i]) FOR i IN range(1, length(text) + 1)]), 0) AS DOUBLE)
         |            / octet_length(encode(text)) END AS mean_byte
         |FROM documents ORDER BY media_id""".stripMargin,
+    "dedup_contamination" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.contaminationSql("docs",
+             s"id % 5 = 0 AND id < ${dedup.Dedup.NearOffset}", 0.8)}
+         |SELECT * FROM contam ORDER BY train_id, eval_id""".stripMargin,
+    "docs_pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS bucket,
+        |    md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT bucket, doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard_idx
+        |FROM c ORDER BY doc_id""".stripMargin,
     "docs_sample_stratified" ->
       """SELECT lang, doc_id FROM documents
         |QUALIFY row_number() OVER (

@@ -202,6 +202,53 @@ object Dedup {
     jaccardFromShingles(sh, threshold).join(cand, Seq("id_a", "id_b"), "left_semi")
   }
 
+  /** Benchmark DECONTAMINATION scan — the train/eval overlap check every
+    * LLM training pipeline runs before shipping a corpus: for each
+    * (train doc, eval doc) pair sharing shingles, eval-side containment
+    * = |train ∩ eval| / |eval| over distinct word n-grams; pairs at or
+    * above `threshold` are contamination hits (the train doc contains
+    * most of the eval doc's n-grams).
+    *
+    * Scale shape: the eval/benchmark set is SMALL by nature (thousands
+    * of docs, not billions) — its exploded shingle view is broadcast, so
+    * the train corpus is scanned once in place and never shuffles; docs
+    * sharing zero shingles never meet. Cost is one broadcast join + one
+    * (train_id, eval_id) aggregate. */
+  def contaminationPairs(train: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double): DataFrame = {
+    val trainSh = shingleRows(train, idCol, textCol)
+      .withColumnRenamed("id", "train_id")
+    val evalSh = graft.util.Views.materialize(
+      shingleRows(eval, idCol, textCol).withColumnRenamed("id", "eval_id"))
+    val evalCounts = evalSh.groupBy("eval_id").agg(count(lit(1)).as("n_eval_sh"))
+    trainSh.join(broadcast(evalSh), "sh")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(evalCounts), "eval_id")
+      // long/long division → double; exact small integers divide to the
+      // same double in any engine (correctly-rounded IEEE), no sig needed
+      .withColumn("containment", col("n_common") / col("n_eval_sh"))
+      .filter(col("containment") >= threshold)
+      .select("train_id", "eval_id", "n_common", "containment")
+  }
+
+  /** CTE chain ending in `contam(train_id, eval_id, n_common,
+    * containment)` — the [[contaminationPairs]] mirror; `evalPred` is the
+    * SQL predicate selecting the eval slice of `docsRel`. */
+  def contaminationSql(docsRel: String, evalPred: String, threshold: Double): String =
+    s"""sh AS (${shingleRowsSql(docsRel)}),
+       |ev AS (SELECT id AS eval_id, sh FROM sh WHERE $evalPred),
+       |tr AS (SELECT id AS train_id, sh FROM sh WHERE NOT ($evalPred)),
+       |ec AS (SELECT eval_id, count(*) AS n_eval_sh FROM ev GROUP BY 1),
+       |common AS (
+       |  SELECT t.train_id, e.eval_id, count(*) AS n_common
+       |  FROM tr t JOIN ev e USING (sh) GROUP BY 1, 2),
+       |contam AS (
+       |  SELECT c.train_id, c.eval_id, c.n_common,
+       |    c.n_common / ec.n_eval_sh AS containment
+       |  FROM common c JOIN ec USING (eval_id)
+       |  WHERE c.n_common / ec.n_eval_sh >= $threshold)""".stripMargin
+
   // ------------------------------------------------------------- clusters
 
   /** Duplicate CLUSTERS from a near-dup pair set: connected components of

@@ -149,6 +149,21 @@ class DedupSpec extends SparkSpec {
     assert(cl.count() === docs.count())
   }
 
+  test("contamination: every junk-appended copy flags its base eval doc at containment 1.0") {
+    // Appending junk adds shingles but removes none → the train-side copy
+    // contains 100% of its base (eval) doc's distinct shingles.
+    val isEval = col("doc_id") % 5 === 0 && col("doc_id") < Dedup.NearOffset
+    val hits = Dedup.contaminationPairs(
+      docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", 0.8).cache()
+    val nEval = Sources.documents(spark, sfDir).filter(col("doc_id") % 5 === 0).count()
+    assert(nEval > 0)
+    val copies = hits.filter(col("train_id") === col("eval_id") + Dedup.NearOffset)
+    assert(copies.count() === nEval)
+    assert(copies.filter(col("containment") =!= 1.0).count() === 0)
+    // containment is a ratio over the eval doc's shingles — never > 1
+    assert(hits.filter(col("containment") > 1.0).count() === 0)
+  }
+
   test("clusters: reliable-checkpoint rounds reach the same fixpoint as the persist path") {
     // A chain graph (diameter 7) forces several propagation rounds, so
     // both materialization paths genuinely iterate. Same fixpoint either

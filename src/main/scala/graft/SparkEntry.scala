@@ -650,6 +650,50 @@ object SparkEntry {
       text.TextAnalysis.langId(Sources.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // PII redaction (training-data extension): regex scrub of emails and
+    // phone numbers — per-row projection, no shuffle at any scale. The
+    // fixture text contains no PII, so deterministic PII is INJECTED
+    // in-query (mirrored exactly in the oracle) and the redaction is
+    // verified by occurrence counts + an md5 of the scrubbed text (both
+    // engines must scrub to the identical byte string).
+    "text_pii_redact" -> ((s, dir) => {
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phoneRe = "\\+[0-9]{2} [0-9]{3} [0-9]+"
+      val docs = Sources.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call +62 812 "), col("doc_id"))).otherwise(lit("")))
+          .as("text"))
+      docs.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition scoring (a Gopher-style quality rule): most-common-word
+    // ratio per doc — high ratio = degenerate/repetitive text. One
+    // keyed shuffle with partial aggregation; ratio of exact longs
+    // divides to the same double in any engine.
+    "text_repetition" -> ((s, dir) => {
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      words.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(
+          sum(col("n")).as("n_words"),
+          max(col("n")).as("max_word_count"),
+          count(lit(1)).as("n_distinct_words"))
+        .withColumn("top_word_ratio", col("max_word_count") / col("n_words"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace tokens + BPE-ish regex pre-tokenization.
     "text_tokens" -> ((s, dir) =>
       text.TextAnalysis.tokenStats(Sources.documents(s, dir), "doc_id", "text")
@@ -1085,6 +1129,35 @@ object SparkEntry {
     "text_lang_id" ->
       s"""${text.TextAnalysis.langIdSql("documents", "doc_id", "text")}
          |ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" -> {
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phoneRe = "\\+[0-9]{2} [0-9]{3} [0-9]+"
+      s"""WITH d AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 7 = 0
+         |          THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0
+         |          THEN ' call +62 812 ' || doc_id ELSE '' END) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "text_repetition" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |pw AS (
+         |  SELECT doc_id, word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(n) AS BIGINT) AS n_words,
+         |  max(n) AS max_word_count,
+         |  count(*) AS n_distinct_words,
+         |  max(n) / CAST(sum(n) AS BIGINT) AS top_word_ratio
+         |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""${text.TextAnalysis.tokenStatsSql("documents", "doc_id", "text")}
          |ORDER BY doc_id""".stripMargin,

@@ -694,6 +694,86 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM quality scoring (training-data extension): avg negative
+    // log-probability per doc under the corpus's own unigram model — the
+    // cheap statistical fluency filter (the KenLM-score shape without
+    // model weights). Two keyed shuffles (word freq, per-doc rollup) +
+    // one word-keyed join, all with partial aggregation; the corpus
+    // total joins in as a broadcast 1-row aggregate. Per-word -ln(p) is
+    // QUANTIZED to 1e-4 longs before summing so the per-doc sum is exact
+    // integer arithmetic — order-independent across engines (a raw
+    // double sum would be partitioning-dependent).
+    "text_unigram_logprob" -> ((s, dir) => {
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val freq = words.groupBy("word").agg(count(lit(1)).as("wf"))
+      val total = words.agg(count(lit(1)).as("n_total"))
+      val negLogQ = floor(-log(col("wf").cast("double") / col("n_total")) * 1e4 + 0.5)
+        .cast("long")
+      tf.join(freq, "word")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id").agg(
+          sum(col("tf")).as("n_words"),
+          ((sum(col("tf") * negLogQ) / 1e4) / sum(col("tf"))).as("avg_neg_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // INCREMENTAL dedup (training-data extension): an incoming batch is
+    // deduped against the already-ingested corpus index — the steady-state
+    // ingest path (dedup_exact is the from-scratch backfill). Batch side
+    // anti-joins the existing content-hash index (one shuffle each side;
+    // at scale the index is a written-once hash table scanned from
+    // parquet), then collapses within-batch copies by min doc id. The
+    // augmented corpus guarantees real cross- and intra-batch hits exist.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+        .withColumn("h", md5(util.Norm.normalize(col("text")).cast("binary")))
+      val incoming = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "h")
+      val existing = docs.filter(col("doc_id") % 10 =!= 0).select("h").distinct()
+      incoming.join(existing, Seq("h"), "left_anti")
+        .groupBy("h").agg(
+          min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_batch_copies"))
+        .select("doc_id", "h", "n_batch_copies")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic train/val/test SPLIT (training-data extension):
+    // assignment by the first hex nibble of md5(doc_id) — 12/2/2
+    // sixteenths ≈ 75/12.5/12.5 — so membership is a pure function of
+    // the id (retries, speculative tasks, and re-runs agree; no rand(),
+    // no global sort, no shuffle before the rollup). Reported as
+    // per-(split, lang) counts — the mixture audit a pipeline ships.
+    "docs_split" -> ((s, dir) => {
+      val nibble = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      Sources.documents(s, dir)
+        .withColumn("split",
+          when(nibble.isin("e", "f"), lit("test"))
+            .when(nibble.isin("c", "d"), lit("val"))
+            .otherwise(lit("train")))
+        .groupBy("split", "lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "lang")
+    }),
+
+    // Corpus-level top n-grams (training-data extension): the highest-
+    // document-frequency word 3-grams — the boilerplate/contamination
+    // audit table. Reuses the dedup shingle derivation (distinct shingles
+    // per doc, so count = document frequency); one keyed shuffle with
+    // partial aggregation, then a global bounded top-k that plans as
+    // TakeOrderedAndProject (per-partition heaps; only 20 rows per
+    // partition reach the driver-side merge — no full sort at any scale).
+    "text_top_ngrams" -> ((s, dir) =>
+      Sources.documents(s, dir)
+        .select(col("doc_id"), explode(dedup.Dedup.shingles(col("text"))).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram"))
+        .limit(20)),
+
     // Token counting: whitespace tokens + BPE-ish regex pre-tokenization.
     "text_tokens" -> ((s, dir) =>
       text.TextAnalysis.tokenStats(Sources.documents(s, dir), "doc_id", "text")
@@ -1158,6 +1238,42 @@ object SparkEntry {
          |  count(*) AS n_distinct_words,
          |  max(n) / CAST(sum(n) AS BIGINT) AS top_word_ratio
          |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+         |freq AS (SELECT word, count(*) AS wf FROM w2 GROUP BY 1),
+         |n AS (SELECT count(*) AS n_total FROM w2)
+         |SELECT t.doc_id,
+         |  CAST(sum(t.tf) AS BIGINT) AS n_words,
+         |  (CAST(sum(t.tf * CAST(floor(-ln(CAST(f.wf AS DOUBLE) / n_total) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) / 1e4)
+         |    / CAST(sum(t.tf) AS BIGINT) AS avg_neg_logprob
+         |FROM tf t JOIN freq f USING (word) CROSS JOIN n
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |hashed AS (
+         |  SELECT doc_id, md5(${util.Norm.normalizeSql("text")}) AS h FROM docs),
+         |incoming AS (SELECT * FROM hashed WHERE doc_id % 10 = 0),
+         |existing AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 10 <> 0)
+         |SELECT min(doc_id) AS doc_id, h, count(*) AS n_batch_copies
+         |FROM incoming i
+         |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = i.h)
+         |GROUP BY h ORDER BY doc_id""".stripMargin,
+    "docs_split" ->
+      """SELECT
+        |  (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+        |        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+        |        ELSE 'train' END) AS split,
+        |  lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "text_top_ngrams" ->
+      s"""SELECT ngram, count(*) AS df FROM (
+         |  SELECT doc_id, unnest(${dedup.Dedup.shinglesSql("text")}) AS ngram
+         |  FROM documents)
+         |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
     "text_tokens" ->
       s"""${text.TextAnalysis.tokenStatsSql("documents", "doc_id", "text")}
          |ORDER BY doc_id""".stripMargin,

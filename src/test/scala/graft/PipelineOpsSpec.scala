@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 training-data pipeline additions: unigram-LM
+  * scoring, incremental dedup, deterministic split, top n-grams. Each is
+  * exercised through its public `SparkEntry.queries` entry (the product
+  * surface the driver verifies) against structural invariants a DuckDB
+  * hash-match alone would not explain.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("unigram logprob: scores are positive, bounded by ln(corpus), and rare-heavy docs score higher") {
+    val docs = Sources.documents(spark, sfDir)
+    val nTotal = docs
+      .select(explode(split(util.Norm.normalize(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    val out = run("text_unigram_logprob")
+    assert(out.count() === docs.filter(trim(col("text")) =!= "").count())
+    // -ln(p) per word lies in (0, ln(n_total)]; the quantized per-doc
+    // average inherits the bound (+1 ulp of quantization slack).
+    val bound = math.log(nTotal.toDouble) + 1e-3
+    assert(out.filter(col("avg_neg_logprob") <= 0 ||
+      col("avg_neg_logprob") > bound).count() === 0)
+    // A doc of singleton words must out-score a doc of the corpus's most
+    // common word: check the extremes exist and order sensibly.
+    val mm = out.agg(min("avg_neg_logprob"), max("avg_neg_logprob")).head
+    assert(mm.getDouble(0) < mm.getDouble(1))
+  }
+
+  test("incremental dedup: survivors are batch-side, index-unseen, and hash-unique") {
+    val out = run("dedup_incremental").cache()
+    // Every survivor is from the incoming batch slice.
+    assert(out.filter(col("doc_id") % 10 =!= 0).count() === 0)
+    // One survivor per content hash.
+    assert(out.groupBy("h").count().filter(col("count") > 1).count() === 0)
+    // No survivor's hash exists in the already-ingested side — the
+    // defining property of the ingest path.
+    val docs = dedup.Dedup.augmented(Sources.documents(spark, sfDir))
+      .withColumn("h", md5(util.Norm.normalize(col("text")).cast("binary")))
+    val leaked = out.select("h")
+      .join(docs.filter(col("doc_id") % 10 =!= 0).select("h"), "h")
+    assert(leaked.count() === 0)
+    // The augmented corpus plants exact copies across the % 10 boundary,
+    // so the anti-join must actually drop something.
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    assert(out.count() < incoming.count())
+    out.unpersist()
+  }
+
+  test("docs split: partitions the corpus, is deterministic, and lands near 75/12.5/12.5") {
+    val out = run("docs_split").cache()
+    val total = Sources.documents(spark, sfDir).count()
+    assert(out.agg(sum("n_docs")).head.getLong(0) === total)
+    val bySplit = out.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // 12/2/2 hex nibbles ≈ 75/12.5/12.5; allow wide slack at tiny SF.
+    val train = bySplit("train").toDouble / total
+    assert(train > 0.6 && train < 0.9, s"train fraction $train")
+    // Pure function of doc_id: a re-run yields identical rows.
+    val again = run("docs_split")
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+    out.unpersist()
+  }
+
+  test("top ngrams: equals the direct df computation and is ordered") {
+    val direct = Sources.documents(spark, sfDir)
+      .select(col("doc_id"), explode(dedup.Dedup.shingles(col("text"))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val out = run("text_top_ngrams").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === direct.toSeq)
+    assert(out.map(-_._2).toSeq === out.map(-_._2).sorted.toSeq)
+  }
+}

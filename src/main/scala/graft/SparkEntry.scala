@@ -475,6 +475,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Cluster CANONICALIZATION — the step that actually shrinks the
+    // corpus: per duplicate cluster keep the best doc, best = highest
+    // composite quality score (doc_id tiebreak), not min-id. Quality is
+    // a per-row projection over the same scan; selection runs through
+    // the bounded-heap per-key operator (≤ 1 row per cluster per map
+    // task reaches the exchange). Oracle = the QUALIFY window form over
+    // the RECURSIVE-CTE closure.
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val pairs = dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.6,
+        maxDocFreq = Some(10L))
+      val clusters = dedup.Dedup.clusters(docs, "doc_id", pairs)
+      val quality = text.TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      plans.TopK.perKey(clusters.join(quality, "doc_id"),
+        keyCols = Seq("cluster_id"),
+        orderBy = Seq("quality_score" -> false, "doc_id" -> true), k = 1)
+        .select("cluster_id", "doc_id", "quality_score")
+        .orderBy("cluster_id")
+    }),
+
     // Semi-structured extraction: the events props column is a JSON
     // string; from_json with an explicit schema parses it executor-side
     // (codegen'd Jackson, no UDF), the standard shape for metadata-bearing
@@ -758,6 +779,39 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("split", "lang")
+    }),
+
+    // Composite QUALITY GATE (training-data extension): the C4-style
+    // keep/drop verdict — length, language, repetition, and composite
+    // quality thresholds with a first-failing-rule diagnostic. All
+    // row-local signals (n_words, quality, lang) are FUSED into one
+    // projection over one scan (TextAnalysis.gateSignals); only the
+    // repetition ratio needs an aggregate (one keyed shuffle) and joins
+    // back on doc_id. Thresholds chosen to exercise every rule on the
+    // fixture.
+    "docs_quality_gate" -> ((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val sig = text.TextAnalysis.gateSignals(docs, "doc_id", "text")
+      val rep = docs
+        .select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg((max("n") / sum("n")).as("top_word_ratio"))
+      sig.join(rep, Seq("doc_id"), "left")
+        .withColumn("top_word_ratio", coalesce(col("top_word_ratio"), lit(0.0)))
+        .select(
+          col("doc_id"), col("lang_id"), col("n_words"),
+          col("top_word_ratio"), col("quality_score"),
+          (col("n_words") >= 20 && col("lang_id") =!= "und" &&
+            col("top_word_ratio") <= 0.2 && col("quality_score") >= 0.55)
+            .cast("int").as("keep"),
+          when(col("n_words") < 20, "too_short")
+            .when(col("lang_id") === "und", "lang_unknown")
+            .when(col("top_word_ratio") > 0.2, "repetitive")
+            .when(col("quality_score") < 0.55, "low_quality")
+            .as("fail_reason"))
+        .orderBy("doc_id")
     }),
 
     // Corpus-level top n-grams (training-data extension): the highest-
@@ -1269,6 +1323,37 @@ object SparkEntry {
         |        ELSE 'train' END) AS split,
         |  lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "dedup_survivors" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, None, maxDocFreq = Some(10L))},
+         |${dedup.Dedup.clustersSql("docs", "pairs")},
+         |q AS (${text.TextAnalysis.qualityScoreSql("docs", "doc_id", "text")})
+         |SELECT cluster_id, doc_id, quality_score
+         |FROM (SELECT c.cluster_id, c.doc_id, q.quality_score
+         |      FROM clusters c JOIN q USING (doc_id)
+         |      QUALIFY row_number() OVER (
+         |        PARTITION BY cluster_id
+         |        ORDER BY quality_score DESC, doc_id) = 1)
+         |ORDER BY cluster_id""".stripMargin,
+    "docs_quality_gate" ->
+      s"""WITH sig AS (${text.TextAnalysis.gateSignalsSql("documents", "doc_id", "text")}),
+         |w AS (
+         |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |pw AS (SELECT doc_id, word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1, 2),
+         |rep AS (SELECT doc_id, max(n) / CAST(sum(n) AS BIGINT) AS top_word_ratio
+         |        FROM pw GROUP BY 1)
+         |SELECT s.doc_id, lang_id, n_words,
+         |  coalesce(top_word_ratio, 0.0) AS top_word_ratio, quality_score,
+         |  CAST((n_words >= 20 AND lang_id <> 'und'
+         |        AND coalesce(top_word_ratio, 0.0) <= 0.2
+         |        AND quality_score >= 0.55) AS INTEGER) AS keep,
+         |  (CASE WHEN n_words < 20 THEN 'too_short'
+         |        WHEN lang_id = 'und' THEN 'lang_unknown'
+         |        WHEN coalesce(top_word_ratio, 0.0) > 0.2 THEN 'repetitive'
+         |        WHEN quality_score < 0.55 THEN 'low_quality' END) AS fail_reason
+         |FROM sig s LEFT JOIN rep USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     "text_top_ngrams" ->
       s"""SELECT ngram, count(*) AS df FROM (
          |  SELECT doc_id, unnest(${dedup.Dedup.shinglesSql("text")}) AS ngram

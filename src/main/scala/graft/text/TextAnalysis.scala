@@ -34,24 +34,29 @@ object TextAnalysis {
   private def stopHits(textCol: Column, stops: Seq[String]): Column =
     size(filter(words(textCol), w => w.isInCollection(stops)))
 
-  /** Language ID: per-profile hit ratios + deterministic argmax ('und'
-    * when nothing matches; ties break in [[stopwords]] order). */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val scored = stopwords.foldLeft(docs) { case (df, (lang, stops)) =>
+  /** Adds one `score_<lang>` column per stopword profile. */
+  private def withLangScores(docs: DataFrame, textCol: String): DataFrame =
+    stopwords.foldLeft(docs) { case (df, (lang, stops)) =>
       df.withColumn(s"score_$lang",
         stopHits(col(textCol), stops).cast("double") / size(words(col(textCol))))
     }
-    val langCol = stopwords.zipWithIndex.foldRight(lit("und")) {
+
+  /** Deterministic argmax over the `score_<lang>` columns ('und' when
+    * nothing matches; ties break in [[stopwords]] order). */
+  private def langArgmax: Column =
+    stopwords.zipWithIndex.foldRight(lit("und")) {
       case (((lang, _), i), elseExpr) =>
         val beats = stopwords.drop(i + 1).map { case (other, _) =>
           col(s"score_$lang") >= col(s"score_$other")
         }.foldLeft(col(s"score_$lang") > 0.0)(_ && _)
         when(beats, lit(lang)).otherwise(elseExpr)
     }
-    scored.select(
+
+  /** Language ID: per-profile hit ratios + deterministic argmax. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withLangScores(docs, textCol).select(
       (col(idCol) +: stopwords.map { case (l, _) => col(s"score_$l") }) :+
-        langCol.as("lang_id"): _*)
-  }
+        langArgmax.as("lang_id"): _*)
 
   /** Whitespace tokens + a BPE-ish regex tokenization (letter runs, digit
     * runs, single punctuation marks — the GPT-2 pre-tokenizer shape). */
@@ -62,28 +67,45 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("n_bpe_tokens"))
 
-  /** Length/stopword/punctuation/digit signals + a composite quality
-    * score in [0, ~1]. Pure arithmetic over counts — FP-identical across
-    * engines. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  /** The quality-signal expressions over a text column, by name. */
+  private def qualitySignals(t: Column): Seq[(String, Column)] = {
     val nWords = size(words(t)).cast("double")
     val nChars = length(t).cast("double")
     val nPunct = (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double")
     val nDigit = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
     val stopRatio = stopHits(t, stopwords.head._2).cast("double") / nWords
     val avgWordLen = (length(regexp_replace(norm(t), " ", "")).cast("double")) / nWords
-    docs.select(
-      col(idCol),
-      nWords.as("n_words"),
-      avgWordLen.as("avg_word_len"),
-      stopRatio.as("stopword_ratio"),
-      (nPunct / nChars).as("punct_ratio"),
-      (nDigit / nChars).as("digit_ratio"),
+    Seq(
+      "n_words" -> nWords,
+      "avg_word_len" -> avgWordLen,
+      "stopword_ratio" -> stopRatio,
+      "punct_ratio" -> (nPunct / nChars),
+      "digit_ratio" -> (nDigit / nChars),
       // plausible-document heuristic: stopword presence up-weights, heavy
       // punctuation/digits down-weight, degenerate word lengths penalized
-      (stopRatio * 2.0 + when(avgWordLen >= 3.0 && avgWordLen <= 10.0, 0.5).otherwise(0.0)
-        - (nPunct / nChars) - (nDigit / nChars)).as("quality_score"))
+      "quality_score" -> (stopRatio * 2.0 +
+        when(avgWordLen >= 3.0 && avgWordLen <= 10.0, 0.5).otherwise(0.0)
+        - (nPunct / nChars) - (nDigit / nChars)))
+  }
+
+  /** Length/stopword/punctuation/digit signals + a composite quality
+    * score in [0, ~1]. Pure arithmetic over counts — FP-identical across
+    * engines. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol) +:
+      qualitySignals(col(textCol)).map { case (n, c) => c.as(n) }: _*)
+
+  /** The per-row inputs of a composite quality GATE — word count,
+    * composite quality, language — fused into ONE projection over one
+    * scan (joining [[qualityScore]] and [[langId]] outputs would scan
+    * the corpus twice for what is row-local arithmetic). */
+  def gateSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = qualitySignals(col(textCol)).toMap
+    withLangScores(docs, textCol).select(
+      col(idCol),
+      sig("n_words").as("n_words"),
+      sig("quality_score").as("quality_score"),
+      langArgmax.as("lang_id"))
   }
 
   /** Content-addressed md5 fingerprint + an order-sensitive word-level
@@ -111,21 +133,24 @@ object TextAnalysis {
     s"len(list_filter(${wordsSql(x)}, w -> w IN ($set)))"
   }
 
-  def langIdSql(docsRel: String, idCol: String, textCol: String): String = {
-    val scores = stopwords.map { case (l, stops) =>
+  private def langScoresSql(textCol: String): String =
+    stopwords.map { case (l, stops) =>
       s"CAST(${stopHitsSql(textCol, stops)} AS DOUBLE) / len(${wordsSql(textCol)}) AS score_$l"
     }.mkString(",\n    ")
-    val langCase = stopwords.zipWithIndex.foldRight("'und'") {
+
+  private def langCaseSql: String =
+    stopwords.zipWithIndex.foldRight("'und'") {
       case (((lang, _), i), elseExpr) =>
         val beats = (s"score_$lang > 0.0" +:
           stopwords.drop(i + 1).map { case (other, _) => s"score_$lang >= score_$other" })
           .mkString(" AND ")
         s"CASE WHEN $beats THEN '$lang' ELSE $elseExpr END"
     }
+
+  def langIdSql(docsRel: String, idCol: String, textCol: String): String =
     s"""SELECT $idCol, ${stopwords.map { case (l, _) => s"score_$l" }.mkString(", ")},
-       |  $langCase AS lang_id
-       |FROM (SELECT $idCol, $scores FROM $docsRel)""".stripMargin
-  }
+       |  $langCaseSql AS lang_id
+       |FROM (SELECT $idCol, ${langScoresSql(textCol)} FROM $docsRel)""".stripMargin
 
   def tokenStatsSql(docsRel: String, idCol: String, textCol: String): String =
     s"""SELECT $idCol,
@@ -151,6 +176,25 @@ object TextAnalysis {
        |    + (CASE WHEN $avgWordLen >= 3.0 AND $avgWordLen <= 10.0 THEN 0.5 ELSE 0.0 END)
        |    - $nPunct / $nChars - $nDigit / $nChars AS quality_score
        |FROM $docsRel""".stripMargin
+  }
+
+  /** SQL twin of [[gateSignals]]: one scan, score subquery + outer CASE. */
+  def gateSignalsSql(docsRel: String, idCol: String, textCol: String): String = {
+    val t = textCol
+    val nWords = s"CAST(len(${wordsSql(t)}) AS DOUBLE)"
+    val nChars = s"CAST(length($t) AS DOUBLE)"
+    val nPunct = s"CAST(length($t) - length(regexp_replace($t, '[.,!?;:]', '', 'g')) AS DOUBLE)"
+    val nDigit = s"CAST(length($t) - length(regexp_replace($t, '[0-9]', '', 'g')) AS DOUBLE)"
+    val stopRatio = s"CAST(${stopHitsSql(t, stopwords.head._2)} AS DOUBLE) / $nWords"
+    val avgWordLen = s"CAST(length(regexp_replace(${normSql(t)}, ' ', '', 'g')) AS DOUBLE) / $nWords"
+    s"""SELECT $idCol, n_words, quality_score, $langCaseSql AS lang_id
+       |FROM (SELECT $idCol,
+       |  $nWords AS n_words,
+       |  ($stopRatio) * 2.0
+       |    + (CASE WHEN $avgWordLen >= 3.0 AND $avgWordLen <= 10.0 THEN 0.5 ELSE 0.0 END)
+       |    - $nPunct / $nChars - $nDigit / $nChars AS quality_score,
+       |  ${langScoresSql(t)}
+       |FROM $docsRel)""".stripMargin
   }
 
   def fingerprintsSql(docsRel: String, idCol: String, textCol: String): String =

@@ -66,6 +66,61 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("survivors: one per cluster, cluster member, max quality (doc_id tiebreak)") {
+    val out = run("dedup_survivors").cache()
+    // Recompute clusters + quality independently of the query wiring.
+    val docs = dedup.Dedup.augmented(Sources.documents(spark, sfDir))
+    val pairs = dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.6,
+      maxDocFreq = Some(10L))
+    val clusters = dedup.Dedup.clusters(docs, "doc_id", pairs).cache()
+    val quality = text.TextAnalysis.qualityScore(docs, "doc_id", "text")
+    // Exactly one survivor per cluster.
+    assert(out.count() === clusters.select("cluster_id").distinct().count())
+    // The survivor belongs to its cluster.
+    assert(out.join(clusters, Seq("doc_id", "cluster_id"), "left_anti").count() === 0)
+    // No cluster member strictly beats its survivor on (quality, -id).
+    val better = clusters.join(quality.select(col("doc_id"), col("quality_score")), "doc_id")
+      .as("m")
+      .join(out.as("s"), col("m.cluster_id") === col("s.cluster_id"))
+      .filter(col("m.quality_score") > col("s.quality_score") ||
+        (col("m.quality_score") === col("s.quality_score") &&
+          col("m.doc_id") < col("s.doc_id")))
+    assert(better.count() === 0)
+    clusters.unpersist(); out.unpersist()
+  }
+
+  test("quality gate: keep agrees with signals, fail_reason is the first failing rule") {
+    val out = run("docs_quality_gate").cache()
+    assert(out.count() === Sources.documents(spark, sfDir).count())
+    // keep=1 ⇔ no fail_reason; keep=0 ⇔ some reason.
+    assert(out.filter(col("keep") === 1 && col("fail_reason").isNotNull).count() === 0)
+    assert(out.filter(col("keep") === 0 && col("fail_reason").isNull).count() === 0)
+    // Every reason is consistent with the signal it names.
+    assert(out.filter(col("fail_reason") === "too_short" && col("n_words") >= 20)
+      .count() === 0)
+    assert(out.filter(col("fail_reason") === "lang_unknown" && col("lang_id") =!= "und")
+      .count() === 0)
+    assert(out.filter(col("fail_reason") === "repetitive" && col("top_word_ratio") <= 0.2)
+      .count() === 0)
+    assert(out.filter(col("fail_reason") === "low_quality" && col("quality_score") >= 0.55)
+      .count() === 0)
+    // The gate must actually gate on this corpus: both verdicts present.
+    assert(out.filter(col("keep") === 1).count() > 0)
+    assert(out.filter(col("keep") === 0).count() > 0)
+    out.unpersist()
+  }
+
+  test("gateSignals equals the joined langId × qualityScore outputs") {
+    val docs = Sources.documents(spark, sfDir)
+    val fused = text.TextAnalysis.gateSignals(docs, "doc_id", "text")
+    val joined = text.TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+      .join(text.TextAnalysis.langId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("lang_id")), "doc_id")
+      .select("doc_id", "n_words", "quality_score", "lang_id")
+    assert(fused.except(joined).count() === 0 && joined.except(fused).count() === 0)
+  }
+
   test("top ngrams: equals the direct df computation and is ordered") {
     val direct = Sources.documents(spark, sfDir)
       .select(col("doc_id"), explode(dedup.Dedup.shingles(col("text"))).as("ngram"))

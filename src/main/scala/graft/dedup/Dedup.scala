@@ -288,7 +288,7 @@ object Dedup {
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    val e = graft.util.Views.materialize(edges)
+    val (e, nEdgeRows) = graft.util.Views.materializeCounted(edges)
     // Iterate over EDGE vertices only: a vertex in no pair never changes
     // its label, so singletons — the overwhelming majority of any real
     // corpus — never enter a round's join/aggregate. Per-round cost
@@ -360,23 +360,46 @@ object Dedup {
         java.math.BigDecimal.ZERO // genuinely empty: all-singleton corpus
       } else s
     }
-    var (labels, cached) = materializeRound(seed)
-    var prevSum = labelSum(cached) // fills the seed's cache + probes
-    var converged = prevSum.signum() == 0 && cached.isEmpty // no pairs at all
-    var iter = 1 // the fused seed IS round 1
-    while (!converged && iter < maxIters) {
-      val neighborLabels = e.join(labels, e("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(neighborLabels).groupBy("id").agg(min("label").as("label"))
-      val (nLabels, nCached) = materializeRound(next)
-      val nextSum = labelSum(nCached) // fills the cache + probes convergence
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      cached.unpersist()
-      cached = nCached
-      labels = nLabels
-      iter += 1
-    }
+    // The loop runs at its OWN shuffle width, derived from the measured
+    // edge count, not the session's corpus-scale width: the duplicate
+    // graph is a tiny fraction of the corpus (~1% of vertices at real
+    // dup rates), and inheriting the session width makes every round a
+    // swarm of near-empty tasks whose scheduling dominates the round
+    // (measured at sf0.1: the same fixpoint cost 7.5 s at width 32 and
+    // 3.9 s at width 8 — the loop's data is ~600 edges). One partition
+    // per ~4 M edge rows, floored at 1, capped at the session width so
+    // a genuinely huge duplicate graph keeps full parallelism. The
+    // session conf is restored afterwards (the singleton rejoin below is
+    // corpus-scale and must keep the session width).
+    val sess = docs.sparkSession
+    val widthConf = "spark.sql.shuffle.partitions"
+    val sessionWidth = sess.conf.get(widthConf).toInt
+    val loopWidth =
+      math.max(1L, math.min(sessionWidth.toLong, nEdgeRows / 4000000L + 1)).toInt
+    sess.conf.set(widthConf, loopWidth.toString)
+    var converged = false
+    var labels: DataFrame = null
+    try {
+      val r1 = materializeRound(seed)
+      labels = r1._1
+      var cached = r1._2
+      var prevSum = labelSum(cached) // fills the seed's cache + probes
+      converged = prevSum.signum() == 0 && cached.isEmpty // no pairs at all
+      var iter = 1 // the fused seed IS round 1
+      while (!converged && iter < maxIters) {
+        val neighborLabels = e.join(labels, e("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+        val next = labels.union(neighborLabels).groupBy("id").agg(min("label").as("label"))
+        val (nLabels, nCached) = materializeRound(next)
+        val nextSum = labelSum(nCached) // fills the cache + probes convergence
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        cached.unpersist()
+        cached = nCached
+        labels = nLabels
+        iter += 1
+      }
+    } finally sess.conf.set(widthConf, sessionWidth.toString)
     // Fail LOUDLY on non-convergence: returning partial labels would be
     // silently wrong (and diverge from the oracle's true closure). The
     // round count is the graph diameter, so hitting maxIters means the

@@ -22,9 +22,14 @@ import org.apache.spark.storage.StorageLevel
   * scale: one pass writes the view, N stages read it.
   */
 object Views {
-  def materialize(df: DataFrame): DataFrame = {
+  def materialize(df: DataFrame): DataFrame = materializeCounted(df)._1
+
+  /** [[materialize]], also returning the row count the forcing action
+    * already paid for — callers sizing later stages off the view's
+    * cardinality (e.g. a loop's shuffle width) get it for free. */
+  def materializeCounted(df: DataFrame): (DataFrame, Long) = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    p
+    val n = p.count()
+    (p, n)
   }
 }

@@ -781,6 +781,54 @@ object SparkEntry {
         .orderBy("split", "lang")
     }),
 
+    // Corpus REBALANCING (training-data extension): downsample every
+    // language stratum to the smallest stratum's size in expectation —
+    // the mixture-control step before training. Membership is an exact
+    // integer predicate on a hash of the id (md5 prefix → long), so it
+    // is a pure function of (doc_id, stratum sizes): no rand(), retries
+    // and speculative tasks agree, and both engines compute the identical
+    // kept set. Stratum counts and the target broadcast (tiny dims); the
+    // corpus is scanned once and only the audit rollup shuffles.
+    "docs_rebalance" -> ((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      val target = counts.agg(min(col("n_before")).as("target_n"))
+      // Uniform hash in [0, 1e6): first 8 md5 hex chars as a long. The
+      // acceptance test is integer-exact: hm < (target_n * 1e6) DIV
+      // n_before (DIV, not /: long division matches DuckDB's // exactly;
+      // a double divide could round across an integer boundary).
+      val hm = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") % 1000000L
+      val kept = docs
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(target))
+        .filter(hm < expr("(target_n * 1000000) DIV n_before"))
+        .groupBy("lang").agg(count(lit(1)).as("n_after"))
+      counts.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy("lang")
+    }),
+
+    // Per-label embedding CENTROIDS (training-data extension): the mean
+    // vector per class — the write-once coarse index IVF probes, and the
+    // per-cluster summary of any embedding-space audit. posexplode keeps
+    // it dimension-agnostic. Components are QUANTIZED to 1e-8 longs
+    // before summing (floor(v*1e8+0.5) is pure IEEE arithmetic —
+    // engine-identical; a decimal CAST is not: Spark converts a float
+    // through its shortest string form while DuckDB rounds the exact
+    // binary value, and the two disagree a half-quantum on ~1 in 1e3
+    // values). The long sum is exact and order-independent; one keyed
+    // shuffle with partial aggregation.
+    "emb_label_centroids" -> ((s, dir) =>
+      Sources.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+        .groupBy("label", "dim_idx")
+        .agg(((sum(floor(col("v") * 1e8 + 0.5).cast("long")) / 1e8) / count(lit(1)))
+          .as("centroid"))
+        .select(col("label"), col("dim_idx").cast("long").as("dim_idx"), col("centroid"))
+        .orderBy("label", "dim_idx")),
+
     // Composite QUALITY GATE (training-data extension): the C4-style
     // keep/drop verdict — length, language, repetition, and composite
     // quality thresholds with a first-failing-rule diagnostic. All
@@ -1323,6 +1371,28 @@ object SparkEntry {
         |        ELSE 'train' END) AS split,
         |  lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "docs_rebalance" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1),
+        |target AS (SELECT min(n_before) AS target_n FROM counts),
+        |kept AS (
+        |  SELECT d.lang, count(*) AS n_after
+        |  FROM documents d JOIN counts USING (lang) CROSS JOIN target
+        |  WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          % 1000000
+        |        < (target_n * 1000000) // n_before
+        |  GROUP BY 1)
+        |SELECT c.lang, c.n_before, coalesce(k.n_after, 0) AS n_after
+        |FROM counts c LEFT JOIN kept k USING (lang)
+        |ORDER BY c.lang""".stripMargin,
+    "emb_label_centroids" ->
+      // The fixture's embedding dim is fixed at 64 (all SFs), so the
+      // oracle unnests via a plain range cross join (DuckDB has no
+      // WITH ORDINALITY); the Spark side stays dimension-agnostic.
+      """SELECT label, CAST(t.i AS BIGINT) - 1 AS dim_idx,
+        |  (CAST(sum(CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT))
+        |        AS BIGINT) / 1e8) / count(*) AS centroid
+        |FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |GROUP BY 1, 2 ORDER BY label, dim_idx""".stripMargin,
     "dedup_survivors" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, None, maxDocFreq = Some(10L))},

@@ -121,6 +121,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fused.except(joined).count() === 0 && joined.except(fused).count() === 0)
   }
 
+  test("rebalance: every stratum lands near the smallest stratum's size, deterministically") {
+    val out = run("docs_rebalance").cache()
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val target = rows.map(_._2).min
+    // n_after never exceeds n_before, and expectation-tracks the target:
+    // binomial(n_before, ~target/n_before) stays within 5 sigma of target.
+    rows.foreach { case (lang, before, after) =>
+      assert(after <= before, s"$lang kept more than it had")
+      val sd = math.sqrt(target.toDouble) // p small → sd ≈ sqrt(target)
+      assert(math.abs(after - target) <= math.max(5 * sd, 5.0),
+        s"$lang: kept $after, target $target")
+    }
+    // The smallest stratum keeps (nearly) everything: threshold = 1e6.
+    val smallest = rows.minBy(_._2)
+    assert(smallest._3 === smallest._2)
+    // Pure function of ids: re-run identical.
+    val again = run("docs_rebalance")
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+    out.unpersist()
+  }
+
+  test("label centroids: one row per (label, dim), mean within quantization of a direct average") {
+    val emb = Sources.embeddings(spark, sfDir)
+    val out = run("emb_label_centroids").cache()
+    val nLabels = emb.select("label").distinct().count()
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    assert(out.count() === nLabels * dim)
+    // Spot-check one cell against a driver-side exact mean.
+    val r0 = out.filter(col("label") === out.head.getAs[Int]("label") &&
+      col("dim_idx") === 0).head
+    val vals = emb.filter(col("label") === r0.getAs[Int]("label"))
+      .select(col("embedding").getItem(0)).collect().map(_.getFloat(0).toDouble)
+    val direct = vals.sum / vals.length
+    assert(math.abs(r0.getAs[Double]("centroid") - direct) < 1e-7,
+      s"centroid ${r0.getAs[Double]("centroid")} vs direct $direct")
+    out.unpersist()
+  }
+
   test("top ngrams: equals the direct df computation and is ordered") {
     val direct = Sources.documents(spark, sfDir)
       .select(col("doc_id"), explode(dedup.Dedup.shingles(col("text"))).as("ngram"))

@@ -556,6 +556,44 @@ object SparkEntry {
       events.Sessionize.sessionStats(Sources.events(s, dir))
         .orderBy("user_id", "session_idx")),
 
+    // Cohort RETENTION (event analytics): users bucketed by first-active
+    // day; per (cohort, day-offset) active-user counts — the classic
+    // retention triangle. Day index = integer division of the exact
+    // BIGINT-nanos timestamp (DIV, engine-identical). One (user, day)
+    // distinct + one user-keyed aggregate + a co-partitioned self-join;
+    // every shuffle is user- or day-keyed, nothing global.
+    "events_retention" -> ((s, dir) => {
+      val days = Sources.events(s, dir)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day_idx"))
+        .distinct()
+      val first = days.groupBy("user_id").agg(min("day_idx").as("cohort_day"))
+      days.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day_idx") - col("cohort_day")).as("day_offset"))
+        // (user, day) is distinct above, so each user counts once per cell
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Conversion FUNNEL (event analytics): signup → later click → later
+    // purchase, strictly ordered per user by the exact nanos timestamp.
+    // Each stage is a filtered user-keyed min + a co-partitioned join
+    // against the previous stage — no window over the full event stream,
+    // no per-user event collection; event_type filters push to the scan.
+    "events_funnel" -> ((s, dir) => {
+      val ev = Sources.events(s, dir).select("user_id", "event_type", "ts")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
     // Multimodal catalog + resize/frame-sample planning over opaque binary
     // payloads with typed metadata — the queryable half of a media
     // pipeline (payload untouched, metadata pushdown-friendly).
@@ -605,25 +643,31 @@ object SparkEntry {
     // packer; at scale each bucket's running sum is a partitioned window,
     // never a global order). A doc lands in the shard its start offset
     // falls in — offset = the running token sum BEFORE the doc.
-    "docs_pack_shards" -> ((s, dir) => {
-      val buckets = 32
-      val budget = 2000L
-      val docs = Sources.documents(s, dir).select(col("doc_id"),
-        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
-          .cast("long").as("n_tokens"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("bucket").orderBy("rk", "doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      docs
-        .withColumn("bucket", pmod(col("doc_id"), lit(buckets)))
-        .withColumn("rk", md5(col("doc_id").cast("string").cast("binary")))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("shard_idx",
-          floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+    "docs_pack_shards" -> ((s, dir) =>
+      packShards(Sources.documents(s, dir))
         .select("bucket", "doc_id", "n_tokens", "shard_idx")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // Shard payload ASSEMBLY — the step after packing: concatenate each
+    // shard's docs (in packing order) into the training-sequence payload.
+    // Emitted as the ordered-assembly md5 + sizes, not the payload string
+    // (rows stay audit-sized; the md5 proves BOTH engines assemble the
+    // byte-identical sequence). collect_list + struct-sort is per-shard
+    // bounded: a shard holds ~budget tokens by construction, so the
+    // in-memory assembly unit is ~one training sequence, independent of
+    // corpus size; one (bucket, shard) keyed shuffle.
+    "docs_pack_assemble" -> ((s, dir) =>
+      packShards(Sources.documents(s, dir))
+        .groupBy("bucket", "shard_idx")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          md5(array_join(
+            transform(
+              sort_array(collect_list(struct(col("rk"), col("doc_id"), col("text")))),
+              x => x.getField("text")),
+            "\n").cast("binary")).as("payload_md5"))
+        .orderBy("bucket", "shard_idx")),
 
     // Deterministic STRATIFIED sampling — "k docs per language" is the
     // standard corpus-balancing step of a training-data pipeline, done
@@ -965,6 +1009,28 @@ object SparkEntry {
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
     * managed table's files survive the in-memory catalog across JVMs). */
+  /** Token-budget shard assignment shared by `docs_pack_shards` /
+    * `docs_pack_assemble`: deterministic hash bucket = independent
+    * parallel packer, shard = the token-budget window the doc's start
+    * offset (running sum BEFORE the doc) falls in. Keeps doc_id, text,
+    * n_tokens, bucket, rk, cum, shard_idx. */
+  private def packShards(docs: DataFrame): DataFrame = {
+    val buckets = 32
+    val budget = 2000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("rk", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col("doc_id"), col("text"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+          .cast("long").as("n_tokens"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(buckets)))
+      .withColumn("rk", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_idx",
+        floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+  }
+
   private def dropManagedTable(s: SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val path = new org.apache.hadoop.fs.Path(
@@ -1228,6 +1294,26 @@ object SparkEntry {
     "events_sessionize" ->
       s"""${events.Sessionize.sessionStatsSql("events")}
          |ORDER BY user_id, session_idx""".stripMargin,
+    "events_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day_idx
+        |  FROM events),
+        |first AS (SELECT user_id, min(day_idx) AS cohort_day FROM days GROUP BY 1)
+        |SELECT cohort_day, day_idx - cohort_day AS day_offset, count(*) AS n_users
+        |FROM days JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_click_after,
+        |       (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin,
     "events_json_extract" ->
       s"""SELECT event_type, count(*) AS n_events,
          |  ${util.Stable.exactSumSql("CAST(props->>'k' AS INTEGER)")} AS sum_k,
@@ -1290,6 +1376,22 @@ object SparkEntry {
         |SELECT bucket, doc_id, n_tokens,
         |  CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard_idx
         |FROM c ORDER BY doc_id""".stripMargin,
+    "docs_pack_assemble" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS bucket,
+        |    md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |p AS (SELECT *, CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard_idx FROM c)
+        |SELECT bucket, shard_idx, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  md5(string_agg(text, chr(10) ORDER BY rk, doc_id)) AS payload_md5
+        |FROM p GROUP BY 1, 2 ORDER BY bucket, shard_idx""".stripMargin,
     "docs_sample_stratified" ->
       """SELECT lang, doc_id FROM documents
         |QUALIFY row_number() OVER (

@@ -160,6 +160,43 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("retention: offset-0 equals cohort size and the triangle sums to all user-days") {
+    val out = run("events_retention").cache()
+    assert(out.filter(col("day_offset") < 0).count() === 0)
+    // Sum over the triangle = |distinct (user, day)| pairs.
+    val userDays = Sources.events(spark, sfDir)
+      .select(col("user_id"), expr("ts DIV 86400000000000")).distinct().count()
+    assert(out.agg(sum("n_users")).head.getLong(0) === userDays)
+    // Every user appears in their cohort's offset-0 cell.
+    val nUsers = Sources.events(spark, sfDir).select("user_id").distinct().count()
+    assert(out.filter(col("day_offset") === 0).agg(sum("n_users")).head.getLong(0) === nUsers)
+    out.unpersist()
+  }
+
+  test("funnel: stage counts are monotone and stage 1 matches the signup cohort") {
+    val r = run("events_funnel").head
+    val (n1, n2, n3) = (r.getAs[Long]("n_signup"),
+      r.getAs[Long]("n_click_after"), r.getAs[Long]("n_purchase_after"))
+    assert(n1 >= n2 && n2 >= n3 && n3 >= 0)
+    val signups = Sources.events(spark, sfDir)
+      .filter(col("event_type") === "signup").select("user_id").distinct().count()
+    assert(n1 === signups)
+    // The fixture's 30-day stream must actually convert someone.
+    assert(n3 > 0)
+  }
+
+  test("pack assemble: shard set and token totals agree with the assignment view") {
+    val shards = run("docs_pack_shards").cache()
+    val out = run("docs_pack_assemble").cache()
+    assert(out.count() ===
+      shards.select("bucket", "shard_idx").distinct().count())
+    assert(out.agg(sum("sum_tokens")).head.getLong(0) ===
+      shards.agg(sum("n_tokens")).head.getLong(0))
+    // Payloads are real and distinct (md5 of distinct doc sequences).
+    assert(out.select("payload_md5").distinct().count() === out.count())
+    shards.unpersist(); out.unpersist()
+  }
+
   test("top ngrams: equals the direct df computation and is ordered") {
     val direct = Sources.documents(spark, sfDir)
       .select(col("doc_id"), explode(dedup.Dedup.shingles(col("text"))).as("ngram"))

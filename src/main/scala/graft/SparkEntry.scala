@@ -881,29 +881,31 @@ object SparkEntry {
     // repetition ratio needs an aggregate (one keyed shuffle) and joins
     // back on doc_id. Thresholds chosen to exercise every rule on the
     // fixture.
-    "docs_quality_gate" -> ((s, dir) => {
-      val docs = Sources.documents(s, dir)
-      val sig = text.TextAnalysis.gateSignals(docs, "doc_id", "text")
-      val rep = docs
-        .select(col("doc_id"),
-          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id").agg((max("n") / sum("n")).as("top_word_ratio"))
-      sig.join(rep, Seq("doc_id"), "left")
-        .withColumn("top_word_ratio", coalesce(col("top_word_ratio"), lit(0.0)))
-        .select(
-          col("doc_id"), col("lang_id"), col("n_words"),
-          col("top_word_ratio"), col("quality_score"),
-          (col("n_words") >= 20 && col("lang_id") =!= "und" &&
-            col("top_word_ratio") <= 0.2 && col("quality_score") >= 0.55)
-            .cast("int").as("keep"),
-          when(col("n_words") < 20, "too_short")
-            .when(col("lang_id") === "und", "lang_unknown")
-            .when(col("top_word_ratio") > 0.2, "repetitive")
-            .when(col("quality_score") < 0.55, "low_quality")
-            .as("fail_reason"))
-        .orderBy("doc_id")
+    "docs_quality_gate" -> ((s, dir) =>
+      qualityGate(Sources.documents(s, dir)).orderBy("doc_id")),
+
+    // The END-TO-END corpus pipeline in ONE DAG — quality gate → exact
+    // dedup (canonical survivor) → token-budget shard packing — the
+    // composition a real training-data build runs, proving the stages
+    // compose without materialization boundaries. Runs over the
+    // AUGMENTED corpus so the dedup stage has real work. Output is the
+    // pipeline's audit row: raw → kept → unique counts, packed tokens,
+    // shard count (all exact longs).
+    "docs_pipeline_e2e" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val kept = docs.join(
+        qualityGate(docs).filter(col("keep") === 1).select("doc_id"), "doc_id")
+      val canon = kept
+        .withColumn("h", md5(util.Norm.normalize(col("text")).cast("binary")))
+        .groupBy("h").agg(min("doc_id").as("doc_id"))
+      val clean = kept.join(canon.select("doc_id"), "doc_id")
+      val packed = packShards(clean)
+      docs.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(packed.agg(
+          count(lit(1)).as("n_unique"),
+          sum("n_tokens").as("sum_tokens"),
+          countDistinct(col("bucket"), col("shard_idx")).as("n_shards")))
     }),
 
     // Corpus-level top n-grams (training-data extension): the highest-
@@ -1009,6 +1011,55 @@ object SparkEntry {
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
     * managed table's files survive the in-memory catalog across JVMs). */
+  /** The composite quality gate over any (doc_id, text) frame — shared
+    * by `docs_quality_gate` (standalone, over raw documents) and
+    * `docs_pipeline_e2e` (over the augmented corpus). Row-local signals
+    * fused into one scan; only the repetition ratio aggregates. */
+  private def qualityGate(docs: DataFrame): DataFrame = {
+    val sig = text.TextAnalysis.gateSignals(docs, "doc_id", "text")
+    val rep = docs
+      .select(col("doc_id"),
+        explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg((max("n") / sum("n")).as("top_word_ratio"))
+    sig.join(rep, Seq("doc_id"), "left")
+      .withColumn("top_word_ratio", coalesce(col("top_word_ratio"), lit(0.0)))
+      .select(
+        col("doc_id"), col("lang_id"), col("n_words"),
+        col("top_word_ratio"), col("quality_score"),
+        (col("n_words") >= 20 && col("lang_id") =!= "und" &&
+          col("top_word_ratio") <= 0.2 && col("quality_score") >= 0.55)
+          .cast("int").as("keep"),
+        when(col("n_words") < 20, "too_short")
+          .when(col("lang_id") === "und", "lang_unknown")
+          .when(col("top_word_ratio") > 0.2, "repetitive")
+          .when(col("quality_score") < 0.55, "low_quality")
+          .as("fail_reason"))
+  }
+
+  /** SQL twin of [[qualityGate]]: CTEs ending in `gate` (all gate output
+    * columns) over `docsRel(doc_id, text)`. */
+  private def qualityGateSql(docsRel: String): String =
+    s"""gsig AS (${text.TextAnalysis.gateSignalsSql(docsRel, "doc_id", "text")}),
+       |gw AS (
+       |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+       |  FROM $docsRel),
+       |gpw AS (SELECT doc_id, word, count(*) AS n FROM gw WHERE word <> '' GROUP BY 1, 2),
+       |grep AS (SELECT doc_id, max(n) / CAST(sum(n) AS BIGINT) AS top_word_ratio
+       |         FROM gpw GROUP BY 1),
+       |gate AS (
+       |  SELECT s.doc_id, lang_id, n_words,
+       |    coalesce(top_word_ratio, 0.0) AS top_word_ratio, quality_score,
+       |    CAST((n_words >= 20 AND lang_id <> 'und'
+       |          AND coalesce(top_word_ratio, 0.0) <= 0.2
+       |          AND quality_score >= 0.55) AS INTEGER) AS keep,
+       |    (CASE WHEN n_words < 20 THEN 'too_short'
+       |          WHEN lang_id = 'und' THEN 'lang_unknown'
+       |          WHEN coalesce(top_word_ratio, 0.0) > 0.2 THEN 'repetitive'
+       |          WHEN quality_score < 0.55 THEN 'low_quality' END) AS fail_reason
+       |  FROM gsig s LEFT JOIN grep USING (doc_id))""".stripMargin
+
   /** Token-budget shard assignment shared by `docs_pack_shards` /
     * `docs_pack_assemble`: deterministic hash bucket = independent
     * parallel packer, shard = the token-budget window the doc's start
@@ -1508,24 +1559,34 @@ object SparkEntry {
          |        ORDER BY quality_score DESC, doc_id) = 1)
          |ORDER BY cluster_id""".stripMargin,
     "docs_quality_gate" ->
-      s"""WITH sig AS (${text.TextAnalysis.gateSignalsSql("documents", "doc_id", "text")}),
-         |w AS (
-         |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
-         |  FROM documents),
-         |pw AS (SELECT doc_id, word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1, 2),
-         |rep AS (SELECT doc_id, max(n) / CAST(sum(n) AS BIGINT) AS top_word_ratio
-         |        FROM pw GROUP BY 1)
-         |SELECT s.doc_id, lang_id, n_words,
-         |  coalesce(top_word_ratio, 0.0) AS top_word_ratio, quality_score,
-         |  CAST((n_words >= 20 AND lang_id <> 'und'
-         |        AND coalesce(top_word_ratio, 0.0) <= 0.2
-         |        AND quality_score >= 0.55) AS INTEGER) AS keep,
-         |  (CASE WHEN n_words < 20 THEN 'too_short'
-         |        WHEN lang_id = 'und' THEN 'lang_unknown'
-         |        WHEN coalesce(top_word_ratio, 0.0) > 0.2 THEN 'repetitive'
-         |        WHEN quality_score < 0.55 THEN 'low_quality' END) AS fail_reason
-         |FROM sig s LEFT JOIN rep USING (doc_id)
-         |ORDER BY s.doc_id""".stripMargin,
+      s"""WITH ${qualityGateSql("documents")}
+         |SELECT * FROM gate ORDER BY doc_id""".stripMargin,
+    "docs_pipeline_e2e" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${qualityGateSql("docs")},
+         |kept AS (
+         |  SELECT d.doc_id, d.text FROM docs d JOIN gate USING (doc_id) WHERE keep = 1),
+         |canon AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5(${util.Norm.normalizeSql("text")}) AS h FROM kept)
+         |  GROUP BY h),
+         |clean AS (SELECT k.doc_id, k.text FROM kept k JOIN canon USING (doc_id)),
+         |pd AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+         |    doc_id % 32 AS bucket,
+         |    md5(CAST(doc_id AS VARCHAR)) AS rk
+         |  FROM clean),
+         |pc AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY rk, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM pd),
+         |p AS (SELECT *, CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard_idx FROM pc)
+         |SELECT (SELECT count(*) FROM docs) AS n_raw,
+         |       (SELECT count(*) FROM kept) AS n_kept,
+         |       (SELECT count(*) FROM p) AS n_unique,
+         |       (SELECT CAST(sum(n_tokens) AS BIGINT) FROM p) AS sum_tokens,
+         |       (SELECT count(*) FROM (SELECT DISTINCT bucket, shard_idx FROM p)) AS n_shards""".stripMargin,
     "text_top_ngrams" ->
       s"""SELECT ngram, count(*) AS df FROM (
          |  SELECT doc_id, unnest(${dedup.Dedup.shinglesSql("text")}) AS ngram

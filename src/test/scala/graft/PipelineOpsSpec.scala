@@ -197,6 +197,22 @@ class PipelineOpsSpec extends SparkSpec {
     shards.unpersist(); out.unpersist()
   }
 
+  test("e2e pipeline: stage counts contract monotonically and every stage bites") {
+    val r = run("docs_pipeline_e2e").head
+    val (raw, kept, unique, tokens, shards) = (r.getAs[Long]("n_raw"),
+      r.getAs[Long]("n_kept"), r.getAs[Long]("n_unique"),
+      r.getAs[Long]("sum_tokens"), r.getAs[Long]("n_shards"))
+    assert(raw > kept, "gate dropped nothing")
+    assert(kept > unique, "dedup dropped nothing (augmented copies should collapse)")
+    assert(unique > 0 && tokens > 0 && shards > 0)
+    // The augmented corpus strictly grows the raw one (selective 1/11,
+    // 1/5, 1/7 dup-injection slices).
+    assert(raw > Sources.documents(spark, sfDir).count())
+    // Shards hold about budget tokens each: count is near sum/budget + one
+    // open shard per bucket (32 buckets).
+    assert(shards <= tokens / 2000 + 32 + 1)
+  }
+
   test("top ngrams: equals the direct df computation and is ordered") {
     val direct = Sources.documents(spark, sfDir)
       .select(col("doc_id"), explode(dedup.Dedup.shingles(col("text"))).as("ngram"))

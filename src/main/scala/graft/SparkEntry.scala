@@ -922,6 +922,37 @@ object SparkEntry {
         .orderBy(col("df").desc, col("ngram"))
         .limit(20)),
 
+    // PMI bigram COLLOCATIONS (corpus statistics): pointwise mutual
+    // information over adjacent word pairs — the classic collocation /
+    // tokenizer-merge-candidate table. Bigram instances from one array
+    // transform per row (no self-join); joint + both marginal counts are
+    // keyed aggregates with partial aggregation; the corpus total is a
+    // broadcast 1-row aggregate. ln is quantized to 1e-6 longs so the
+    // top-20 cut is adjudicated on exact integers in both engines.
+    "text_pmi_bigrams" -> ((s, dir) => {
+      val inst = Sources.documents(s, dir)
+        .select(split(util.Norm.normalize(col("text")), " ").as("ws"))
+        .select(explode(expr(
+          """CASE WHEN size(ws) >= 2
+            |     THEN transform(sequence(1, size(ws) - 1),
+            |                    i -> struct(ws[i-1] AS w1, ws[i] AS w2))
+            |     ELSE array() END""".stripMargin)).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val n = inst.agg(count(lit(1)).as("n_bigrams"))
+      val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val c2 = inst.groupBy("w2").agg(count(lit(1)).as("c2"))
+      val cj = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      cj.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(n))
+        .withColumn("pmi",
+          floor(log((col("c12").cast("double") * col("n_bigrams")) /
+            (col("c1").cast("double") * col("c2"))) * 1e6 + 0.5).cast("long") / 1e6)
+        .select("w1", "w2", "c12", "pmi")
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Token counting: whitespace tokens + BPE-ish regex pre-tokenization.
     "text_tokens" -> ((s, dir) =>
       text.TextAnalysis.tokenStats(Sources.documents(s, dir), "doc_id", "text")
@@ -1592,6 +1623,24 @@ object SparkEntry {
          |  SELECT doc_id, unnest(${dedup.Dedup.shinglesSql("text")}) AS ngram
          |  FROM documents)
          |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "text_pmi_bigrams" ->
+      s"""WITH ws AS (
+         |  SELECT string_split(${util.Norm.normalizeSql("text")}, ' ') AS w FROM documents),
+         |inst AS (
+         |  SELECT w[i] AS w1, w[i + 1] AS w2
+         |  FROM (SELECT w, unnest(CASE WHEN len(w) >= 2 THEN range(1, len(w))
+         |                              ELSE [] END) AS i
+         |        FROM ws)
+         |  WHERE w[i] <> '' AND w[i + 1] <> ''),
+         |n AS (SELECT count(*) AS n_bigrams FROM inst),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY 1),
+         |c2 AS (SELECT w2, count(*) AS c2 FROM inst GROUP BY 1),
+         |cj AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT w1, w2, c12,
+         |  CAST(floor(ln((CAST(c12 AS DOUBLE) * n_bigrams) /
+         |    (CAST(c1 AS DOUBLE) * c2)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS pmi
+         |FROM cj JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "text_tokens" ->
       s"""${text.TextAnalysis.tokenStatsSql("documents", "doc_id", "text")}
          |ORDER BY doc_id""".stripMargin,

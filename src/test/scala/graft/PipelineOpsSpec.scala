@@ -213,6 +213,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(shards <= tokens / 2000 + 32 + 1)
   }
 
+  test("pmi bigrams: 20 rows, count floor respected, descending and positive at the top") {
+    val out = run("text_pmi_bigrams").collect()
+    assert(out.length === 20)
+    assert(out.forall(_.getAs[Long]("c12") >= 5))
+    val pmis = out.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    // Top collocations co-occur far above independence.
+    assert(pmis.head > 0)
+  }
+
   test("top ngrams: equals the direct df computation and is ordered") {
     val direct = Sources.documents(spark, sfDir)
       .select(col("doc_id"), explode(dedup.Dedup.shingles(col("text"))).as("ngram"))

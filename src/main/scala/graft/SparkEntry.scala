@@ -52,6 +52,32 @@ object SparkEntry {
       stabilized(yf.Ohlcv.aggregatePeriodBySymbol(Sources.ohlcv(s, dir), "yyyy-MM", "month"))
         .orderBy("symbol", "period_key")),
 
+    // Technical-indicator WINDOW over the reference's own stock domain:
+    // consolidate to daily bars (unique (symbol, Date) keys — windows
+    // over raw bars would order ties nondeterministically), then a
+    // trailing-20-day moving average + above/below signal. The sliding
+    // sum runs on exact DECIMAL(38,8) (Spark's incremental add/remove
+    // frame evaluation is exact on decimals; on doubles it would drift
+    // from DuckDB's per-frame recompute), divided once at the end.
+    // Window partitioned by symbol — no global ordering at any scale.
+    "yf_sma_signals" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 8)
+      val daily = Sources.ohlcv(s, dir)
+        .groupBy("symbol", "Date")
+        .agg(sum(col("Close").cast(dec)).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("Date").rowsBetween(-19, 0)
+      daily
+        .withColumn("close_avg", col("close_sum").cast("double") / col("n_bars"))
+        .withColumn("sma20",
+          sum(col("close_sum")).over(w).cast("double") / sum(col("n_bars")).over(w))
+        .withColumn("above_sma", (col("close_avg") > col("sma20")).cast("int"))
+        .select(col("symbol"), col("Date"), col("close_avg"), col("sma20"),
+          col("above_sma"))
+        .orderBy("symbol", "Date")
+    }),
+
     // Broadcast catalog join (SURVEY.md §2.5): company identity via an
     // explicit equi-join against the small dimension instead of the
     // reference's 951 collection names; rolled up per company.
@@ -1238,6 +1264,22 @@ object SparkEntry {
          |FROM bars
          |ORDER BY "Date", "Open", "High", "Low", "Close", "Volume",
          |  "Dividends", "Stock Splits", symbol""".stripMargin,
+    "yf_sma_signals" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    sum(CAST("Close" AS DECIMAL(38,8))) AS close_sum, count(*) AS n_bars
+         |  FROM bars GROUP BY 1, 2),
+         |sma AS (
+         |  SELECT symbol, "Date",
+         |    CAST(close_sum AS DOUBLE) / n_bars AS close_avg,
+         |    CAST(sum(close_sum) OVER w AS DOUBLE) / sum(n_bars) OVER w AS sma20
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY "Date"
+         |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, "Date", close_avg, sma20,
+         |  CAST(close_avg > sma20 AS INTEGER) AS above_sma
+         |FROM sma ORDER BY symbol, "Date"""".stripMargin,
     "yf_catalog_join" ->
       s"""WITH $barsCte
          |SELECT b.symbol, s.s_name AS company_name, count(*) AS n_bars,

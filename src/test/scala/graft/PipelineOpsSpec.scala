@@ -223,6 +223,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pmis.head > 0)
   }
 
+  test("sma signals: first day equals its own average and the signal matches the comparison") {
+    val out = run("yf_sma_signals").cache()
+    import org.apache.spark.sql.expressions.Window
+    val first = out.withColumn("rn",
+      row_number().over(Window.partitionBy("symbol").orderBy("Date")))
+      .filter(col("rn") === 1)
+    // A 1-row trailing window IS the day's average → signal must be 0.
+    assert(first.filter(col("sma20") =!= col("close_avg")).count() === 0)
+    assert(first.filter(col("above_sma") =!= 0).count() === 0)
+    // The emitted signal is exactly the comparison, everywhere.
+    assert(out.filter((col("close_avg") > col("sma20")).cast("int") =!= col("above_sma"))
+      .count() === 0)
+    // Both signal states occur on real price data.
+    assert(out.filter(col("above_sma") === 1).count() > 0)
+    out.unpersist()
+  }
+
   test("top ngrams: equals the direct df computation and is ordered") {
     val direct = Sources.documents(spark, sfDir)
       .select(col("doc_id"), explode(dedup.Dedup.shingles(col("text"))).as("ngram"))

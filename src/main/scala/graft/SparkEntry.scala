@@ -1080,18 +1080,18 @@ object SparkEntry {
       .filter(col("word") =!= "")
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
       .groupBy("doc_id").agg((max("n") / sum("n")).as("top_word_ratio"))
+    import text.TextAnalysis.{GateMinWords, GateMaxTopWordRatio, GateMinQuality}
     sig.join(rep, Seq("doc_id"), "left")
       .withColumn("top_word_ratio", coalesce(col("top_word_ratio"), lit(0.0)))
       .select(
         col("doc_id"), col("lang_id"), col("n_words"),
         col("top_word_ratio"), col("quality_score"),
-        (col("n_words") >= 20 && col("lang_id") =!= "und" &&
-          col("top_word_ratio") <= 0.2 && col("quality_score") >= 0.55)
-          .cast("int").as("keep"),
-        when(col("n_words") < 20, "too_short")
+        text.TextAnalysis.gateKeep(col("n_words"), col("lang_id"),
+          col("top_word_ratio"), col("quality_score")).cast("int").as("keep"),
+        when(col("n_words") < GateMinWords, "too_short")
           .when(col("lang_id") === "und", "lang_unknown")
-          .when(col("top_word_ratio") > 0.2, "repetitive")
-          .when(col("quality_score") < 0.55, "low_quality")
+          .when(col("top_word_ratio") > GateMaxTopWordRatio, "repetitive")
+          .when(col("quality_score") < GateMinQuality, "low_quality")
           .as("fail_reason"))
   }
 

@@ -12,6 +12,9 @@ import graft.util.Stable
 case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                        event_type: String, value: Double)
 
+/** A typed document for the streaming ingest surface. */
+case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
 /** Emitted session summary from streaming sessionization. */
 case class SessionUpdate(user_id: Long, session_start_ms: Long,
                          session_end_ms: Long, n_events: Long, sum_value: Double)
@@ -64,6 +67,29 @@ object Streams {
                              watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
+
+  /** Streaming INGEST pipeline for documents — the live twin of the
+    * batch `docs_pipeline_e2e`'s front stages (quality gate → exact
+    * dedup): one STATELESS projection computes every gate signal
+    * row-locally — including the repetition ratio, via
+    * [[graft.text.TextAnalysis.topWordRatio]]'s sorted-run fold instead
+    * of the batch explode→aggregate — then kept docs dedup on the
+    * normalized-content hash within the watermark horizon (bounded
+    * state, same contract as [[dedupedWithinWatermark]]). Identical
+    * verdicts to the batch gate (StreamingSpec proves stream ≡ batch on
+    * a shared fixture); the stateless stage means the only streaming
+    * state anywhere is the dedup horizon. */
+  def ingestCleanDocs(docs: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    import graft.text.TextAnalysis
+    TextAnalysis.withGateSignals(docs.withWatermark("ts", watermark), "text")
+      .withColumn("top_word_ratio", TextAnalysis.topWordRatio(col("text")))
+      .filter(TextAnalysis.gateKeep(col("n_words"), col("lang_id"),
+        col("top_word_ratio"), col("quality_score")))
+      .withColumn("fingerprint",
+        md5(graft.util.Norm.normalize(col("text")).cast("binary")))
+      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+      .select("doc_id", "ts", "fingerprint", "n_words", "quality_score", "lang_id")
+  }
 
   /** Streaming sessionization with explicit state: the streaming
     * counterpart of [[graft.events.Sessionize]]. A session closes when a

@@ -95,18 +95,59 @@ object TextAnalysis {
     docs.select(col(idCol) +:
       qualitySignals(col(textCol)).map { case (n, c) => c.as(n) }: _*)
 
+  /** Gate thresholds shared by the batch gate (`SparkEntry.qualityGate`)
+    * and the streaming ingest gate ([[graft.streaming.Streams]]). */
+  val GateMinWords = 20
+  val GateMaxTopWordRatio = 0.2
+  val GateMinQuality = 0.55
+
+  /** ROW-LOCAL most-common-word ratio: sort the word array, fold once
+    * tracking the longest equal-run — no explode, no aggregation, no
+    * shuffle, which is what makes the full quality gate usable as a
+    * STATELESS streaming projection. Equals the batch explode→count
+    * computation exactly (PipelineOpsSpec proves it on the corpus);
+    * per-row cost is O(words log words), bounded by document length. */
+  def topWordRatio(textCol: Column): Column = {
+    val ws = sort_array(filter(words(textCol), w => w =!= ""))
+    val folded = aggregate(
+      ws,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      })
+    when(size(ws) > 0,
+      folded.getField("mx").cast("double") / size(ws)).otherwise(lit(0.0))
+  }
+
+  /** The gate verdict over already-computed signal columns. */
+  def gateKeep(nWords: Column, langId: Column, topWordRatio: Column,
+               quality: Column): Column =
+    nWords >= GateMinWords && langId =!= "und" &&
+      topWordRatio <= GateMaxTopWordRatio && quality >= GateMinQuality
+
+  /** APPENDS the gate-signal columns (n_words, quality_score, lang_id)
+    * to `docs`, keeping every existing column — one projection, row
+    * local, usable as a stateless streaming stage. */
+  def withGateSignals(docs: DataFrame, textCol: String): DataFrame = {
+    val sig = qualitySignals(col(textCol)).toMap
+    val scored = withLangScores(docs, textCol)
+    scored.select(
+      (docs.columns.map(c => col(s"`$c`")) ++ Seq(
+        sig("n_words").as("n_words"),
+        sig("quality_score").as("quality_score"),
+        langArgmax.as("lang_id"))): _*)
+  }
+
   /** The per-row inputs of a composite quality GATE — word count,
     * composite quality, language — fused into ONE projection over one
     * scan (joining [[qualityScore]] and [[langId]] outputs would scan
     * the corpus twice for what is row-local arithmetic). */
-  def gateSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = qualitySignals(col(textCol)).toMap
-    withLangScores(docs, textCol).select(
-      col(idCol),
-      sig("n_words").as("n_words"),
-      sig("quality_score").as("quality_score"),
-      langArgmax.as("lang_id"))
-  }
+  def gateSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withGateSignals(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("n_words"), col("quality_score"), col("lang_id"))
 
   /** Content-addressed md5 fingerprint + an order-sensitive word-level
     * polynomial rolling hash (Rabin–Karp shape: h = (h*31 + wordval) mod

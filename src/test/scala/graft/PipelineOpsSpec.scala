@@ -240,6 +240,26 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("row-local topWordRatio equals the batch explode/aggregate form on the corpus") {
+    val docs = Sources.documents(spark, sfDir)
+    val rowLocal = docs.select(col("doc_id"),
+      text.TextAnalysis.topWordRatio(col("text")).as("r"))
+    val agg = docs
+      .select(col("doc_id"),
+        explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg((max("n") / sum("n")).as("r"))
+    assert(rowLocal.except(agg).count() === 0 && agg.except(rowLocal).count() === 0)
+    // Degenerate text: empty → 0.0; single repeated word → 1.0.
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "spam spam spam"), (3L, "a b"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), text.TextAnalysis.topWordRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(edge(1L) === 0.0 && edge(2L) === 1.0 && edge(3L) === 0.5)
+  }
+
   test("top ngrams: equals the direct df computation and is ordered") {
     val direct = Sources.documents(spark, sfDir)
       .select(col("doc_id"), explode(dedup.Dedup.shingles(col("text"))).as("ngram"))

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import streaming.{StreamEvent, Streams}
+import streaming.{StreamDoc, StreamEvent, Streams}
 
 class StreamingSpec extends SparkSpec {
 
@@ -129,6 +129,54 @@ class StreamingSpec extends SparkSpec {
       stream.addData(ev(2, 30, 1, "b", 2.0))
       q.processAllAvailable()
       assert(spark.table("dedup_stream").count() === 2)
+    } finally q.stop()
+  }
+
+  test("streaming ingest gate+dedup equals the independent batch composition on the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // Fixture: the augmented corpus (real dups) as a document stream.
+    val docs = dedup.Dedup.augmented(Sources.documents(spark, sfDir))
+      .collect().map(r => StreamDoc(r.getAs[Long]("doc_id"),
+        new java.sql.Timestamp(1700000000000L + r.getAs[Long]("doc_id")),
+        r.getAs[String]("text")))
+    val stream = MemoryStream[StreamDoc]
+    val q = Streams.ingestCleanDocs(stream.toDF())
+      .writeStream.format("memory").queryName("ingest_clean")
+      .outputMode("append").start()
+    try {
+      // two micro-batches to exercise cross-batch dedup state
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("ingest_clean").cache()
+      // Independent batch twin: the aggregate-form gate + batch dedup.
+      val batchDocs = dedup.Dedup.augmented(Sources.documents(spark, sfDir))
+      val batchKept = batchDocs
+        .withColumn("fingerprint",
+          md5(util.Norm.normalize(col("text")).cast("binary")))
+      val batchGate = {
+        val sig = graft.text.TextAnalysis.gateSignals(batchDocs, "doc_id", "text")
+        val rep = batchDocs
+          .select(col("doc_id"),
+            explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg((max("n") / sum("n")).as("top_word_ratio"))
+        sig.join(rep, Seq("doc_id"), "left")
+          .withColumn("top_word_ratio", coalesce(col("top_word_ratio"), lit(0.0)))
+          .filter(graft.text.TextAnalysis.gateKeep(col("n_words"), col("lang_id"),
+            col("top_word_ratio"), col("quality_score")))
+          .select("doc_id")
+      }
+      val batchFingerprints = batchKept.join(batchGate, "doc_id")
+        .select("fingerprint").distinct()
+      // Same kept-content set: every surviving fingerprint matches.
+      val streamedF = streamed.select("fingerprint").distinct()
+      assert(streamedF.count() === streamed.count(), "stream emitted a dup fingerprint")
+      assert(streamedF.except(batchFingerprints).count() === 0)
+      assert(batchFingerprints.except(streamedF).count() === 0)
+      streamed.unpersist()
     } finally q.stop()
   }
 

@@ -1070,19 +1070,16 @@ object SparkEntry {
     * managed table's files survive the in-memory catalog across JVMs). */
   /** The composite quality gate over any (doc_id, text) frame — shared
     * by `docs_quality_gate` (standalone, over raw documents) and
-    * `docs_pipeline_e2e` (over the augmented corpus). Row-local signals
-    * fused into one scan; only the repetition ratio aggregates. */
+    * `docs_pipeline_e2e` (over the augmented corpus). ENTIRELY
+    * shuffle-free: every signal including the repetition ratio is
+    * row-local (`TextAnalysis.topWordRatio`'s sorted-run fold — proven
+    * equal to the explode→aggregate form, which the DuckDB oracle still
+    * uses as the independent computation). Same projection the streaming
+    * ingest gate runs. */
   private def qualityGate(docs: DataFrame): DataFrame = {
-    val sig = text.TextAnalysis.gateSignals(docs, "doc_id", "text")
-    val rep = docs
-      .select(col("doc_id"),
-        explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id").agg((max("n") / sum("n")).as("top_word_ratio"))
     import text.TextAnalysis.{GateMinWords, GateMaxTopWordRatio, GateMinQuality}
-    sig.join(rep, Seq("doc_id"), "left")
-      .withColumn("top_word_ratio", coalesce(col("top_word_ratio"), lit(0.0)))
+    text.TextAnalysis.withGateSignals(docs.select("doc_id", "text"), "text")
+      .withColumn("top_word_ratio", text.TextAnalysis.topWordRatio(col("text")))
       .select(
         col("doc_id"), col("lang_id"), col("n_words"),
         col("top_word_ratio"), col("quality_score"),

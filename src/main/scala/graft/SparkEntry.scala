@@ -600,6 +600,26 @@ object SparkEntry {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Rolling 7-day ACTIVE USERS (event analytics): per observed day,
+    // distinct users active in the trailing week. COUNT DISTINCT over a
+    // sliding window doesn't compose as a window aggregate at scale; the
+    // scale-right shape is a BOUNDED explode — each (user, day) pair
+    // contributes to ≤ 7 window days — then distinct + count, all keyed
+    // shuffles. Reported only for days that exist in the stream.
+    "events_rolling_active" -> ((s, dir) => {
+      val days = Sources.events(s, dir)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day_idx"))
+        .distinct()
+      val observed = days.select("day_idx").distinct()
+      days
+        .select(col("user_id"),
+          explode(sequence(col("day_idx"), col("day_idx") + 6)).as("w_day"))
+        .distinct()
+        .join(observed.withColumnRenamed("day_idx", "w_day"), "w_day")
+        .groupBy("w_day").agg(count(lit(1)).as("n_active_7d"))
+        .orderBy("w_day")
+    }),
+
     // Conversion FUNNEL (event analytics): signup → later click → later
     // purchase, strictly ordered per user by the exact nanos timestamp.
     // Each stage is a filtered user-keyed min + a co-partitioned join
@@ -1423,6 +1443,17 @@ object SparkEntry {
         |SELECT cohort_day, day_idx - cohort_day AS day_offset, count(*) AS n_users
         |FROM days JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_rolling_active" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day_idx
+        |  FROM events),
+        |observed AS (SELECT DISTINCT day_idx AS w_day FROM days),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day_idx + o.i AS w_day
+        |  FROM days CROSS JOIN range(0, 7) o(i))
+        |SELECT w_day, count(*) AS n_active_7d
+        |FROM contrib JOIN observed USING (w_day)
+        |GROUP BY 1 ORDER BY w_day""".stripMargin,
     "events_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
         |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),

@@ -173,6 +173,24 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("rolling 7-day actives: bounded by total users, at least the daily actives, exact on a window") {
+    val out = run("events_rolling_active").cache()
+    val events = Sources.events(spark, sfDir)
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day_idx")).cache()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(out.filter(col("n_active_7d") > nUsers).count() === 0)
+    // Rolling-7 ≥ the single-day distinct count for every day.
+    val daily = events.distinct().groupBy("day_idx").agg(count(lit(1)).as("d"))
+    assert(out.join(daily, col("w_day") === col("day_idx"))
+      .filter(col("n_active_7d") < col("d")).count() === 0)
+    // Exact check on one day: users with activity in [day-6, day].
+    val someDay = out.orderBy(col("w_day").desc).head.getAs[Long]("w_day")
+    val direct = events.filter(col("day_idx") >= someDay - 6 && col("day_idx") <= someDay)
+      .select("user_id").distinct().count()
+    assert(out.filter(col("w_day") === someDay).head.getAs[Long]("n_active_7d") === direct)
+    events.unpersist(); out.unpersist()
+  }
+
   test("funnel: stage counts are monotone and stage 1 matches the signup cohort") {
     val r = run("events_funnel").head
     val (n1, n2, n3) = (r.getAs[Long]("n_signup"),

@@ -600,6 +600,29 @@ object SparkEntry {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Skew-JOIN salting (the join-side twin of yf_salted_month_agg's
+    // aggregation salting): a viral key would pile one reducer high in a
+    // plain shuffle join, so the fact side salts its key deterministically
+    // (event_id % R — never rand(): retries agree) and the dim side
+    // replicates R ways; joining on (key, salt) spreads a hot key over R
+    // reducers. The oracle is the PLAIN join — hash-equality proves the
+    // salted plan computes identical results.
+    "events_salted_join" -> ((s, dir) => {
+      val r = 8
+      val ev = Sources.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("salt", pmod(col("event_id"), lit(r)))
+      val dim = Sources.events(s, dir)
+        .groupBy("user_id").agg(countDistinct(col("event_type")).as("n_types"))
+      val dimR = dim.withColumn("salt",
+        explode(sequence(lit(0L), lit((r - 1).toLong))))
+      ev.join(dimR, Seq("user_id", "salt"))
+        .groupBy("user_id", "n_types")
+        .agg(util.Stable.exactSum(col("value")).as("sum_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // Rolling 7-day ACTIVE USERS (event analytics): per observed day,
     // distinct users active in the trailing week. COUNT DISTINCT over a
     // sliding window doesn't compose as a window aggregate at scale; the
@@ -1443,6 +1466,15 @@ object SparkEntry {
         |SELECT cohort_day, day_idx - cohort_day AS day_offset, count(*) AS n_users
         |FROM days JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_salted_join" ->
+      s"""WITH dim AS (
+         |  SELECT user_id, count(DISTINCT event_type) AS n_types
+         |  FROM events GROUP BY 1)
+         |SELECT e.user_id, n_types,
+         |  ${util.Stable.exactSumSql("e.value")} AS sum_value,
+         |  count(*) AS n_events
+         |FROM events e JOIN dim USING (user_id)
+         |GROUP BY 1, 2 ORDER BY e.user_id""".stripMargin,
     "events_rolling_active" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day_idx

@@ -191,6 +191,20 @@ class PipelineOpsSpec extends SparkSpec {
     events.unpersist(); out.unpersist()
   }
 
+  test("salted join equals the plain join and salts on the join key") {
+    val out = run("events_salted_join")
+    val ev = Sources.events(spark, sfDir)
+    val dim = ev.groupBy("user_id").agg(countDistinct(col("event_type")).as("n_types"))
+    val plain = ev.select("user_id", "value").join(dim, "user_id")
+      .groupBy("user_id", "n_types")
+      .agg(util.Stable.exactSum(col("value")).as("sum_value"),
+        count(lit(1)).as("n_events"))
+    assert(out.except(plain).count() === 0 && plain.except(out).count() === 0)
+    // The physical join really carries the salt: both join sides expose it.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), "salt column eliminated from the join")
+  }
+
   test("funnel: stage counts are monotone and stage 1 matches the signup cohort") {
     val r = run("events_funnel").head
     val (n1, n2, n3) = (r.getAs[Long]("n_signup"),

@@ -290,6 +290,26 @@ class PipelineOpsSpec extends SparkSpec {
       .select(col("doc_id"), text.TextAnalysis.topWordRatio(col("text")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(edge(1L) === 0.0 && edge(2L) === 1.0 && edge(3L) === 0.5)
+    // Seeded random texts (heavy repeats, case/whitespace noise) vs a
+    // driver-side brute force over the SAME normalization.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "the", "data", "x9")
+    val cases = (0L until 200L).map { i =>
+      val n = rnd.nextInt(12)
+      val t = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+        .map(w => if (rnd.nextBoolean()) w.toUpperCase else w)
+        .mkString(sep = if (rnd.nextBoolean()) " " else "  ")
+      (i, t)
+    }
+    val got = cases.toDF("doc_id", "text")
+      .select(col("doc_id"), text.TextAnalysis.topWordRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (i, t) =>
+      val ws = t.toLowerCase.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val expect = if (ws.isEmpty) 0.0
+        else ws.groupBy(identity).values.map(_.length).max.toDouble / ws.length
+      assert(got(i) === expect, s"doc $i: '$t'")
+    }
   }
 
   test("top ngrams: equals the direct df computation and is ordered") {

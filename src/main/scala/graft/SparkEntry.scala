@@ -875,6 +875,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL near-dedup (the LSH twin of dedup_incremental's exact
+    // path): batch docs with no verified near-dup in the existing corpus
+    // or among earlier batch docs. Probe-side banding — the corpus never
+    // self-joins (SCALE.md "Deduplication").
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val isBatch = col("doc_id") % 10 === 0
+      dedup.Dedup.lshNewDocs(docs.filter(isBatch), docs.filter(!isBatch),
+        "doc_id", "text", 0.6)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test SPLIT (training-data extension):
     // assignment by the first hex nibble of md5(doc_id) — 12/2/2
     // sixteenths ≈ 75/12.5/12.5 — so membership is a pure function of
@@ -1650,6 +1662,47 @@ object SparkEntry {
          |FROM incoming i
          |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = i.h)
          |GROUP BY h ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_lsh" -> {
+      import dedup.Dedup.{NumBands, shinglesSql, minhashSignatureSql, bandKeysSql}
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |batch AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 = 0),
+         |exist AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 <> 0),
+         |shb AS (SELECT doc_id AS id, unnest(${shinglesSql("text")}) AS sh FROM batch),
+         |she AS (SELECT doc_id AS id, unnest(${shinglesSql("text")}) AS sh FROM exist),
+         |sigb AS (
+         |  SELECT doc_id AS id, ${minhashSignatureSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shinglesSql("text")} AS sh FROM batch)
+         |  WHERE len(sh) > 0),
+         |sige AS (
+         |  SELECT doc_id AS id, ${minhashSignatureSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shinglesSql("text")} AS sh FROM exist)
+         |  WHERE len(sh) > 0),
+         |bb AS (SELECT id, i AS band_idx, (${bandKeysSql("sig")})[i] AS band_key
+         |       FROM sigb, range(1, ${NumBands + 1}) t(i)),
+         |be AS (SELECT id, i AS band_idx, (${bandKeysSql("sig")})[i] AS band_key
+         |       FROM sige, range(1, ${NumBands + 1}) t(i)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bb a JOIN be b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  UNION
+         |  SELECT DISTINCT a.id, b.id
+         |  FROM bb a JOIN bb b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND b.id < a.id),
+         |shall AS (SELECT * FROM shb UNION ALL SELECT * FROM she),
+         |na AS (SELECT id AS id_a, count(*) AS n_a FROM shb GROUP BY 1),
+         |nb AS (SELECT id AS id_b, count(*) AS n_b FROM shall GROUP BY 1),
+         |common AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM shb a JOIN shall b ON a.sh = b.sh
+         |  JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+         |  GROUP BY 1, 2),
+         |rejected AS (
+         |  SELECT DISTINCT id_a FROM common JOIN na USING (id_a) JOIN nb USING (id_b)
+         |  WHERE n_common / (n_a + n_b - n_common) >= 0.6)
+         |SELECT doc_id FROM batch
+         |WHERE doc_id NOT IN (SELECT id_a FROM rejected)
+         |ORDER BY doc_id""".stripMargin
+    },
     "docs_split" ->
       """SELECT
         |  (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'

@@ -157,13 +157,15 @@ object Dedup {
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     lshCandidatesFromShingles(shingleRows(docs, idCol, textCol))
 
-  /** LSH candidates from an (id, sh) shingle view. */
-  private def lshCandidatesFromShingles(sh: DataFrame): DataFrame = {
+  /** (id, band_idx, band_key) band rows from an (id, sh) shingle view —
+    * the LSH band INDEX, materialized (at cluster scale this is computed
+    * once and stored; incremental ingest probes it). One native
+    * MinhashRow call per shingle row computes the whole hash family
+    * (reused digest, byte-level prefixes); the aggregate then takes
+    * [[NumHashes]] mins over cheap array reads instead of that many
+    * md5(concat) chains per row. */
+  private def bandRowsFromShingles(sh: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
-    // One native MinhashRow call per shingle row computes the whole hash
-    // family (reused digest, byte-level prefixes); the aggregate then
-    // takes 12 mins over cheap array reads instead of 12 md5(concat)
-    // chains per row.
     val hs = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.MinhashRow(
         org.apache.spark.sql.GraftColumnBridge.expression(col("sh")), NumHashes))
@@ -174,17 +176,64 @@ object Dedup {
     val bandKeyCols = (0 until NumBands).map { b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"h$r")): _*))
     }
-    // Materialize before the self-join so the minhash plan runs once, not
+    // Materialize before any join so the minhash plan runs once, not
     // once per concurrently-scheduled join side.
-    val withBands = graft.util.Views.materialize(sig
+    graft.util.Views.materialize(sig
       .select(col("id"), posexplode(array(bandKeyCols: _*)))
       .toDF("id", "band_idx", "band_key"))
+  }
+
+  /** LSH candidates from an (id, sh) shingle view. */
+  private def lshCandidatesFromShingles(sh: DataFrame): DataFrame = {
+    val withBands = bandRowsFromShingles(sh)
     withBands.as("a")
       .join(withBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** INCREMENTAL near-dedup — the LSH twin of the exact-hash ingest path:
+    * the `batch` docs with NO verified near-duplicate (Jaccard ≥
+    * `threshold` over word shingles) in the `existing` corpus nor among
+    * EARLIER batch docs (smaller id = arrived first). Scale shape: only
+    * the batch's band rows PROBE the band index — the corpus never
+    * self-joins, so candidate fan-in is |batch bands| × bucket occupancy
+    * (at 100 TB the index is precomputed and stored; here it is derived
+    * in-query by the same [[bandRowsFromShingles]] that would build it).
+    * Verification joins batch shingles against candidate-partner shingles
+    * only. Batch docs with no shingles trivially survive. */
+  def lshNewDocs(batch: DataFrame, existing: DataFrame, idCol: String,
+                 textCol: String, threshold: Double): DataFrame = {
+    val shB = graft.util.Views.materialize(shingleRows(batch, idCol, textCol))
+    val shE = shingleRows(existing, idCol, textCol)
+    val bB = bandRowsFromShingles(shB)
+    val bE = bandRowsFromShingles(shE)
+    def bandMatch = col("a.band_idx") === col("b.band_idx") &&
+      col("a.band_key") === col("b.band_key")
+    val candE = bB.as("a").join(bE.as("b"), bandMatch)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candB = bB.as("a").join(bB.as("b"), bandMatch && col("b.id") < col("a.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = graft.util.Views.materialize(candE.union(candB).distinct())
+    val shProbe = shB.join(cand.select(col("id_a").as("id")).distinct(), "id")
+    val shPartner = shB.unionByName(shE)
+      .join(cand.select(col("id_b").as("id")).distinct(), "id")
+    val nA = shProbe.groupBy("id").agg(count(lit(1)).as("n_a"))
+      .withColumnRenamed("id", "id_a")
+    val nB = shPartner.groupBy("id").agg(count(lit(1)).as("n_b"))
+      .withColumnRenamed("id", "id_b")
+    val rejected = shProbe.as("a")
+      .join(shPartner.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+      .join(nA, "id_a").join(nB, "id_b")
+      .filter(col("n_common") / (col("n_a") + col("n_b") - col("n_common")) >= threshold)
+      .select(col("id_a").as("doc_id")).distinct()
+    batch.select(col(idCol).as("doc_id"))
+      .join(rejected, Seq("doc_id"), "left_anti")
   }
 
   /** Full near-dedup: LSH candidates, then exact Jaccard verification over

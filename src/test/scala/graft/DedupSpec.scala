@@ -190,4 +190,27 @@ class DedupSpec extends SparkSpec {
     val cand = Dedup.lshCandidates(docs, "doc_id", "text")
     assert(cand.filter(col("id_a") >= col("id_b")).count() === 0)
   }
+
+  test("incremental LSH dedup agrees with the full verified-pair set") {
+    val corpus = Dedup.augmented(Sources.documents(spark, sfDir))
+    val out = SparkEntry.queries("dedup_incremental_lsh")(spark, sfDir).cache()
+    assert(out.filter(col("doc_id") % 10 =!= 0).count() === 0)
+    // Independent ground truth: the backfill pipeline's full pair set —
+    // a batch doc survives iff it pairs with NO existing doc and NO
+    // earlier batch doc.
+    val pairs = Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.6)
+    val sym = pairs.select(col("id_a").as("me"), col("id_b").as("other"))
+      .union(pairs.select(col("id_b").as("me"), col("id_a").as("other")))
+    val rejected = sym
+      .filter(col("me") % 10 === 0 &&
+        (col("other") % 10 =!= 0 || col("other") < col("me")))
+      .select(col("me").as("doc_id")).distinct()
+    val expected = corpus.filter(col("doc_id") % 10 === 0).select("doc_id")
+      .join(rejected, Seq("doc_id"), "left_anti")
+    assert(out.except(expected).count() === 0 && expected.except(out).count() === 0)
+    // The batch must contain real near-dups to drop, and real survivors.
+    val nBatch = corpus.filter(col("doc_id") % 10 === 0).count()
+    assert(out.count() > 0 && out.count() < nBatch)
+    out.unpersist()
+  }
 }

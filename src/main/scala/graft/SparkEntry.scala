@@ -600,6 +600,26 @@ object SparkEntry {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // CDC-style LATEST-STATE compaction: the newest event per
+    // (user, event_type) — the "current snapshot from a changelog" shape
+    // every warehouse compaction job runs. Selection through the
+    // bounded-heap per-key operator: ≤ 1 row per key per map task
+    // reaches the exchange (a row_number window would shuffle the whole
+    // changelog). event_id is the total tiebreak for same-nanosecond
+    // writes.
+    "events_latest_state" -> ((s, dir) =>
+      plans.TopK.perKey(
+        Sources.events(s, dir)
+          // micros, not nanos: DuckDB timestamps carry micro precision,
+          // so the cross-engine contract ranks at micros (event_id is
+          // the total tiebreak within a microsecond either way).
+          .select(col("user_id"), col("event_type"),
+            expr("ts DIV 1000").as("ts_us"), col("event_id"), col("value")),
+        keyCols = Seq("user_id", "event_type"),
+        orderBy = Seq("ts_us" -> false, "event_id" -> false), k = 1)
+        .select("user_id", "event_type", "ts_us", "event_id", "value")
+        .orderBy("user_id", "event_type")),
+
     // Skew-JOIN salting (the join-side twin of yf_salted_month_agg's
     // aggregation salting): a viral key would pile one reducer high in a
     // plain shuffle join, so the fact side salts its key deterministically
@@ -1478,6 +1498,12 @@ object SparkEntry {
         |SELECT cohort_day, day_idx - cohort_day AS day_offset, count(*) AS n_users
         |FROM days JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_latest_state" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, event_type
+        |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "events_salted_join" ->
       s"""WITH dim AS (
          |  SELECT user_id, count(DISTINCT event_type) AS n_types

@@ -191,6 +191,19 @@ class PipelineOpsSpec extends SparkSpec {
     events.unpersist(); out.unpersist()
   }
 
+  test("latest-state compaction: one row per key, the true max, via the bounded-heap operator") {
+    val out = SparkEntry.queries("events_latest_state")(spark, sfDir).cache()
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() === 0)
+    val maxes = Sources.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(max(expr("ts DIV 1000")).as("m"))
+    assert(out.join(maxes, Seq("user_id", "event_type"))
+      .filter(col("ts_us") =!= col("m")).count() === 0)
+    assert(out.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    out.unpersist()
+  }
+
   test("salted join equals the plain join and salts on the join key") {
     val out = run("events_salted_join")
     val ev = Sources.events(spark, sfDir)

@@ -207,7 +207,10 @@ object Dedup {
   def lshNewDocs(batch: DataFrame, existing: DataFrame, idCol: String,
                  textCol: String, threshold: Double): DataFrame = {
     val shB = graft.util.Views.materialize(shingleRows(batch, idCol, textCol))
-    val shE = shingleRows(existing, idCol, textCol)
+    // Materialized: feeds BOTH the index banding and the partner-shingle
+    // verification side — without it the normalize→shingle derivation of
+    // the (large) existing corpus runs twice.
+    val shE = graft.util.Views.materialize(shingleRows(existing, idCol, textCol))
     val bB = bandRowsFromShingles(shB)
     val bE = bandRowsFromShingles(shE)
     def bandMatch = col("a.band_idx") === col("b.band_idx") &&

@@ -18,6 +18,15 @@ object Bench {
       // events.parquet carries INT64 TIMESTAMP(NANOS); read as BIGINT nanos
       // (session-level so no reader mutates conf mid-query — SPARK-40819).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Executor-side shuffle files are only removed when the
+      // ContextCleaner sees their driver-side handles GC'd; with sbt's
+      // large heap, driver GCs are rare and a long session accumulates
+      // /tmp shuffle data into disk/page-cache pressure (measured round 4:
+      // dedup_clusters_lsh grew 8→29→56 s across in-suite reps while flat
+      // in isolation). 30s periodic GC (default 30min) + the explicit
+      // per-rep GC below keep a long-running session flat — the same
+      // hygiene a 100 TB session needs.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -37,8 +46,10 @@ object Bench {
       try { fn(spark, warmDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
+      graft.util.Views.unpersistAll()
     }
     spark.catalog.clearCache()
+    System.gc() // release the whole warm-up pass's shuffle files
     // MEDIAN-OF-N protocol: single samples on this shared box carry
     // ±2-4x per-query noise (measured: the same untouched query ran 2.9 s
     // and 11.1 s in adjacent rounds), which made round-over-round
@@ -51,26 +62,39 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    var lastRows = 0L // result cardinality for the reference-format report
     val results = queries.map { case (name, fn) =>
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { lastRows = fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
-        // Queries persist shared intermediates (e.g. the dedup shingle
-        // view); drop them so no pass's timing pays another's cache residue.
-        spark.catalog.clearCache()
         // A failed pass reports -1, never a misleading small elapsed time.
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // The sample closes HERE — hygiene below is session upkeep, not
+        // query cost, and must not ride inside any pass's timing.
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // Per-rep hygiene: (1) unpersist the views the engine
+        // materialized (LSH band indexes, sketched-corpus views, the
+        // cluster loop's converged round — Views tracks them all), (2)
+        // drop any remaining cached plans, (3) force a driver GC so the
+        // ContextCleaner releases the pass's shuffle files NOW instead of
+        // whenever the large sbt heap next collects — without (3) shuffle
+        // data accumulates across the suite and later reps pay the disk
+        // pressure (round 4: dedup_clusters_lsh 8→29→56 s in-suite, flat
+        // in isolation).
+        graft.util.Views.unpersistAll()
+        spark.catalog.clearCache()
+        System.gc()
+        dt
       }
       // Any failed pass poisons the query: -1, not a median over survivors.
       val dt = if (samples.exists(_ < 0)) -1.0 else median(samples)
-      name -> (dt, samples)
+      name -> (dt, samples, lastRows)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val ss = results.map { case (k, (_, s)) =>
+    val ss = results.map { case (k, (_, s, _)) =>
       s"\"" + k + "\":" + s.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failed = results.values.count(_._1 < 0)
@@ -83,6 +107,13 @@ object Bench {
     // Also write to a file: stdout passes through sbt's [info] prefixing,
     // which downstream JSON parsers trip over.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // The reference's M1-M3 text report surface (performance_report.txt,
+    // idx_transform.py:387-397) over the same measurements.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("performance_report.txt"),
+      graft.util.PerfReport.render(results.collect {
+        case (name, (dt, _, rows)) if dt >= 0 => (name, rows, dt)
+      }.toSeq))
     spark.stop()
   }
 }

@@ -55,23 +55,27 @@ object SparkEntry {
     // Technical-indicator WINDOW over the reference's own stock domain:
     // consolidate to daily bars (unique (symbol, Date) keys — windows
     // over raw bars would order ties nondeterministically), then a
-    // trailing-20-day moving average + above/below signal. The sliding
-    // sum runs on exact DECIMAL(38,8) (Spark's incremental add/remove
-    // frame evaluation is exact on decimals; on doubles it would drift
-    // from DuckDB's per-frame recompute), divided once at the end.
-    // Window partitioned by symbol — no global ordering at any scale.
+    // trailing-20-day moving average + above/below signal. Close is
+    // QUANTIZED to 1e-8 longs (floor(v*1e8+0.5) — pure IEEE arithmetic,
+    // engine-identical; a decimal CAST is not: Spark rounds the double's
+    // shortest string form, DuckDB the exact binary value) so every sum —
+    // including the sliding-window sum — is exact integer arithmetic,
+    // divided back once at the end. Window partitioned by symbol — no
+    // global ordering at any scale. One year's slice: the window
+    // mechanics are identical, the verified payload stays bounded as the
+    // suite grows (both engines slice BEFORE consolidation).
     "yf_sma_signals" -> ((s, dir) => {
-      val dec = org.apache.spark.sql.types.DecimalType(38, 8)
       val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
         .groupBy("symbol", "Date")
-        .agg(sum(col("Close").cast(dec)).as("close_sum"),
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("close_sum"),
           count(lit(1)).as("n_bars"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("symbol").orderBy("Date").rowsBetween(-19, 0)
       daily
-        .withColumn("close_avg", col("close_sum").cast("double") / col("n_bars"))
+        .withColumn("close_avg", (col("close_sum") / 1e8) / col("n_bars"))
         .withColumn("sma20",
-          sum(col("close_sum")).over(w).cast("double") / sum(col("n_bars")).over(w))
+          (sum(col("close_sum")).over(w) / 1e8) / sum(col("n_bars")).over(w))
         .withColumn("above_sma", (col("close_avg") > col("sma20")).cast("int"))
         .select(col("symbol"), col("Date"), col("close_avg"), col("sma20"),
           col("above_sma"))
@@ -333,6 +337,24 @@ object SparkEntry {
         news.Summarize.chunkCountUdf(col("long_text")).cast("long").as("n_chunks"))
         .orderBy("doc_id")
     }),
+
+    // The SQL-expressible ENVELOPE of the U2 summarizer (the prose-
+    // emitting core stays rows-only by contract): sentence count, greedy-
+    // pick size under the one-shot (250, 50) budgets, and the top-ranked
+    // sentence's index — driven by the summarizer's own ranking/pick
+    // functions, replayed independently in DuckDB (scoring joins + a
+    // recursive-CTE greedy fold). Shrinks the rows-only set to the
+    // BART-shaped core.
+    "news_summary_stats" -> ((s, dir) =>
+      Sources.documents(s, dir)
+        .withColumn("dotted", expr("replace(text, ' the ', '. ')"))
+        .select(col("doc_id"),
+          news.Summarize.summaryStatsUdf(col("dotted")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_sentences").as("n_sentences"),
+          col("st.n_summary_sentences").as("n_summary_sentences"),
+          col("st.top_sentence_idx").as("top_sentence_idx"))
+        .orderBy("doc_id")),
 
     // SQL-expressible text stats (SURVEY.md §5.1): char/word/sentence
     // counts via higher-order functions, checked against DuckDB.
@@ -1168,8 +1190,12 @@ object SparkEntry {
   }
 
   /** SQL twin of [[qualityGate]]: CTEs ending in `gate` (all gate output
-    * columns) over `docsRel(doc_id, text)`. */
-  private def qualityGateSql(docsRel: String): String =
+    * columns) over `docsRel(doc_id, text)`. The thresholds are
+    * INTERPOLATED from the TextAnalysis constants — one definition for
+    * both engines, so a constant change can never silently diverge the
+    * oracle from the engine. */
+  private def qualityGateSql(docsRel: String): String = {
+    import text.TextAnalysis.{GateMinWords, GateMaxTopWordRatio, GateMinQuality}
     s"""gsig AS (${text.TextAnalysis.gateSignalsSql(docsRel, "doc_id", "text")}),
        |gw AS (
        |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
@@ -1180,14 +1206,15 @@ object SparkEntry {
        |gate AS (
        |  SELECT s.doc_id, lang_id, n_words,
        |    coalesce(top_word_ratio, 0.0) AS top_word_ratio, quality_score,
-       |    CAST((n_words >= 20 AND lang_id <> 'und'
-       |          AND coalesce(top_word_ratio, 0.0) <= 0.2
-       |          AND quality_score >= 0.55) AS INTEGER) AS keep,
-       |    (CASE WHEN n_words < 20 THEN 'too_short'
+       |    CAST((n_words >= $GateMinWords AND lang_id <> 'und'
+       |          AND coalesce(top_word_ratio, 0.0) <= $GateMaxTopWordRatio
+       |          AND quality_score >= $GateMinQuality) AS INTEGER) AS keep,
+       |    (CASE WHEN n_words < $GateMinWords THEN 'too_short'
        |          WHEN lang_id = 'und' THEN 'lang_unknown'
-       |          WHEN coalesce(top_word_ratio, 0.0) > 0.2 THEN 'repetitive'
-       |          WHEN quality_score < 0.55 THEN 'low_quality' END) AS fail_reason
+       |          WHEN coalesce(top_word_ratio, 0.0) > $GateMaxTopWordRatio THEN 'repetitive'
+       |          WHEN quality_score < $GateMinQuality THEN 'low_quality' END) AS fail_reason
        |  FROM gsig s LEFT JOIN grep USING (doc_id))""".stripMargin
+  }
 
   /** Token-budget shard assignment shared by `docs_pack_shards` /
     * `docs_pack_assemble`: deterministic hash bucket = independent
@@ -1281,7 +1308,15 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * RULE: every integer aggregate output (sum/count arithmetic) must be
+    * `CAST(... AS BIGINT)`. DuckDB's `sum(BIGINT)` returns HUGEINT
+    * (INT128), which the driver's canonicalizer renders differently from
+    * Spark's BIGINT even when the values are equal — `rows_match` and
+    * `schema_match` pass but `hash_match` fails (exactly how `docs_split`
+    * broke in round 4). `tools/verify_local.py` audits oracle result
+    * types and fails on any HUGEINT column so the rule is mechanical. */
   def oracleSql: Map[String, String] = Map(
     "yf_month_agg" -> yfAggOracle("%Y-%m", "month"),
     "yf_month_agg_ref" ->
@@ -1340,12 +1375,15 @@ object SparkEntry {
       s"""WITH $barsCte,
          |daily AS (
          |  SELECT symbol, "Date",
-         |    sum(CAST("Close" AS DECIMAL(38,8))) AS close_sum, count(*) AS n_bars
-         |  FROM bars GROUP BY 1, 2),
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS close_sum,
+         |    count(*) AS n_bars
+         |  FROM bars
+         |  WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
          |sma AS (
          |  SELECT symbol, "Date",
-         |    CAST(close_sum AS DOUBLE) / n_bars AS close_avg,
-         |    CAST(sum(close_sum) OVER w AS DOUBLE) / sum(n_bars) OVER w AS sma20
+         |    (close_sum / 1e8) / n_bars AS close_avg,
+         |    (sum(close_sum) OVER w / 1e8) / sum(n_bars) OVER w AS sma20
          |  FROM daily
          |  WINDOW w AS (PARTITION BY symbol ORDER BY "Date"
          |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
@@ -1407,6 +1445,9 @@ object SparkEntry {
       s"""${news.Summarize.chunkCountsSql("documents", longText)}
          |ORDER BY doc_id""".stripMargin
     },
+    "news_summary_stats" ->
+      s"""${news.Summarize.summaryStatsSql("documents", "replace(text, ' the ', '. ')")}
+         |ORDER BY doc_id""".stripMargin,
     "news_text_stats" ->
       """WITH d AS (SELECT *, replace(text, ' the ', '. ') AS dotted FROM documents)
         |SELECT doc_id,
@@ -1734,7 +1775,7 @@ object SparkEntry {
         |  (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
         |        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
         |        ELSE 'train' END) AS split,
-        |  lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "docs_rebalance" ->
       """WITH counts AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1),
@@ -1750,13 +1791,16 @@ object SparkEntry {
         |FROM counts c LEFT JOIN kept k USING (lang)
         |ORDER BY c.lang""".stripMargin,
     "emb_label_centroids" ->
-      // The fixture's embedding dim is fixed at 64 (all SFs), so the
-      // oracle unnests via a plain range cross join (DuckDB has no
-      // WITH ORDINALITY); the Spark side stays dimension-agnostic.
-      """SELECT label, CAST(t.i AS BIGINT) - 1 AS dim_idx,
-        |  (CAST(sum(CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT))
+      // Dimension-agnostic like the Spark side: the unnest bound derives
+      // from len(embedding) PER ROW (no hardcoded dim — a fixture dim
+      // change can no longer silently count past-the-end NULL positions
+      // into the centroid denominator).
+      """SELECT label, CAST(i AS BIGINT) - 1 AS dim_idx,
+        |  (CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT))
         |        AS BIGINT) / 1e8) / count(*) AS centroid
-        |FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |FROM (SELECT label, embedding,
+        |        unnest(range(1, len(embedding) + 1)) AS i
+        |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, dim_idx""".stripMargin,
     "dedup_survivors" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},

@@ -14,6 +14,9 @@ object Verify {
       // events.parquet carries INT64 TIMESTAMP(NANOS); read as BIGINT nanos
       // (session-level so no reader mutates conf mid-query — SPARK-40819).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Release shuffle files promptly in a long many-query session (see
+      // Bench.scala — same hygiene, same reason).
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -25,8 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Dedup/sim queries persist shared intermediates; drop them so the
-      // 33-query run doesn't accumulate shuffle-scale cache residue.
+      // Dedup/sim queries persist shared intermediates; reclaim them so
+      // the multi-query run doesn't accumulate cache/shuffle residue.
+      graft.util.Views.unpersistAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -206,6 +206,17 @@ object Dedup {
     * only. Batch docs with no shingles trivially survive. */
   def lshNewDocs(batch: DataFrame, existing: DataFrame, idCol: String,
                  textCol: String, threshold: Double): DataFrame = {
+    // PRECONDITION (enforced): batch and existing id spaces are DISJOINT.
+    // shPartner below unions both sides keyed only by id, so a doc id
+    // present on both sides would double-count its shingles in n_b and
+    // corrupt the Jaccard verdict. One id-projected semi-join probe up
+    // front (batch ids broadcast; the corpus side is a single-column
+    // scan — negligible next to the shingle joins that follow) fails
+    // loudly instead of silently mis-verifying.
+    require(existing.select(col(idCol))
+        .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_semi")
+        .isEmpty,
+      "lshNewDocs: batch and existing share doc ids — the id spaces must be disjoint")
     val shB = graft.util.Views.materialize(shingleRows(batch, idCol, textCol))
     // Materialized: feeds BOTH the index banding and the partner-shingle
     // verification side — without it the normalize→shingle derivation of
@@ -352,8 +363,29 @@ object Dedup {
     // min(id, min of neighbor ids) — a plain aggregate over the edge
     // list, no join needed (a neighbor's identity label IS its id). This
     // skips both the identity-label materialization and round 1's join.
+    // The loop runs at its OWN shuffle width, derived from the measured
+    // edge count, not the session's corpus-scale width: the duplicate
+    // graph is a tiny fraction of the corpus (~1% of vertices at real
+    // dup rates), and inheriting the session width makes every round a
+    // swarm of near-empty tasks whose scheduling dominates the round
+    // (measured at sf0.1: the same fixpoint cost 7.5 s at width 32 and
+    // 3.9 s at width 8 — the loop's data is ~600 edges). One partition
+    // per ~4 M edge rows, floored at 1, capped at the session width so
+    // a genuinely huge duplicate graph keeps full parallelism. The width
+    // is scoped by EXPLICIT repartition on the loop's aggregate/join
+    // inputs — never by mutating spark.sql.shuffle.partitions, which
+    // would leak the narrowed width into any concurrently-planned query
+    // on the shared session (and into recomputes of evicted blocks after
+    // restore). Repartition on the grouping/join key satisfies the
+    // downstream distribution requirement, so no second exchange is
+    // added, and AQE leaves user-specified widths alone.
+    val sessionWidth =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopWidth =
+      math.max(1L, math.min(sessionWidth.toLong, nEdgeRows / 4000000L + 1)).toInt
     val seed = e.select(col("src").as("id"), col("src").as("label"))
       .union(e.select(col("dst").as("id"), col("src").as("label")))
+      .repartition(loopWidth, col("id"))
       .groupBy("id").agg(min("label").as("label"))
     // Convergence probe: per-vertex labels only ever DECREASE, so the
     // label-sum strictly decreases every round until fixpoint.
@@ -385,7 +417,13 @@ object Dedup {
         val c = df.checkpoint()
         (c, c)
       case None =>
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Registered with Views so the CONVERGED round — still live when
+        // this method returns, because the result is consumed lazily —
+        // is reclaimed by the harness's end-of-query Views.unpersistAll
+        // (retired intermediate rounds are unpersisted in-loop; the
+        // registry's second unpersist on them is a no-op).
+        val p = graft.util.Views.register(
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         (org.apache.spark.sql.GraftColumnBridge.lineageTruncated(p), p)
     }
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -412,46 +450,35 @@ object Dedup {
         java.math.BigDecimal.ZERO // genuinely empty: all-singleton corpus
       } else s
     }
-    // The loop runs at its OWN shuffle width, derived from the measured
-    // edge count, not the session's corpus-scale width: the duplicate
-    // graph is a tiny fraction of the corpus (~1% of vertices at real
-    // dup rates), and inheriting the session width makes every round a
-    // swarm of near-empty tasks whose scheduling dominates the round
-    // (measured at sf0.1: the same fixpoint cost 7.5 s at width 32 and
-    // 3.9 s at width 8 — the loop's data is ~600 edges). One partition
-    // per ~4 M edge rows, floored at 1, capped at the session width so
-    // a genuinely huge duplicate graph keeps full parallelism. The
-    // session conf is restored afterwards (the singleton rejoin below is
-    // corpus-scale and must keep the session width).
-    val sess = docs.sparkSession
-    val widthConf = "spark.sql.shuffle.partitions"
-    val sessionWidth = sess.conf.get(widthConf).toInt
-    val loopWidth =
-      math.max(1L, math.min(sessionWidth.toLong, nEdgeRows / 4000000L + 1)).toInt
-    sess.conf.set(widthConf, loopWidth.toString)
     var converged = false
     var labels: DataFrame = null
-    try {
-      val r1 = materializeRound(seed)
-      labels = r1._1
-      var cached = r1._2
-      var prevSum = labelSum(cached) // fills the seed's cache + probes
-      converged = prevSum.signum() == 0 && cached.isEmpty // no pairs at all
-      var iter = 1 // the fused seed IS round 1
-      while (!converged && iter < maxIters) {
-        val neighborLabels = e.join(labels, e("src") === labels("id"))
-          .select(col("dst").as("id"), col("label"))
-        val next = labels.union(neighborLabels).groupBy("id").agg(min("label").as("label"))
-        val (nLabels, nCached) = materializeRound(next)
-        val nextSum = labelSum(nCached) // fills the cache + probes convergence
-        converged = nextSum.compareTo(prevSum) == 0
-        prevSum = nextSum
-        cached.unpersist()
-        cached = nCached
-        labels = nLabels
-        iter += 1
-      }
-    } finally sess.conf.set(widthConf, sessionWidth.toString)
+    val r1 = materializeRound(seed)
+    labels = r1._1
+    var cached = r1._2
+    var prevSum = labelSum(cached) // fills the seed's cache + probes
+    converged = prevSum.signum() == 0 && cached.isEmpty // no pairs at all
+    var iter = 1 // the fused seed IS round 1
+    while (!converged && iter < maxIters) {
+      // Both join inputs repartitioned on the join key at the loop's own
+      // width: co-partitioned at equal numPartitions, so the join plans
+      // no further exchange and the whole round runs loopWidth-wide
+      // without touching session conf.
+      val neighborLabels = e.repartition(loopWidth, col("src"))
+        .join(labels.repartition(loopWidth, col("id")),
+          col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(neighborLabels)
+        .repartition(loopWidth, col("id"))
+        .groupBy("id").agg(min("label").as("label"))
+      val (nLabels, nCached) = materializeRound(next)
+      val nextSum = labelSum(nCached) // fills the cache + probes convergence
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      cached.unpersist()
+      cached = nCached
+      labels = nLabels
+      iter += 1
+    }
     // Fail LOUDLY on non-convergence: returning partial labels would be
     // silently wrong (and diverge from the oracle's true closure). The
     // round count is the graph diameter, so hitting maxIters means the

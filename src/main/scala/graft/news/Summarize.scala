@@ -67,32 +67,63 @@ object Summarize {
     out.result()
   }
 
-  /** Deterministic extractive summary under the reference's token budgets:
-    * score sentences by summed term frequency (lowercased word tokens),
-    * take best-scoring sentences (ties → earlier sentence) while they fit
-    * in `maxLength` tokens, keep adding while under `minLength`, emit in
-    * original order. Pure function — no randomness, no model. */
-  def extractiveSummarize(text: String, maxLength: Int, minLength: Int): String = {
-    val sents = sentences(text)
-    if (sents.isEmpty) return ""
+  /** Sentence ranking shared by [[extractiveSummarize]] and
+    * [[summaryStats]]: (sentence, 0-based original index, token count,
+    * term-frequency score), sorted by (score desc, original index) —
+    * score = summed doc-level frequency of the sentence's lowercased
+    * letter-bearing tokens / (token count + 1). */
+  private def rankedSentences(text: String): Seq[(String, Int, Int, Double)] = {
     val freq = tokenize(text.toLowerCase).filter(_.exists(_.isLetter))
       .groupBy(identity).map { case (w, ws) => (w, ws.size) }
-    val scored = sents.zipWithIndex.map { case (s, i) =>
+    sentences(text).zipWithIndex.map { case (s, i) =>
       val words = tokenize(s.toLowerCase).filter(_.exists(_.isLetter))
       val score = words.map(freq.getOrElse(_, 0)).sum.toDouble / (words.size + 1)
       (s, i, tokenCount(s), score)
-    }
-    val ranked = scored.sortBy { case (_, i, _, score) => (-score, i) }
+    }.sortBy { case (_, i, _, score) => (-score, i) }
+  }
+
+  /** The greedy budget pick over a ranked sentence list: take while it
+    * fits the max budget; always take at least one; keep taking (even
+    * past max) while still under the min budget. Returns picked
+    * (sentence, original index) in RANKED order. */
+  private def greedyPick(ranked: Seq[(String, Int, Int, Double)],
+                         maxLength: Int, minLength: Int): Seq[(String, Int)] = {
     var used = 0
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     ranked.foreach { case (s, i, n, _) =>
-      // take while it fits the max budget; always take at least one; keep
-      // taking (even past max) while still under the min budget
       if (picked.isEmpty || used + n <= maxLength || used < minLength) {
         picked += ((s, i)); used += n
       }
     }
-    picked.sortBy(_._2).map(_._1).mkString(" ")
+    picked.toSeq
+  }
+
+  /** Deterministic extractive summary under the reference's token budgets:
+    * [[rankedSentences]] scoring, [[greedyPick]] selection, emitted in
+    * original order. Pure function — no randomness, no model. */
+  def extractiveSummarize(text: String, maxLength: Int, minLength: Int): String = {
+    val ranked = rankedSentences(text)
+    if (ranked.isEmpty) return ""
+    greedyPick(ranked, maxLength, minLength).sortBy(_._2).map(_._1).mkString(" ")
+  }
+
+  /** The SQL-expressible ENVELOPE of the extractive summarizer (the U2
+    * core stays rows-only — it emits prose): total sentence count, how
+    * many sentences the greedy pick keeps under the one-shot
+    * (250, 50) budgets, and the 1-BASED original index of the
+    * top-ranked sentence. Driven by the exact same [[rankedSentences]] /
+    * [[greedyPick]] the summarizer runs, and replayed independently in
+    * DuckDB by [[summaryStatsSql]] (scoring joins + a recursive-CTE
+    * greedy fold). */
+  case class SummaryStats(n_sentences: Long, n_summary_sentences: Long,
+                          top_sentence_idx: Long)
+
+  def summaryStats(text: String, maxLength: Int = 250, minLength: Int = 50): SummaryStats = {
+    val ranked = rankedSentences(text)
+    if (ranked.isEmpty) SummaryStats(0L, 0L, 0L)
+    else SummaryStats(ranked.size.toLong,
+      greedyPick(ranked, maxLength, minLength).size.toLong,
+      ranked.head._2 + 1L)
   }
 
   /** Split-merge summarization (`iqplus_market_transform.py:49-89`). */
@@ -115,6 +146,9 @@ object Summarize {
     if (text == null) 0 else splitText(text).size)
 
   val tokenCountUdf = udf((text: String) => if (text == null) 0 else tokenCount(text))
+
+  val summaryStatsUdf = udf((text: String) =>
+    if (text == null) SummaryStats(0L, 0L, 0L) else summaryStats(text))
 
   /** 1-based dense index over an explicit order — the deterministic form
     * of the reference's cursor counter (`iqplus_market_transform.py:95,119,131`).
@@ -181,4 +215,73 @@ object Summarize {
        |  FROM last WHERE rn = 1)
        |SELECT t.doc_id, t.n_tokens, c.n_chunks
        |FROM toks t JOIN chunks c USING (doc_id)""".stripMargin
+
+  /** DuckDB mirror of [[summaryStats]]: the term-frequency sentence
+    * scoring rebuilt from scratch (doc-level letter-token frequencies
+    * joined back onto each sentence's tokens), the (score desc, index)
+    * ranking as a window, and the greedy budget pick replayed as a
+    * RECURSIVE CTE advancing `(used, npicked)` over rank order — exactly
+    * the [[greedyPick]] state machine, including always-take-first and
+    * keep-taking-under-min. Score division is int/int → double in both
+    * engines (exact operands ⇒ identical IEEE result ⇒ identical
+    * ranking). Ends in a SELECT of (doc_id, n_sentences,
+    * n_summary_sentences, top_sentence_idx). */
+  def summaryStatsSql(docsRel: String, textExpr: String,
+                      maxLength: Int = 250, minLength: Int = 50): String =
+    s"""WITH RECURSIVE
+       |base AS (SELECT doc_id, $textExpr AS t FROM $docsRel),
+       |sl AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split(t, '.'), x -> trim(x)),
+       |                x -> x <> '') AS ss
+       |  FROM base),
+       |sents AS (
+       |  SELECT doc_id, generate_subscripts(ss, 1) AS i, unnest(ss) AS s
+       |  FROM sl),
+       |stok AS (
+       |  SELECT doc_id, i,
+       |    CAST(len(regexp_extract_all(s || '.', '$tokenReSql')) AS INTEGER) AS ntok,
+       |    list_filter(regexp_extract_all(lower(s) || '.', '$tokenReSql'),
+       |                x -> regexp_matches(x, '\\p{L}')) AS words
+       |  FROM sents),
+       |dw AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_extract_all(lower(t), '$tokenReSql'),
+       |                       x -> regexp_matches(x, '\\p{L}'))) AS w
+       |  FROM base),
+       |freq AS (SELECT doc_id, w, count(*) AS f FROM dw GROUP BY 1, 2),
+       |sw AS (SELECT doc_id, i, unnest(words) AS w FROM stok),
+       |sscore AS (
+       |  SELECT sw.doc_id, sw.i, count(*) AS nw,
+       |    CAST(sum(coalesce(f.f, 0)) AS BIGINT) AS sf
+       |  FROM sw LEFT JOIN freq f ON f.doc_id = sw.doc_id AND f.w = sw.w
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT st.doc_id, st.i, st.ntok,
+       |    row_number() OVER (PARTITION BY st.doc_id
+       |      ORDER BY coalesce(CAST(sc.sf AS DOUBLE) / (sc.nw + 1), 0.0) DESC,
+       |               st.i) AS rn
+       |  FROM stok st LEFT JOIN sscore sc
+       |    ON sc.doc_id = st.doc_id AND sc.i = st.i),
+       |pick AS (
+       |  SELECT doc_id, 0 AS rn, 0 AS used, 0 AS npicked FROM base
+       |  UNION ALL
+       |  SELECT p.doc_id, p.rn + 1,
+       |    p.used + CASE WHEN (p.npicked = 0 OR p.used + r.ntok <= $maxLength
+       |                        OR p.used < $minLength) THEN r.ntok ELSE 0 END,
+       |    p.npicked + CASE WHEN (p.npicked = 0 OR p.used + r.ntok <= $maxLength
+       |                           OR p.used < $minLength) THEN 1 ELSE 0 END
+       |  FROM pick p JOIN ranked r ON r.doc_id = p.doc_id AND r.rn = p.rn + 1),
+       |lastpick AS (
+       |  SELECT doc_id, npicked,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY rn DESC) AS rr
+       |  FROM pick)
+       |SELECT b.doc_id,
+       |  CAST(coalesce(ns.n, 0) AS BIGINT) AS n_sentences,
+       |  CAST(lp.npicked AS BIGINT) AS n_summary_sentences,
+       |  CAST(coalesce(tp.i, 0) AS BIGINT) AS top_sentence_idx
+       |FROM base b
+       |LEFT JOIN (SELECT doc_id, count(*) AS n FROM sents GROUP BY 1) ns USING (doc_id)
+       |JOIN (SELECT doc_id, npicked FROM lastpick WHERE rr = 1) lp USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, i FROM ranked WHERE rn = 1) tp USING (doc_id)""".stripMargin
 }

@@ -162,9 +162,10 @@ object Similarity {
     * count job runs at DataFrame-construction time) and stays cached —
     * like [[cosinePairs]]'s sketch view, it is the operator's reusable
     * index and is deliberately not unpersisted here (the result would be
-    * consumed lazily after this method returns). Callers composing many
-    * invocations over different corpora should `spark.catalog.clearCache()`
-    * between them — Bench does, per query. */
+    * consumed lazily after this method returns). Every materialized view
+    * is registered with [[graft.util.Views]]; callers reclaim them after
+    * the consuming action with `Views.unpersistAll()` — Bench and Verify
+    * do, per query (ViewLifecycleSpec asserts nothing stays persisted). */
   def rhpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = NumBits, bands: Int = NumBands): DataFrame = {
     // bands is validated BEFORE the modulo so bands=0 reports this message,

@@ -20,8 +20,22 @@ import org.apache.spark.storage.StorageLevel
   * self-join included — reads the cache. This is the standard
   * materialize-the-exploded-view step of a shingle join at cluster
   * scale: one pass writes the view, N stages read it.
+  *
+  * LIFECYCLE: some materialized views are deliberately still live when
+  * the operator returns (the result is consumed lazily afterwards, so
+  * the operator cannot unpersist them itself — e.g. the LSH band index,
+  * the sketched-corpus view, the cluster loop's converged round). Every
+  * materialization therefore also REGISTERS itself here, and
+  * [[unpersistAll]] is the uniform end-of-query reclaim the harness
+  * calls once the action has completed (Bench per rep, Verify per
+  * query, ViewLifecycleSpec asserts the result). `spark.catalog
+  * .clearCache()` would also drop the cached data, but only this
+  * registry ties the reclaim to the views the engine itself created.
   */
 object Views {
+  private val live =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+
   def materialize(df: DataFrame): DataFrame = materializeCounted(df)._1
 
   /** [[materialize]], also returning the row count the forcing action
@@ -29,7 +43,24 @@ object Views {
     * cardinality (e.g. a loop's shuffle width) get it for free. */
   def materializeCounted(df: DataFrame): (DataFrame, Long) = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    live.add(p)
     val n = p.count()
     (p, n)
+  }
+
+  /** Enroll an externally-persisted frame (e.g. the cluster loop's
+    * per-round caches) in the end-of-query reclaim without forcing it.
+    * Unpersisting an already-unpersisted frame is a no-op, so frames the
+    * owner retires early may still be registered. */
+  def register(df: DataFrame): DataFrame = { live.add(df); df }
+
+  /** Unpersist every view materialized since the last call — the
+    * end-of-query storage reclaim. Blocking=false: the blocks drop
+    * asynchronously; correctness never depends on them (each view's
+    * lineage still exists — a post-reclaim consumer would recompute,
+    * not fail). */
+  def unpersistAll(): Unit = {
+    val it = live.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
   }
 }

@@ -186,6 +186,52 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.CheckpointDirConf)
   }
 
+  test("clusters: adversarial diameter — a 20-long chain converges in diameter+1 rounds, maxIters guard fires one short") {
+    // The fixture's dup graphs are stars/chains of diameter <= 4; this is
+    // the pathological shape the maxIters guard exists for. Chain
+    // 1-2-...-21 has diameter 20: the min label advances one hop per
+    // round, so the loop needs 20 rounds to reach the fixpoint plus ONE
+    // detection round (the label-sum probe declares convergence when two
+    // consecutive sums agree) = 21. maxIters = 21 must converge;
+    // maxIters = 20 must fail LOUDLY (partial labels are never returned).
+    val chainDocs = (1L to 21L).toDF("doc_id")
+    val chainPairs = (1L to 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ok = Dedup.clusters(chainDocs, "doc_id", chainPairs, maxIters = 21)
+      .orderBy("doc_id").collect()
+    assert(ok.length === 21 && ok.forall(_.getLong(1) === 1L))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clusters(chainDocs, "doc_id", chainPairs, maxIters = 20)
+        .orderBy("doc_id").collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // Same boundary on the reliable-checkpoint materialization path.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_chain").toString
+    spark.conf.set(Dedup.CheckpointDirConf, dir)
+    try {
+      val ck = Dedup.clusters(chainDocs, "doc_id", chainPairs, maxIters = 21)
+        .orderBy("doc_id").collect()
+      assert(ck.toSeq === ok.toSeq)
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.clusters(chainDocs, "doc_id", chainPairs, maxIters = 20).collect()
+      }
+      assert(e2.getMessage.contains("did not converge"))
+    } finally spark.conf.unset(Dedup.CheckpointDirConf)
+  }
+
+  test("lshNewDocs rejects overlapping batch/existing id spaces loudly") {
+    val batch = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    val existing = Seq((2L, "m n o p q r"), (3L, "s t u v w x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshNewDocs(batch, existing, "doc_id", "text", 0.6)
+    }
+    assert(e.getMessage.contains("disjoint"))
+    // disjoint spaces pass the guard and dedup normally
+    val okExisting = Seq((10L, "a b c d e f"), (11L, "s t u v w x")).toDF("doc_id", "text")
+    val survivors = Dedup.lshNewDocs(batch, okExisting, "doc_id", "text", 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(2L)) // doc 1 near-dups doc 10, doc 2 is new
+  }
+
   test("candidate generation never pairs a doc with itself and is ordered") {
     val cand = Dedup.lshCandidates(docs, "doc_id", "text")
     assert(cand.filter(col("id_a") >= col("id_b")).count() === 0)

@@ -70,6 +70,26 @@ class SummarizeSpec extends AnyFunSuite {
     assert(outSents.map(srcSents.indexOf) === outSents.map(srcSents.indexOf).sorted)
   }
 
+  test("summaryStats agrees with the summarizer it instruments") {
+    check(Prop.forAll(textGen) { text =>
+      val st = Summarize.summaryStats(text, 250, 50)
+      val summary = Summarize.extractiveSummarize(text, 250, 50)
+      val srcSents = Summarize.sentences(text)
+      // n_summary_sentences == sentences actually emitted (each picked
+      // sentence carries exactly one '.'), n_sentences == source count,
+      // and the top-ranked sentence is always in the summary (the greedy
+      // pick never rejects the first ranked sentence).
+      st.n_sentences == srcSents.size &&
+        st.n_summary_sentences == Summarize.sentences(summary).size &&
+        (srcSents.isEmpty ||
+          Summarize.sentences(summary).contains(srcSents(st.top_sentence_idx.toInt - 1)))
+    })
+  }
+
+  test("summaryStats on empty input is all-zero") {
+    assert(Summarize.summaryStats("") === Summarize.SummaryStats(0L, 0L, 0L))
+  }
+
   test("null / empty / error inputs produce empty string like the reference") {
     assert(Summarize.summarizeLongText(null) === "")
     assert(Summarize.extractiveSummarize("", 250, 50) === "")

@@ -71,12 +71,22 @@ def main():
             s_rows = spark_rel.fetchall()
             duck_rel = con.sql(sql)
             d_cols = [c.lower() for c in duck_rel.columns]
+            d_types = [str(t).upper() for t in duck_rel.types]
             d_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         problems = []
+        # Type audit: DuckDB sum(BIGINT) silently widens to HUGEINT
+        # (INT128), which Python int coercion hides HERE but the driver's
+        # canonicalizer renders differently from Spark's BIGINT — the
+        # exact docs_split round-4 failure mode. Any HUGEINT output
+        # column means a missing CAST(... AS BIGINT) in the oracle SQL.
+        hupe = [c for c, t in zip(d_cols, d_types) if "HUGEINT" in t]
+        if hupe:
+            problems.append(f"oracle emits HUGEINT column(s) {hupe} — "
+                            "add CAST(... AS BIGINT) (see SparkEntry.oracleSql rule)")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
         elif len(s_rows) != len(d_rows):

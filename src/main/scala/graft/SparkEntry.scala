@@ -929,6 +929,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL near-dedup against a STORED index — the true 100 TB
+    // ingest shape dedup_incremental_lsh documents but derives in-query:
+    // the existing corpus's band index + shingle store are WRITTEN to
+    // parquet once (the write-once artifacts an ingest pipeline keeps),
+    // read back, and only the batch is shingled/banded at probe time.
+    // Same oracle as the in-query twin — identical survivors prove the
+    // stored path computes the same verdicts.
+    "dedup_incremental_lsh_stored" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val isBatch = col("doc_id") % 10 === 0
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_lsh_index")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(out)) fs.delete(out, true) // rebuild per invocation
+      dedup.Dedup.writeLshIndex(docs.filter(!isBatch), "doc_id", "text", out.toString)
+      val (bandE, shE) = dedup.Dedup.readLshIndex(s, out.toString)
+      dedup.Dedup.lshNewDocsAgainstIndex(docs.filter(isBatch), bandE, shE,
+        "doc_id", "text", 0.6)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test SPLIT (training-data extension):
     // assignment by the first hex nibble of md5(doc_id) — 12/2/2
     // sixteenths ≈ 75/12.5/12.5 — so membership is a pure function of
@@ -1291,6 +1312,51 @@ object SparkEntry {
     blocks.flatMap { case (st, f) =>
       yf.Ohlcv.barColumns.map { case (src, out) => s"""${f(s""""$src"""")} AS ${st}_$out""" }
     }.mkString(",\n    ") + ",\n    count(*) AS row_count"
+  }
+
+  /** Shared by `dedup_incremental_lsh` (in-query index) and
+    * `dedup_incremental_lsh_stored` (parquet round-trip) — both engines
+    * and both paths must produce the identical survivor set. */
+  private lazy val incrementalLshOracle: String = {
+    import dedup.Dedup.{NumBands, shinglesSql, minhashSignatureSql, bandKeysSql}
+    s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+       |batch AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 = 0),
+       |exist AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 <> 0),
+       |shb AS (SELECT doc_id AS id, unnest(${shinglesSql("text")}) AS sh FROM batch),
+       |she AS (SELECT doc_id AS id, unnest(${shinglesSql("text")}) AS sh FROM exist),
+       |sigb AS (
+       |  SELECT doc_id AS id, ${minhashSignatureSql("sh")} AS sig
+       |  FROM (SELECT doc_id, ${shinglesSql("text")} AS sh FROM batch)
+       |  WHERE len(sh) > 0),
+       |sige AS (
+       |  SELECT doc_id AS id, ${minhashSignatureSql("sh")} AS sig
+       |  FROM (SELECT doc_id, ${shinglesSql("text")} AS sh FROM exist)
+       |  WHERE len(sh) > 0),
+       |bb AS (SELECT id, i AS band_idx, (${bandKeysSql("sig")})[i] AS band_key
+       |       FROM sigb, range(1, ${NumBands + 1}) t(i)),
+       |be AS (SELECT id, i AS band_idx, (${bandKeysSql("sig")})[i] AS band_key
+       |       FROM sige, range(1, ${NumBands + 1}) t(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bb a JOIN be b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  UNION
+       |  SELECT DISTINCT a.id, b.id
+       |  FROM bb a JOIN bb b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND b.id < a.id),
+       |shall AS (SELECT * FROM shb UNION ALL SELECT * FROM she),
+       |na AS (SELECT id AS id_a, count(*) AS n_a FROM shb GROUP BY 1),
+       |nb AS (SELECT id AS id_b, count(*) AS n_b FROM shall GROUP BY 1),
+       |common AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+       |  FROM shb a JOIN shall b ON a.sh = b.sh
+       |  JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+       |  GROUP BY 1, 2),
+       |rejected AS (
+       |  SELECT DISTINCT id_a FROM common JOIN na USING (id_a) JOIN nb USING (id_b)
+       |  WHERE n_common / (n_a + n_b - n_common) >= 0.6)
+       |SELECT doc_id FROM batch
+       |WHERE doc_id NOT IN (SELECT id_a FROM rejected)
+       |ORDER BY doc_id""".stripMargin
   }
 
   private def yfAggOracle(fmt: String, label: String, bySymbol: Boolean = false): String = {
@@ -1729,47 +1795,11 @@ object SparkEntry {
          |FROM incoming i
          |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = i.h)
          |GROUP BY h ORDER BY doc_id""".stripMargin,
-    "dedup_incremental_lsh" -> {
-      import dedup.Dedup.{NumBands, shinglesSql, minhashSignatureSql, bandKeysSql}
-      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
-         |batch AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 = 0),
-         |exist AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 <> 0),
-         |shb AS (SELECT doc_id AS id, unnest(${shinglesSql("text")}) AS sh FROM batch),
-         |she AS (SELECT doc_id AS id, unnest(${shinglesSql("text")}) AS sh FROM exist),
-         |sigb AS (
-         |  SELECT doc_id AS id, ${minhashSignatureSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shinglesSql("text")} AS sh FROM batch)
-         |  WHERE len(sh) > 0),
-         |sige AS (
-         |  SELECT doc_id AS id, ${minhashSignatureSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shinglesSql("text")} AS sh FROM exist)
-         |  WHERE len(sh) > 0),
-         |bb AS (SELECT id, i AS band_idx, (${bandKeysSql("sig")})[i] AS band_key
-         |       FROM sigb, range(1, ${NumBands + 1}) t(i)),
-         |be AS (SELECT id, i AS band_idx, (${bandKeysSql("sig")})[i] AS band_key
-         |       FROM sige, range(1, ${NumBands + 1}) t(i)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM bb a JOIN be b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |  UNION
-         |  SELECT DISTINCT a.id, b.id
-         |  FROM bb a JOIN bb b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |    AND b.id < a.id),
-         |shall AS (SELECT * FROM shb UNION ALL SELECT * FROM she),
-         |na AS (SELECT id AS id_a, count(*) AS n_a FROM shb GROUP BY 1),
-         |nb AS (SELECT id AS id_b, count(*) AS n_b FROM shall GROUP BY 1),
-         |common AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-         |  FROM shb a JOIN shall b ON a.sh = b.sh
-         |  JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
-         |  GROUP BY 1, 2),
-         |rejected AS (
-         |  SELECT DISTINCT id_a FROM common JOIN na USING (id_a) JOIN nb USING (id_b)
-         |  WHERE n_common / (n_a + n_b - n_common) >= 0.6)
-         |SELECT doc_id FROM batch
-         |WHERE doc_id NOT IN (SELECT id_a FROM rejected)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "dedup_incremental_lsh" -> incrementalLshOracle,
+    // The stored-index path computes the SAME survivors — one oracle,
+    // two engines' worth of proof that the parquet round-trip of the
+    // band index + shingle store changes nothing.
+    "dedup_incremental_lsh_stored" -> incrementalLshOracle,
     "docs_split" ->
       """SELECT
         |  (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'

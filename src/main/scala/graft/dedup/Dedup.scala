@@ -207,8 +207,8 @@ object Dedup {
   def lshNewDocs(batch: DataFrame, existing: DataFrame, idCol: String,
                  textCol: String, threshold: Double): DataFrame = {
     // PRECONDITION (enforced): batch and existing id spaces are DISJOINT.
-    // shPartner below unions both sides keyed only by id, so a doc id
-    // present on both sides would double-count its shingles in n_b and
+    // shPartner in the probe unions both sides keyed only by id, so a doc
+    // id present on both sides would double-count its shingles in n_b and
     // corrupt the Jaccard verdict. One id-projected semi-join probe up
     // front (batch ids broadcast; the corpus side is a single-column
     // scan — negligible next to the shingle joins that follow) fails
@@ -217,16 +217,37 @@ object Dedup {
         .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_semi")
         .isEmpty,
       "lshNewDocs: batch and existing share doc ids — the id spaces must be disjoint")
-    val shB = graft.util.Views.materialize(shingleRows(batch, idCol, textCol))
     // Materialized: feeds BOTH the index banding and the partner-shingle
     // verification side — without it the normalize→shingle derivation of
     // the (large) existing corpus runs twice.
     val shE = graft.util.Views.materialize(shingleRows(existing, idCol, textCol))
+    lshNewDocsAgainstIndex(batch, bandRowsFromShingles(shE), shE,
+      idCol, textCol, threshold, guardDisjoint = false)
+  }
+
+  /** The probe half of [[lshNewDocs]], against a PREBUILT existing-side
+    * index: `bandE` = the (id, band_idx, band_key) band index, `shE` =
+    * the (id, sh) exploded shingle store — the two write-once artifacts
+    * a 100 TB ingest pipeline keeps on durable storage ([[writeLshIndex]]
+    * / [[readLshIndex]]; at that scale the index is appended per ingested
+    * batch, never rebuilt). Only the batch side is shingled/banded
+    * in-query; the corpus contributes index scans. `guardDisjoint`
+    * repeats the id-disjointness probe against the shingle store (set
+    * false when the caller already guarded the full frames). */
+  def lshNewDocsAgainstIndex(batch: DataFrame, bandE: DataFrame, shE: DataFrame,
+                             idCol: String, textCol: String, threshold: Double,
+                             guardDisjoint: Boolean = true): DataFrame = {
+    if (guardDisjoint)
+      require(shE.select("id")
+          .join(broadcast(batch.select(col(idCol).as("id"))), Seq("id"), "left_semi")
+          .isEmpty,
+        "lshNewDocsAgainstIndex: batch ids collide with the stored index — " +
+          "the id spaces must be disjoint")
+    val shB = graft.util.Views.materialize(shingleRows(batch, idCol, textCol))
     val bB = bandRowsFromShingles(shB)
-    val bE = bandRowsFromShingles(shE)
     def bandMatch = col("a.band_idx") === col("b.band_idx") &&
       col("a.band_key") === col("b.band_key")
-    val candE = bB.as("a").join(bE.as("b"), bandMatch)
+    val candE = bB.as("a").join(bandE.as("b"), bandMatch)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val candB = bB.as("a").join(bB.as("b"), bandMatch && col("b.id") < col("a.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -249,6 +270,25 @@ object Dedup {
     batch.select(col(idCol).as("doc_id"))
       .join(rejected, Seq("doc_id"), "left_anti")
   }
+
+  /** Materialize the existing-corpus LSH artifacts to durable storage:
+    * `dir/bands` = the (id, band_idx, band_key) band index (candidate
+    * generation), `dir/shingles` = the (id, sh) exploded shingle store
+    * (Jaccard verification input). This is the write-once index the
+    * stored-ingest path ([[lshNewDocsAgainstIndex]]) probes — the shape
+    * that makes incremental near-dedup O(batch) instead of O(corpus)
+    * per ingest. One shingle-derivation pass feeds both files. */
+  def writeLshIndex(docs: DataFrame, idCol: String, textCol: String,
+                    dir: String): Unit = {
+    val sh = graft.util.Views.materialize(shingleRows(docs, idCol, textCol))
+    bandRowsFromShingles(sh).write.mode("overwrite").parquet(s"$dir/bands")
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** (band index, shingle store) readers for a [[writeLshIndex]] dir. */
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/shingles"))
 
   /** Full near-dedup: LSH candidates, then exact Jaccard verification over
     * candidate docs only. */

@@ -232,6 +232,25 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Set(2L)) // doc 1 near-dups doc 10, doc 2 is new
   }
 
+  test("stored-index incremental LSH equals the in-query path after a parquet round-trip") {
+    val corpus = Dedup.augmented(Sources.documents(spark, sfDir))
+    val isBatch = col("doc_id") % 10 === 0
+    val inQuery = Dedup.lshNewDocs(corpus.filter(isBatch), corpus.filter(!isBatch),
+      "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    Dedup.writeLshIndex(corpus.filter(!isBatch), "doc_id", "text", dir)
+    val (bandE, shE) = Dedup.readLshIndex(spark, dir)
+    val stored = Dedup.lshNewDocsAgainstIndex(corpus.filter(isBatch), bandE, shE,
+      "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    assert(stored === inQuery)
+    // the stored-path guard also rejects id collisions with the index
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshNewDocsAgainstIndex(corpus.filter(!isBatch).limit(1), bandE, shE,
+        "doc_id", "text", 0.6)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("candidate generation never pairs a doc with itself and is ordered") {
     val cand = Dedup.lshCandidates(docs, "doc_id", "text")
     assert(cand.filter(col("id_a") >= col("id_b")).count() === 0)

@@ -897,6 +897,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM fluency scoring — the conditional twin of
+    // text_unigram_logprob: avg -ln p(w2|w1) per doc under the corpus's
+    // own MLE bigram model (c12/c1; every in-doc bigram occurs in the
+    // corpus, so no zero-probability smoothing is needed). Bigram
+    // instances from one array transform per row (no self-join); joint +
+    // predecessor counts are keyed aggregates with partial aggregation.
+    // Per-instance -ln is QUANTIZED to 1e-4 longs before summing — exact
+    // order-independent integer arithmetic, like the unigram scorer.
+    // Docs with < 2 words have no bigrams and drop out (both engines).
+    "text_bigram_logprob" -> ((s, dir) => {
+      val inst = Sources.documents(s, dir)
+        .select(col("doc_id"), split(util.Norm.normalize(col("text")), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(ws) >= 2
+            |     THEN transform(sequence(1, size(ws) - 1),
+            |                    i -> struct(ws[i-1] AS w1, ws[i] AS w2))
+            |     ELSE array() END""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val tf = inst.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      val cj = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val negLogQ = floor(-log(col("c12") / col("c1")) * 1e4 + 0.5).cast("long")
+      tf.join(cj, Seq("w1", "w2")).join(c1, "w1")
+        .groupBy("doc_id").agg(
+          sum(col("tf")).as("n_bigrams"),
+          ((sum(col("tf") * negLogQ) / 1e4) / sum(col("tf"))).as("avg_neg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL dedup (training-data extension): an incoming batch is
     // deduped against the already-ingested corpus index — the steady-state
     // ingest path (dedup_exact is the from-scratch backfill). Batch side
@@ -1164,6 +1194,44 @@ object SparkEntry {
       sim.Similarity.cosinePairs(
         sim.Similarity.augmented(Sources.embeddings(s, dir)), 0.95)
         .orderBy("id_a", "id_b")),
+
+    // Embedding-space duplicate CLUSTERS: the cluster machinery over a
+    // SECOND pair-graph domain — cosine near-dup pairs instead of shingle
+    // Jaccard. Same min-label propagation (rounds scale with the dup
+    // graph, not the corpus), same RECURSIVE-CTE closure oracle; an
+    // embedding pipeline dedups semantic copies exactly like a text
+    // pipeline dedups lexical ones.
+    "dedup_embedding_clusters" -> ((s, dir) => {
+      val vecs = sim.Similarity.augmented(Sources.embeddings(s, dir))
+      val pairs = sim.Similarity.cosinePairs(vecs, 0.95)
+        .select(col("id_a"), col("id_b"))
+      dedup.Dedup.clusters(vecs.select(col("id")), "id", pairs)
+        .withColumn("is_canonical",
+          (col("doc_id") === col("cluster_id")).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // ANN quality AUDIT in-query: recall@k of the RHP-LSH path against
+    // the exact brute-force top-k, per query vector — the measurement a
+    // production ANN deployment ships alongside the index (recall is a
+    // JOIN of two engine paths, so the oracle re-derives BOTH sides in
+    // SQL and must agree on every per-query hit count). Exact integer
+    // division → identical doubles.
+    "sim_ann_recall" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+      val brute = sim.Similarity.bruteTopK(q, emb, 10).select("query_id", "vec_id")
+      val ann = sim.Similarity.rhpTopK(q, emb, 10).select("query_id", "vec_id")
+      val hits = brute.join(ann, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      brute.groupBy("query_id").agg(count(lit(1)).as("n_ref"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_ref"),
+          (coalesce(col("n_hit"), lit(0L)) / col("n_ref")).as("recall"))
+        .orderBy("query_id")
+    }),
 
     // Genuine null-handling semantics (the reference's coalesce is
     // degenerate — fillna runs first): coalesce over actually-null
@@ -1931,6 +1999,50 @@ object SparkEntry {
          |${sim.Similarity.cosinePairsSql("aug", 0.95)}
          |SELECT id_a, id_b, sim FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_clusters" ->
+      s"""WITH aug AS ${sim.Similarity.augmentedSql},
+         |${sim.Similarity.cosinePairsSql("aug", 0.95)},
+         |${dedup.Dedup.clustersSql("(SELECT id AS doc_id FROM aug)", "pairs")}
+         |SELECT doc_id, cluster_id,
+         |  CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
+         |FROM clusters ORDER BY doc_id""".stripMargin,
+    "sim_ann_recall" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |b AS (
+         |  WITH ${sim.Similarity.bruteTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |  SELECT query_id, vec_id FROM topk),
+         |a AS (
+         |  WITH ${sim.Similarity.rhpTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |  SELECT query_id, vec_id FROM topk),
+         |hits AS (
+         |  SELECT b.query_id, count(*) AS n_hit FROM b
+         |  WHERE EXISTS (SELECT 1 FROM a
+         |                WHERE a.query_id = b.query_id AND a.vec_id = b.vec_id)
+         |  GROUP BY 1),
+         |refs AS (SELECT query_id, count(*) AS n_ref FROM b GROUP BY 1)
+         |SELECT r.query_id, coalesce(h.n_hit, 0) AS n_hit, r.n_ref,
+         |  coalesce(h.n_hit, 0) / r.n_ref AS recall
+         |FROM refs r LEFT JOIN hits h USING (query_id)
+         |ORDER BY r.query_id""".stripMargin,
+    "text_bigram_logprob" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(${util.Norm.normalizeSql("text")}, ' ') AS w
+         |  FROM documents),
+         |inst AS (
+         |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+         |  FROM (SELECT doc_id, w, unnest(CASE WHEN len(w) >= 2 THEN range(1, len(w))
+         |                                      ELSE [] END) AS i
+         |        FROM ws)
+         |  WHERE w[i] <> '' AND w[i + 1] <> ''),
+         |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM inst GROUP BY 1, 2, 3),
+         |cj AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+         |  (CAST(sum(t.tf * CAST(floor(-ln(CAST(j.c12 AS DOUBLE) / p.c1) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) / 1e4)
+         |    / CAST(sum(t.tf) AS BIGINT) AS avg_neg_logprob
+         |FROM tf t JOIN cj j USING (w1, w2) JOIN c1 p USING (w1)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "idx_null_handling" ->
       """SELECT c_custkey,
         |  COALESCE(CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END, -1.0) AS bal_filled,

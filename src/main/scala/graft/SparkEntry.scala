@@ -1188,6 +1188,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ-ADC approximate top-k (the COMPRESSION scale path alongside
+    // banding and pruning): corpus encoded as per-subspace nearest
+    // codewords, approximate scoring over reconstructions (at scale:
+    // bytes per vector, not KBs), exact cosine re-rank of the top-20
+    // approximate candidates only.
+    "sim_ann_pq" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      sim.Similarity.pqTopK(emb.filter(col("id") < 5), emb, 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding-cosine near-dup pairs: full-sketch equality candidates +
     // exact cosine verification (no pairwise scan).
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -1249,6 +1261,164 @@ object SparkEntry {
         .withColumnRenamed("bal_null", "bal_filled")
         .drop("name_null")
         .orderBy("c_custkey")
+    }),
+
+    // SPAN-LEVEL exact dedup (training-data extension): the "remove
+    // duplicated substrings" pass a web-corpus pipeline runs after
+    // doc-level dedup. Unit = non-overlapping 10-word chunks of the
+    // normalized word stream (the standard fallback when line boundaries
+    // are absent); a chunk occurring in >= 2 DISTINCT docs is boilerplate
+    // and is stripped. Chunks are keyed by md5 — at 100 TB the
+    // doc-frequency aggregate and the chunk join shuffle 16-byte keys,
+    // never chunk text. One explode + one hash-keyed aggregate + one
+    // hash-keyed join; the cleaned text is reassembled per doc in chunk
+    // order and md5'd so the oracle compares a digest, not a blob.
+    "docs_chunk_dedup" -> ((s, dir) => {
+      val chunks = dedup.Dedup.augmented(Sources.documents(s, dir))
+        .select(col("doc_id"),
+          filter(split(util.Norm.normalize(col("text")), " "),
+            w => w =!= "").as("ws"))
+        // greatest(…, 1): an empty/whitespace-only doc still emits one
+        // (empty) chunk so it stays present in the per-doc rollup.
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, greatest(cast(ceil(size(ws) / 10.0) as int), 1) - 1),
+            |          i -> array_join(slice(ws, i*10 + 1, 10), ' '))""".stripMargin)))
+        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
+        .withColumn("h", md5(col("chunk").cast("binary")))
+      val freq = chunks.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      chunks.join(freq, "h")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(col("df") < 2,
+                struct(col("chunk_idx"), col("chunk"))))),
+              x => x.getField("chunk")),
+            " ").cast("binary")).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Multi-way analytical JOIN (engine surface): lineitem ⋈ orders on
+    // the co-keyed orderkey shuffle, aggregated to customer grain BEFORE
+    // touching the customer dimension (the shuffle carries per-customer
+    // partials, not line items), then customer equi-join + broadcast
+    // nation, global top-50 via TakeOrderedAndProject (k rows per
+    // partition reach the driver, never a global sort). Revenue sums in
+    // DECIMAL(38,8): extendedprice (2 dp) × (1-discount) (2 dp) is an
+    // exact 4-dp product, so the sum is order-independent on any engine.
+    "orders_customer_revenue" -> ((s, dir) => {
+      val rev = Sources.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val perCust = rev
+        .join(Sources.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          util.Stable.exactSum(col("rev")).as("revenue"))
+      perCust
+        .join(Sources.customer(s, dir).select("c_custkey", "c_name", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Sources.nation(s, dir).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(50)
+    }),
+
+    // Word-distribution ENTROPY per doc (training-data extension): the
+    // vocabulary-diversity quality signal (low entropy = repetitive spam,
+    // keyword stuffing). H = ln(N) - Σ n·ln(n) / N over per-doc word
+    // counts; each ln is QUANTIZED to 1e-4 longs so the sum is exact
+    // integer arithmetic (order-independent across engines), and the
+    // final value is ONE IEEE division of identical integers. One
+    // (doc, word) aggregate + one doc rollup, both with map-side partials.
+    "text_word_entropy" -> ((s, dir) => {
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      def lnQ(c: org.apache.spark.sql.Column) =
+        floor(log(c.cast("double")) * 1e4 + 0.5).cast("long")
+      words.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(
+          sum(col("n")).as("n_words"),
+          count(lit(1)).as("n_distinct_words"),
+          sum(col("n") * lnQ(col("n"))).as("sum_n_ln_n_q4"))
+        .withColumn("entropy",
+          (col("n_words") * lnQ(col("n_words")) - col("sum_n_ln_n_q4"))
+            / (col("n_words") * lit(1e4)))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic MIXTURE-WEIGHTED interleave (training-data extension):
+    // the data-ORDER half of mixture control (docs_rebalance fixes the
+    // composition; this fixes the schedule). Each language stream is
+    // ranked independently (per-lang window — partitioned, never global),
+    // and the r-th doc of a weight-w stream is scheduled at virtual time
+    // r/w — the classic weighted-fair-queueing interleave, so a weight-4
+    // stream appears 4× as often as a weight-1 stream at every prefix.
+    // The audited head of the schedule goes through TakeOrderedAndProject
+    // (k rows per partition to the driver); the full schedule at corpus
+    // scale is a range-partitioned sort-write, never a single window.
+    // r/w is ONE IEEE division of exact integers — engine-identical.
+    "docs_mix_schedule" -> ((s, dir) => {
+      val w = expr("CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 " +
+        "WHEN 'fr' THEN 2 ELSE 1 END")
+      val ranked = Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("lang_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy("doc_id")).cast("long"))
+        .withColumn("virtual", col("lang_rank").cast("double") / w)
+        .orderBy("virtual", "lang", "doc_id").limit(200)
+      ranked.withColumn("position", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy("virtual", "lang", "doc_id")).cast("int"))
+        .select("position", "doc_id", "lang", "lang_rank", "virtual")
+        .orderBy("position")
+    }),
+
+    // INCREMENTAL aggregation against STORED partial state (the ingest
+    // twin of the dedup_*_stored family, for rollups): the warehouse
+    // keeps per-(day, event_type) PARTIAL aggregates — counts and exact
+    // DECIMAL sums, never averages (sums merge; averages don't) — and a
+    // new batch merges in one keyed aggregate over state ∪ batch-partials.
+    // History is never rescanned: the batch side is O(batch), the state
+    // side is a scan of pre-aggregated rows (≪ raw events). min/max ride
+    // along as they are re-mergeable; the oracle is the FULL recompute
+    // over all events — hash-equality proves merge(state, batch) ≡
+    // aggregate(everything).
+    "events_incremental_agg" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("ts DIV 86400000000000").as("day_idx"), col("value"))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy("day_idx", "event_type").agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(util.Stable.MoneyDec)).as("sum_dec"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_agg_state")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(out)) fs.delete(out, true) // rebuild per invocation
+      // "Already ingested" state, written once (decimal sums preserved
+      // by parquet's DECIMAL(38,8) physical type, so the re-merge stays
+      // exact); the 1-in-10 remainder is the incoming batch.
+      partial(ev.filter(col("event_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(out.toString)
+      val state = s.read.parquet(out.toString)
+      state.unionByName(partial(ev.filter(col("event_id") % 10 === 0)))
+        .groupBy("day_idx", "event_type").agg(
+          sum(col("n_events")).as("n_events"),
+          sum(col("sum_dec")).cast("double").as("sum_value"),
+          min(col("min_value")).as("min_value"),
+          max(col("max_value")).as("max_value"))
+        .orderBy("day_idx", "event_type")
     }),
   )
 
@@ -1994,6 +2164,11 @@ object SparkEntry {
          |${sim.Similarity.ivfProbeSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
          |SELECT query_id, vec_id, sim, rank FROM topk
          |ORDER BY query_id, rank""".stripMargin,
+    "sim_ann_pq" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |${sim.Similarity.pqTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |SELECT query_id, vec_id, sim, rank FROM topk
+         |ORDER BY query_id, rank""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH aug AS ${sim.Similarity.augmentedSql},
          |${sim.Similarity.cosinePairsSql("aug", 0.95)}
@@ -2049,5 +2224,77 @@ object SparkEntry {
         |  COALESCE(CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_coalesced,
         |  COALESCE(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END, '') AS name_defaulted
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "docs_chunk_dedup" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |w AS (SELECT doc_id,
+         |        list_filter(string_split(${util.Norm.normalizeSql("text")}, ' '),
+         |                    x -> x <> '') AS ws
+         |      FROM docs),
+         |ch0 AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1))) AS i
+         |  FROM w),
+         |ch AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |    array_to_string(ws[i*10 + 1 : i*10 + 10], ' ') AS chunk
+         |  FROM ch0),
+         |chh AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS h FROM ch),
+         |freq AS (SELECT h, count(DISTINCT doc_id) AS df FROM chh GROUP BY h)
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  md5(coalesce(
+         |    string_agg(CASE WHEN f.df < 2 THEN c.chunk END, ' ' ORDER BY c.chunk_idx),
+         |    '')) AS kept_md5
+         |FROM chh c JOIN freq f USING (h)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "orders_customer_revenue" ->
+      s"""SELECT c.c_custkey, c.c_name, n.n_name,
+         |  count(DISTINCT o.o_orderkey) AS n_orders,
+         |  ${util.Stable.exactSumSql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c.c_custkey
+         |LIMIT 50""".stripMargin,
+    "text_word_entropy" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |c AS (SELECT doc_id, word, count(*) AS n FROM w2 GROUP BY 1, 2),
+         |d AS (SELECT doc_id,
+         |        CAST(sum(n) AS BIGINT) AS n_words,
+         |        count(*) AS n_distinct_words,
+         |        CAST(sum(n * CAST(floor(ln(n) * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |          AS sum_n_ln_n_q4
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_distinct_words, sum_n_ln_n_q4,
+         |  (n_words * CAST(floor(ln(n_words) * 1e4 + 0.5) AS BIGINT) - sum_n_ln_n_q4)
+         |    / (n_words * 1e4) AS entropy
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "docs_mix_schedule" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS lang_rank,
+        |    CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2
+        |              WHEN 'fr' THEN 2 ELSE 1 END AS w
+        |  FROM documents),
+        |v AS (SELECT doc_id, lang, CAST(lang_rank AS BIGINT) AS lang_rank,
+        |        CAST(lang_rank AS DOUBLE) / w AS virtual
+        |      FROM ranked)
+        |SELECT CAST(row_number() OVER (ORDER BY virtual, lang, doc_id) AS INTEGER)
+        |    AS position,
+        |  doc_id, lang, lang_rank, virtual
+        |FROM v ORDER BY position LIMIT 200""".stripMargin,
+    "events_incremental_agg" ->
+      s"""WITH ev AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS day_idx, event_type, value
+         |  FROM events)
+         |SELECT day_idx, event_type, count(*) AS n_events,
+         |  ${util.Stable.exactSumSql("value")} AS sum_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

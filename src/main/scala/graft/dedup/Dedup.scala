@@ -285,6 +285,19 @@ object Dedup {
     sh.write.mode("overwrite").parquet(s"$dir/shingles")
   }
 
+  /** APPEND a batch's artifacts to an existing [[writeLshIndex]] index —
+    * the steady-state index evolution of an ingest pipeline: each
+    * accepted batch's bands/shingles join the index so LATER batches
+    * near-dedup against it; the index is never rebuilt. (Parquet append
+    * = new files alongside old; at 100 TB this is the same
+    * partition-append every warehouse sink does.) */
+  def appendLshIndex(docs: DataFrame, idCol: String, textCol: String,
+                     dir: String): Unit = {
+    val sh = graft.util.Views.materialize(shingleRows(docs, idCol, textCol))
+    bandRowsFromShingles(sh).write.mode("append").parquet(s"$dir/bands")
+    sh.write.mode("append").parquet(s"$dir/shingles")
+  }
+
   /** (band index, shingle store) readers for a [[writeLshIndex]] dir. */
   def readLshIndex(spark: org.apache.spark.sql.SparkSession,
                    dir: String): (DataFrame, DataFrame) =

@@ -299,6 +299,83 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization geometry: [[VecDim]]-dim vectors split into
+    * [[PqSubspaces]] contiguous subspaces of [[PqSubDim]] dims; each
+    * subspace quantizes independently against [[PqCodewords]] codewords.
+    * Small fixture-sized codebook — at corpus scale the SAME shapes hold
+    * with 256 codewords/subspace (a byte per code), and the codebook is
+    * a trained table that drops in exactly like [[trainCentroids]] does
+    * for IVF. */
+  val PqSubspaces = 8
+  val PqCodewords = 4
+  val PqSubDim: Int = VecDim / PqSubspaces
+
+  /** Squared L2 via the dot identity |a-b|² = a·a − 2·a·b + b·b — three
+    * in-order [[dot]] folds combined in a fixed operand order, so the
+    * DuckDB mirror reproduces it bit-for-bit (a subtraction fold would
+    * be equally deterministic; the identity reuses the already-mirrored
+    * dot). */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** PQ-ADC approximate top-k — the third standard ANN scale path
+    * (alongside banding [[rhpTopK]] and pruning [[ivfTopK]]):
+    * COMPRESSION. Every corpus vector is encoded as [[PqSubspaces]]
+    * small codes (nearest codeword per subspace by squared L2, the PQ
+    * training objective); scoring scans reconstructions — at cluster
+    * scale the scan reads codes (bytes) instead of raw vectors (KBs),
+    * which is the point: the approximate pass is memory-bandwidth-bound,
+    * not compute-bound. The top `rerank` approximate candidates per
+    * query are re-ranked by exact cosine against the raw vectors (the
+    * standard ADC + re-rank pipeline), so only `rerank` rows per query
+    * ever touch full-precision data.
+    *
+    * Every argmin/top-k goes through the bounded-heap per-key operator
+    * (map-side collapse before any exchange); the codebook is a
+    * [[PqCodewords]]-row broadcast; nothing in the plan is quadratic in
+    * the corpus. Encoding is a write-once index job at scale, exactly
+    * like the IVF assignment. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             rerank: Int = 20): DataFrame = {
+    val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+    val cents = broadcast(sampledCentroids(corpus, PqCodewords))
+    // Per (vector, codeword): all PqSubspaces subspace distances in one
+    // row-local explode (struct carries the codeword's subvector so the
+    // reconstruction below needs no second codebook join).
+    val enc0 = c.crossJoin(cents)
+      .select(col("vec_id"), col("cent_id"), posexplode(array(
+        (0 until PqSubspaces).map { j =>
+          val a = slice(col("cv"), j * PqSubDim + 1, PqSubDim)
+          val b = slice(col("centv"), j * PqSubDim + 1, PqSubDim)
+          struct(l2sq(a, b).as("d"), b.as("subv"))
+        }: _*)))
+      .select(col("vec_id"), col("cent_id"), col("pos").as("j"),
+        col("col.d").as("d"), col("col.subv").as("subv"))
+    // Nearest codeword per (vector, subspace) — the PQ code assignment.
+    val assigned = graft.plans.TopK.perKey(enc0,
+      keyCols = Seq("vec_id", "j"),
+      orderBy = Seq("d" -> true, "cent_id" -> true), k = 1)
+    // Reconstruction: codeword subvectors concatenated in subspace order
+    // (collect_list is order-free; the sort key j restores it).
+    val recon = assigned
+      .groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j").as("j"), col("subv").as("v")))),
+        x => x.getField("v"))).as("rv"))
+    val q = broadcast(queries.select(col("id").as("query_id"), vec(col("vec")).as("qv")))
+    // ADC pass: approximate cosine against reconstructions, corpus-wide.
+    val approx = graft.plans.TopK.perKey(
+      recon.crossJoin(q)
+        .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("rv")).as("asim")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq("asim" -> false, "vec_id" -> true), k = rerank)
+    // Exact re-rank of the survivors only.
+    val scored = approx.select("query_id", "vec_id")
+      .join(c, "vec_id").join(q, "query_id")
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
+    rankPerKey(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates = identical full
     * [[PairBits]]-bit sketch (direction-preserving copies always collide;
     * one equi-join on the sketch key, no pairwise scan), verified by exact
@@ -468,6 +545,56 @@ object Similarity {
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
        |  FROM scored),
        |topk AS (SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= $k)""".stripMargin
+
+  /** CTE chain ending in `topk` — the [[pqTopK]] mirror: same codebook
+    * sample, same dot-identity subspace distances (in-order folds), same
+    * (d, cent_id) argmin tiebreak, same j-sorted reconstruction, same
+    * rerank-then-exact pipeline. */
+  def pqTopKSql(queriesRel: String, corpusRel: String, k: Int,
+                rerank: Int = 20): String = {
+    def sub(v: String, j: Int) =
+      s"$v[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}]"
+    def l2(a: String, b: String) =
+      s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
+    val encRows = (0 until PqSubspaces).map { j =>
+      s"""SELECT vec_id, cent_id, $j AS j,
+         |    ${l2(sub("cv", j), sub("centv", j))} AS d,
+         |    ${sub("centv", j)} AS subv FROM vc""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""cents AS (SELECT id AS cent_id, vec AS centv FROM $corpusRel c
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $PqCodewords),
+       |vc AS (SELECT v.id AS vec_id, v.vec AS cv, cents.cent_id, cents.centv
+       |       FROM $corpusRel v CROSS JOIN cents),
+       |enc0 AS ($encRows),
+       |assigned AS (
+       |  SELECT vec_id, j, subv FROM (
+       |    SELECT vec_id, j, subv,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cent_id) AS r
+       |    FROM enc0)
+       |  WHERE r = 1),
+       |recon AS (
+       |  SELECT vec_id,
+       |    flatten(list_transform(list_sort(list(struct_pack(j := j, v := subv))),
+       |                           x -> x.v)) AS rv
+       |  FROM assigned GROUP BY vec_id),
+       |approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.id AS query_id, r.vec_id,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cosineSql("q.vec", "r.rv")} DESC, r.vec_id) AS ar
+       |    FROM recon r CROSS JOIN $queriesRel q)
+       |  WHERE ar <= $rerank),
+       |scored AS (
+       |  SELECT a.query_id, a.vec_id, ${cosineSql("q.vec", "c.vec")} AS sim
+       |  FROM approx a
+       |  JOIN $corpusRel c ON c.id = a.vec_id
+       |  JOIN $queriesRel q ON q.id = a.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored),
+       |topk AS (SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= $k)""".stripMargin
+  }
 
   def cosinePairsSql(vectorsRel: String, threshold: Double): String =
     s"""sk AS (SELECT id, vec, ${sketchSql("vec", PairBits)} AS sketch FROM $vectorsRel v),

@@ -91,6 +91,47 @@ object Streams {
       .select("doc_id", "ts", "fingerprint", "n_words", "quality_score", "lang_id")
   }
 
+  /** Streaming NEAR-dup ingest against a STORED LSH index — the live twin
+    * of [[graft.dedup.Dedup.lshNewDocsAgainstIndex]] (batch query
+    * `dedup_incremental_lsh_stored`). Each micro-batch runs the SAME
+    * batch probe operator via `foreachBatch` — stream ≡ batch by
+    * construction — and `emit` receives that batch's near-dup SURVIVORS
+    * (doc_id, plus the original columns joined back).
+    *
+    * With `appendToIndex=true` the survivors' bands/shingles are appended
+    * to the index after emission, so later micro-batches near-dedup
+    * against everything accepted so far — the steady-state corpus-ingest
+    * loop (probe → accept → index-append) with NO streaming engine state
+    * at all: the index on durable storage IS the state, exactly as it
+    * would be on a 1000-executor cluster where micro-batches come and go
+    * but the parquet index persists. Rejected docs never enter the index
+    * (their near-dup partner is already there).
+    *
+    * The per-batch views the probe materializes are reclaimed after each
+    * batch ([[graft.util.Views.unpersistAll]]) — a forever-running ingest
+    * must not accumulate per-batch cache entries. */
+  def nearDupIngest(docs: DataFrame, indexDir: String, threshold: Double,
+                    appendToIndex: Boolean = false)
+                   (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val (bandE, shE) = graft.dedup.Dedup.readLshIndex(spark, indexDir)
+          val survivorIds = graft.dedup.Dedup.lshNewDocsAgainstIndex(
+            batch.toDF(), bandE, shE, "doc_id", "text", threshold)
+          val survivors = graft.util.Views.materialize(
+            batch.toDF().join(survivorIds, Seq("doc_id"), "left_semi"))
+          emit(survivors)
+          if (appendToIndex)
+            graft.dedup.Dedup.appendLshIndex(survivors, "doc_id", "text", indexDir)
+          graft.util.Views.unpersistAll()
+        }
+      }
+      .start()
+  }
+
   /** Streaming sessionization with explicit state: the streaming
     * counterpart of [[graft.events.Sessionize]]. A session closes when a
     * later event for the same user arrives more than `gapMs` after the

@@ -234,6 +234,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest probes the stored LSH index and equals the sequential batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = dedup.Dedup.augmented(Sources.documents(spark, sfDir))
+    val isBatch = col("doc_id") % 10 === 0
+    val existing = docs.filter(!isBatch)
+    val batchDocs = docs.filter(isBatch)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => StreamDoc(r.getLong(0), new Timestamp(0L), r.getString(1)))
+      .sortBy(_.doc_id)
+    // Two deterministic micro-batches (split by id parity at the 10s digit).
+    val (mb1, mb2) = batchDocs.partition(d => (d.doc_id / 10) % 2 == 0)
+    assert(mb1.nonEmpty && mb2.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_lsh").toString
+    dedup.Dedup.writeLshIndex(existing, "doc_id", "text", dir)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val stream = MemoryStream[StreamDoc]
+    val q = Streams.nearDupIngest(stream.toDF(), dir, 0.6, appendToIndex = true) {
+      surv => perBatch += surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    try {
+      stream.addData(mb1.toIndexedSeq: _*); q.processAllAvailable()
+      stream.addData(mb2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.size === 2)
+    // Expected fold: mb1 probes the corpus index; mb2 probes corpus ∪
+    // accepted(mb1) — the in-query batch twin computes each step.
+    val mb1Df = spark.createDataFrame(mb1.toIndexedSeq).select("doc_id", "text")
+    val mb2Df = spark.createDataFrame(mb2.toIndexedSeq).select("doc_id", "text")
+    val s1 = dedup.Dedup.lshNewDocs(mb1Df, existing.select("doc_id", "text"),
+      "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    val accepted1 = mb1Df.filter(col("doc_id").isin(s1.toSeq: _*))
+    val s2 = dedup.Dedup.lshNewDocs(mb2Df,
+      existing.select("doc_id", "text").unionByName(accepted1),
+      "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    assert(perBatch(0) === s1)
+    assert(perBatch(1) === s2)
+    // The accepted docs' artifacts really landed in the index.
+    val (bandE, _) = dedup.Dedup.readLshIndex(spark, dir)
+    val indexed = bandE.select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert((s1 ++ s2).subsetOf(indexed))
+  }
+
   test("out-of-order events within a batch still form one ordered session") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamEvent]

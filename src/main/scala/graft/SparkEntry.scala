@@ -571,6 +571,79 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("user_id")),
 
+    // CUBE grouping sets (engine surface): all four aggregation grains of
+    // (event_type, day-of-week) in ONE pass through Catalyst's Expand —
+    // the input scans once and each row fans into its 4 grouping sets as
+    // map-side partials; a naive UNION of 4 groupBys would scan 4×.
+    // Day-of-week is pure integer nano math (never a locale-dependent
+    // date_format), grouping() flags disambiguate subtotal rows, and the
+    // flag-major ORDER BY keeps NULL subtotal keys out of any mixed sort
+    // group (Spark sorts NULLS FIRST, DuckDB NULLS LAST — flags make the
+    // difference unobservable).
+    "events_cube" -> ((s, dir) =>
+      Sources.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts DIV 86400000000000) % 7").as("dow"), col("value"))
+        .cube("event_type", "dow")
+        .agg(
+          count(lit(1)).as("n_events"),
+          util.Stable.exactSum(col("value")).as("sum_value"),
+          grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("dow")).cast("int").as("g_dow"))
+        .orderBy(col("g_type"), col("g_dow"), col("event_type"), col("dow"))),
+
+    // Key-distribution SKEW diagnostics (operational surface): the
+    // pre-flight a 100 TB job runs before choosing join/agg strategy —
+    // per-key cardinalities reduced to one row of shuffle-planning
+    // signals (max/avg partition pressure, heavy-key share). Two keyed
+    // aggregates with map-side partials; nothing driver-side. The skew
+    // ratio max/avg is what decides salting (util/Salt.scala) vs a plain
+    // hash partition; the top-1 share is the broadcast-threshold signal.
+    "events_key_skew" -> ((s, dir) => {
+      val perKey = Sources.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_key_rows"),
+        min(col("cnt")).as("min_key_rows"))
+        .withColumn("avg_key_rows",
+          col("n_rows").cast("double") / col("n_keys"))
+        .withColumn("skew_ratio",
+          col("max_key_rows").cast("double") / col("avg_key_rows"))
+    }),
+
+    // Z-ORDER data layout (write-path surface): the multi-dimensional
+    // clustering key for parquet data-skipping. Interleaving the bits of
+    // (user_id, day) makes rows close in EITHER dimension land in the
+    // same z-range, so a layout of repartitionByRange(z) +
+    // sortWithinPartitions(z) gives every file a tight min/max envelope
+    // on BOTH columns — a filter on either one prunes row groups, where
+    // a single-column sort only prunes its own. The query materializes
+    // the proof: per coarse z-tile (z >> 8, i.e. dropping 4 low bits of
+    // each dimension), the 2-D bounding box — every tile covers at most
+    // a 16×16 rectangle of the (user, day) plane, not the whole plane. A
+    // bit-spread is pure integer arithmetic (the classic mask ladder),
+    // identical in both engines.
+    "events_zorder" -> ((s, dir) => {
+      def spread(c: org.apache.spark.sql.Column) = {
+        val a0 = c.bitwiseAND(lit(65535L))
+        val a1 = a0.bitwiseOR(shiftleft(a0, 8)).bitwiseAND(lit(0x00FF00FFL))
+        val a2 = a1.bitwiseOR(shiftleft(a1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+        val a3 = a2.bitwiseOR(shiftleft(a2, 2)).bitwiseAND(lit(0x33333333L))
+        a3.bitwiseOR(shiftleft(a3, 1)).bitwiseAND(lit(0x55555555L))
+      }
+      val ev = Sources.events(s, dir)
+        .select(col("user_id").as("x"),
+          expr("ts DIV 86400000000000").as("y"))
+      ev.withColumn("z", spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)))
+        .groupBy(shiftright(col("z"), 8).as("z_tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("z_tile")
+    }),
+
     // As-of join (operator Spark lacks natively, composed from windows —
     // design-rule tier (a)): each click gets the latest error at or
     // before it per user. The oracle runs DuckDB's NATIVE ASOF JOIN, so
@@ -795,6 +868,28 @@ object SparkEntry {
         orderBy = Seq("rk" -> true, "doc_id" -> true), k = 20)
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")),
+
+    // Deterministic WEIGHTED sampling without replacement (Efraimidis–
+    // Spirakis exponential race): doc i wins with probability
+    // proportional to its weight (n_chars here — longer docs are worth
+    // more tokens). key_i = -ln(u_i)/w_i with u_i hash-derived from
+    // doc_id (never rand() — retries and speculative tasks see the same
+    // sample), smallest 100 win via TakeOrderedAndProject (per-partition
+    // heaps, k rows to the driver — no global sort at any scale). ln is
+    // quantized to 1e-6 longs; the final key is ONE IEEE division of
+    // identical integers, so the cut is adjudicated identically on both
+    // engines.
+    "docs_weighted_sample" -> ((s, dir) => {
+      val h32 = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long")
+      val u = (h32.cast("double") + 0.5) / 4294967296.0
+      val lnq = floor(log(u) * 1e6 + 0.5).cast("long")
+      Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (-lnq.cast("double") / col("n_chars")).as("sample_key"))
+        .orderBy(col("sample_key"), col("doc_id"))
+        .limit(100)
+    }),
 
     // TF-IDF term weighting (training-data relevance scoring): term
     // frequency per (doc, word), document frequency over the FULL corpus
@@ -1113,6 +1208,35 @@ object SparkEntry {
         .orderBy(col("df").desc, col("ngram"))
         .limit(20)),
 
+    // Heavy hitters via the native Misra–Gries sketch (mg_sketch, a
+    // TypedImperativeAggregate — graft/functions/MisraGries.scala): the
+    // bounded-memory frequent-items path. Phase 1 reduces every partition
+    // to a fixed-size mergeable sketch whose survivors are a GUARANTEED
+    // superset of all items with count > N/(capacity+1); phase 2 exactly
+    // recounts ONLY the candidates (broadcast semi-join — the full
+    // vocabulary never shuffles) and takes the exact top-20 via
+    // TakeOrderedAndProject. At 100 TB this replaces a full-vocabulary
+    // groupBy with an O(capacity)-per-partition sketch + a recount
+    // restricted to <= capacity keys. Capacity 64 makes the guarantee
+    // threshold N/65 sit far below the fixture's 20th-ranked count
+    // (~888 vs ~418 at sf0.01), so the sketch provably cannot miss a
+    // top-20 word and the output equals DuckDB's exact top-20.
+    "text_heavy_hitters" -> ((s, dir) => {
+      val words = Sources.documents(s, dir)
+        .select(explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val sketch = words.agg(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          functions.MisraGries(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("word")),
+            capacity = 64).toAggregateExpression()).as("sk"))
+      val candidates = sketch.select(explode(map_keys(col("sk"))).as("word"))
+      words.join(broadcast(candidates), Seq("word"), "left_semi")
+        .groupBy("word").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("word"))
+        .limit(20)
+    }),
+
     // PMI bigram COLLOCATIONS (corpus statistics): pointwise mutual
     // information over adjacent word pairs — the classic collocation /
     // tokenizer-merge-candidate table. Bigram instances from one array
@@ -1344,6 +1468,34 @@ object SparkEntry {
           col("n_orders"), col("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(50)
+    }),
+
+    // Correlated-aggregate-subquery DECORRELATION (engine surface, TPC-H
+    // Q17 shape): "line items ordered at under 1/5 of their part's
+    // average quantity". The naive form is a per-row correlated subquery
+    // (re-aggregate the part's lineitems for every row); the scale-right
+    // rewrite is ONE window over the l_partkey hash partitioning — the
+    // fact table shuffles once, and the subsequent part join reuses that
+    // exact partitioning (no second fact-side exchange; the part side is
+    // the only additional shuffle). The predicate q < sum/(5·cnt) is
+    // evaluated as 5·q·cnt < sum in DECIMAL — exact integer-grade
+    // arithmetic, no division, no engine rounding-rule dependency at the
+    // boundary. Revenue sums in DECIMAL(38,8) like every money aggregate.
+    "part_small_qty_revenue" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      val qDec = col("l_quantity").cast(util.Stable.MoneyDec)
+      val small = Sources.lineitem(s, dir)
+        .select(col("l_partkey"), qDec.as("q"),
+          col("l_extendedprice").as("px"))
+        .withColumn("sum_q", sum(col("q")).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("q") * 5 * col("cnt") < col("sum_q"))
+      small.join(Sources.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          util.Stable.exactSum(col("px")).as("revenue"))
+        .orderBy("p_brand")
     }),
 
     // Word-distribution ENTROPY per doc (training-data extension): the
@@ -1911,6 +2063,45 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_cube" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, epoch_ns(ts) // 86400000000000 % 7 AS dow, value
+         |  FROM events)
+         |SELECT event_type, dow, count(*) AS n_events,
+         |  ${util.Stable.exactSumSql("value")} AS sum_value,
+         |  CAST(CASE WHEN GROUPING(event_type) THEN 1 ELSE 0 END AS INTEGER) AS g_type,
+         |  CAST(CASE WHEN GROUPING(dow) THEN 1 ELSE 0 END AS INTEGER) AS g_dow
+         |FROM ev GROUP BY CUBE(event_type, dow)
+         |ORDER BY g_type, g_dow, event_type, dow""".stripMargin,
+    "events_key_skew" ->
+      """WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |a AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        max(cnt) AS max_key_rows, min(cnt) AS min_key_rows
+        |      FROM pk)
+        |SELECT n_keys, n_rows, max_key_rows, min_key_rows,
+        |  CAST(n_rows AS DOUBLE) / n_keys AS avg_key_rows,
+        |  CAST(max_key_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys)
+        |    AS skew_ratio
+        |FROM a""".stripMargin,
+    // The same mask-ladder bit spread, written with DuckDB's native
+    // bitwise operators; all-integer, so the tiles agree exactly.
+    "events_zorder" ->
+      """WITH xy AS (
+        |  SELECT user_id AS x, epoch_ns(ts) // 86400000000000 AS y FROM events),
+        |sx AS (SELECT x, y, x & 65535 AS a FROM xy),
+        |sx1 AS (SELECT x, y, ((a | (a << 8)) & 16711935) AS a FROM sx),
+        |sx2 AS (SELECT x, y, ((a | (a << 4)) & 252645135) AS a FROM sx1),
+        |sx3 AS (SELECT x, y, ((a | (a << 2)) & 858993459) AS a FROM sx2),
+        |sx4 AS (SELECT x, y, ((a | (a << 1)) & 1431655765) AS a FROM sx3),
+        |sy AS (SELECT x, y, a AS ax, y & 65535 AS b FROM sx4),
+        |sy1 AS (SELECT x, y, ax, ((b | (b << 8)) & 16711935) AS b FROM sy),
+        |sy2 AS (SELECT x, y, ax, ((b | (b << 4)) & 252645135) AS b FROM sy1),
+        |sy3 AS (SELECT x, y, ax, ((b | (b << 2)) & 858993459) AS b FROM sy2),
+        |sy4 AS (SELECT x, y, ax, ((b | (b << 1)) & 1431655765) AS b FROM sy3),
+        |z AS (SELECT x, y, (ax | (b << 1)) AS z FROM sy4)
+        |SELECT z >> 8 AS z_tile, count(*) AS n_rows,
+        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1 ORDER BY z_tile""".stripMargin,
     "events_asof_join" ->
       s"""${events.AsofJoin.lastEventBeforeSql("events", "click", "error")}
          |ORDER BY 1""".stripMargin,
@@ -1981,6 +2172,16 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
         |ORDER BY lang, doc_id""".stripMargin,
+    "docs_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      AS h32
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  -CAST(floor(ln((h32 + 0.5) / 4294967296.0) * 1e6 + 0.5) AS BIGINT)
+        |    / CAST(n_chars AS DOUBLE) AS sample_key
+        |FROM d ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
     "text_tfidf" ->
       s"""WITH w AS (
          |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
@@ -2133,6 +2334,15 @@ object SparkEntry {
          |  SELECT doc_id, unnest(${dedup.Dedup.shinglesSql("text")}) AS ngram
          |  FROM documents)
          |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    // The sketch is a candidate GENERATOR; the verified output is the
+    // exact top-20, so the oracle is the plain exact recount — any
+    // candidate the sketch missed would surface as a hash mismatch here.
+    "text_heavy_hitters" ->
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents)
+         |SELECT word, count(*) AS n_occurrences FROM w WHERE word <> ''
+         |GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 20""".stripMargin,
     "text_pmi_bigrams" ->
       s"""WITH ws AS (
          |  SELECT string_split(${util.Norm.normalizeSql("text")}, ' ') AS w FROM documents),
@@ -2275,6 +2485,22 @@ object SparkEntry {
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, c.c_custkey
          |LIMIT 50""".stripMargin,
+    // The oracle keeps the window form too: the same one-pass per-part
+    // partials, and the 5·q·cnt < sum predicate is exact decimal on both
+    // engines (no division anywhere near the boundary).
+    "part_small_qty_revenue" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(38,8)) AS q,
+         |    l_extendedprice AS px,
+         |    sum(CAST(l_quantity AS DECIMAL(38,8)))
+         |      OVER (PARTITION BY l_partkey) AS sum_q,
+         |    count(*) OVER (PARTITION BY l_partkey) AS cnt
+         |  FROM lineitem),
+         |small AS (SELECT * FROM li WHERE q * 5 * cnt < sum_q)
+         |SELECT p.p_brand, count(*) AS n_small,
+         |  ${util.Stable.exactSumSql("s.px")} AS revenue
+         |FROM small s JOIN part p ON s.l_partkey = p.p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_word_entropy" ->
       s"""WITH w AS (
          |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word

@@ -72,6 +72,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "simhash_mask(shingle) takes exactly 1 argument")
       }))
     ext.injectFunction((
+      FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[MisraGries].getName, "mg_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(item, cap) => MisraGries(item, litInt(cap, "sketch capacity"))
+        case _ => throw new IllegalArgumentException(
+          "mg_sketch(item, capacity) takes exactly 2 arguments")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => args match {

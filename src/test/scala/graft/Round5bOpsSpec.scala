@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the second round-5 batch: Q17-shaped subquery decorrelation,
+  * weighted sampling, CUBE grouping sets, skew diagnostics, and the
+  * Z-order layout key. Structural invariants beyond the DuckDB hash gate.
+  */
+class Round5bOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("small-qty revenue: window rewrite equals the correlated-subquery join form") {
+    val out = run("part_small_qty_revenue").collect()
+    // Independent recompute in the naive shape: aggregate per part, join
+    // back, filter with the division-free predicate, re-aggregate.
+    val li = Sources.lineitem(spark, sfDir)
+    val qDec = col("l_quantity").cast(util.Stable.MoneyDec)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(qDec).as("sum_q"), count(lit(1)).as("cnt"))
+    val expected = li
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(qDec * 5 * col("cnt") < col("sum_q"))
+      .join(Sources.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        util.Stable.exactSum(col("l_extendedprice")).as("revenue"))
+      .orderBy("p_brand").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      expected.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("small-qty revenue: the fact table shuffles on l_partkey exactly once") {
+    val plan = run("part_small_qty_revenue").queryExecution.executedPlan.toString
+    val factExchanges = "hashpartitioning\\(l_partkey".r.findAllIn(plan).size
+    assert(factExchanges <= 1,
+      s"window partitioning must be reused by the part join, got $factExchanges " +
+        s"l_partkey exchanges in:\n$plan")
+  }
+
+  test("weighted sample: deterministic, and weights bias the sample toward long docs") {
+    val out = run("docs_weighted_sample").collect()
+    assert(out.length === 100)
+    val keys = out.map(_.getDouble(3))
+    assert(keys.sameElements(keys.sorted), "sample keys must be ascending")
+    assert(out.map(_.getLong(0)).distinct.length === 100, "no doc sampled twice")
+    // Expected sample size of doc i is ∝ n_chars: the sampled docs' mean
+    // length must sit clearly above the corpus mean.
+    val sampleMean = out.map(_.getLong(2).toDouble).sum / out.length
+    val corpusMean = Sources.documents(spark, sfDir)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+    // Re-run is identical (hash-derived keys, no rand()).
+    val again = run("docs_weighted_sample").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("cube: all four grains are consistent with the grand total") {
+    val out = run("events_cube").cache()
+    val total = Sources.events(spark, sfDir).count()
+    def grain(gType: Int, gDow: Int) =
+      out.filter(col("g_type") === gType && col("g_dow") === gDow)
+    // Grand total row.
+    val grand = grain(1, 1).collect()
+    assert(grand.length === 1 && grand(0).getAs[Long]("n_events") === total)
+    // Every grain's n_events sums back to the grand total.
+    for ((gt, gd) <- Seq((0, 0), (0, 1), (1, 0))) {
+      val s = grain(gt, gd).agg(sum("n_events")).collect()(0).getLong(0)
+      assert(s === total, s"grain ($gt,$gd) sums to $s, want $total")
+    }
+    // One pass through Expand — the input is scanned once, not 4x.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"cube must plan through Expand:\n$plan")
+    out.unpersist()
+  }
+
+  test("key skew: diagnostics agree with direct recomputation") {
+    val r = run("events_key_skew").collect()(0)
+    val ev = Sources.events(spark, sfDir)
+    val perKey = ev.groupBy("user_id").count()
+    assert(r.getAs[Long]("n_rows") === ev.count())
+    assert(r.getAs[Long]("n_keys") === perKey.count())
+    assert(r.getAs[Long]("max_key_rows") ===
+      perKey.agg(max("count")).collect()(0).getLong(0))
+    assert(r.getAs[Double]("skew_ratio") >= 1.0)
+    assert(r.getAs[Double]("avg_key_rows") > 0.0)
+  }
+
+  test("z-order: every coarse tile bounds a <=16x16 rectangle and partitions the data") {
+    val out = run("events_zorder").cache()
+    val spans = out.select(
+      max(col("max_x") - col("min_x")).as("xspan"),
+      max(col("max_y") - col("min_y")).as("yspan"),
+      sum(col("n_rows")).as("n")).collect()(0)
+    assert(spans.getAs[Long]("xspan") < 16, "a z>>8 tile spans 16 x-values at most")
+    assert(spans.getAs[Long]("yspan") < 16, "a z>>8 tile spans 16 y-values at most")
+    assert(spans.getAs[Long]("n") === Sources.events(spark, sfDir).count())
+    assert(out.count() > 1, "the tiling must actually split the plane")
+    out.unpersist()
+  }
+}

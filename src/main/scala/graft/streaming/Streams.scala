@@ -132,6 +132,48 @@ object Streams {
       .start()
   }
 
+  /** EXACTLY-ONCE-EFFECT file sink: write a micro-batch of CLOSED
+    * windowed aggregates to a parquet table partitioned by window,
+    * overwriting ONLY the partitions present in the batch (dynamic
+    * partition overwrite). This is the standard streaming-to-lake
+    * pattern for end-to-end exactly-once over a file sink: Structured
+    * Streaming replays the last uncommitted micro-batch after a failure,
+    * and a `mode("append")` sink would duplicate those rows — dynamic
+    * overwrite rewrites the same partitions with identical content
+    * instead, so replay is a no-op.
+    *
+    * The replay-safety contract is that a partition's FULL contents come
+    * from a single micro-batch. Keying the partition by the window start
+    * (`w_hour`) satisfies it: in Append output mode a window is emitted
+    * exactly once — when the watermark closes it — and all of one
+    * window's rows close together. (Partitioning by coarser-than-window
+    * keys, e.g. day, would break the contract: a day's windows close
+    * across many batches and each write would clobber the previous.) */
+  def idempotentWindowSink(batch: DataFrame, path: String): Unit =
+    batch
+      .withColumn("w_hour", (unix_timestamp(col("w_start")) / 3600L).cast("long"))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("w_hour")
+      .parquet(path)
+
+  /** Watermarked hourly aggregate → [[idempotentWindowSink]], wired
+    * through `foreachBatch` in Append mode (only closed windows reach
+    * the sink). The streaming-engine state is the open windows inside
+    * the watermark horizon; the table on durable storage is append-only
+    * at the partition grain and safe against micro-batch replay. */
+  def windowedAggToLake(events: DataFrame, path: String,
+                        watermark: String = "2 hours")
+                       : org.apache.spark.sql.streaming.StreamingQuery =
+    withWatermarked(events, watermark)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) idempotentWindowSink(batch.toDF(), path)
+      }
+      .start()
+
   /** Streaming sessionization with explicit state: the streaming
     * counterpart of [[graft.events.Sessionize]]. A session closes when a
     * later event for the same user arrives more than `gapMs` after the

@@ -82,6 +82,38 @@ object SparkEntry {
         .orderBy("symbol", "Date")
     }),
 
+    // Per-symbol RETURNS + DRAWDOWN (window coverage: lag + running max —
+    // the two window shapes the suite lacked; sma covers sliding sums).
+    // Daily return = close/lag(close) - 1; drawdown = 1 - close/peak with
+    // peak a running max. All windows partitioned by symbol (no global
+    // ordering at any scale). Close is consolidated on 1e-8-quantized
+    // integer sums like yf_sma_signals; every downstream double is then
+    // derived from bit-identical inputs by IEEE division, so both engines
+    // compute byte-identical results with no rounding-rule dependency.
+    "yf_returns_drawdown" -> ((s, dir) => {
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("close_avg", (col("close_sum") / 1e8) / col("n_bars"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("Date")
+      val wPeak = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+      // The synthetic Close (l_tax) can be 0 — nullif-guard the divisors
+      // (ANSI mode, P6's safe-ratio discipline).
+      def nz(c: org.apache.spark.sql.Column) = when(c === 0.0, lit(null)).otherwise(c)
+      daily
+        .withColumn("ret",
+          col("close_avg") / nz(lag(col("close_avg"), 1).over(w)) - 1.0)
+        .withColumn("peak", max(col("close_avg")).over(wPeak))
+        .withColumn("drawdown", lit(1.0) - col("close_avg") / nz(col("peak")))
+        .select(col("symbol"), col("Date"), col("close_avg"), col("ret"),
+          col("peak"), col("drawdown"))
+        .orderBy("symbol", "Date")
+    }),
+
     // Broadcast catalog join (SURVEY.md §2.5): company identity via an
     // explicit equi-join against the small dimension instead of the
     // reference's 951 collection names; rolled up per company.
@@ -1863,6 +1895,25 @@ object SparkEntry {
          |SELECT symbol, "Date", close_avg, sma20,
          |  CAST(close_avg > sma20 AS INTEGER) AS above_sma
          |FROM sma ORDER BY symbol, "Date"""".stripMargin,
+    "yf_returns_drawdown" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    (CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT) / 1e8)
+         |      / count(*) AS close_avg
+         |  FROM bars
+         |  WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2)
+         |SELECT symbol, "Date", close_avg,
+         |  close_avg / nullif(lag(close_avg, 1) OVER w, 0) - 1.0 AS ret,
+         |  max(close_avg) OVER (PARTITION BY symbol ORDER BY "Date"
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+         |  1.0 - close_avg / nullif(max(close_avg) OVER (PARTITION BY symbol
+         |    ORDER BY "Date" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         |    AS drawdown
+         |FROM daily
+         |WINDOW w AS (PARTITION BY symbol ORDER BY "Date")
+         |ORDER BY symbol, "Date"""".stripMargin,
     "yf_catalog_join" ->
       s"""WITH $barsCte
          |SELECT b.symbol, s.s_name AS company_name, count(*) AS n_bars,

@@ -300,6 +300,55 @@ object SparkEntry {
         k = 3)
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))),
 
+    // RANK-WITH-TIES top-k per key (rank() <= k keeps boundary ties),
+    // COMPOSED from the custom operator instead of a new exec: rank <= k
+    // iff value >= the k-th best ROW's value, so the per-key threshold is
+    // min(top-k rows' value) from TopKPerKey (k rows per key cross the
+    // exchange), and the fact side joins the tiny threshold table on the
+    // same key and filters. No window ever ships the full table; ties at
+    // the boundary survive exactly as rank() defines. Oracle = the
+    // QUALIFY rank() window form.
+    "top_orders_per_customer_ties" -> ((s, dir) => {
+      val o = Sources.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val thresholds = plans.TopK.perKey(
+        o.select("o_custkey", "o_totalprice"),
+        keyCols = Seq("o_custkey"),
+        orderBy = Seq("o_totalprice" -> false), k = 3)
+        .groupBy("o_custkey").agg(min(col("o_totalprice")).as("th"))
+      o.join(thresholds, "o_custkey")
+        .filter(col("o_totalprice") >= col("th"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // GAPS-AND-ISLANDS (engine surface): per-user consecutive-day
+    // activity streaks — the classic lag + running-sum segmentation. All
+    // windows partitioned by user (no global ordering), day math on
+    // exact integer nanos. Output is the per-user streak audit
+    // (n_streaks, longest streak, active days).
+    "events_user_streaks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day_idx")
+      val days = Sources.events(s, dir)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day_idx"))
+        .distinct()
+      days
+        .withColumn("is_new",
+          when(col("day_idx") - lag(col("day_idx"), 1).over(w) === 1L, 0L)
+            .otherwise(1L))
+        .withColumn("streak_id",
+          sum(col("is_new")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "streak_id")
+        .agg(count(lit(1)).as("streak_days"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("streak_days")).as("longest_streak"),
+          sum(col("streak_days")).as("active_days"))
+        .orderBy("user_id")
+    }),
+
     // Sort + limit (engine surface, SURVEY.md §2.8): top-k by price —
     // plans as TakeOrderedAndProject (per-partition top-k, then merge;
     // no global sort materialization). Tie-broken for determinism.
@@ -1951,6 +2000,32 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "top_orders_per_customer_ties" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY rank() OVER (
+        |  PARTITION BY o_custkey ORDER BY o_totalprice DESC) <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "events_user_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day_idx
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id, day_idx,
+        |    CASE WHEN day_idx - lag(day_idx, 1) OVER w = 1 THEN 0 ELSE 1 END
+        |      AS is_new
+        |  FROM days
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)),
+        |streaks AS (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY day_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak_id
+        |  FROM seg),
+        |per AS (SELECT user_id, streak_id, count(*) AS streak_days
+        |        FROM streaks GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_streaks,
+        |  CAST(max(streak_days) AS BIGINT) AS longest_streak,
+        |  CAST(sum(streak_days) AS BIGINT) AS active_days
+        |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin,
     "filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'

@@ -132,6 +132,17 @@ object Streams {
       .start()
   }
 
+  /** Stream-static ENRICHMENT join: each micro-batch joins the static
+    * dimension snapshot — completely STATELESS on the streaming side
+    * (Spark re-plans the static scan per batch; no watermark, no state
+    * store). The standard live-ingest enrichment shape: at cluster scale
+    * the catalog broadcasts, so enrichment costs a map-side hash probe
+    * per batch and the stream never shuffles. Left join — an event whose
+    * key is missing from the catalog still flows, with nulls. */
+  def enrichAgainstCatalog(stream: DataFrame, catalog: DataFrame,
+                           key: String): DataFrame =
+    stream.join(broadcast(catalog), Seq(key), "left")
+
   /** EXACTLY-ONCE-EFFECT file sink: write a micro-batch of CLOSED
     * windowed aggregates to a parquet table partitioned by window,
     * overwriting ONLY the partitions present in the batch (dynamic

@@ -87,6 +87,60 @@ class Round5bOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_key_rows") > 0.0)
   }
 
+  test("rank-ties composition: boundary ties survive where row_number would cut") {
+    import spark.implicits._
+    // customer 1: values 10,10,9,9,8 — rank()<=3 keeps {10,10,9,9} (the
+    // 9s tie at the boundary); row_number()<=3 would keep only 3 rows.
+    // customer 2: no ties, plain top-3.
+    val o = Seq(
+      (101L, 1L, 10.0), (102L, 1L, 10.0), (103L, 1L, 9.0), (104L, 1L, 9.0),
+      (105L, 1L, 8.0),
+      (201L, 2L, 5.0), (202L, 2L, 4.0), (203L, 2L, 3.0), (204L, 2L, 2.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val thresholds = plans.TopK.perKey(
+      o.select("o_custkey", "o_totalprice"),
+      keyCols = Seq("o_custkey"),
+      orderBy = Seq("o_totalprice" -> false), k = 3)
+      .groupBy("o_custkey").agg(min(col("o_totalprice")).as("th"))
+    val kept = o.join(thresholds, "o_custkey")
+      .filter(col("o_totalprice") >= col("th"))
+      .select("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((1L, 101L), (1L, 102L), (1L, 103L), (1L, 104L),
+      (2L, 201L), (2L, 202L), (2L, 203L)))
+    // And the full query agrees with a rank() window recompute.
+    val out = run("top_orders_per_customer_ties")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val viaWindow = Sources.orders(spark, sfDir)
+      .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(out === viaWindow)
+  }
+
+  test("gap islands: streak segmentation agrees with a brute-force per-user scan") {
+    val out = run("events_user_streaks").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val days = Sources.events(spark, sfDir)
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    for ((u, ds) <- days) {
+      val streaks = ds.foldLeft(Vector.empty[Long]) { (acc, d) =>
+        if (acc.isEmpty || dPrev(ds, d) != d - 1) acc :+ 1L
+        else acc.init :+ (acc.last + 1)
+      }
+      assert(out(u) === ((streaks.length.toLong, streaks.max, ds.length.toLong)),
+        s"user $u: engine ${out(u)} vs brute ${(streaks.length, streaks.max, ds.length)}")
+    }
+  }
+
+  private def dPrev(ds: Vector[Long], d: Long): Long = {
+    val i = ds.indexOf(d)
+    if (i <= 0) Long.MinValue else ds(i - 1)
+  }
+
   test("z-order: every coarse tile bounds a <=16x16 rectangle and partitions the data") {
     val out = run("events_zorder").cache()
     val spans = out.select(

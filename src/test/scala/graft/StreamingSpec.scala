@@ -276,6 +276,26 @@ class StreamingSpec extends SparkSpec {
     assert((s1 ++ s2).subsetOf(indexed))
   }
 
+  test("stream-static enrichment equals the batch join and keys missing from the catalog survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val catalog = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val data = Seq(ev(1, 0, 1, "click", 1.0), ev(2, 1, 2, "view", 2.0),
+      ev(3, 2, 7, "click", 3.0)) // user 7 not in the catalog
+    val stream = MemoryStream[StreamEvent]
+    stream.addData(data: _*)
+    val q = Streams.enrichAgainstCatalog(stream.toDF(), catalog, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enriched")
+      .select("event_id", "user_id", "tier").orderBy("event_id").collect().toSeq
+    val batch = Streams.enrichAgainstCatalog(data.toDF(), catalog, "user_id")
+      .select("event_id", "user_id", "tier").orderBy("event_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(r => Option(r.getString(2))) ===
+      Seq(Some("gold"), Some("silver"), None))
+  }
+
   test("idempotent lake sink: only closed windows land, and a replayed batch is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_lake_").toString

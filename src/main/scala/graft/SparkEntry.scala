@@ -725,6 +725,69 @@ object SparkEntry {
         .orderBy("z_tile")
     }),
 
+    // Equi-width HISTOGRAM (engine surface): the value-distribution
+    // profile. Global min/max is a broadcast 1-row aggregate (no driver
+    // round-trip), bucket = floor((v-min)/width) clamped to the last
+    // bucket — every arithmetic step is an IEEE op on identical doubles,
+    // so bucket membership is adjudicated identically cross-engine. One
+    // scan + one keyed aggregate at any scale.
+    "events_value_histogram" -> ((s, dir) => {
+      val ev = Sources.events(s, dir).select("value")
+      val stats = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      ev.crossJoin(broadcast(stats))
+        .withColumn("bucket",
+          least(floor((col("value") - col("vmin"))
+            / ((col("vmax") - col("vmin")) / 16.0)), lit(15.0)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_values"),
+          min(col("value")).as("bucket_min"),
+          max(col("value")).as("bucket_max"))
+        .orderBy("bucket")
+    }),
+
+    // Pearson CORRELATION per group, on EXACT integer moment sums (the
+    // built-in corr aggregates doubles in partition order — not a
+    // cross-engine contract; and DECIMAL products round their scale
+    // differently in Spark vs DuckDB — measured 1-ulp divergence at
+    // sf0.1). Correlation is scale-invariant, so x is the value
+    // QUANTIZED to 1e-2 longs (floor(v*100+0.5) — pure IEEE) and y the
+    // integer hour-of-day: all five moments are exact long sums (far
+    // below 2^53, so their double conversions are exact), and the final
+    // formula is a handful of IEEE ops on identical inputs. One
+    // partial+final aggregate — five moments ride one shuffle.
+    "events_type_value_corr" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("x"),
+          expr("(ts DIV 3600000000000) % 24").as("y"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("corr_xy",
+          (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+            / sqrt((col("n").cast("double") * col("sxx")
+                - col("sx").cast("double") * col("sx"))
+              * (col("n").cast("double") * col("syy")
+                - col("sy").cast("double") * col("sy"))))
+        .select("event_type", "n", "corr_xy")
+        .orderBy("event_type")
+    }),
+
+    // INTERSECT set op (engine surface, completing §2.8's family beside
+    // union and the anti-join): users present in BOTH behavior sets.
+    // Plans as a distinct-aggregated semi-join — key-restricted, never a
+    // cross product.
+    "events_users_intersect" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+
     // As-of join (operator Spark lacks natively, composed from windows —
     // design-rule tier (a)): each click gets the latest error at or
     // before it per user. The oracle runs DuckDB's NATIVE ASOF JOIN, so
@@ -2189,6 +2252,37 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_value_histogram" ->
+      """WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
+        |SELECT CAST(least(floor((value - vmin) / ((vmax - vmin) / 16.0)), 15.0)
+        |    AS BIGINT) AS bucket,
+        |  count(*) AS n_values, min(value) AS bucket_min, max(value) AS bucket_max
+        |FROM events CROSS JOIN s
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "events_type_value_corr" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+        |    epoch_ns(ts) // 3600000000000 % 24 AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, n,
+        |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |    AS corr_xy
+        |FROM m ORDER BY event_type""".stripMargin,
+    "events_users_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
     "events_cube" ->
       s"""WITH ev AS (
          |  SELECT event_type, epoch_ns(ts) // 86400000000000 % 7 AS dow, value

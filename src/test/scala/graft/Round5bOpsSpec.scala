@@ -141,6 +141,49 @@ class Round5bOpsSpec extends SparkSpec {
     if (i <= 0) Long.MinValue else ds(i - 1)
   }
 
+  test("histogram: buckets partition all values and respect bucket boundaries") {
+    val out = run("events_value_histogram").collect()
+    val total = Sources.events(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_values")).sum === total)
+    assert(out.map(_.getAs[Long]("bucket")).forall(b => b >= 0 && b <= 15))
+    // bucket_min/max nest inside each bucket's neighbors' ranges.
+    val sorted = out.sortBy(_.getAs[Long]("bucket"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("bucket_max") <= b.getAs[Double]("bucket_min"))
+      case _ =>
+    }
+  }
+
+  test("correlation: exact-moment corr lies in [-1,1] and tracks the built-in") {
+    val out = run("events_type_value_corr").collect()
+    assert(out.length === 5)
+    for (r <- out) {
+      val c = r.getAs[Double]("corr_xy")
+      assert(!c.isNaN && math.abs(c) <= 1.0 + 1e-12)
+    }
+    // The built-in double-summing corr agrees up to the 1e-2 value
+    // quantization (scale-invariance makes the quantized corr the same
+    // statistic; the residual is the rounding jitter on x).
+    val builtin = Sources.events(spark, sfDir)
+      .select(col("event_type"), col("value").as("x"),
+        expr("(ts DIV 3600000000000) % 24").cast("double").as("y"))
+      .groupBy("event_type").agg(corr(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("c")).toMap
+    for (r <- out)
+      assert(math.abs(r.getAs[Double]("corr_xy") - builtin(r.getString(0))) < 1e-4)
+  }
+
+  test("intersect equals the distinct semi-join recompute") {
+    val out = run("events_users_intersect").collect().map(_.getLong(0)).toSeq
+    val ev = Sources.events(spark, sfDir)
+    val expected = ev.filter(col("event_type") === "click").select("user_id").distinct()
+      .join(ev.filter(col("event_type") === "purchase").select("user_id").distinct(),
+        Seq("user_id"), "left_semi")
+      .orderBy("user_id").collect().map(_.getLong(0)).toSeq
+    assert(out === expected)
+  }
+
   test("z-order: every coarse tile bounds a <=16x16 rectangle and partitions the data") {
     val out = run("events_zorder").cache()
     val spans = out.select(

@@ -17,7 +17,9 @@ import sys
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
-OUT = "/tmp/graft_verify"
+# Per-SF output dir so concurrent runs at different SFs never race on
+# each other's dumps.
+OUT = "/tmp/graft_verify_" + SF.rstrip("/").rsplit("/", 1)[-1]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

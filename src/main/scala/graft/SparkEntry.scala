@@ -114,6 +114,37 @@ object SparkEntry {
         .orderBy("symbol", "Date")
     }),
 
+    // FORWARD-FILL gap filling (time-series resampling): every symbol
+    // gets a DENSE day spine (explode(sequence) between its own min and
+    // max trading day — rows generated executor-side, never a driver
+    // loop), observed closes left-join onto it, and gaps carry the last
+    // observation forward via last(ignoreNulls) over a per-symbol
+    // running frame. The spine join is co-keyed on (symbol, day); the
+    // fill window is partitioned by symbol — no global ordering. Close
+    // is 1e-8-quantized (the house consolidation); the filled value is
+    // an IEEE division of identical integers on both engines.
+    "yf_forward_fill" -> ((s, dir) => {
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1995-04-01"))
+        .withColumn("day_idx", datediff(col("Date"), lit("1970-01-01")).cast("long"))
+        .groupBy("symbol", "day_idx")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+      val spine = daily.groupBy("symbol")
+        .agg(min(col("day_idx")).as("d0"), max(col("day_idx")).as("d1"))
+        .select(col("symbol"), explode(sequence(col("d0"), col("d1"))).as("day_idx"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("day_idx")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("symbol", "day_idx"), "left")
+        .withColumn("is_observed", col("close_sum").isNotNull.cast("int"))
+        .withColumn("close_filled",
+          (last(col("close_sum"), ignoreNulls = true).over(w) / 1e8)
+            / last(col("n_bars"), ignoreNulls = true).over(w))
+        .select("symbol", "day_idx", "is_observed", "close_filled")
+        .orderBy("symbol", "day_idx")
+    }),
+
     // Broadcast catalog join (SURVEY.md §2.5): company identity via an
     // explicit equi-join against the small dimension instead of the
     // reference's 951 collection names; rolled up per company.
@@ -587,6 +618,27 @@ object SparkEntry {
       dedup.Dedup.lshVerifiedPairs(
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
+
+    // FUZZY matching by EDIT DISTANCE, candidate-restricted: levenshtein
+    // is O(len²) PER PAIR, so it must never see all pairs — the LSH
+    // bands generate the candidates (sub-quadratic) and the distance
+    // scores only those, on an 80-char normalized prefix that bounds the
+    // per-pair cost. The alternative verification metric to Jaccard for
+    // near-identical prose (char-level edits that barely move shingle
+    // sets). Both engines implement standard unit-cost levenshtein.
+    "dedup_fuzzy_editdist" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val cand = dedup.Dedup.lshCandidates(docs, "doc_id", "text")
+      val t = docs.select(col("doc_id"),
+        substring(util.Norm.normalize(col("text")), 1, 80).as("prefix"))
+      cand
+        .join(t.select(col("doc_id").as("id_a"), col("prefix").as("pa")), "id_a")
+        .join(t.select(col("doc_id").as("id_b"), col("prefix").as("pb")), "id_b")
+        .withColumn("editdist", levenshtein(col("pa"), col("pb")))
+        .filter(col("editdist") <= 20)
+        .select("id_a", "id_b", "editdist")
+        .orderBy("id_a", "id_b")
+    }),
 
     // The CLOSED 100 TB dedup pipeline (SCALE.md "Deduplication"): LSH
     // candidates → exact-Jaccard-verified pairs → connected-component
@@ -2007,6 +2059,31 @@ object SparkEntry {
          |SELECT symbol, "Date", close_avg, sma20,
          |  CAST(close_avg > sma20 AS INTEGER) AS above_sma
          |FROM sma ORDER BY symbol, "Date"""".stripMargin,
+    "yf_forward_fill" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol,
+         |    CAST(CAST("Date" AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS close_sum,
+         |    count(*) AS n_bars
+         |  FROM bars
+         |  WHERE "Date" >= '1995-01-01' AND "Date" < '1995-04-01'
+         |  GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT symbol, unnest(range(min(day_idx), max(day_idx) + 1)) AS day_idx
+         |  FROM daily GROUP BY symbol),
+         |j AS (
+         |  SELECT s.symbol, s.day_idx, d.close_sum, d.n_bars
+         |  FROM spine s LEFT JOIN daily d USING (symbol, day_idx))
+         |SELECT symbol, day_idx,
+         |  CAST(close_sum IS NOT NULL AS INTEGER) AS is_observed,
+         |  (last_value(close_sum IGNORE NULLS) OVER w / 1e8)
+         |    / last_value(n_bars IGNORE NULLS) OVER w AS close_filled
+         |FROM j
+         |WINDOW w AS (PARTITION BY symbol ORDER BY day_idx
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY symbol, day_idx""".stripMargin,
     "yf_returns_drawdown" ->
       s"""WITH $barsCte,
          |daily AS (
@@ -2186,6 +2263,18 @@ object SparkEntry {
          |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
          |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
          |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "dedup_fuzzy_editdist" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.lshCandidatesCtes("docs")},
+         |t AS (SELECT doc_id,
+         |        substring(${util.Norm.normalizeSql("text")}, 1, 80) AS prefix
+         |      FROM docs)
+         |SELECT c.id_a, c.id_b, levenshtein(a.prefix, b.prefix) AS editdist
+         |FROM cand c
+         |JOIN t a ON a.doc_id = c.id_a
+         |JOIN t b ON b.doc_id = c.id_b
+         |WHERE levenshtein(a.prefix, b.prefix) <= 20
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.simhashPairsCtes("docs")}

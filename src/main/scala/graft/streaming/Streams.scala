@@ -132,6 +132,25 @@ object Streams {
       .start()
   }
 
+  /** Watermarked STREAM-STREAM interval join — conversion attribution on
+    * two live streams: each click matches the purchases of the same user
+    * within the next 10 minutes. Spark buffers both sides in state; the
+    * watermark plus the time-bound condition let it EVICT state past the
+    * horizon (without both, a stream-stream join's state grows forever —
+    * the bound is what makes this viable on an unbounded stream). Inner
+    * join matches emit as they arrive; the same transform runs on batch
+    * frames, and the spec asserts stream ≡ batch on a shared fixture. */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame,
+                          watermark: String = "2 hours"): DataFrame =
+    clicks.withWatermark("ts", watermark).alias("c")
+      .join(purchases.withWatermark("ts", watermark).alias("p"),
+        expr("c.user_id = p.user_id AND " +
+          "p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES"))
+      .select(col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
+
   /** Stream-static ENRICHMENT join: each micro-batch joins the static
     * dimension snapshot — completely STATELESS on the streaming side
     * (Spark re-plans the static scan per batch; no watermark, no state

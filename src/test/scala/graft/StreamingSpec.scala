@@ -276,6 +276,35 @@ class StreamingSpec extends SparkSpec {
     assert((s1 ++ s2).subsetOf(indexed))
   }
 
+  test("stream-stream interval join attributes purchases within the window, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      ev(1, 10, 1, "click", 1.0), ev(2, 15, 1, "purchase", 5.0), // within 10 min
+      ev(3, 40, 1, "purchase", 7.0),                             // too late for click 1
+      ev(4, 35, 1, "click", 1.0),                                // catches purchase 3
+      ev(5, 20, 2, "purchase", 9.0), ev(6, 25, 2, "click", 1.0)) // purchase BEFORE click
+    val stream = MemoryStream[StreamEvent]
+    stream.addData(data: _*)
+    val df = stream.toDF()
+    val q = Streams.attributedPurchases(
+      df.filter(col("event_type") === "click"),
+      df.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attributed")
+      .select("click_id", "purchase_id").orderBy("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed === Seq((1L, 2L), (4L, 3L)))
+    val batchDf = data.toDF()
+    val batch = Streams.attributedPurchases(
+      batchDf.filter(col("event_type") === "click"),
+      batchDf.filter(col("event_type") === "purchase"))
+      .select("click_id", "purchase_id").orderBy("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed === batch)
+  }
+
   test("stream-static enrichment equals the batch join and keys missing from the catalog survive") {
     implicit val sqlCtx = spark.sqlContext
     val catalog = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")

@@ -1238,6 +1238,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bloom-ACCELERATED incremental exact dedup: the same semantics as
+    // dedup_incremental, with a distributed Bloom filter
+    // (graft/functions/BloomAgg.scala — partition-local bit arrays,
+    // OR-merged; never the driver-collecting built-in) broadcast as the
+    // pre-filter. A bloom MISS is definitive (no false negatives), so
+    // misses skip the index join entirely; only the ~fpp fraction of
+    // positives pays the exact anti-join re-check — output is EXACTLY
+    // the anti-join's (the oracle is the same SQL). At 100 TB the 1M-bit
+    // filter (128 KB broadcast) replaces a full batch×index shuffle with
+    // a map-side probe for almost every genuinely-new document.
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftColumnBridge.{column => cexpr, expression => eexpr}
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+        .withColumn("h", md5(util.Norm.normalize(col("text")).cast("binary")))
+      val incoming = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "h")
+      val existing = docs.filter(col("doc_id") % 10 =!= 0).select("h").distinct()
+      val bloomDf = existing.agg(cexpr(functions.BloomAgg(
+        eexpr(col("h")), numBits = 1 << 20, numHashes = 7)
+        .toAggregateExpression()).as("bloom"))
+      val probed = incoming.crossJoin(broadcast(bloomDf))
+        .withColumn("maybe",
+          cexpr(functions.MightContain(eexpr(col("bloom")), eexpr(col("h")), 7)))
+      val definitelyNew = probed.filter(!col("maybe")).select("doc_id", "h")
+      val rechecked = probed.filter(col("maybe")).select("doc_id", "h")
+        .join(existing, Seq("h"), "left_anti")
+      definitelyNew.unionByName(rechecked)
+        .groupBy("h").agg(
+          min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_batch_copies"))
+        .select("doc_id", "h", "n_batch_copies")
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL near-dedup (the LSH twin of dedup_incremental's exact
     // path): batch docs with no verified near-dup in the existing corpus
     // or among earlier batch docs. Probe-side banding — the corpus never
@@ -2551,6 +2584,18 @@ object SparkEntry {
          |FROM tf t JOIN freq f USING (word) CROSS JOIN n
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "dedup_incremental" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |hashed AS (
+         |  SELECT doc_id, md5(${util.Norm.normalizeSql("text")}) AS h FROM docs),
+         |incoming AS (SELECT * FROM hashed WHERE doc_id % 10 = 0),
+         |existing AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 10 <> 0)
+         |SELECT min(doc_id) AS doc_id, h, count(*) AS n_batch_copies
+         |FROM incoming i
+         |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = i.h)
+         |GROUP BY h ORDER BY doc_id""".stripMargin,
+    // The bloom path is an internal accelerator; the CONTRACT is the
+    // exact anti-join — identical oracle to dedup_incremental.
+    "dedup_incremental_bloom" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |hashed AS (
          |  SELECT doc_id, md5(${util.Norm.normalizeSql("text")}) AS h FROM docs),

@@ -80,6 +80,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "mg_sketch(item, capacity) takes exactly 2 arguments")
       }))
     ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(item, bits, hashes) =>
+          BloomAgg(item, litInt(bits, "bloom bit count"),
+            litInt(hashes, "bloom hash count"))
+        case _ => throw new IllegalArgumentException(
+          "bloom_agg(item, numBits, numHashes) takes exactly 3 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[MightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bloom, item, hashes) =>
+          MightContain(bloom, item, litInt(hashes, "bloom hash count"))
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain(bloom, item, numHashes) takes exactly 3 arguments")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => args match {

@@ -1293,8 +1293,15 @@ object SparkEntry {
     "dedup_incremental_lsh_stored" -> ((s, dir) => {
       val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
       val isBatch = col("doc_id") % 10 === 0
+      // Per-SF directory: the warm-up pass (sf0.001) and the timed pass
+      // (bench SF) must not clobber each other's artifact — with one
+      // shared dir the tag mismatch forced a rebuild INSIDE timed rep 1
+      // of every bench run (measured: 16.8 s rep 1 vs the 6.9 s probe
+      // floor). Per-SF dirs make the artifact genuinely write-once
+      // across invocations, which is the whole point of the shape.
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val out = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), "graft_lsh_index")
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_lsh_index_$sfTag")
       val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
       // WRITE-ONCE, like production: the index is rebuilt only when the
       // marker says it was built from a different corpus or different

@@ -1825,6 +1825,167 @@ object SparkEntry {
           max(col("max_value")).as("max_value"))
         .orderBy("day_idx", "event_type")
     }),
+
+    // PAGERANK over the part↔supplier bipartite graph (both directions
+    // of every distinct lineitem (partkey, suppkey) edge — node ids
+    // 2·partkey / 2·suppkey+1 share one key space). The SECOND iterative
+    // graph primitive beside connected components: centrality over a
+    // link/co-occurrence graph is a standard curation signal
+    // (rank-weighted sampling of a crawl). All-integer damped power
+    // iteration in 1e-9 rank units (see [[graph.PageRank]]) — FP
+    // PageRank is summation-order dependent and irreproducible on any
+    // parallel engine; the integer form replays exactly in DuckDB via
+    // `//`-chained CTEs generated from the SAME constants. Per round:
+    // one co-partitioned join against the cached degree-annotated edges
+    // + one keyed aggregation; rounds persist + lineage-truncate with
+    // exactly one live rank table (the clusters() discipline). Top-100
+    // via sort-limit (TakeOrderedAndProject — k rows to the driver).
+    "graph_pagerank" -> ((s, dir) => {
+      val e0 = Sources.lineitem(s, dir)
+        .select((col("l_partkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graph.PageRank.ranks(edges, iters = 3)
+        .select(col("node"), (col("node") % 2).as("is_supplier"), col("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(100)
+    }),
+
+    // SNAPSHOT DIFF (data reconciliation): which rows were added,
+    // removed, changed, or kept between two versions of a table —
+    // the audit primitive behind incremental syncs, CDC validation, and
+    // "did the backfill change anything it shouldn't". ROW-HASH compare:
+    // each side reduces to (id, md5(payload)) at the scan, so the join
+    // carries 2 columns regardless of table width and the comparison is
+    // one equality — never N column-wise compares through the shuffle.
+    // One hash-join on the id (bucket both snapshots on id at 100 TB and
+    // it is shuffle-free); per-status aggregate is map-side combinable.
+    // Snapshots are derived deterministically from the fixture (old
+    // drops doc_id%5=1, new drops %7=2 and revises %11=3) and mirrored
+    // exactly in the oracle.
+    "docs_table_diff" -> ((s, dir) => {
+      val d = Sources.documents(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 5 =!= 1)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+      val newSnap = d.filter(col("doc_id") % 7 =!= 2)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 3, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).cast("binary")).as("h_new"))
+      oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, lit("added"))
+            .when(col("h_new").isNull, lit("removed"))
+            .when(col("h_old") =!= col("h_new"), lit("changed"))
+            .otherwise(lit("same")))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("status")
+    }),
+
+    // WINSORIZATION (outlier clamping for training-feature hygiene):
+    // clamp value into its per-type exact [p05, p95] band. Exact ranks,
+    // not interpolated percentiles: the cut value is the row at
+    // row_number ceil(q·n) under the total order (vq, event_id) — an
+    // integer adjudication both engines replay bit-identically (values
+    // pre-quantized to 1e-6 longs). Two shuffles (the per-type window +
+    // the final aggregate); the cut table is tiny → broadcast back. At
+    // 100 TB a per-type window with few types is skew-bound — the
+    // at-scale twin is events_quantiles_approx's GK sketch (rank error
+    // ε bounds the clamp drift); this exact form is the oracle-grade
+    // reference for it.
+    "events_winsorize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Sources.events(s, dir).select(col("event_type"), col("event_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+      val ranked = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("vq", "event_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val cuts = ranked
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === expr("(n * 5 + 99) div 100"), col("vq"))).as("p05"),
+          min(when(col("rn") === expr("(n * 95 + 99) div 100"), col("vq"))).as("p95"))
+      ranked.join(broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), min("p05").as("p05"), min("p95").as("p95"),
+          sum(when(col("vq") < col("p05") || col("vq") > col("p95"), 1L)
+            .otherwise(0L)).as("n_clamped"),
+          sum(least(greatest(col("vq"), col("p05")), col("p95")))
+            .as("sum_winsorized_q6"))
+        .orderBy("event_type")
+    }),
+
+    // INVERTED PHRASE INDEX (retrieval primitive): bigram term → ordered
+    // posting list of the documents containing it (bigram terms, not
+    // unigrams, because a phrase index is what brute regex search can't
+    // do — and the fixture's 31-word unigram vocab is all heavy
+    // hitters). Build order is the scale contract: document frequency
+    // FIRST, band the terms (df 2..50 — drop hapaxes and stopword-grade
+    // heavy hitters), and only collect postings for SURVIVING terms —
+    // collecting before filtering would materialize a billion-element
+    // list under every hot term before HAVING could drop it. The
+    // exploded (term, doc) view is materialized once and read by both
+    // passes. Posting lists are df-capped → bounded per key; emitted as
+    // a '|'-joined string in ascending doc order (one canonical byte
+    // form on both engines).
+    "text_inverted_index" -> ((s, dir) => {
+      val terms = util.Views.materialize(
+        Sources.documents(s, dir)
+          .select(col("doc_id"),
+            split(util.Norm.normalize(col("text")), " ").as("ws"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(ws) >= 2
+              |     THEN transform(sequence(1, size(ws) - 1),
+              |                    i -> struct(ws[i-1] AS w1, ws[i] AS w2))
+              |     ELSE array() END""".stripMargin)).as("b"))
+          .filter(col("b.w1") =!= "" && col("b.w2") =!= "")
+          .select(col("doc_id"),
+            concat(col("b.w1"), lit(" "), col("b.w2")).as("term"))
+          .distinct())
+      val surviving = terms.groupBy("term")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 50))
+      terms.join(surviving, "term")
+        .groupBy("term")
+        .agg(min("df").as("df"),
+          expr("array_join(transform(sort_array(collect_list(doc_id)), " +
+            "x -> cast(x AS string)), '|')").as("postings"))
+        .orderBy("term")
+    }),
+
+    // PER-GROUP Z-SCORE OUTLIERS (feature normalization + anomaly
+    // flagging): standardize n_chars within its language and keep
+    // |z| > 1.5 (the fixture's length distribution is near-uniform,
+    // whose |z| tops out at √3 — a 2.0 cut would leave only the
+    // handful of genuine tail docs). One grouped aggregate over exact
+    // integer sums (sum,
+    // sum-of-squares on BIGINT — n_chars² sums stay far below 2⁵³ at any
+    // plausible corpus; quantize or go DECIMAL beyond that) broadcast
+    // back over the corpus — z is then derived from bit-identical
+    // integers by one fixed IEEE expression tree, so the |z| > 2 cut
+    // adjudicates identically on both engines. Groups with n < 2 or
+    // zero variance are EXCLUDED in-stats (z would be NaN — and NaN
+    // comparison semantics differ across engines, so NaN must never
+    // reach the filter).
+    "docs_zscore_outliers" -> ((s, dir) => {
+      val d = Sources.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      val stats = d.groupBy("lang").agg(
+          count(lit(1)).as("n"), sum("n_chars").as("s"),
+          sum(col("n_chars") * col("n_chars")).as("ss"))
+        .filter(col("n") >= 2 &&
+          (col("ss") - col("s").cast("double") * col("s") / col("n")) > 0.0)
+      val z = (col("n_chars") - col("s").cast("double") / col("n")) /
+        sqrt((col("ss") - col("s").cast("double") * col("s") / col("n")) /
+          (col("n") - 1))
+      d.join(broadcast(stats), "lang")
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 1.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          util.Stable.sig(col("z")).as("z_sig"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -2900,5 +3061,94 @@ object SparkEntry {
          |  ${util.Stable.exactSumSql("value")} AS sum_value,
          |  min(value) AS min_value, max(value) AS max_value
          |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "graph_pagerank" -> {
+      // Both directions of the distinct bipartite edge set; the
+      // iteration CTEs come from the same generator (constants shared
+      // with the Spark loop by construction).
+      val und =
+        """SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS src,
+          |                CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst FROM lineitem""".stripMargin
+      val edgesSql =
+        s"""SELECT src, dst FROM ($und) fwd
+           |UNION ALL
+           |SELECT dst AS src, src AS dst FROM ($und) rev""".stripMargin
+      s"""${graph.PageRank.ranksSql(edgesSql, iters = 3)}
+         |SELECT node, node % 2 AS is_supplier, pr
+         |FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
+    },
+    "docs_table_diff" ->
+      """WITH snap_a AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 5 <> 1),
+        |snap_b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 3 THEN text || ' [rev2]' ELSE text END)
+        |      AS h_new
+        |  FROM documents WHERE doc_id % 7 <> 2),
+        |j AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.h_old IS NULL THEN 'added'
+        |         WHEN b.h_new IS NULL THEN 'removed'
+        |         WHEN a.h_old <> b.h_new THEN 'changed'
+        |         ELSE 'same' END AS status
+        |  FROM snap_a a FULL JOIN snap_b b ON a.doc_id = b.doc_id)
+        |SELECT status, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vq, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |cuts AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rn = (n * 5 + 99) // 100 THEN vq END) AS p05,
+        |    min(CASE WHEN rn = (n * 95 + 99) // 100 THEN vq END) AS p95
+        |  FROM ranked GROUP BY 1)
+        |SELECT r.event_type, count(*) AS n_events, c.p05, c.p95,
+        |  CAST(sum(CASE WHEN r.vq < c.p05 OR r.vq > c.p95 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clamped,
+        |  CAST(sum(least(greatest(r.vq, c.p05), c.p95)) AS BIGINT)
+        |    AS sum_winsorized_q6
+        |FROM ranked r JOIN cuts c USING (event_type)
+        |GROUP BY r.event_type, c.p05, c.p95 ORDER BY r.event_type""".stripMargin,
+    "text_inverted_index" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(${util.Norm.normalizeSql("text")}, ' ') AS ws
+         |  FROM documents),
+         |ix AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |  FROM t WHERE len(ws) >= 2),
+         |b AS (
+         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS term
+         |  FROM ix WHERE ws[i] <> '' AND ws[i + 1] <> ''),
+         |surviving AS (
+         |  SELECT term, count(*) AS df FROM b GROUP BY 1
+         |  HAVING count(*) BETWEEN 2 AND 50)
+         |SELECT b.term, CAST(s.df AS BIGINT) AS df,
+         |  string_agg(CAST(b.doc_id AS VARCHAR), '|' ORDER BY b.doc_id) AS postings
+         |FROM b JOIN surviving s USING (term)
+         |GROUP BY b.term, s.df ORDER BY b.term""".stripMargin,
+    "docs_zscore_outliers" ->
+      """WITH stats AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+        |  FROM documents GROUP BY 1
+        |  HAVING count(*) >= 2
+        |    AND (CAST(sum(n_chars * n_chars) AS DOUBLE)
+        |         - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS BIGINT)
+        |           / count(*)) > 0.0),
+        |z AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    (d.n_chars - CAST(t.s AS DOUBLE) / t.n) /
+        |      sqrt((t.ss - CAST(t.s AS DOUBLE) * t.s / t.n) / (t.n - 1)) AS z
+        |  FROM documents d JOIN stats t USING (lang))
+        |SELECT doc_id, lang, n_chars, printf('%.4e', z) AS z_sig
+        |FROM z WHERE abs(z) > 1.5 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,131 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the second iterative
+  * graph primitive beside connected components ([[graft.dedup.Dedup
+  * .clusters]]'s min-label propagation). Where components answer "which
+  * docs are the same", PageRank answers "which nodes matter" —
+  * centrality over a citation/link/co-occurrence graph is a standard
+  * training-data curation signal (rank-weighted sampling of a crawl
+  * graph).
+  *
+  * ALL ARITHMETIC IS INTEGER. Ranks live in 1e-9 units (rank 1.0 ==
+  * 1_000_000_000L); a contribution is `pr div outdeg` (integral
+  * divide), the damped update is `0.15e9 + (85 * inflow) div 100`.
+  * Floating-point PageRank is summation-order dependent — a parallel
+  * engine cannot reproduce it run-to-run, let alone cross-engine; the
+  * integer form is exactly reproducible on any engine and the oracle
+  * replays it in DuckDB with `//` to the last unit. Truncation loses
+  * < 1 unit (1e-9) per edge per round — immaterial for ranking, decisive
+  * for verifiability.
+  *
+  * Scale shape (the loop mirrors the clusters() discipline):
+  *  - The degree-annotated edge list is computed ONCE, repartitioned on
+  *    `src` at the loop's width, and materialized — every round's join
+  *    probes it co-partitioned, so the static side never re-shuffles.
+  *  - Each round is one co-partitioned join (ranks repartitioned on the
+  *    same key/width) + one keyed aggregation — shuffle volume scales
+  *    with |E| per round, never |E|·rounds accumulated lineage:
+  *    rounds materialize (persist + lineage-truncate via the shared
+  *    [[graft.util.Views]] registry) and the retired round is unpersisted
+  *    in-loop, exactly one live rank table at any time.
+  *  - Iteration count is FIXED (power iteration with damping 0.85
+  *    converges geometrically; curation needs stable ordering, not
+  *    1e-12 residuals), so no driver-side convergence probe is needed.
+  *  - No node list is collected; dangling nodes are the CALLER's
+  *    concern — an undirected (both-directions) edge list has none.
+  *    A `require` fails loudly if any `dst` never appears as `src`
+  *    (rank mass would silently drain into it).
+  */
+object PageRank {
+
+  val UnitRank = 1000000000L // 1.0 in 1e-9 units
+  val TeleportQ = 150000000L // 0.15 in 1e-9 units
+
+  /** Rank nodes of the graph given by `edges` (cols `src`, `dst`, both
+    * directions present for an undirected graph). Returns (node, pr)
+    * with pr in 1e-9 units after `iters` damped power-iteration rounds
+    * from a uniform start. */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // Materialize the raw edge list once (the caller's derivation —
+    // often a distinct over a fact table — must not recompute per round),
+    // sizing the loop width off its measured cardinality (same rationale
+    // as the cluster loop: the graph is usually far smaller than the
+    // corpus that produced it; session-width rounds would be
+    // scheduling-bound). One partition per ~4M edges, capped at the
+    // session width.
+    val (eMat, nEdges) = graft.util.Views.materializeCounted(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    val loopWidth =
+      math.max(1L, math.min(sessionWidth.toLong, nEdges / 4000000L + 1)).toInt
+    // The degree-annotated static side is cached ALREADY at the loop's
+    // key and width — every round's join probes it with no new exchange.
+    val eDegLoop = graft.util.Views.materialize(
+      eMat.join(eMat.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .repartition(loopWidth, col("src")))
+
+    // Dangling probe: every dst must emit in some round, i.e. appear as
+    // a src. An anti-join that survives means rank mass drains.
+    val dangling = eMat.select(col("dst").as("src")).distinct()
+      .join(eMat.select("src").distinct(), Seq("src"), "left_anti")
+    require(dangling.isEmpty,
+      "PageRank.ranks: graph has dangling nodes (dst never a src) — " +
+        "pass both edge directions for an undirected graph, or add " +
+        "self-loops/teleport handling for a directed one")
+
+    def materializeRound(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = graft.util.Views.register(
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      (org.apache.spark.sql.GraftColumnBridge.lineageTruncated(p), p)
+    }
+
+    val seed = eMat.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(UnitRank))
+    var (cur, cached) = materializeRound(seed)
+    cached.count() // fill the seed cache before the loop fans out over it
+
+    for (_ <- 1 to iters) {
+      val contribs = eDegLoop
+        .join(cur.repartition(loopWidth, col("node")),
+          col("src") === col("node"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+      val next = contribs
+        .repartition(loopWidth, col("dst"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(TeleportQ) + expr("(85 * sum(c)) div 100")).as("pr"))
+      val (nRanks, nCached) = materializeRound(next)
+      nCached.count() // materialize THIS round before retiring the last
+      cached.unpersist()
+      cur = nRanks
+      cached = nCached
+    }
+    cur
+  }
+
+  /** The DuckDB replay of [[ranks]]: chained CTEs r0..r{iters}, same
+    * integer arithmetic (`//` ≡ `div` for the all-positive rank domain).
+    * `edgesSql` must yield (src, dst) with both directions. Generated
+    * next to the Spark loop so iteration count and constants can never
+    * drift apart. */
+  def ranksSql(edgesSql: String, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST($TeleportQ + (85 * sum(r.pr // e.outdeg)) // 100 AS BIGINT) AS pr
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesSql),
+       |e AS (
+       |  SELECT e0.src, e0.dst, d.outdeg FROM e0
+       |  JOIN (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1) d USING (src)),
+       |r0 AS (SELECT DISTINCT src AS node, CAST($UnitRank AS BIGINT) AS pr FROM e0),
+       |$rounds""".stripMargin
+  }
+}

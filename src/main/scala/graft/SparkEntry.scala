@@ -1955,6 +1955,100 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // ARBITRARY GROUPING SETS (engine surface): rollup and cube are the
+    // hierarchical/full lattices (yf_rollup, events_cube); this is the
+    // general form — three hand-picked grains in ONE Expand pass over
+    // the scan, where three separate GROUP BYs would scan three times.
+    // Exposed through the SQL surface (GROUP BY GROUPING SETS is
+    // SQL-only in Spark); grouping_id() ⇔ DuckDB GROUPING() share the
+    // same first-arg-most-significant bitmask. gid-major ordering keeps
+    // NULL grouping placeholders out of mixed sort groups (engines
+    // disagree on NULL order).
+    "events_grouping_sets" -> ((s, dir) => {
+      Sources.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts DIV 86400000000000) % 7").as("dow"),
+          col("value"))
+        .createOrReplaceTempView("graft_events_gs")
+      s.sql("""
+        SELECT event_type, dow,
+          CAST(grouping_id(event_type, dow) AS BIGINT) AS gid,
+          count(1) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value
+        FROM graft_events_gs
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
+        ORDER BY gid, event_type, dow""")
+    }),
+
+    // EXCEPT — the set-op family's last member (union multiplex =
+    // idx_union_years, INTERSECT = events_users_intersect), at (user,
+    // day) granularity: click-days with no same-day purchase — the
+    // unconverted-session signal (plain user-level EXCEPT is empty on
+    // this fixture: every user eventually does everything). Exercises
+    // MULTI-column EXCEPT; Spark lowers EXCEPT DISTINCT to distinct +
+    // anti hash join — one shuffle per side at any scale, day math on
+    // exact BIGINT nanos.
+    "events_users_except" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          expr("ts DIV 86400000000000").as("day_idx"))
+      ev.filter(col("event_type") === "click").select("user_id", "day_idx")
+        .except(ev.filter(col("event_type") === "purchase")
+          .select("user_id", "day_idx"))
+        .orderBy("user_id", "day_idx")
+    }),
+
+    // NTILE DECILES (distribution profiling): equal-count value buckets
+    // per type — the rank-based complement of the equi-WIDTH
+    // events_value_histogram. ntile's remainder rule (first buckets get
+    // the extra row) is SQL-standard and identical cross-engine GIVEN a
+    // total order, so the quantized value ties break on event_id. The
+    // per-type window is the same skew caveat as events_winsorize — the
+    // at-scale path pre-aggregates by value or goes through the GK
+    // sketch; this is the exact reference.
+    "events_value_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Sources.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy("event_type").orderBy("vq", "event_id")))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("n_events"), min("vq").as("min_vq"),
+          max("vq").as("max_vq"), sum("vq").as("sum_vq"))
+        .orderBy("event_type", "decile")
+    }),
+
+    // EXACT-INTEGER EWMA (trend indicator): exponentially weighted
+    // moving average with decay ½ over an 8-day window. The decay
+    // choice is the determinism trick: halving weights make the
+    // numerator a HORNER FOLD in integer arithmetic — acc·2 + x over
+    // the window oldest→newest puts weight 2^(n-1-i) on element i
+    // (newest highest after the reverse), EXACT in BIGINT on both
+    // engines, with one IEEE division chain at the end. A general decay
+    // λ needs pow(λ, j), which is NOT correctly rounded and diverges
+    // cross-engine. collect_list/list() over an ordered row frame
+    // yields frame order on both engines; the fold replays in DuckDB
+    // via list_reduce (whose first-element seed equals the 0-seed
+    // Horner). Per-symbol windows — no global ordering at any scale.
+    "yf_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("xq", expr("close_sum div n_bars"))
+      val w = Window.partitionBy("symbol").orderBy("Date").rowsBetween(-7, 0)
+      daily
+        .withColumn("arr", collect_list(col("xq")).over(w))
+        .select(col("symbol"), col("Date"),
+          (expr("aggregate(reverse(arr), CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x)")
+            .cast("double") /
+            (expr("shiftleft(CAST(1 AS BIGINT), size(arr))") - 1) / 1e8).as("ewma"))
+        .orderBy("symbol", "Date")
+    }),
+
     // PER-GROUP Z-SCORE OUTLIERS (feature normalization + anomaly
     // flagging): standardize n_chars within its language and keep
     // |z| > 1.5 (the fixture's length distribution is near-uniform,
@@ -3133,6 +3227,54 @@ object SparkEntry {
          |  string_agg(CAST(b.doc_id AS VARCHAR), '|' ORDER BY b.doc_id) AS postings
          |FROM b JOIN surviving s USING (term)
          |GROUP BY b.term, s.df ORDER BY b.term""".stripMargin,
+    "events_grouping_sets" ->
+      """WITH ev AS (
+        |  SELECT event_type, (epoch_ns(ts) // 86400000000000) % 7 AS dow, value
+        |  FROM events)
+        |SELECT event_type, dow,
+        |  CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value
+        |FROM ev GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
+        |ORDER BY gid, event_type, dow""".stripMargin,
+    "events_users_except" ->
+      """SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day_idx
+        |FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id, epoch_ns(ts) // 86400000000000
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, day_idx""".stripMargin,
+    "events_value_deciles" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, vq,
+        |    ntile(10) OVER (PARTITION BY event_type ORDER BY vq, event_id) AS decile
+        |  FROM ev)
+        |SELECT event_type, CAST(decile AS INTEGER) AS decile,
+        |  count(*) AS n_events, min(vq) AS min_vq, max(vq) AS max_vq,
+        |  CAST(sum(vq) AS BIGINT) AS sum_vq
+        |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "yf_ewma" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars
+         |  WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |wins AS (
+         |  SELECT symbol, "Date",
+         |    list(xq) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily)
+         |SELECT symbol, "Date",
+         |  CAST(list_reduce(list_reverse(arr), (acc, x) -> acc * 2 + x) AS DOUBLE)
+         |    / ((CAST(1 AS BIGINT) << len(arr)) - 1) / 1e8 AS ewma
+         |FROM wins ORDER BY symbol, "Date"""".stripMargin,
     "docs_zscore_outliers" ->
       """WITH stats AS (
         |  SELECT lang, count(*) AS n,

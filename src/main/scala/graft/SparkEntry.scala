@@ -398,6 +398,32 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Referential-integrity audit across every declared FK relationship —
+    // the pre-publish data-quality gate. Each relationship is one anti
+    // join on the child's projected FK column (8 bytes/row shuffled, not
+    // the row); bounded catalogs (nation, region) broadcast so their
+    // children shuffle nothing. The union is of 7 one-row aggregates,
+    // never of raw tables (graft.util.Audit).
+    "data_ri_audit" -> ((s, dir) => {
+      import util.Audit.orphanCount
+      val li = Sources.lineitem(s, dir); val o = Sources.orders(s, dir)
+      val c = Sources.customer(s, dir); val su = Sources.supplier(s, dir)
+      val p = Sources.part(s, dir); val n = Sources.nation(s, dir)
+      val r = Sources.region(s, dir)
+      Seq(
+        orphanCount("customer->nation", c, "c_nationkey", n, "n_nationkey",
+          broadcastParent = true),
+        orphanCount("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        orphanCount("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        orphanCount("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
+        orphanCount("nation->region", n, "n_regionkey", r, "r_regionkey",
+          broadcastParent = true),
+        orphanCount("orders->customer", o, "o_custkey", c, "c_custkey"),
+        orphanCount("supplier->nation", su, "s_nationkey", n, "n_nationkey",
+          broadcastParent = true)
+      ).reduce(_.unionByName(_)).orderBy("rel")
+    }),
+
     // Union multiplex (SURVEY.md §2.8): the reference's 4-collection IDX
     // loop read as one unioned frame, rolled up per year.
     "idx_union_years" -> ((s, dir) => {
@@ -592,6 +618,18 @@ object SparkEntry {
     "dedup_jaccard_capped" -> ((s, dir) =>
       dedup.Dedup.jaccardPairs(
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.5,
+        maxDocFreq = Some(10L))
+        .orderBy("id_a", "id_b")),
+
+    // Overlap-coefficient (containment) near-dedup: |A∩B|/min(|A|,|B|) —
+    // the subset-duplication detector Jaccard structurally misses (a doc
+    // quoted whole inside a much longer one has overlap 1.0 but Jaccard
+    // → 0 as the length ratio grows; the augmented fixture's junk-tail
+    // variants are exactly this shape). Same explode→join→count plan and
+    // df-cap skew guard as the Jaccard tier; only the finalizer differs.
+    "dedup_overlap_pairs" -> ((s, dir) =>
+      dedup.Dedup.overlapPairs(
+        dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.9,
         maxDocFreq = Some(10L))
         .orderBy("id_a", "id_b")),
 
@@ -1395,6 +1433,33 @@ object SparkEntry {
         .select(col("label"), col("dim_idx").cast("long").as("dim_idx"), col("centroid"))
         .orderBy("label", "dim_idx")),
 
+    // INT8 embedding QUANTIZATION audit (training-data extension): the
+    // compression step before shipping an ANN index — per-dimension
+    // min/max scaling to 8-bit codes, reported as per-(label, dim) code
+    // statistics (n, Σcode, Σcode²) so drift between quantized shards is
+    // detectable. Everything is integer-exact end-to-end: components
+    // quantize to 1e-8 longs first (pure IEEE floor — engine-identical),
+    // the code rounds via integer arithmetic ((Δ·510 + range) DIV
+    // 2·range = round-half-up without any double), and code sums are
+    // long. The per-dim range frame is |dims| rows — broadcast back; one
+    // keyed shuffle for the final rollup.
+    "emb_quantize_int8" -> ((s, dir) => {
+      val ex = Sources.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+        .withColumn("q", floor(col("v") * 1e8 + 0.5).cast("long"))
+      val rng = ex.groupBy("dim_idx")
+        .agg(min("q").as("min_q"), max("q").as("max_q"))
+      ex.join(broadcast(rng), "dim_idx")
+        .withColumn("code", when(col("max_q") === col("min_q"), lit(0L))
+          .otherwise(expr("((q - min_q) * 510 + (max_q - min_q)) DIV (2 * (max_q - min_q))")))
+        .groupBy("label", "dim_idx")
+        .agg(count(lit(1)).as("n"), sum("code").as("sum_code"),
+          sum(col("code") * col("code")).as("sum_code_sq"))
+        .select(col("label"), col("dim_idx").cast("long").as("dim_idx"),
+          col("n"), col("sum_code"), col("sum_code_sq"))
+        .orderBy("label", "dim_idx")
+    }),
+
     // Composite QUALITY GATE (training-data extension): the C4-style
     // keep/drop verdict — length, language, repetition, and composite
     // quality thresholds with a first-failing-rule diagnostic. All
@@ -1677,6 +1742,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SLIDING-WINDOW token chunker (training-data extension): the
+    // context-window shape an LLM pretraining pipeline actually emits —
+    // overlapping windows of W=12 tokens at stride S=6 (each token seen
+    // twice, window boundaries never split context), vs docs_chunk_dedup's
+    // disjoint spans. Pure per-row explode (no shuffle until the ORDER BY
+    // display sort); chunk count = 1 + ceil(max(n-W,0)/S) so short docs
+    // still emit one chunk. md5 per chunk makes the output
+    // position-auditable without shipping the text.
+    "docs_chunk_sliding" -> ((s, dir) =>
+      Sources.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(util.Norm.normalize(col("text")), " "),
+            w => w =!= "").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(
+            |  sequence(0, cast(ceil(greatest(size(ws) - 12, 0) / 6.0) as int)),
+            |  i -> slice(ws, i*6 + 1, 12))""".stripMargin)))
+        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_ws"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("chunk_ws")).cast("long").as("n_tokens"),
+          md5(array_join(col("chunk_ws"), " ").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // Multi-way analytical JOIN (engine surface): lineitem ⋈ orders on
     // the co-keyed orderkey shuffle, aggregated to customer grain BEFORE
     // touching the customer dimension (the shuffle carries per-customer
@@ -1732,6 +1820,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_small"),
           util.Stable.exactSum(col("px")).as("revenue"))
         .orderBy("p_brand")
+    }),
+
+    // Multi-EXISTS decorrelation (engine surface, TPC-H Q21 shape):
+    // "suppliers who were the SOLE late shipper in a multi-supplier
+    // order" — late = shipped >60 days after the order date. The naive
+    // form is two correlated subqueries per row (EXISTS another supplier
+    // in the order; NOT EXISTS another LATE supplier); the scale-right
+    // rewrite decorrelates BOTH into one per-order aggregate (count of
+    // distinct suppliers, count + min of late suppliers), so the fact
+    // table shuffles once on l_orderkey instead of self-joining twice.
+    // The supplier dimension joins after the per-supplier rollup — the
+    // shuffle carries per-supplier partials, not line items.
+    "orders_sole_late_supplier" -> ((s, dir) => {
+      val li = Sources.lineitem(s, dir)
+        .join(Sources.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .cast("int").as("late"))
+      val perOrder = li
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late") === 1, col("l_suppkey"))).as("n_late_supp"),
+          min(when(col("late") === 1, col("l_suppkey"))).as("sole_late_supp"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      perOrder
+        .groupBy("sole_late_supp")
+        .agg(count(lit(1)).as("n_orders"))
+        .join(Sources.supplier(s, dir).select("s_suppkey", "s_name"),
+          col("sole_late_supp") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_orders"))
+        .orderBy(col("n_orders").desc, col("s_suppkey"))
+        .limit(50)
     }),
 
     // Word-distribution ENTROPY per doc (training-data extension): the
@@ -2521,6 +2642,23 @@ object SparkEntry {
         |WHERE c.user_id NOT IN
         |  (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95.0)
         |ORDER BY c.user_id""".stripMargin,
+    "data_ri_audit" -> {
+      def rel(name: String, child: String, fk: String, parent: String, pk: String) =
+        s"""SELECT '$name' AS rel,
+           |  (SELECT count(*) FROM $child) AS n_rows,
+           |  (SELECT count(*) FROM $child ch
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parent pa WHERE pa.$pk = ch.$fk))
+           |  AS n_orphans""".stripMargin
+      Seq(
+        rel("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        rel("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        rel("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        rel("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        rel("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY rel")
+    },
     "dedup_exact" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql}
          |${dedup.Dedup.exactGroupsSql("docs")}
@@ -2532,6 +2670,10 @@ object SparkEntry {
     "dedup_jaccard_capped" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.jaccardPairsCtes("docs", 0.5, None, maxDocFreq = Some(10L))}
+         |SELECT * FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "dedup_overlap_pairs" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.overlapPairsCtes("docs", 0.9, maxDocFreq = Some(10L))}
          |SELECT * FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
@@ -2904,6 +3046,24 @@ object SparkEntry {
         |        unnest(range(1, len(embedding) + 1)) AS i
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, dim_idx""".stripMargin,
+    "emb_quantize_int8" ->
+      """WITH ex AS (
+        |  SELECT label, CAST(i AS BIGINT) - 1 AS dim_idx,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS q
+        |  FROM (SELECT label, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |rng AS (SELECT dim_idx, min(q) AS min_q, max(q) AS max_q FROM ex GROUP BY 1),
+        |codes AS (
+        |  SELECT label, ex.dim_idx,
+        |    CASE WHEN max_q = min_q THEN 0
+        |         ELSE ((q - min_q) * 510 + (max_q - min_q)) // (2 * (max_q - min_q))
+        |    END AS code
+        |  FROM ex JOIN rng ON ex.dim_idx = rng.dim_idx)
+        |SELECT label, dim_idx, count(*) AS n,
+        |  CAST(sum(code) AS BIGINT) AS sum_code,
+        |  CAST(sum(code * code) AS BIGINT) AS sum_code_sq
+        |FROM codes GROUP BY 1, 2 ORDER BY label, dim_idx""".stripMargin,
     "dedup_survivors" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, None, maxDocFreq = Some(10L))},
@@ -3090,6 +3250,20 @@ object SparkEntry {
          |    '')) AS kept_md5
          |FROM chh c JOIN freq f USING (h)
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "docs_chunk_sliding" ->
+      s"""WITH w AS (SELECT doc_id,
+         |        list_filter(string_split(${util.Norm.normalizeSql("text")}, ' '),
+         |                    x -> x <> '') AS ws
+         |      FROM documents),
+         |ch0 AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(0,
+         |      1 + CAST(ceil(greatest(len(ws) - 12, 0) / 6.0) AS BIGINT))) AS i
+         |  FROM w)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(len(ws[i*6 + 1 : i*6 + 12]) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(ws[i*6 + 1 : i*6 + 12], ' ')) AS chunk_md5
+         |FROM ch0 ORDER BY doc_id, chunk_idx""".stripMargin,
     "orders_customer_revenue" ->
       s"""SELECT c.c_custkey, c.c_name, n.n_name,
          |  count(DISTINCT o.o_orderkey) AS n_orders,
@@ -3117,6 +3291,22 @@ object SparkEntry {
          |  ${util.Stable.exactSumSql("s.px")} AS revenue
          |FROM small s JOIN part p ON s.l_partkey = p.p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "orders_sole_late_supplier" ->
+      """WITH li AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |         THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |per_order AS (
+        |  SELECT l_orderkey,
+        |    min(CASE WHEN late = 1 THEN l_suppkey END) AS sole_late_supp
+        |  FROM li GROUP BY 1
+        |  HAVING count(DISTINCT l_suppkey) >= 2
+        |     AND count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) = 1)
+        |SELECT s.s_suppkey, s.s_name, count(*) AS n_orders
+        |FROM per_order p JOIN supplier s ON p.sole_late_supp = s.s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, s_suppkey LIMIT 50""".stripMargin,
     "text_word_entropy" ->
       s"""WITH w AS (
          |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word

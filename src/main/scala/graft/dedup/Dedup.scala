@@ -109,10 +109,12 @@ object Dedup {
     cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
 
-  /** Jaccard pairs from an (id, sh) shingle view the caller has already
-    * restricted/persisted. */
-  private def jaccardFromShingles(sh0: DataFrame, threshold: Double,
-                                  maxDocFreq: Option[Long] = None): DataFrame = {
+  /** Pair statistics from an (id, sh) shingle view the caller has already
+    * restricted/persisted: (id_a, id_b, n_common, n_a, n_b) for every pair
+    * sharing at least one surviving shingle. The shared core of both
+    * set-similarity metrics ([[jaccardPairs]], [[overlapPairs]]). */
+  private def pairStats(sh0: DataFrame,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
     // (id, sh) rows are distinct per doc, so doc frequency = row count.
     val sh = maxDocFreq match {
       case Some(cap) =>
@@ -129,10 +131,32 @@ object Dedup {
     common
       .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+  }
+
+  /** Jaccard pairs from an (id, sh) shingle view the caller has already
+    * restricted/persisted. */
+  private def jaccardFromShingles(sh0: DataFrame, threshold: Double,
+                                  maxDocFreq: Option[Long] = None): DataFrame =
+    pairStats(sh0, maxDocFreq)
       .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
+
+  /** All pairs with shingle OVERLAP COEFFICIENT ≥ `threshold`:
+    * |A∩B| / min(|A|, |B|). The subset-duplication detector Jaccard
+    * structurally misses: a short doc fully quoted inside a much longer
+    * one has overlap 1.0 but Jaccard ≈ |A|/|B| → 0 as the length ratio
+    * grows. Standard third tier of web-corpus dedup (exact → Jaccard →
+    * containment). Same explode→join→count plan as [[jaccardPairs]] —
+    * docs sharing zero shingles never meet, `maxDocFreq` is the same
+    * mandatory skew guard at corpus scale. */
+  def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double,
+                   maxDocFreq: Option[Long] = None): DataFrame =
+    pairStats(shingleRows(docs, idCol, textCol), maxDocFreq)
+      .withColumn("overlap", col("n_common") / least(col("n_a"), col("n_b")))
+      .filter(col("overlap") >= threshold)
+      .select("id_a", "id_b", "overlap")
 
   /** MinHash signature: element j = min over shingles of md5(j ':' sh).
     * Lexicographic min over fixed-width hex = uniform min-hash; identical
@@ -651,7 +675,31 @@ object Dedup {
     * CTE name, the shingle set is restricted to candidate ids; the final
     * SELECT must still semi-join `pairs` against the candidates. */
   def jaccardPairsCtes(docsRel: String, threshold: Double, candidatesCte: Option[String],
-                       maxDocFreq: Option[Long] = None): String = {
+                       maxDocFreq: Option[Long] = None): String =
+    pairStatsCtes(docsRel, candidatesCte, maxDocFreq) + ",\n" +
+      s"""pairs AS (
+         |  SELECT id_a, id_b,
+         |    n_common / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+         |  FROM common
+         |  JOIN counts ca ON ca.id = id_a
+         |  JOIN counts cb ON cb.id = id_b
+         |  WHERE n_common / (ca.n_sh + cb.n_sh - n_common) >= $threshold)""".stripMargin
+
+  /** DuckDB mirror of [[overlapPairs]] — shared CTE core, overlap-coefficient
+    * finalizer. */
+  def overlapPairsCtes(docsRel: String, threshold: Double,
+                       maxDocFreq: Option[Long] = None): String =
+    pairStatsCtes(docsRel, None, maxDocFreq) + ",\n" +
+      s"""pairs AS (
+         |  SELECT id_a, id_b,
+         |    n_common / least(ca.n_sh, cb.n_sh) AS overlap
+         |  FROM common
+         |  JOIN counts ca ON ca.id = id_a
+         |  JOIN counts cb ON cb.id = id_b
+         |  WHERE n_common / least(ca.n_sh, cb.n_sh) >= $threshold)""".stripMargin
+
+  private def pairStatsCtes(docsRel: String, candidatesCte: Option[String],
+                            maxDocFreq: Option[Long]): String = {
     val shSrc = candidatesCte match {
       case Some(c) =>
         s"""sh0 AS (SELECT * FROM sh_all WHERE id IN
@@ -671,14 +719,7 @@ object Dedup {
        |common AS (
        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT id_a, id_b,
-       |    n_common / (ca.n_sh + cb.n_sh - n_common) AS jaccard
-       |  FROM common
-       |  JOIN counts ca ON ca.id = id_a
-       |  JOIN counts cb ON cb.id = id_b
-       |  WHERE n_common / (ca.n_sh + cb.n_sh - n_common) >= $threshold)""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   def minhashSignatureSql(shList: String): String = {

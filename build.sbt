@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads share the unified memory region of this one
+  // JVM: at 8g (≈4.5g unified) the sf0.1 LSH self-joins spill, and
+  // spill pressure is where the in-suite bench variance came from
+  // (measured round 5: heavy-family mini-suite 39.6 s @8g vs 33.9 s
+  // @32g, with per-query spreads tightening to ≤1.5×). The box has
+  // 128 GiB; size the single-JVM "cluster" like the real one.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

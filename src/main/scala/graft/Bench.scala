@@ -19,14 +19,21 @@ object Bench {
       // (session-level so no reader mutates conf mid-query — SPARK-40819).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Executor-side shuffle files are only removed when the
-      // ContextCleaner sees their driver-side handles GC'd; with sbt's
-      // large heap, driver GCs are rare and a long session accumulates
-      // /tmp shuffle data into disk/page-cache pressure (measured round 4:
-      // dedup_clusters_lsh grew 8→29→56 s across in-suite reps while flat
-      // in isolation). 30s periodic GC (default 30min) + the explicit
-      // per-rep GC below keep a long-running session flat — the same
-      // hygiene a 100 TB session needs.
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // ContextCleaner sees their driver-side handles GC'd; without any
+      // forced GC a long session accumulates /tmp shuffle data into
+      // disk/page-cache pressure (measured round 4: dedup_clusters_lsh
+      // grew 8→29→56 s across in-suite reps while flat in isolation).
+      // The cure is the EXPLICIT per-rep GC below — it runs outside the
+      // timed window. A short periodic tick (the round-4 fix, 30s) is
+      // WRONG here: with the suite's large heap, the tick lands
+      // mid-sample and stalls whichever heavy query is in flight
+      // (measured round 5: the same heavy-family mini-suite totals 70 s
+      // with a 30s tick vs 40 s without; the inflated samples moved to
+      // whichever query the tick interrupted). A long-running production
+      // session without a rep boundary should keep a periodic tick — at
+      // minutes, not seconds.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

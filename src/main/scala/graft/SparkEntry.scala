@@ -246,6 +246,41 @@ object SparkEntry {
         .orderBy("agg_type")
     }),
 
+    // JSONL SOURCE round-trip (engine surface): write the events table
+    // as JSON-lines (the interchange format every scraped-corpus drop
+    // arrives in — and the closest analog of the reference's
+    // Mongo-document shape), then read it back with an EXPLICIT schema
+    // (schema-on-read discipline: no inference pass over 100 TB) and
+    // aggregate. The oracle computes the same aggregate straight from
+    // parquet, so a hash match proves the JSON encode→decode preserved
+    // every row and type exactly. All values are integer-typed before
+    // the trip (ts already nanos; value quantized to 1e-8 longs) so no
+    // float rendering is on the wire.
+    "events_jsonl_roundtrip" -> ((s, dir) => {
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_events_jsonl")
+      Sources.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          floor(col("value") * 1e8 + 0.5).cast("long").as("value_q8"))
+        .coalesce(8)
+        .write.mode("overwrite").json(out.toString)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value_q8", LongType)))
+      s.read.schema(schema).json(out.toString)
+        .groupBy("event_type")
+        // The wire carries full nanos (lossless long round-trip); the
+        // VERIFIED aggregate truncates to µs because DuckDB timestamps
+        // are µs-resolution — same ts ⇔ epoch_us convention as every
+        // other events oracle.
+        .agg(count(lit(1)).as("n_events"), sum(col("value_q8")).as("sum_value_q8"),
+          min(expr("ts DIV 1000")).as("min_ts_us"), max(expr("ts DIV 1000")).as("max_ts_us"),
+          sum(col("user_id")).as("user_id_sum"))
+        .orderBy("event_type")
+    }),
+
     // Partition-pruned read-back of ONE branch of the multi-sink (the
     // reference's per-collection read, yfinance_transform.py:131-137):
     // explicit branch schema + agg_type filter → the scan lists and reads
@@ -917,6 +952,32 @@ object SparkEntry {
     // BIGINT-nanos timestamp (DIV, engine-identical). One (user, day)
     // distinct + one user-keyed aggregate + a co-partitioned self-join;
     // every shuffle is user- or day-keyed, nothing global.
+    // K-ANONYMITY audit (data-governance surface): before a table ships,
+    // every quasi-identifier class — here (event_type, day-of-week,
+    // value band) — must contain ≥ k distinct individuals, or those rows
+    // re-identify. Two keyed aggregations: QI-class sizes, then per-type
+    // exposure stats (classes under k, users and rows inside them). The
+    // value band is derived on 1e-2-quantized longs so both engines cut
+    // identically. Scales as two map-side-combinable shuffles.
+    "events_k_anonymity" -> ((s, dir) => {
+      val k = 5
+      val classes = Sources.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts DIV 86400000000000) % 7").as("dow"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 5000").as("vband"),
+          col("user_id"))
+        .groupBy("event_type", "dow", "vband")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_rows"))
+      classes.groupBy("event_type")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("n_users") < k, 1L).otherwise(0L)).as("n_small_classes"),
+          sum(when(col("n_users") < k, col("n_users")).otherwise(0L)).as("users_at_risk"),
+          sum(when(col("n_users") < k, col("n_rows")).otherwise(0L)).as("rows_at_risk"),
+          min(col("n_users")).as("min_class_users"))
+        .orderBy("event_type")
+    }),
+
     "events_retention" -> ((s, dir) => {
       val days = Sources.events(s, dir)
         .select(col("user_id"), expr("ts DIV 86400000000000").as("day_idx"))
@@ -948,6 +1009,28 @@ object SparkEntry {
         orderBy = Seq("ts_us" -> false, "event_id" -> false), k = 1)
         .select("user_id", "event_type", "ts_us", "event_id", "value")
         .orderBy("user_id", "event_type")),
+
+    // SCD-TYPE-2 dimension build from a changelog (warehouse surface):
+    // collapse consecutive equal states per user into validity intervals
+    // [valid_from, valid_to) — lag() marks run starts, lead() over the
+    // surviving run anchors closes each interval (NULL = current). Both
+    // windows are partitioned by user_id — per-key parallelism, no
+    // global ordering; (ts_us, event_id) is the total within-user order
+    // so same-microsecond writes collapse deterministically. This is the
+    // standard "changelog → slowly-changing dimension" compaction.
+    "events_scd2" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val ev = Sources.events(s, dir)
+        .select(col("user_id"), col("event_type").as("state"),
+          expr("ts DIV 1000").as("ts_us"), col("event_id"))
+      ev.withColumn("prev_state", lag(col("state"), 1).over(w))
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id"), col("state"), col("ts_us").as("valid_from_us"),
+          col("valid_to_us"), col("event_id"))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    }),
 
     // Skew-JOIN salting (the join-side twin of yf_salted_month_agg's
     // aggregation salting): a viral key would pile one reducer high in a
@@ -1028,6 +1111,25 @@ object SparkEntry {
       multimodal.Multimodal.decodeFeatures(
         multimodal.Multimodal.mediaDataset(s, Sources.documents(s, dir)))
         .toDF().orderBy("media_id")),
+
+    // Video frame-SAMPLING plan (multimodal plumbing): the per-frame work
+    // list a decode stage consumes — one row per sampled instant, pure
+    // per-row explode of an integer ladder (shuffle-free at any corpus
+    // size). The decode itself stays at the mapPartitions codec boundary
+    // (mm_decode_features); THIS is the fan-out that feeds it.
+    "mm_frame_sample" -> ((s, dir) =>
+      multimodal.Multimodal.frameSamplePlan(
+        multimodal.Multimodal.synthesize(Sources.documents(s, dir)), 250)
+        .orderBy("media_id", "sample_ms")),
+
+    // Audio sliding-WINDOW accounting (multimodal plumbing): per-asset
+    // (win, hop) frame arithmetic — window counts, coverage, tail — the
+    // work-list sizing for a feature-extraction front end. Row-local,
+    // no shuffle.
+    "mm_audio_windows" -> ((s, dir) =>
+      multimodal.Multimodal.audioWindowPlan(
+        multimodal.Multimodal.synthesize(Sources.documents(s, dir)), 400, 160)
+        .orderBy("media_id")),
 
     // SimHash near-dedup: 64-bit sign sketch per doc (two md5s per shingle,
     // flat partial+final aggregate), 4x16-bit banded candidate equi-join
@@ -1225,6 +1327,69 @@ object SparkEntry {
           ((sum(col("tf") * negLogQ) / 1e4) / sum(col("tf"))).as("avg_neg_logprob"))
         .orderBy("doc_id")
     }),
+
+    // CCNet-style LM-PERPLEXITY BUCKETING (training-data extension): the
+    // curation decision the unigram scorer feeds — per LANGUAGE, rank
+    // docs by average negative logprob under the corpus's own LM and
+    // cut into terciles (head = most fluent, tail = least). Per-language
+    // windows (no global ordering); the rank key is an IEEE division of
+    // identical integers so both engines order identically, doc_id
+    // breaks ties. Output is per-(lang, bucket) integer-exact stats —
+    // the mixture table a curation run publishes.
+    "docs_lm_buckets" -> ((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val words = docs
+        .select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val freq = words.groupBy("word").agg(count(lit(1)).as("wf"))
+      val total = words.agg(count(lit(1)).as("n_total"))
+      val negLogQ = floor(-log(col("wf").cast("double") / col("n_total")) * 1e4 + 0.5)
+        .cast("long")
+      val perDoc = tf.join(freq, "word")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id").agg(
+          sum(col("tf")).as("n_words"),
+          sum(col("tf") * negLogQ).as("nll_q4"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy((col("nll_q4") / col("n_words")).asc, col("doc_id").asc)
+      perDoc
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"),
+          sum(col("nll_q4")).as("sum_nll_q4"))
+        .orderBy("lang", "bucket")
+    }),
+
+    // Sequence-LENGTH HISTOGRAM (training-data extension): power-of-two
+    // token-count buckets — the planning table for context-window
+    // packing (how much of the corpus fits 2^k windows). The bucket
+    // index is INTEGER-derived (length of the binary rendering of
+    // n_tokens, no floor(log2()) float boundary risk at exact powers of
+    // two); everything downstream is exact longs. Row-local bucket
+    // assignment + one map-side-combinable aggregate — scan-bound at
+    // any scale.
+    "docs_length_histogram" -> ((s, dir) =>
+      Sources.documents(s, dir)
+        .select(col("doc_id"),
+          size(filter(split(util.Norm.normalize(col("text")), " "),
+            w => w =!= "")).cast("long").as("n_tokens"))
+        .withColumn("bucket",
+          when(col("n_tokens") === 0, lit(-1))
+            .otherwise(length(bin(col("n_tokens"))) - 1))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+        .withColumn("bucket_lo",
+          when(col("bucket") < 0, lit(0L))
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket)")))
+        .select(col("bucket").cast("long").as("bucket"), col("bucket_lo"),
+          col("n_docs"), col("sum_tokens"), col("min_tokens"), col("max_tokens"))
+        .orderBy("bucket")
+    ),
 
     // Bigram-LM fluency scoring — the conditional twin of
     // text_unigram_logprob: avg -ln p(w2|w1) per doc under the corpus's
@@ -1822,6 +1987,34 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // GLOBAL-total scalar-subquery decorrelation (engine surface, TPC-H
+    // Q11 shape): "parts whose revenue share is ≥20% above the mean
+    // part share" — a scale-invariant cut (a fixed fraction would be
+    // vacuous at small SF and over-selective at large). The naive form
+    // re-evaluates a global-aggregate scalar subquery per group; the
+    // scale-right rewrite computes the one-row (total, n_parts) once
+    // and BROADCASTS it (crossJoin of a 1-row aggregate — free at any
+    // scale), so the fact table is scanned once and shuffled once on
+    // l_partkey. The predicate rev·n·10 > total·12 runs in DECIMAL —
+    // exact, division-free, no engine rounding dependency.
+    "part_revenue_share" -> ((s, dir) => {
+      val revDec = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(util.Stable.MoneyDec)
+      val perPart = Sources.lineitem(s, dir)
+        .select(col("l_partkey"), revDec.as("rev"))
+        .groupBy("l_partkey")
+        .agg(sum(col("rev")).as("part_rev"))
+      val total = perPart.agg(sum(col("part_rev")).as("total_rev"),
+        count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_rev") * col("n_parts") * 10 > col("total_rev") * 12)
+        .join(Sources.part(s, dir).select("p_partkey", "p_name"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"),
+          col("part_rev").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("p_partkey"))
+    }),
+
     // Multi-EXISTS decorrelation (engine surface, TPC-H Q21 shape):
     // "suppliers who were the SOLE late shipper in a multi-supplier
     // order" — late = shipped >60 days after the order date. The naive
@@ -2003,6 +2196,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("status")
+    }),
+
+    // MERGE / UPSERT semantics (lakehouse surface): apply a change batch
+    // (update / delete / insert, derived deterministically from the base
+    // so the oracle replays it) to a snapshot in ONE full-outer join on
+    // the key — matched+update rewrites, matched+delete drops,
+    // unmatched-source inserts, unmatched-target carries over. This is
+    // the relational core of Delta/Iceberg MERGE INTO: one co-keyed
+    // shuffle of (id, payload-hash)-width rows, never a per-row lookup.
+    // Output audits the merged snapshot per action: counts + an
+    // order-independent integer content checksum (sum of 40-bit md5
+    // prefixes — safe in a long at any realistic row count).
+    "docs_merge_upsert" -> ((s, dir) => {
+      val base = Sources.documents(s, dir).select(col("doc_id"), col("text"))
+      val src = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), upper(col("text")).as("new_text"), lit("u").as("op"))
+        .unionByName(base.filter(col("doc_id") % 10 === 1)
+          .select(col("doc_id"), lit(null).cast("string").as("new_text"),
+            lit("d").as("op")))
+        .unionByName(base.filter(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 5000000000000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("new_text"), lit("i").as("op")))
+      val merged = base.join(src, Seq("doc_id"), "full_outer")
+        .withColumn("action",
+          when(col("op") === "d", lit("deleted"))
+            .when(col("op") === "u", lit("updated"))
+            .when(col("op") === "i", lit("inserted"))
+            .otherwise(lit("kept")))
+        .withColumn("out_text",
+          when(col("action") === "updated" || col("action") === "inserted",
+            col("new_text")).otherwise(col("text")))
+      merged
+        .withColumn("h40",
+          when(col("action") === "deleted", lit(0L)).otherwise(
+            conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+              col("out_text")).cast("binary")), 1, 10), 16, 10).cast("long")))
+        .groupBy("action")
+        .agg(count(lit(1)).as("n_rows"), sum(col("h40")).as("content_sum"))
+        .orderBy("action")
     }),
 
     // WINSORIZATION (outlier clamping for training-feature hygiene):
@@ -2719,6 +2951,19 @@ object SparkEntry {
     "events_sessionize" ->
       s"""${events.Sessionize.sessionStatsSql("events")}
          |ORDER BY user_id, session_idx""".stripMargin,
+    "events_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 86400000000000) % 7 AS dow,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000 AS vband,
+        |    count(DISTINCT user_id) AS n_users, count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+        |  CAST(sum(CASE WHEN n_users < 5 THEN n_users ELSE 0 END) AS BIGINT) AS users_at_risk,
+        |  CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  min(n_users) AS min_class_users
+        |FROM classes GROUP BY 1 ORDER BY event_type""".stripMargin,
     "events_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day_idx
@@ -2733,6 +2978,21 @@ object SparkEntry {
         |  PARTITION BY user_id, event_type
         |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    "events_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, state, ts_us, event_id
+        |  FROM (SELECT *, lag(state) OVER (
+        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_state
+        |        FROM ev)
+        |  WHERE prev_state IS NULL OR prev_state <> state)
+        |SELECT user_id, state, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    AS valid_to_us,
+        |  event_id
+        |FROM runs ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "events_salted_join" ->
       s"""WITH dim AS (
          |  SELECT user_id, count(DISTINCT event_type) AS n_types
@@ -2859,6 +3119,12 @@ object SparkEntry {
          |ORDER BY w_start, event_type""".stripMargin,
     "mm_catalog" ->
       s"""${multimodal.Multimodal.catalogSql("documents", 128)}
+         |ORDER BY media_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""${multimodal.Multimodal.frameSampleSql("documents", 250)}
+         |ORDER BY media_id, sample_ms""".stripMargin,
+    "mm_audio_windows" ->
+      s"""${multimodal.Multimodal.audioWindowSql("documents", 400, 160)}
          |ORDER BY media_id""".stripMargin,
     // The stubbed decode is deterministic byte statistics over the UTF-8
     // payload, and the fixture text is pure ASCII (verified: octet_length
@@ -2987,6 +3253,47 @@ object SparkEntry {
          |    / CAST(sum(t.tf) AS BIGINT) AS avg_neg_logprob
          |FROM tf t JOIN freq f USING (word) CROSS JOIN n
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "docs_lm_buckets" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+         |freq AS (SELECT word, count(*) AS wf FROM w2 GROUP BY 1),
+         |n AS (SELECT count(*) AS n_total FROM w2),
+         |per_doc AS (
+         |  SELECT t.doc_id,
+         |    CAST(sum(t.tf) AS BIGINT) AS n_words,
+         |    CAST(sum(t.tf * CAST(floor(-ln(CAST(f.wf AS DOUBLE) / n_total) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS nll_q4
+         |  FROM tf t JOIN freq f USING (word) CROSS JOIN n
+         |  GROUP BY t.doc_id),
+         |ranked AS (
+         |  SELECT d.lang, p.n_words, p.nll_q4,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY p.nll_q4 / p.n_words ASC, p.doc_id ASC) AS bucket
+         |  FROM per_doc p JOIN documents d USING (doc_id))
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |  CAST(sum(nll_q4) AS BIGINT) AS sum_nll_q4
+         |FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    "docs_length_histogram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(${util.Norm.normalizeSql("text")}, ' '),
+         |                         x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT n_tokens,
+         |    CASE WHEN n_tokens = 0 THEN -1
+         |         ELSE length(bin(n_tokens)) - 1 END AS bucket
+         |  FROM t)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CASE WHEN bucket < 0 THEN 0
+         |       ELSE CAST(1 AS BIGINT) << bucket END AS bucket_lo,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+         |FROM b GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
     "dedup_incremental" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |hashed AS (
@@ -3291,6 +3598,16 @@ object SparkEntry {
          |  ${util.Stable.exactSumSql("s.px")} AS revenue
          |FROM small s JOIN part p ON s.l_partkey = p.p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "part_revenue_share" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8))) AS part_rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(part_rev) AS total_rev, count(*) AS n_parts FROM per_part)
+        |SELECT p.p_partkey, p.p_name, CAST(part_rev AS DOUBLE) AS revenue
+        |FROM per_part JOIN part p ON l_partkey = p.p_partkey CROSS JOIN tot
+        |WHERE part_rev * n_parts * 10 > total_rev * 12
+        |ORDER BY revenue DESC, p.p_partkey""".stripMargin,
     "orders_sole_late_supplier" ->
       """WITH li AS (
         |  SELECT l.l_orderkey, l.l_suppkey,
@@ -3378,6 +3695,39 @@ object SparkEntry {
         |SELECT status, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "docs_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |src AS (
+        |  SELECT doc_id, upper(text) AS new_text, 'u' AS op
+        |  FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL AS new_text, 'd' AS op
+        |  FROM base WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000000 AS doc_id, text || ' v2' AS new_text,
+        |    'i' AS op
+        |  FROM base WHERE doc_id % 10 = 2),
+        |merged AS (
+        |  SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id,
+        |    CASE WHEN s.op = 'd' THEN 'deleted'
+        |         WHEN s.op = 'u' THEN 'updated'
+        |         WHEN s.op = 'i' THEN 'inserted'
+        |         ELSE 'kept' END AS action,
+        |    CASE WHEN s.op IN ('u', 'i') THEN s.new_text ELSE b.text END AS out_text
+        |  FROM base b FULL JOIN src s ON b.doc_id = s.doc_id)
+        |SELECT action, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN action = 'deleted' THEN 0
+        |    ELSE CAST(concat('0x',
+        |      substring(md5(CAST(doc_id AS VARCHAR) || ':' || out_text), 1, 10))
+        |      AS BIGINT) END) AS BIGINT) AS content_sum
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_jsonl_roundtrip" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS sum_value_q8,
+         |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+         |  CAST(sum(user_id) AS BIGINT) AS user_id_sum
+         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "events_winsorize" ->
       """WITH ev AS (
         |  SELECT event_type, event_id,

@@ -97,6 +97,99 @@ object Multimodal {
       .withColumn("thumb_w", floor(col("width") * col("scale")).cast("int"))
       .withColumn("thumb_h", floor(col("height") * col("scale")).cast("int"))
 
+  /** Frame-SAMPLING work list for video-shaped assets: one row per frame
+    * a decode stage should extract — (media_id, sample instant, source
+    * frame index, byte offset). This is the planning half of video
+    * ingestion: the per-frame rows fan out to the codec boundary
+    * ([[decodeFeatures]]-shaped batch decode), and because the ladder is
+    * a pure per-row `explode(sequence(...))` the plan is shuffle-free and
+    * embarrassingly parallel at any corpus size. Duration/fps stand in
+    * for probed container metadata (deterministic functions of the
+    * fixture id — a real lake stores them as typed columns, same plan);
+    * frame_idx = ⌊sample_ms·fps/1000⌋ all-integer on both engines. */
+  def frameSamplePlan(media: DataFrame, stepMs: Int): DataFrame =
+    media.select(
+      col("media_id"),
+      col("meta.format").as("format"),
+      col("meta.n_bytes").as("n_bytes"))
+      // fake probe: 1 payload byte ≈ 1 ms of media; 10/15/20/25 fps by id
+      .withColumn("duration_ms", col("n_bytes"))
+      .withColumn("fps", (lit(10) + (col("media_id") % 4) * lit(5)).cast("int"))
+      .filter(col("duration_ms") > 0)
+      .withColumn("sample_ms",
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(stepMs.toLong))))
+      .withColumn("frame_idx", expr("(sample_ms * fps) DIV 1000"))
+      .withColumn("byte_offset", col("sample_ms")) // 1 byte/ms fake codec
+      .select("media_id", "format", "fps", "duration_ms", "sample_ms",
+        "frame_idx", "byte_offset")
+
+  /** DuckDB mirror of [[synthesize]] ∘ [[frameSamplePlan]]. */
+  def frameSampleSql(docsRel: String, stepMs: Int): String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    ['jpeg', 'png', 'wav'][CAST(doc_id % 3 + 1 AS INTEGER)] AS format,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS duration_ms,
+       |    CAST(10 + (doc_id % 4) * 5 AS INTEGER) AS fps
+       |  FROM $docsRel
+       |  WHERE octet_length(encode(text)) > 0)
+       |SELECT media_id, format, fps, duration_ms,
+       |  unnest(range(0, duration_ms, $stepMs)) AS sample_ms,
+       |  (unnest(range(0, duration_ms, $stepMs)) * fps) // 1000 AS frame_idx,
+       |  unnest(range(0, duration_ms, $stepMs)) AS byte_offset
+       |FROM m""".stripMargin
+
+  /** Sliding feature-WINDOW accounting for audio-shaped assets — the
+    * (win, hop) frame arithmetic every fbank/wav2vec front end runs,
+    * audited per asset instead of exploded (the window count is the
+    * work-list size; the decode itself stays at the codec boundary).
+    * Entirely row-local: no shuffle at any corpus size. */
+  def audioWindowPlan(media: DataFrame, win: Int, hop: Int): DataFrame =
+    media.select(
+      col("media_id"),
+      col("meta.format").as("format"),
+      col("meta.n_bytes").as("n_samples"))
+      // fake probe: 1 payload byte ≈ 1 sample; 8/12/16 kHz by id
+      .withColumn("sample_rate", (lit(8000) + (col("media_id") % 3) * lit(4000)).cast("int"))
+      .withColumn("n_windows",
+        when(col("n_samples") < win, lit(0L))
+          .otherwise(expr(s"(n_samples - $win) DIV $hop") + 1))
+      .withColumn("last_start",
+        when(col("n_windows") === 0, lit(null).cast("long"))
+          .otherwise((col("n_windows") - 1) * hop))
+      .withColumn("covered_samples",
+        when(col("n_windows") === 0, lit(0L))
+          .otherwise(col("last_start") + win))
+      .withColumn("tail_samples", col("n_samples") - col("covered_samples"))
+      // duration in µs: all-integer (samples·1e6)/rate floor division
+      .withColumn("duration_us", expr("(n_samples * 1000000) DIV sample_rate"))
+      .select("media_id", "format", "n_samples", "sample_rate", "n_windows",
+        "last_start", "covered_samples", "tail_samples", "duration_us")
+
+  /** DuckDB mirror of [[synthesize]] ∘ [[audioWindowPlan]]. */
+  def audioWindowSql(docsRel: String, win: Int, hop: Int): String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    ['jpeg', 'png', 'wav'][CAST(doc_id % 3 + 1 AS INTEGER)] AS format,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+       |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate
+       |  FROM $docsRel),
+       |w AS (
+       |  SELECT *,
+       |    CASE WHEN n_samples < $win THEN 0
+       |         ELSE (n_samples - $win) // $hop + 1 END AS n_windows
+       |  FROM m),
+       |x AS (
+       |  SELECT *,
+       |    CASE WHEN n_windows = 0 THEN NULL
+       |         ELSE (n_windows - 1) * $hop END AS last_start
+       |  FROM w)
+       |SELECT media_id, format, n_samples, sample_rate, n_windows, last_start,
+       |  CASE WHEN n_windows = 0 THEN 0 ELSE last_start + $win END AS covered_samples,
+       |  n_samples - (CASE WHEN n_windows = 0 THEN 0 ELSE last_start + $win END)
+       |    AS tail_samples,
+       |  (n_samples * 1000000) // sample_rate AS duration_us
+       |FROM x""".stripMargin
+
   // --------------------------------------------------------------- oracle
 
   /** DuckDB mirror of [[synthesize]] ∘ [[resizePlan]]. */

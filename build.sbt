@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // @32g, with per-query spreads tightening to ≤1.5×). The box has
   // 128 GiB; size the single-JVM "cluster" like the real one.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+  // ~130 whole-stage-codegen'd plans × several reps fill the default
+  // 240m JIT code cache; once full, newly-generated query classes run
+  // interpreted until the sweeper frees space — measured as one heavy
+  // query per suite run drawing a 10x sample (121 s / 134 s for the
+  // same ~10 s query in two round-5 runs) while all neighbors stayed
+  // flat. 512m keeps every plan compiled.
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

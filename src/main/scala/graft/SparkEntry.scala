@@ -352,6 +352,26 @@ object SparkEntry {
         .orderBy(col("g_y"), col("g_m"), col("y"), col("m"))
     }),
 
+    // UNPIVOT / melt (engine surface): wide OHLC columns → long
+    // (metric, value) rows via the native `unpivot` (an Expand node —
+    // row-local, no shuffle, no four-scan union), then one keyed
+    // aggregate. The wide→long reshape every feature store and plotting
+    // layer runs; the oracle replays it as an explicit UNION ALL, so
+    // the hash match proves Expand's 4-way fanout loses nothing.
+    "yf_unpivot" -> ((s, dir) =>
+      Sources.ohlcv(s, dir)
+        .select(col("symbol"), col("Open"), col("High"), col("Low"), col("Close"))
+        .unpivot(
+          ids = Array(col("symbol")),
+          values = Array(col("Open"), col("High"), col("Low"), col("Close")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .withColumn("metric", lower(col("metric")))
+        .groupBy("symbol", "metric")
+        .agg(count(lit(1)).as("n_bars"),
+          util.Stable.exactSum(col("value")).as("sum_value"))
+        .orderBy("symbol", "metric")),
+
     // PER-KEY top-k via the engine's own whole-operator plan node
     // (design-rule tier c: custom LogicalPlan + Strategy + SparkPlan,
     // registered through GraftExtensions): bounded k-row heaps per key,
@@ -365,6 +385,23 @@ object SparkEntry {
         orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
         k = 3)
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))),
+
+    // The SAME per-key top-k written the way every user writes it — a
+    // row_number window + rank filter — executed through the bounded-
+    // heap operator by the WindowTopKRewrite optimizer rule (tier c
+    // extension, now TRANSPARENT: nobody has to know the operator
+    // exists). Identical oracle as the explicit form; the spec asserts
+    // TopKPerKeyExec is in this plan.
+    "top_orders_per_customer_auto" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Sources.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
 
     // RANK-WITH-TIES top-k per key (rank() <= k keeps boundary ties),
     // COMPOSED from the custom operator instead of a new exec: rank <= k
@@ -765,6 +802,30 @@ object SparkEntry {
           util.Stable.exactSum(col("k")).as("sum_k"),
           max(col("k")).as("max_k"))
         .orderBy("event_type")),
+
+    // NULL-SAFE equi-join (engine surface): `<=>` ⇔ DuckDB's
+    // IS NOT DISTINCT FROM. The key deliberately manufactures NULLs
+    // (k % 7 = 0 → NULL) so the null-key class must MATCH across sides
+    // — the semantics a plain `=` join silently drops. Still a hash-
+    // partitionable equi-join (NULL hashes to one reducer like any
+    // other key value); both sides pre-aggregate to key grain first so
+    // the join carries one row per class, not the fact table.
+    "events_null_safe_join" -> ((s, dir) => {
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+      def side(t: String) = Sources.events(s, dir)
+        .filter(col("event_type") === t)
+        .select(nullif(k % 7, lit(0)).as("knull"))
+        .groupBy("knull").agg(count(lit(1)).as(s"n_$t"))
+      val l = side("click"); val r = side("view")
+      // Under `<=>` the NULL class lands as ONE row with BOTH counts
+      // populated (a plain `=` full outer would emit two half-rows);
+      // NullSafeJoinSpec pins exactly that difference.
+      l.join(r, l("knull") <=> r("knull"), "full_outer")
+        .select(coalesce(l("knull"), r("knull")).as("k_class"),
+          col("n_click"), col("n_view"))
+        .orderBy(col("k_class"))
+    }),
 
     // PIVOT (engine surface): per-user event-type counts as columns, with
     // the pivot value list pinned explicitly so the output schema is
@@ -1795,6 +1856,39 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // STORED coarse quantizer (the true serving shape): the trained
+    // centroid table is WRITTEN ONCE per (corpus, params) — marker-
+    // gated exactly like the stored LSH band index — and every probe
+    // reads the artifact, so training cost amortizes to zero across
+    // runs. At cluster scale this is how ANN serving actually works:
+    // the quantizer is a published table, not an in-query derivation.
+    // Same oracle as the in-query twin: the parquet round-trip of the
+    // double[] centroids must change nothing.
+    "sim_ann_ivf_stored" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_cents_$sfTag")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_MARKER")
+      val tag = s"$dir|k=16|iters=1"
+      val fresh = fs.exists(marker) && {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
+      }
+      if (!fresh) {
+        if (fs.exists(out)) fs.delete(out, true)
+        sim.Similarity.trainCentroids(emb, numCentroids = 16, iters = 1)
+          .write.mode("overwrite").parquet(out.toString)
+        val os = fs.create(marker, true)
+        try os.write(tag.getBytes("UTF-8")) finally os.close()
+      }
+      val cents = s.read.parquet(out.toString)
+      sim.Similarity.ivfTopKWith(emb.filter(col("id") < 5), emb, 10, cents)
+        .orderBy("query_id", "rank")
+    }),
+
     // PQ-ADC approximate top-k (the COMPRESSION scale path alongside
     // banding and pruning): corpus encoded as per-subspace nearest
     // codewords, approximate scoring over reconstructions (at scale:
@@ -2568,6 +2662,24 @@ object SparkEntry {
   /** Shared by `dedup_incremental_lsh` (in-query index) and
     * `dedup_incremental_lsh_stored` (parquet round-trip) — both engines
     * and both paths must produce the identical survivor set. */
+  /** Shared by `top_orders_per_customer` (explicit operator call) and
+    * `top_orders_per_customer_auto` (window form, rewritten by
+    * [[graft.plans.WindowTopKRewrite]]) — both must hash-match it. */
+  private lazy val topOrdersPerCustomerOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** Shared by `sim_ann_ivf_trained` and `sim_ann_ivf_stored` — the
+    * stored path must be indistinguishable from the in-query one. */
+  private lazy val ivfTrainedOracle: String =
+    s"""WITH vecs AS ${sim.Similarity.vecsSql},
+       |${sim.Similarity.trainedCentsSql("vecs")},
+       |${sim.Similarity.ivfProbeSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+       |SELECT query_id, vec_id, sim, rank FROM topk
+       |ORDER BY query_id, rank""".stripMargin
+
   private lazy val incrementalLshOracle: String = {
     import dedup.Dedup.{NumBands, shinglesSql, minhashSignatureSql, bandKeysSql}
     s"""WITH docs AS ${dedup.Dedup.augmentedSql},
@@ -2780,14 +2892,23 @@ object SparkEntry {
          |  CAST(CASE WHEN GROUPING(m) THEN 1 ELSE 0 END AS INTEGER) AS g_m
          |FROM ym GROUP BY ROLLUP(y, m)
          |ORDER BY g_y, g_m, y, m""".stripMargin,
+    "yf_unpivot" ->
+      s"""WITH $barsCte,
+         |long AS (
+         |  SELECT symbol, 'open' AS metric, "Open" AS value FROM bars
+         |  UNION ALL SELECT symbol, 'high', "High" FROM bars
+         |  UNION ALL SELECT symbol, 'low', "Low" FROM bars
+         |  UNION ALL SELECT symbol, 'close', "Close" FROM bars)
+         |SELECT symbol, metric, count(*) AS n_bars,
+         |  ${util.Stable.exactSumSql("value")} AS sum_value
+         |FROM long GROUP BY 1, 2 ORDER BY symbol, metric""".stripMargin,
     "top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
-    "top_orders_per_customer" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |QUALIFY row_number() OVER (
-        |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
-        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "top_orders_per_customer" -> topOrdersPerCustomerOracle,
+    // The window-form twin runs through the SAME plan after the
+    // optimizer rewrite — one oracle for both.
+    "top_orders_per_customer_auto" -> topOrdersPerCustomerOracle,
     "top_orders_per_customer_ties" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |QUALIFY rank() OVER (
@@ -2964,6 +3085,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_at_risk,
         |  min(n_users) AS min_class_users
         |FROM classes GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "events_null_safe_join" ->
+      """WITH l AS (
+        |  SELECT nullif(CAST(props->>'k' AS INTEGER) % 7, 0) AS knull,
+        |    count(*) AS n_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |r AS (
+        |  SELECT nullif(CAST(props->>'k' AS INTEGER) % 7, 0) AS knull,
+        |    count(*) AS n_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT coalesce(l.knull, r.knull) AS k_class, n_click, n_view
+        |FROM l FULL JOIN r ON l.knull IS NOT DISTINCT FROM r.knull
+        |ORDER BY k_class""".stripMargin,
     "events_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day_idx
@@ -3468,12 +3601,11 @@ object SparkEntry {
          |${sim.Similarity.ivfTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
          |SELECT query_id, vec_id, sim, rank FROM topk
          |ORDER BY query_id, rank""".stripMargin,
-    "sim_ann_ivf_trained" ->
-      s"""WITH vecs AS ${sim.Similarity.vecsSql},
-         |${sim.Similarity.trainedCentsSql("vecs")},
-         |${sim.Similarity.ivfProbeSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
-         |SELECT query_id, vec_id, sim, rank FROM topk
-         |ORDER BY query_id, rank""".stripMargin,
+    "sim_ann_ivf_trained" -> ivfTrainedOracle,
+    // The stored path computes the SAME probe over the same trained
+    // quantizer — one oracle, proof the centroid parquet round-trip
+    // changes nothing.
+    "sim_ann_ivf_stored" -> ivfTrainedOracle,
     "sim_ann_pq" ->
       s"""WITH vecs AS ${sim.Similarity.vecsSql},
          |${sim.Similarity.pqTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}

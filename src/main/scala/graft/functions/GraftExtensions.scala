@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Whole-operator extension (tier c): per-key top-k planner strategy.
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // Optimizer rewrite: row_number-window + rank filter → the bounded
+    // per-key top-k operator, transparently (users keep the window form).
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

@@ -99,4 +99,64 @@ class Round5fOpsSpec extends SparkSpec {
     val revs = rows.map(_.getDouble(2)).toSeq
     assert(revs == revs.sorted.reverse)
   }
+
+  test("yf_unpivot: one Expand over one scan — never a four-scan union") {
+    val df = SparkEntry.queries("yf_unpivot")(spark, sfDir)
+    val rows = df.collect()
+    // An executed AdaptiveSparkPlan stringifies BOTH the final and the
+    // initial plan — count scans in the final section only.
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), s"unpivot should plan as Expand:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans:\n$plan")
+    // 4 metrics per symbol, equal bar counts across metrics.
+    val bySymbol = rows.groupBy(_.getLong(0))
+    bySymbol.foreach { case (_, rs) =>
+      assert(rs.map(_.getString(1)).sorted.toSeq ==
+        Seq("close", "high", "low", "open"))
+      assert(rs.map(_.getLong(2)).distinct.length == 1)
+    }
+  }
+
+  test("events_null_safe_join: the NULL key class matches as ONE fully-populated row") {
+    val rows = SparkEntry.queries("events_null_safe_join")(spark, sfDir).collect()
+    val nullRows = rows.filter(_.isNullAt(0))
+    assert(nullRows.length == 1, "exactly one NULL-class row under <=>")
+    assert(!nullRows.head.isNullAt(1) && !nullRows.head.isNullAt(2),
+      "both sides' counts populated — the null keys MATCHED")
+    // A plain `=` full outer on the same inputs splits the class into
+    // two half-rows; pin the contrast so the operator can't silently
+    // regress to `=` semantics.
+    import spark.implicits._
+    val k = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+    def side(t: String, n: String) = Sources.events(spark, sfDir)
+      .filter(col("event_type") === t)
+      .select(nullif(k % 7, lit(0)).as("knull"))
+      .groupBy("knull").agg(count(lit(1)).as(n))
+    val l = side("click", "n_click"); val r = side("view", "n_view")
+    val plain = l.join(r, l("knull") === r("knull"), "full_outer").collect()
+    assert(plain.count(x => x.isNullAt(0) || x.isNullAt(1)) == 2,
+      "plain = emits two half-rows for the NULL class")
+  }
+
+  test("sim_ann_ivf_stored: identical to the in-query trained twin; artifact is reused") {
+    val trained = SparkEntry.queries("sim_ann_ivf_trained")(spark, sfDir).collect()
+    graft.util.Views.unpersistAll()
+    val stored1 = SparkEntry.queries("sim_ann_ivf_stored")(spark, sfDir).collect()
+    assert(stored1.map(_.toString).toSeq == trained.map(_.toString).toSeq)
+    // Second invocation must probe the SAME artifact (marker short-circuit)
+    // and agree exactly.
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val raw = s"$warehouse/graft_ivf_cents_$sfTag/_GRAFT_MARKER"
+    val marker = new java.io.File(
+      if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw)
+    assert(marker.exists, "centroid artifact marker must exist after first run")
+    val before = marker.lastModified
+    val stored2 = SparkEntry.queries("sim_ann_ivf_stored")(spark, sfDir).collect()
+    assert(stored2.map(_.toString).toSeq == stored1.map(_.toString).toSeq)
+    assert(marker.lastModified == before, "second run must not rebuild the artifact")
+  }
 }

@@ -2081,6 +2081,67 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // TPC-H Q1 — the canonical pricing-summary scan-aggregate: one
+    // filtered pass over the fact table into a 4-group rollup with 8
+    // aggregates. Scan-bound at any scale (predicate + pruning reach
+    // parquet; partial aggregation collapses everything map-side).
+    // Money sums in exact DECIMAL, averages as exact-sum / count — one
+    // IEEE division of identical inputs per engine.
+    "tpch_q1" -> ((s, dir) => {
+      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Sources.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          util.Stable.exactSum(col("l_quantity")).as("sum_qty"),
+          util.Stable.exactSum(col("l_extendedprice")).as("sum_base_price"),
+          util.Stable.exactSum(discPrice).as("sum_disc_price"),
+          util.Stable.exactSum(discPrice * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          util.Stable.exactAvg(col("l_quantity")).as("avg_qty"),
+          util.Stable.exactAvg(col("l_extendedprice")).as("avg_price"),
+          util.Stable.exactAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3 — shipping-priority: selective dimension slice joins a
+    // date-filtered fact, aggregate to order grain, top 10. The segment
+    // slice of customer broadcasts (smallest side after its filter); the
+    // fact⋈orders join co-keys on orderkey; TakeOrderedAndProject caps
+    // the result without a global sort.
+    "tpch_q3" -> ((s, dir) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = Sources.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Sources.orders(s, dir).filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Sources.lineitem(s, dir).filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(util.Stable.exactSum(col("rev")).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q6 — forecasting-revenue-change: a pure filter-aggregate
+    // whose entire cost is the scan, so it is THE predicate-pushdown
+    // benchmark (spec asserts the shipdate/quantity bounds reach the
+    // parquet reader as PushedFilters). One row out; no shuffle beyond
+    // the final 1-row merge.
+    "tpch_q6" -> ((s, dir) =>
+      Sources.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.04) &&
+          col("l_quantity") < 24)
+        .agg(
+          util.Stable.exactSum(col("l_extendedprice") * col("l_discount"))
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
     // GLOBAL-total scalar-subquery decorrelation (engine surface, TPC-H
     // Q11 shape): "parts whose revenue share is ≥20% above the mean
     // part share" — a scale-invariant cut (a fixed fraction would be
@@ -3730,6 +3791,40 @@ object SparkEntry {
          |  ${util.Stable.exactSumSql("s.px")} AS revenue
          |FROM small s JOIN part p ON s.l_partkey = p.p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${util.Stable.exactSumSql("l_quantity")} AS sum_qty,
+         |  ${util.Stable.exactSumSql("l_extendedprice")} AS sum_base_price,
+         |  ${util.Stable.exactSumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${util.Stable.exactSumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${util.Stable.exactAvgSql("l_quantity")} AS avg_qty,
+         |  ${util.Stable.exactAvgSql("l_extendedprice")} AS avg_price,
+         |  ${util.Stable.exactAvgSql("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q3" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "tpch_q6" ->
+      s"""SELECT
+         |  ${util.Stable.exactSumSql("l_extendedprice * l_discount")} AS revenue,
+         |  count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.02 AND 0.04
+         |  AND l_quantity < 24""".stripMargin,
     "part_revenue_share" ->
       """WITH per_part AS (
         |  SELECT l_partkey,

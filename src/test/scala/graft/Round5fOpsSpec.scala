@@ -100,6 +100,21 @@ class Round5fOpsSpec extends SparkSpec {
     assert(revs == revs.sorted.reverse)
   }
 
+  test("tpch_q6: every predicate reaches the parquet scan; q1/q3 shapes return expected grains") {
+    val q6 = SparkEntry.queries("tpch_q6")(spark, sfDir)
+    q6.collect()
+    val scanLine = q6.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(scanLine.contains(c), s"$c filter not pushed: $scanLine")
+    val q1 = SparkEntry.queries("tpch_q1")(spark, sfDir).collect()
+    assert(q1.nonEmpty && q1.length <= 6, "returnflag x linestatus grains")
+    val q3 = SparkEntry.queries("tpch_q3")(spark, sfDir).collect()
+    assert(q3.length <= 10)
+    val revs = q3.map(_.getDouble(3)).toSeq
+    assert(revs == revs.sorted.reverse)
+  }
+
   test("yf_unpivot: one Expand over one scan — never a four-scan union") {
     val df = SparkEntry.queries("yf_unpivot")(spark, sfDir)
     val rows = df.collect()

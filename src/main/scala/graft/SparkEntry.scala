@@ -1764,6 +1764,40 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // BROADCAST-MODEL scoring (training-data extension): the fasttext-
+    // style quality-filter shape — a (word → weight) model table small
+    // enough to broadcast scores every document in one shuffle-free-ish
+    // pass (one doc-grain aggregate). The "model" here is corpus-derived
+    // idf weights quantized to 1e-6 longs (any externally-trained linear
+    // model drops into the same plan); score = mean idf of the doc's
+    // matched DISTINCT words — integer sums, one final IEEE division.
+    // At 100 TB: the weight table is a published artifact, the corpus
+    // side is scan + broadcast-join + per-doc partial aggregate.
+    "docs_lexical_score" -> ((s, dir) => {
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .distinct() // distinct (doc, word): presence features, not counts
+      val nDocs = Sources.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val model = words.groupBy("word")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2) // singleton words carry no signal
+        .crossJoin(broadcast(nDocs))
+        .select(col("word"),
+          floor(log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5)
+            .cast("long").as("w_q6"))
+      words.join(broadcast(model), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_features"),
+          count(col("w_q6")).as("n_matched"),
+          sum(coalesce(col("w_q6"), lit(0L))).as("score_q6_sum"))
+        .withColumn("mean_score_q6",
+          when(col("n_matched") === 0, lit(null).cast("double"))
+            .otherwise(col("score_q6_sum").cast("double") / col("n_matched")))
+        .orderBy("doc_id")
+    }),
+
     // PMI bigram COLLOCATIONS (corpus statistics): pointwise mutual
     // information over adjacent word pairs — the classic collocation /
     // tokenizer-merge-candidate table. Bigram instances from one array
@@ -2319,6 +2353,50 @@ object SparkEntry {
         .select(col("node"), (col("node") % 2).as("is_supplier"), col("pr"))
         .orderBy(col("pr").desc, col("node"))
         .limit(100)
+    }),
+
+    // TRIANGLE COUNTING over the part co-purchase graph (parts sharing
+    // an order), by DEGREE-ORDERED edge orientation — the standard
+    // distributed algorithm: orient every edge toward the (degree, id)-
+    // larger endpoint, enumerate wedges only over OUT-neighbors (out-
+    // degree is bounded by ~√(2m) under this orientation, so the wedge
+    // join never explodes on hub nodes — the skew guard that makes
+    // triangle counting feasible at web scale), close wedges against
+    // the oriented edge list. Every triangle is counted exactly once,
+    // at its π-smallest vertex. The π key packs (degree, id) into one
+    // long — no global rank, no window. All counts integer-exact.
+    "graph_triangles" -> ((s, dir) => {
+      val op = Sources.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = util.Views.materialize(
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct())
+      val deg = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      // π(n) = dg·10^10 + n: a single-long total order by (degree, id) —
+      // ids stay far below 10^10 in this key space.
+      val pi = deg.select(col("n"), (col("dg") * lit(10000000000L) + col("n")).as("pi"))
+      val oriented = util.Views.materialize(edges
+        .join(pi.select(col("n").as("u"), col("pi").as("pi_u")), "u")
+        .join(pi.select(col("n").as("v"), col("pi").as("pi_v")), "v")
+        .select(
+          when(col("pi_u") < col("pi_v"), col("u")).otherwise(col("v")).as("src"),
+          when(col("pi_u") < col("pi_v"), col("v")).otherwise(col("u")).as("dst"),
+          greatest(col("pi_u"), col("pi_v")).as("pi_dst")))
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.pi_dst") < col("e2.pi_dst"))
+        .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
+      // each wedge closes against at most one oriented edge (edge set is
+      // distinct), so an inner-join count IS the triangle count
+      val triangles = wedges.join(oriented,
+        col("b") === col("src") && col("c") === col("dst"))
+      val summary = edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      summary.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     }),
 
     // SNAPSHOT DIFF (data reconciliation): which rows were added,
@@ -3620,6 +3698,26 @@ object SparkEntry {
          |  FROM documents)
          |SELECT word, count(*) AS n_occurrences FROM w WHERE word <> ''
          |GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 20""".stripMargin,
+    "docs_lexical_score" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |w2 AS (SELECT DISTINCT doc_id, word FROM w WHERE word <> ''),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |model AS (
+         |  SELECT word,
+         |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT) AS w_q6
+         |  FROM (SELECT word, count(*) AS df FROM w2 GROUP BY 1) CROSS JOIN n
+         |  WHERE df >= 2)
+         |SELECT doc_id, count(*) AS n_features,
+         |  count(m.w_q6) AS n_matched,
+         |  CAST(sum(coalesce(m.w_q6, 0)) AS BIGINT) AS score_q6_sum,
+         |  CASE WHEN count(m.w_q6) = 0 THEN NULL
+         |       ELSE CAST(CAST(sum(coalesce(m.w_q6, 0)) AS BIGINT) AS DOUBLE)
+         |            / count(m.w_q6) END AS mean_score_q6
+         |FROM w2 LEFT JOIN model m USING (word)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_pmi_bigrams" ->
       s"""WITH ws AS (
          |  SELECT string_split(${util.Norm.normalizeSql("text")}, ' ') AS w FROM documents),
@@ -3904,6 +4002,30 @@ object SparkEntry {
          |SELECT node, node % 2 AS is_supplier, pr
          |FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
     },
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT n, count(*) AS dg
+        |  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY 1),
+        |pi AS (SELECT n, dg * 10000000000 + n AS pi FROM deg),
+        |o AS (
+        |  SELECT CASE WHEN pu.pi < pv.pi THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN pu.pi < pv.pi THEN e.v ELSE e.u END AS dst,
+        |         greatest(pu.pi, pv.pi) AS pi_dst
+        |  FROM edges e JOIN pi pu ON pu.n = e.u JOIN pi pv ON pv.n = e.v),
+        |w AS (
+        |  SELECT e1.dst AS b, e2.dst AS c
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.pi_dst < e2.pi_dst),
+        |t AS (SELECT count(*) AS n_triangles
+        |      FROM w JOIN o ON o.src = w.b AND o.dst = w.c)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM edges) AS n_edges,
+        |  (SELECT count(*) FROM w) AS n_wedges,
+        |  (SELECT n_triangles FROM t) AS n_triangles""".stripMargin,
     "docs_table_diff" ->
       """WITH snap_a AS (
         |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 5 <> 1),

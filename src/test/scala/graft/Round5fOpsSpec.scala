@@ -156,6 +156,40 @@ class Round5fOpsSpec extends SparkSpec {
       "plain = emits two half-rows for the NULL class")
   }
 
+  test("graph_triangles: oriented count equals the brute-force unoriented count / invariants") {
+    import spark.implicits._
+    val r = q("graph_triangles").collect().head
+    val (nNodes, nEdges, nWedges, nTri) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nNodes > 0 && nEdges > 0 && nWedges >= nTri)
+    // Brute force: count each triangle 3 times via undirected adjacency,
+    // then divide — small fixture only.
+    val op = Sources.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+    val und = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+    val brute = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .join(und.as("e3"),
+        col("e2.v") === col("e3.u") && col("e3.v") === col("e1.u"))
+      .filter(col("e1.u") < col("e1.v") && col("e1.v") < col("e2.v"))
+      .count()
+    assert(nTri == brute, s"oriented $nTri != brute $brute")
+  }
+
+  test("docs_lexical_score: per-doc feature accounting is internally consistent") {
+    val rows = q("docs_lexical_score").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nf, nm, sum) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nm <= nf)
+      if (nm == 0) { assert(sum == 0L && r.isNullAt(4)) }
+      else assert(math.abs(r.getDouble(4) - sum.toDouble / nm) < 1e-9)
+    }
+  }
+
   test("sim_ann_ivf_stored: identical to the in-query trained twin; artifact is reused") {
     val trained = SparkEntry.queries("sim_ann_ivf_trained")(spark, sfDir).collect()
     graft.util.Views.unpersistAll()

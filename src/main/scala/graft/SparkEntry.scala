@@ -1698,6 +1698,102 @@ object SparkEntry {
     "docs_quality_gate" -> ((s, dir) =>
       qualityGate(Sources.documents(s, dir)).orderBy("doc_id")),
 
+    // Per-SOURCE curation audit (training-data extension): the domain
+    // scorecard every web-corpus pipeline maintains — per source: doc
+    // volume, token mass, language spread, exact-duplicate share,
+    // too-short share, and the blocklist verdict. Runs over sourcedDocs
+    // (the raw fixture has no duplicate texts; at scale the dup signal
+    // comes from the dedup pass at this same grain). Everything is ONE
+    // source-grain keyed aggregation with map-side partials (the two
+    // DISTINCT aggregates Expand the input ×2 — at domain grain, cheap);
+    // verdicts adjudicate integer-exactly (n_dup·X > n_docs, never a
+    // double share), and the blocked list is O(sources) — it becomes the
+    // broadcast side of the corpus gate join, so the corpus itself never
+    // shuffles to apply a blocklist.
+    "docs_source_audit" -> ((s, dir) =>
+      sourcedDocs(Sources.documents(s, dir))
+        .select(col("source"), col("lang"),
+          size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+            .cast("long").as("n_tokens"),
+          md5(col("text").cast("binary")).as("h"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          countDistinct("lang").as("n_langs"),
+          (count(lit(1)) - countDistinct("h")).as("n_dup_docs"),
+          sum(when(col("n_tokens") < text.TextAnalysis.GateMinWords, 1L)
+            .otherwise(0L)).as("n_short"))
+        .withColumn("blocked",
+          ((col("n_dup_docs") * SourceDupBlockX > col("n_docs")) ||
+            (col("n_short") * SourceShortBlockX > col("n_docs"))).cast("int"))
+        .orderBy("source")),
+
+    // Per-SOURCE token-budget CAP (training-data extension): "no single
+    // domain exceeds its token budget" — the mixture-control twin of
+    // docs_rebalance (which equalizes LANGUAGE doc counts; this caps
+    // SOURCE token mass). Priority is the hash rank (never rand() —
+    // retries and speculative tasks select identically); a doc is kept
+    // iff its START offset in the per-source running token sum is inside
+    // the budget (the packing rule — the first doc always lands, so no
+    // source is emptied). One per-source window, partitioned — no global
+    // order; a viral source makes its window the skew point at lake
+    // scale, where the production variant first estimates the cut rank
+    // with the GK sketch (events_quantiles_approx's path) and runs the
+    // window only on the margin. Output at source grain stays bounded as
+    // the corpus grows.
+    "docs_source_cap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("rk", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Sources.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+            .cast("long").as("n_tokens"))
+        .withColumn("rk", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("kept",
+          (col("cum") - col("n_tokens") < SourceCapTokens).cast("int"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_before"),
+          sum("n_tokens").as("tokens_before"),
+          sum("kept").as("n_kept"),
+          sum(when(col("kept") === 1, col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy("source")
+    }),
+
+    // Cross-source SYNDICATION matrix (training-data extension): which
+    // source pairs carry the same exact content — the wire-service /
+    // mirror-site detection a web corpus runs before trusting per-source
+    // statistics. Shape is scale-right: reduce to DISTINCT (content-hash,
+    // source) FIRST — ~36 bytes a row no matter how wide the docs — then
+    // keep hashes seen in 2..SourceMaxSyndication sources; the upper cap
+    // is the hot-key guard (universal boilerplate would fan out C(n,2)
+    // pairs per hash — past the cap it is boilerplate-removal's finding,
+    // not syndication), so the pair self-join fans out ≤ C(cap,2) rows
+    // per hash. The (hash, source) view materializes once for the count
+    // pass and both join sides.
+    "docs_cross_source_dup" -> ((s, dir) => {
+      val hs = util.Views.materialize(
+        sourcedDocs(Sources.documents(s, dir))
+          .select(md5(col("text").cast("binary")).as("h"), col("source"))
+          .distinct())
+      val banded = hs.join(
+        hs.groupBy("h").agg(count(lit(1)).as("ns"))
+          .filter(col("ns").between(2, SourceMaxSyndication))
+          .select("h"),
+        "h")
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // The END-TO-END corpus pipeline in ONE DAG — quality gate → exact
     // dedup (canonical survivor) → token-budget shard packing — the
     // composition a real training-data build runs, proving the stages
@@ -2746,6 +2842,45 @@ object SparkEntry {
        |  FROM gsig s LEFT JOIN grep USING (doc_id))""".stripMargin
   }
 
+  /** Source-analysis constants, interpolated into BOTH engines' SQL so
+    * the gate rules have exactly one definition (the qualityGateSql
+    * lesson: a literal duplicated into the oracle silently diverges). */
+  private val SourceDupBlockX = 20L   // blocked if n_dup_docs * X > n_docs
+  private val SourceShortBlockX = 8L  // blocked if n_short * X > n_docs
+  private val SourceCapTokens = 800L  // per-source token budget
+  private val SourceMaxSyndication = 10L // content in > this many sources = boilerplate
+
+  /** The source-analysis fixture view: raw documents plus injected exact
+    * copies (the raw fixture has zero duplicate and zero multi-source
+    * texts). Cross-source copies (doc_id % 9) model wire-service
+    * syndication — the copy lands in a deterministically rotated source;
+    * within-source copies (doc_id % 13) model re-posts. Injected ids live
+    * in disjoint spaces, guarded per-row like Dedup.augmented. */
+  private def sourcedDocs(docs: DataFrame): DataFrame = {
+    val guardedId = when(
+      assert_true(col("doc_id") >= 0 && col("doc_id") < 8000000L,
+        lit("doc_id must be in [0, 8000000) for disjoint source-dup injection")).isNull,
+      col("doc_id"))
+    val base = docs.select(guardedId.as("doc_id"), col("text"), col("lang"), col("source"))
+    base
+      .unionByName(base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 8000000L).as("doc_id"), col("text"), col("lang"),
+          concat(lit("src"), ((col("doc_id") + 3) % 20).cast("string")).as("source")))
+      .unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("text"), col("lang"),
+          col("source")))
+  }
+
+  private val sourcedDocsSql: String =
+    """(SELECT doc_id, text, lang, source FROM documents
+      | UNION ALL
+      | SELECT doc_id + 8000000, text, lang,
+      |        'src' || CAST((doc_id + 3) % 20 AS VARCHAR)
+      | FROM documents WHERE doc_id % 9 = 0
+      | UNION ALL
+      | SELECT doc_id + 9000000, text, lang, source
+      | FROM documents WHERE doc_id % 13 = 0)""".stripMargin
+
   /** Token-budget shard assignment shared by `docs_pack_shards` /
     * `docs_pack_assemble`: deterministic hash bucket = independent
     * parallel packer, shard = the token-budget window the doc's start
@@ -3683,6 +3818,54 @@ object SparkEntry {
     "docs_quality_gate" ->
       s"""WITH ${qualityGateSql("documents")}
          |SELECT * FROM gate ORDER BY doc_id""".stripMargin,
+    "docs_source_audit" ->
+      s"""WITH syn AS $sourcedDocsSql,
+         |d AS (
+         |  SELECT source, lang,
+         |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
+         |      AS n_tokens,
+         |    md5(text) AS h
+         |  FROM syn)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(*) - count(DISTINCT h) AS n_dup_docs,
+         |  count(*) FILTER (n_tokens < ${text.TextAnalysis.GateMinWords}) AS n_short,
+         |  CAST((count(*) - count(DISTINCT h)) * $SourceDupBlockX > count(*)
+         |       OR count(*) FILTER (n_tokens < ${text.TextAnalysis.GateMinWords})
+         |            * $SourceShortBlockX > count(*) AS INTEGER) AS blocked
+         |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+    "docs_source_cap" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
+         |      AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS rk
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |k AS (SELECT *,
+         |        CASE WHEN cum - n_tokens < $SourceCapTokens THEN 1 ELSE 0 END AS kept
+         |      FROM c)
+         |SELECT source,
+         |  count(*) AS n_before,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "docs_cross_source_dup" ->
+      s"""WITH syn AS $sourcedDocsSql,
+         |hs AS (SELECT DISTINCT md5(text) AS h, source FROM syn),
+         |good AS (SELECT h FROM hs GROUP BY h
+         |         HAVING count(*) BETWEEN 2 AND $SourceMaxSyndication)
+         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         |FROM hs a
+         |JOIN good g ON a.h = g.h
+         |JOIN hs b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "docs_pipeline_e2e" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${qualityGateSql("docs")},

@@ -146,6 +146,48 @@ object SparkEntry {
         .orderBy("symbol", "day_idx")
     }),
 
+    // Weekly OHLC RESAMPLING — the canonical financial downsample (daily
+    // bars → weekly candles) and the suite's argmin/argmax aggregate
+    // coverage: open = the FIRST day's value, close = the LAST day's
+    // (min_by/max_by ⇔ DuckDB arg_min/arg_max — codegen'd built-ins, not
+    // a window + filter over the whole frame). Days consolidate to
+    // integer-exact quantized sums first (the sma discipline), so every
+    // daily avg is one IEEE division of identical longs on both engines
+    // and the weekly max/min/argmax adjudicate on bit-identical doubles;
+    // day_idx is unique per (symbol, week), so the argmin/argmax are
+    // tie-free by construction. Week key = (epoch_day + 3) DIV 7
+    // (Monday-aligned), pure integer. Two keyed aggregations with
+    // map-side partials, both at (symbol, ·) grain — no window, no
+    // global order at any scale.
+    "yf_weekly_ohlc" -> ((s, dir) => {
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .withColumn("day_idx", datediff(col("Date"), lit("1970-01-01")).cast("long"))
+        .groupBy("symbol", "day_idx")
+        .agg(
+          sum(floor(col("Open") * 1e8 + 0.5).cast("long")).as("open_sum"),
+          sum(floor(col("High") * 1e8 + 0.5).cast("long")).as("high_sum"),
+          sum(floor(col("Low") * 1e8 + 0.5).cast("long")).as("low_sum"),
+          sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("close_sum"),
+          sum(floor(col("Volume") + 0.5).cast("long")).as("vol_sum"),
+          count(lit(1)).as("n_bars"))
+      daily
+        .withColumn("week_idx", expr("(day_idx + 3) DIV 7"))
+        .withColumn("open_avg", (col("open_sum") / 1e8) / col("n_bars"))
+        .withColumn("high_avg", (col("high_sum") / 1e8) / col("n_bars"))
+        .withColumn("low_avg", (col("low_sum") / 1e8) / col("n_bars"))
+        .withColumn("close_avg", (col("close_sum") / 1e8) / col("n_bars"))
+        .groupBy("symbol", "week_idx")
+        .agg(
+          min_by(col("open_avg"), col("day_idx")).as("open"),
+          max(col("high_avg")).as("high"),
+          min(col("low_avg")).as("low"),
+          max_by(col("close_avg"), col("day_idx")).as("close"),
+          sum(col("vol_sum")).as("volume"),
+          count(lit(1)).as("n_days"))
+        .orderBy("symbol", "week_idx")
+    }),
+
     // Broadcast catalog join (SURVEY.md §2.5): company identity via an
     // explicit equi-join against the small dimension instead of the
     // reference's 951 collection names; rolled up per company.
@@ -1360,6 +1402,28 @@ object SparkEntry {
           max(col("n")).as("max_word_count"),
           count(lit(1)).as("n_distinct_words"))
         .withColumn("top_word_ratio", col("max_word_count") / col("n_words"))
+        .orderBy("doc_id")
+    }),
+
+    // Duplicate word-3-gram fraction — the Gopher-class repetition
+    // signal text_repetition's top-word ratio misses (a doc that cycles
+    // two phrases has a low top-word ratio but a high dup-n-gram
+    // fraction). ENTIRELY row-local and shuffle-free: the total 3-gram
+    // count is arithmetic on the word count, the distinct count reuses
+    // the codegen'd WordShingles expression (first-occurrence-distinct by
+    // contract), and the fraction is one IEEE division of identical
+    // integers per engine. At 100 TB this is a free column on any scan.
+    "text_dup_ngrams" -> ((s, dir) => {
+      val nWords = size(split(util.Norm.normalize(col("text")), " "))
+        .cast("long")
+      val total = greatest(nWords - 2, lit(0L))
+      val dist = size(dedup.Dedup.shingles(col("text"))).cast("long")
+      Sources.documents(s, dir)
+        .select(col("doc_id"), total.as("n_grams"), dist.as("n_distinct"),
+          (total - dist).as("n_dup"))
+        .withColumn("dup_frac",
+          when(col("n_grams") > 0,
+            col("n_dup").cast("double") / col("n_grams")))
         .orderBy("doc_id")
     }),
 
@@ -3143,6 +3207,36 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY symbol ORDER BY day_idx
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |ORDER BY symbol, day_idx""".stripMargin,
+    "yf_weekly_ohlc" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol,
+         |    CAST(CAST("Date" AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+         |    CAST(sum(CAST(floor("Open" * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS open_sum,
+         |    CAST(sum(CAST(floor("High" * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS high_sum,
+         |    CAST(sum(CAST(floor("Low" * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS low_sum,
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS close_sum,
+         |    CAST(sum(CAST(floor("Volume" + 0.5) AS BIGINT)) AS BIGINT) AS vol_sum,
+         |    count(*) AS n_bars
+         |  FROM bars
+         |  WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |a AS (
+         |  SELECT symbol, day_idx, (day_idx + 3) // 7 AS week_idx,
+         |    (open_sum / 1e8) / n_bars AS open_avg,
+         |    (high_sum / 1e8) / n_bars AS high_avg,
+         |    (low_sum / 1e8) / n_bars AS low_avg,
+         |    (close_sum / 1e8) / n_bars AS close_avg,
+         |    vol_sum
+         |  FROM daily)
+         |SELECT symbol, week_idx,
+         |  arg_min(open_avg, day_idx) AS "open",
+         |  max(high_avg) AS high,
+         |  min(low_avg) AS low,
+         |  arg_max(close_avg, day_idx) AS "close",
+         |  CAST(sum(vol_sum) AS BIGINT) AS volume,
+         |  count(*) AS n_days
+         |FROM a GROUP BY 1, 2 ORDER BY symbol, week_idx""".stripMargin,
     "yf_returns_drawdown" ->
       s"""WITH $barsCte,
          |daily AS (
@@ -3671,6 +3765,18 @@ object SparkEntry {
          |  count(*) AS n_distinct_words,
          |  max(n) / CAST(sum(n) AS BIGINT) AS top_word_ratio
          |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_dup_ngrams" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    greatest(CAST(len(string_split(${util.Norm.normalizeSql("text")}, ' '))
+         |      AS BIGINT) - 2, 0) AS n_grams,
+         |    CAST(len(${dedup.Dedup.shinglesSql("text")}) AS BIGINT) AS n_distinct
+         |  FROM documents)
+         |SELECT doc_id, n_grams, n_distinct,
+         |  n_grams - n_distinct AS n_dup,
+         |  CASE WHEN n_grams > 0
+         |       THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams END AS dup_frac
+         |FROM d ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
       s"""WITH w AS (
          |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word

@@ -71,6 +71,57 @@ class Round5gOpsSpec extends SparkSpec {
     }
   }
 
+  test("yf_weekly_ohlc: argmin/argmax pick the week's first/last day; invariants hold") {
+    val rows = q("yf_weekly_ohlc").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h, l, nd) = (r.getDouble(3), r.getDouble(4), r.getLong(7))
+      assert(h >= l, s"high < low at ${r.getLong(0)}/${r.getLong(1)}")
+      assert(nd >= 1 && nd <= 7)
+    }
+    // Recompute one symbol brute-force from the daily consolidation.
+    val daily = Sources.ohlcv(spark, sfDir)
+      .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+      .withColumn("day_idx", datediff(col("Date"), lit("1970-01-01")).cast("long"))
+      .groupBy("symbol", "day_idx")
+      .agg(sum(floor(col("Open") * 1e8 + 0.5).cast("long")).as("os"),
+        sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("cs"),
+        count(lit(1)).as("nb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val sym = daily.head._1
+    val weeks = daily.filter(_._1 == sym).groupBy(t => (t._2 + 3) / 7)
+    val bySymWeek = rows.filter(_.getLong(0) == sym)
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(5))).toMap
+    weeks.foreach { case (wk, ds) =>
+      val first = ds.minBy(_._2)
+      val last = ds.maxBy(_._2)
+      val (gotOpen, gotClose) = bySymWeek(wk)
+      assert(gotOpen == (first._3 / 1e8) / first._5, s"week $wk open")
+      assert(gotClose == (last._4 / 1e8) / last._5, s"week $wk close")
+    }
+  }
+
+  test("text_dup_ngrams: row-local recount matches; plan is shuffle-free") {
+    val df = SparkEntry.queries("text_dup_ngrams")(spark, sfDir)
+    // Strip the verify-payload orderBy before the plan pin.
+    val core = Sources.documents(spark, sfDir).select(
+      col("doc_id"),
+      greatest(size(split(util.Norm.normalize(col("text")), " ")).cast("long") - 2,
+        lit(0L)).as("n_grams"))
+    assert(!core.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    Sources.documents(spark, sfDir).select("doc_id", "text").collect().foreach { r =>
+      val words = r.getString(1).trim.toLowerCase.split("\\s+").toSeq
+      val grams = words.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val e = (grams.length.toLong, grams.distinct.length.toLong,
+        (grams.length - grams.distinct.length).toLong)
+      assert(got(r.getLong(0)) == e, s"doc ${r.getLong(0)}")
+    }
+    assert(got.values.exists(_._3 > 0), "fixture has no repeated 3-grams")
+  }
+
   test("docs_cross_source_dup: pair matrix matches brute force; no cartesian product") {
     val df = q("docs_cross_source_dup")
     val plan = df.queryExecution.executedPlan.toString

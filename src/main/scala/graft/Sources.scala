@@ -67,6 +67,15 @@ object Sources {
     spark.read.option("header", "true").csv(CatalogCsvPath)
       .select(col("Kode").cast("int").as("Kode"), col("Nama Perusahaan"))
 
+  /** The same catalog through the engine's OWN DataSource V2 connector
+    * (`graft.sources.CsvCatalog`) — the reference's external-connector
+    * scan surface (S2) made real: column pruning and key-comparison
+    * filters reach the partition reader, and the scan splits into input
+    * partitions. Identical rows to [[stockCatalog]] (spec-pinned). */
+  def stockCatalogV2(spark: SparkSession): DataFrame =
+    spark.read.format("graft.sources.CsvCatalog")
+      .option("path", CatalogCsvPath).load()
+
   /** Column existence probe (reference S6, `yfinance_transform.py:117`). */
   def hasColumn(df: DataFrame, name: String): Boolean = df.columns.contains(name)
 

@@ -223,6 +223,27 @@ object SparkEntry {
         .orderBy("symbol")
     }),
 
+    // The catalog join through the engine's OWN DataSource V2 connector
+    // (S2's connector-scan surface made real — see
+    // graft.sources.CsvCatalog): the Kode < 500 slice pushes INTO the
+    // connector's partition readers (rows outside the slice never reach
+    // Spark — the connector analogue of parquet PushedFilters, spec-
+    // asserted in CsvCatalogSpec), the two-column projection prunes the
+    // reader's output, and the pruned slice broadcasts into the join.
+    // Same aggregate shape as yf_csv_catalog_join; oracle applies the
+    // identical slice to the raw CSV.
+    "yf_dsv2_catalog_join" -> ((s, dir) => {
+      val bars = Sources.ohlcv(s, dir)
+      val cat = Sources.stockCatalogV2(s).filter(col("Kode") < 500)
+      yf.Ohlcv.joinCatalog(bars, cat, "symbol", "Kode")
+        .groupBy(col("symbol"), col("Nama Perusahaan").as("company_name"))
+        .agg(
+          count(lit(1)).as("n_bars"),
+          util.Stable.exactSum(col("Volume")).as("sum_volume"),
+          max(col("High")).as("max_high"))
+        .orderBy("symbol")
+    }),
+
     // Bucketed co-located join (the 100 TB join strategy SCALE.md names):
     // both sides bucketed+sorted on the join key at WRITE time, so the
     // join itself needs no exchange on either side — the shuffle is paid
@@ -3125,6 +3146,15 @@ object SparkEntry {
       s"""WITH $barsCte,
          |cat AS (SELECT CAST(Kode AS INTEGER) AS Kode, "Nama Perusahaan"
          |        FROM read_csv('${Sources.CatalogCsvPath}', header=true))
+         |SELECT b.symbol, c."Nama Perusahaan" AS company_name, count(*) AS n_bars,
+         |  ${util.Stable.exactSumSql(""""Volume"""")} AS sum_volume, max(b."High") AS max_high
+         |FROM bars b JOIN cat c ON b.symbol = c.Kode
+         |GROUP BY b.symbol, c."Nama Perusahaan" ORDER BY b.symbol""".stripMargin,
+    "yf_dsv2_catalog_join" ->
+      s"""WITH $barsCte,
+         |cat AS (SELECT CAST(Kode AS INTEGER) AS Kode, "Nama Perusahaan"
+         |        FROM read_csv('${Sources.CatalogCsvPath}', header=true)
+         |        WHERE CAST(Kode AS INTEGER) < 500)
          |SELECT b.symbol, c."Nama Perusahaan" AS company_name, count(*) AS n_bars,
          |  ${util.Stable.exactSumSql(""""Volume"""")} AS sum_volume, max(b."High") AS max_high
          |FROM bars b JOIN cat c ON b.symbol = c.Kode

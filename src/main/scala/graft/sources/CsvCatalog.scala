@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the stock-catalog CSV — the engine's
+  * stand-in for the reference's external-collection connector surface
+  * (`yfinance_transform.py:113-115` reads the catalog through the
+  * mongo-spark connector; S2 in SURVEY.md §2.1). The parquet tables stay
+  * the data plane by driver contract; THIS demonstrates the Spark-native
+  * boundary any real external system binds through:
+  *
+  *  - column PRUNING reaches the reader ([[SupportsPushDownRequiredColumns]]
+  *    — a pruned scan never materializes the dropped columns),
+  *  - comparison filters on the key PUSH DOWN ([[SupportsPushDownFilters]]
+  *    — pushed predicates evaluate inside the partition reader, before
+  *    rows ever reach Spark; unsupported predicates stay in the plan's
+  *    Filter, so correctness never depends on connector coverage),
+  *  - the scan SPLITS into input partitions each executor reads
+  *    independently (here: round-robin line strides of one small file;
+  *    against a real store: one partition per shard/chunk range).
+  *
+  * Usage: `spark.read.format("graft.sources.CsvCatalog")
+  * .option("path", ...).load()`. Schema is fixed (Kode INT,
+  * "Nama Perusahaan" STRING) like any catalog-backed connector table.
+  */
+class CsvCatalog extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CsvCatalog.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CsvCatalogTable(properties.get("path"))
+}
+
+object CsvCatalog {
+  val Schema: StructType = new StructType()
+    .add("Kode", IntegerType, nullable = false)
+    .add("Nama Perusahaan", StringType, nullable = false)
+
+  val NumPartitions = 4
+
+  /** The V1 Filter predicates the reader evaluates itself; everything
+    * else is reported back as unsupported and Spark keeps its Filter. */
+  def evaluable(f: Filter): Boolean = f match {
+    case EqualTo("Kode", _: Int) => true
+    case LessThan("Kode", _: Int) => true
+    case LessThanOrEqual("Kode", _: Int) => true
+    case GreaterThan("Kode", _: Int) => true
+    case GreaterThanOrEqual("Kode", _: Int) => true
+    case IsNotNull(_) => true // schema is non-nullable: always true
+    case _ => false
+  }
+
+  def eval(f: Filter, kode: Int): Boolean = f match {
+    case EqualTo("Kode", v: Int) => kode == v
+    case LessThan("Kode", v: Int) => kode < v
+    case LessThanOrEqual("Kode", v: Int) => kode <= v
+    case GreaterThan("Kode", v: Int) => kode > v
+    case GreaterThanOrEqual("Kode", v: Int) => kode >= v
+    case IsNotNull(_) => true
+    case _ => true
+  }
+}
+
+private[sources] class CsvCatalogTable(path: String) extends Table with SupportsRead {
+  require(path != null, "CsvCatalog requires option(\"path\", ...)")
+  override def name(): String = s"csv_catalog($path)"
+  override def schema(): StructType = CsvCatalog.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CsvCatalogScanBuilder(path)
+}
+
+private[sources] class CsvCatalogScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = CsvCatalog.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition(CsvCatalog.evaluable)
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new CsvCatalogScan(path, pushed, required)
+}
+
+private[sources] class CsvCatalogScan(path: String, pushed: Array[Filter],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"CsvCatalogScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array.tabulate(CsvCatalog.NumPartitions)(i =>
+      CsvCatalogPartition(path, i, CsvCatalog.NumPartitions))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CsvCatalogReaderFactory(pushed, required)
+}
+
+private[sources] case class CsvCatalogPartition(path: String, idx: Int,
+    numParts: Int) extends InputPartition
+
+private[sources] class CsvCatalogReaderFactory(pushed: Array[Filter],
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CsvCatalogPartition]
+    new CsvCatalogReader(p, pushed, required)
+  }
+}
+
+/** Reads this partition's round-robin stride of data lines, evaluates
+  * the pushed predicates reader-side, and emits only the pruned columns
+  * — the same shape a sharded-store reader has (its stride is the shard
+  * scan, its predicate evaluation is the server-side query). */
+private[sources] class CsvCatalogReader(p: CsvCatalogPartition,
+    pushed: Array[Filter], required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val lines = {
+    val src = scala.io.Source.fromFile(p.path)
+    try src.getLines().drop(1).zipWithIndex
+      .collect { case (ln, i) if i % p.numParts == p.idx => ln }.toArray
+    finally src.close()
+  }
+  private var pos = 0
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (pos < lines.length) {
+      val line = lines(pos); pos += 1
+      val cut = line.indexOf(',')
+      val kode = line.substring(0, cut).trim.toInt
+      if (pushed.forall(CsvCatalog.eval(_, kode))) {
+        val vals = required.fieldNames.map {
+          case "Kode" => kode.asInstanceOf[Any]
+          case "Nama Perusahaan" => UTF8String.fromString(line.substring(cut + 1))
+        }
+        row = InternalRow.fromSeq(vals.toIndexedSeq)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

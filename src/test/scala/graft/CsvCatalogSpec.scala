@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The DataSource V2 connector contract: content parity with the plain
+  * CSV read, filter pushdown INTO the partition readers, column pruning,
+  * multi-partition scan, and graceful retention of predicates the
+  * connector can't evaluate. */
+class CsvCatalogSpec extends SparkSpec {
+
+  private def v2 = Sources.stockCatalogV2(spark)
+
+  test("content parity: V2 connector rows == spark.read.csv rows") {
+    val a = v2.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    val b = Sources.stockCatalog(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(a.length == b.length && a.sameElements(b))
+  }
+
+  test("comparison filter pushes into the scan and rows are correct") {
+    val df = v2.filter(col("Kode") < 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [LessThan(Kode,10)") ||
+      plan.contains("LessThan(Kode,10)"),
+      s"filter not pushed:\n$plan")
+    assert(df.count() == 10)
+    assert(df.agg(max("Kode")).head().getInt(0) == 9)
+  }
+
+  test("column pruning reaches the reader's schema") {
+    val df = v2.filter(col("Kode") >= 1990).select("Nama Perusahaan")
+    val plan = df.queryExecution.executedPlan.toString
+    // The scan's description carries its pruned ReadSchema — Kode is
+    // needed only for the pushed predicate, not in the output schema.
+    assert(plan.contains("ReadSchema: struct<Nama Perusahaan:string>") ||
+      plan.contains("ReadSchema: struct<Nama Perusahaan: string>"),
+      s"columns not pruned:\n$plan")
+    assert(df.count() == 10)
+  }
+
+  test("scan splits into multiple input partitions") {
+    assert(v2.rdd.getNumPartitions == sources.CsvCatalog.NumPartitions)
+  }
+
+  test("unsupported predicates stay in Spark's Filter and still apply") {
+    // Kode % 2 = 0 is not a connector-evaluable shape: it must be
+    // REJECTED by pushFilters and applied by Spark's own Filter node.
+    val df = v2.filter(col("Kode") < 100 && pmod(col("Kode"), lit(2)) === 0)
+    assert(df.count() == 50)
+    val rows = df.collect().map(_.getInt(0))
+    assert(rows.forall(k => k < 100 && k % 2 == 0))
+  }
+}

@@ -1,5 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Accumulates executor task metrics across the whole session — the
+  * per-query SHUFFLE/SPILL accounting ("measure, don't guess": seconds
+  * say a query is slow, bytes say WHY — a shuffle that grows with the
+  * corpus is the thing a 100 TB plan review looks for). Counters only
+  * ever increase; per-rep deltas come from snapshotting around each
+  * timed pass. Listener events post asynchronously, so readers poll
+  * [[stable]] until two consecutive snapshots agree. */
+private class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  val shuffleWrite = new AtomicLong
+  val spill = new AtomicLong
+  override def onTaskEnd(
+      te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+    }
+  }
+  def snapshot: (Long, Long) = (shuffleWrite.get, spill.get)
+  /** Snapshot once the async listener bus has drained (two consecutive
+    * reads agree; bounded wait so a stuck bus can't hang the bench). */
+  def stable: (Long, Long) = {
+    var prev = snapshot
+    var i = 0
+    while (i < 40) { // <= 2 s
+      Thread.sleep(50)
+      val cur = snapshot
+      if (cur == prev) return cur
+      prev = cur; i += 1
+    }
+    prev
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,9 +105,12 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val metrics = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     var lastRows = 0L // result cardinality for the reference-format report
     val results = queries.map { case (name, fn) =>
       val samples = (1 to reps).map { _ =>
+        val (sw0, sp0) = metrics.stable
         val t0 = System.nanoTime()
         val ok = try { lastRows = fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
@@ -81,6 +120,9 @@ object Bench {
         // The sample closes HERE — hygiene below is session upkeep, not
         // query cost, and must not ride inside any pass's timing.
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val (sw1, sp1) = metrics.stable
+        val shuffleMb = if (ok) (sw1 - sw0) / 1e6 else -1.0
+        val spillMb = if (ok) (sp1 - sp0) / 1e6 else -1.0
         // Per-rep hygiene: (1) unpersist the views the engine
         // materialized (LSH band indexes, sketched-corpus views, the
         // cluster loop's converged round — Views tracks them all), (2)
@@ -93,23 +135,30 @@ object Bench {
         graft.util.Views.unpersistAll()
         spark.catalog.clearCache()
         System.gc()
-        dt
+        (dt, shuffleMb, spillMb)
       }
+      val times = samples.map(_._1)
       // Any failed pass poisons the query: -1, not a median over survivors.
-      val dt = if (samples.exists(_ < 0)) -1.0 else median(samples)
-      name -> (dt, samples, lastRows)
+      val dt = if (times.exists(_ < 0)) -1.0 else median(times)
+      val shuf = if (dt < 0) -1.0 else median(samples.map(_._2))
+      val spl = if (dt < 0) -1.0 else median(samples.map(_._3))
+      name -> (dt, times, lastRows, shuf, spl)
     }
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val ss = results.map { case (k, (_, s, _)) =>
+    val ss = results.map { case (k, (_, s, _, _, _)) =>
       s"\"" + k + "\":" + s.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    def mbMap(pick: ((Double, Seq[Double], Long, Double, Double)) => Double) =
+      results.map { case (k, t) =>
+        s"\"" + k + "\":" + f"${pick(t)}%.3f"
+      }.mkString("{", ",", "}")
     val failed = results.values.count(_._1 < 0)
     // Failures are visible in the JSON itself ("failed" + the -1 entries),
     // so a consumer reading the metric alone can tell coverage shrank.
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"samples":$ss,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"samples":$ss,"shuffle_mb":${mbMap(_._4)},"spill_mb":${mbMap(_._5)},"sf":"$sfDir"}"""
     println(json)
     // Also write to a file: stdout passes through sbt's [info] prefixing,
     // which downstream JSON parsers trip over.
@@ -119,7 +168,7 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("performance_report.txt"),
       graft.util.PerfReport.render(results.collect {
-        case (name, (dt, _, rows)) if dt >= 0 => (name, rows, dt)
+        case (name, (dt, _, rows, _, _)) if dt >= 0 => (name, rows, dt)
       }.toSeq))
     spark.stop()
   }

@@ -22,7 +22,8 @@ class ViewLifecycleSpec extends SparkSpec {
     "dedup_minhash_lsh",     // shingle view + band index + candidate set
     "sim_ann_rhp",           // sketched-corpus view
     "sim_ann_ivf_trained",   // trained-centroid table
-    "dedup_embedding_cosine" // sketch view
+    "dedup_embedding_cosine", // sketch view
+    "docs_cross_source_dup"   // (content-hash, source) distinct view
   )
 
   for (name <- viewHeavy)

@@ -35,16 +35,39 @@ object Sources {
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects unless `spark.sql.legacy.parquet.nanosAsLong`
-    * is set — AT SESSION BUILD TIME (Verify/Bench/TestSession all set it;
-    * a reader must never mutate session conf as a side effect). With it,
-    * `ts` arrives as BIGINT nanoseconds and downstream time math works on
-    * integer nanos — exact, and mirrored in DuckDB via `epoch_ns`. */
+  /** Events read with a TYPE-ROBUST `ts` contract: downstream time math is
+    * all integer-nanos (`ts DIV 86400000000000`, `ts DIV 1000`), mirrored
+    * in DuckDB via `epoch_ns(ts)`, so whatever the parquet writer chose for
+    * the physical encoding, `ts` leaves this reader as BIGINT nanoseconds:
+    *
+    *  - INT64 TIMESTAMP(NANOS): arrives as LongType nanos when the session
+    *    sets `spark.sql.legacy.parquet.nanosAsLong` (Verify/Bench/
+    *    TestSession all do, at build time — a reader must never mutate
+    *    session conf as a side effect). Passed through unchanged.
+    *  - TIMESTAMP(MICROS) (what the current testdata carries, both
+    *    isAdjustedToUTC variants → TimestampType or TimestampNTZType):
+    *    normalized via `unix_micros * 1000` — micros-sourced nanos are
+    *    exact, and with the UTC session timezone the NTZ→TZ cast is a
+    *    wall-clock no-op, so the values match `epoch_ns` bit-for-bit.
+    *
+    * The normalization is a projected expression, so a downstream filter on
+    * `ts` no longer pushes to the parquet scan as a row-group min/max
+    * predicate. If ts-range pruning ever matters at 100 TB, filter on the
+    * raw column before normalizing (or partition by day, as
+    * `events_zorder` demonstrates); correctness-first here. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
-    table(spark, sfDir, "events")
+    import org.apache.spark.sql.types._
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df // INT64-nanos via nanosAsLong: already BIGINT nanos
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other; expected LongType (INT64-nanos + " +
+          "nanosAsLong) or Timestamp(NTZ)Type (micros)")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -324,7 +324,12 @@ object SparkEntry {
       val out = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), "graft_events_jsonl")
       Sources.events(s, dir)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        // The wire contract is BIGINT nanos: Sources.events already
+        // guarantees it, but the cast makes the JSONL schema explicit on
+        // the write side too — a future ts-type drift fails HERE, loudly,
+        // instead of surfacing as nulls on the schema'd read-back.
+        .select(col("event_id"), col("ts").cast("long").as("ts"),
+          col("user_id"), col("event_type"),
           floor(col("value") * 1e8 + 0.5).cast("long").as("value_q8"))
         .coalesce(8)
         .write.mode("overwrite").json(out.toString)
@@ -1667,6 +1672,7 @@ object SparkEntry {
         try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
       }
       if (!fresh) {
+        util.Artifacts.recordBuild(s"lsh_index $tag")
         if (fs.exists(out)) fs.delete(out, true)
         dedup.Dedup.writeLshIndex(docs.filter(!isBatch), "doc_id", "text", out.toString)
         val os = fs.create(marker, true)
@@ -2094,6 +2100,7 @@ object SparkEntry {
         try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
       }
       if (!fresh) {
+        util.Artifacts.recordBuild(s"ivf_centroids $tag")
         if (fs.exists(out)) fs.delete(out, true)
         sim.Similarity.trainCentroids(emb, numCentroids = 16, iters = 1)
           .write.mode("overwrite").parquet(out.toString)

@@ -31,7 +31,17 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A throwing query must be LOUD in the correctness artifact, not
+        // absent from it (round-5 lesson: 16 analysis failures vanished).
+        // Dump a 1-row `_error` parquet — the oracle compare then records
+        // an explicit schema/hash mismatch row for this query — plus a
+        // plain-text sidecar with the full message for the human.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(4000)}"
+        Files.writeString(Paths.get(s"$outDir/$name._ERROR.txt"), msg)
+        import spark.implicits._
+        Seq(msg).toDF("_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       }
       // Dedup/sim queries persist shared intermediates; reclaim them so
       // the multi-query run doesn't accumulate cache/shuffle residue.

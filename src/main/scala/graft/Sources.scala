@@ -69,6 +69,48 @@ object Sources {
           "nanosAsLong) or Timestamp(NTZ)Type (micros)")
     }
   }
+  /** Events restricted to `[loNanos, hiNanos)` with the range predicate
+    * applied to the RAW `ts` column BEFORE the nanos normalization, so it
+    * reaches the parquet scan as an attribute-vs-literal comparison and
+    * prunes row groups off min/max footer stats. [[events]] alone can't
+    * give you that: its normalization is a projection, and a filter on
+    * `unix_micros(ts)*1000` is not a pushable predicate. At 100 TB a
+    * time-sliced scan (the overwhelmingly common events access pattern —
+    * "yesterday's events", "this week's cohort") must skip the other
+    * 99.9% of row groups at the footer, not read-and-discard them.
+    *
+    * Bound conversion is exact for any nanos bounds: a micros-typed row
+    * `us` is in `[lo,hi)` nanos iff `us ∈ [ceil(lo/1000), ceil(hi/1000))`.
+    * Output rows and `ts` values are identical to
+    * `events(...).filter(ts >= lo && ts < hi)` — EventsPruningSpec pins
+    * both the equivalence and the PushedFilters. */
+  def eventsTsRange(spark: SparkSession, sfDir: String,
+                    loNanos: Long, hiNanos: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = table(spark, sfDir, "events")
+    def ceilDivMicros(n: Long): Long = Math.floorDiv(n + 999L, 1000L)
+    val (loUs, hiUs) = (ceilDivMicros(loNanos), ceilDivMicros(hiNanos))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.filter(col("ts") >= lit(loNanos) && col("ts") < lit(hiNanos))
+      case TimestampType =>
+        // Instant literals compare as TimestampType attribute-vs-literal
+        // (pushable); the session is pinned UTC so micros↔Instant is exact.
+        def i(us: Long) = java.time.Instant.EPOCH.plusNanos(us * 1000L)
+        df.filter(col("ts") >= lit(i(loUs)) && col("ts") < lit(i(hiUs)))
+          .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // LocalDateTime literals compare as TimestampNTZType (pushable).
+        def l(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        df.filter(col("ts") >= lit(l(loUs)) && col("ts") < lit(l(hiUs)))
+          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other; expected LongType or Timestamp(NTZ)Type")
+    }
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

@@ -1060,6 +1060,28 @@ object SparkEntry {
       events.RangeJoin.windowedMatches(Sources.events(s, dir), "error", "purchase")
         .orderBy("l_id")),
 
+    // TIME-SLICED scan (the dominant events access pattern at scale:
+    // "last week's events", not the full history): the day-range
+    // predicate is applied to the RAW parquet column inside
+    // Sources.eventsTsRange, BEFORE the nanos normalization, so it
+    // reaches the scan as PushedFilters and prunes row groups off
+    // footer min/max stats — at 100 TB the scan reads the slice, not
+    // the corpus (EventsPruningSpec pins the pushdown AND equivalence
+    // with the filter-after-normalize form). Downstream is ordinary
+    // nanos math on the normalized column.
+    "events_day_slice" -> ((s, dir) => {
+      val lo = 1704672000000000000L // 2024-01-08T00:00:00Z nanos
+      val hi = 1705276800000000000L // 2024-01-15T00:00:00Z nanos
+      Sources.eventsTsRange(s, dir, lo, hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          util.Stable.exactSum(col("value")).as("sum_value"),
+          min(expr("ts DIV 86400000000000")).as("min_day"),
+          max(expr("ts DIV 86400000000000")).as("max_day"))
+        .orderBy("event_type")
+    }),
+
     // Tumbling event-time window aggregate — the batch face of the
     // Structured Streaming surface (the same transform runs watermarked on
     // a stream; StreamingSpec asserts stream ≡ batch).
@@ -3680,6 +3702,16 @@ object SparkEntry {
     "events_hourly_window" ->
       s"""${streaming.Streams.hourlyTypeCountsSql("events")}
          |ORDER BY w_start, event_type""".stripMargin,
+    "events_day_slice" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  ${util.Stable.exactSumSql("value")} AS sum_value,
+         |  min(epoch_ns(ts) // 86400000000000) AS min_day,
+         |  max(epoch_ns(ts) // 86400000000000) AS max_day
+         |FROM events
+         |WHERE epoch_ns(ts) >= 1704672000000000000
+         |  AND epoch_ns(ts) < 1705276800000000000
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "mm_catalog" ->
       s"""${multimodal.Multimodal.catalogSql("documents", 128)}
          |ORDER BY media_id""".stripMargin,

@@ -1974,6 +1974,44 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // COUNT-MIN frequency estimation (round 6, completing the sketch
+    // family: HLL = cardinality, Misra-Gries = heavy-hitter candidates,
+    // Bloom = membership, GK = quantiles, CMS = point frequencies): one
+    // pass builds the native mergeable `cms_agg` counter grid — a few KB
+    // regardless of key cardinality, the whole point at 100 TB — and the
+    // top-20 exact words are then estimated from the broadcast sketch by
+    // a pure projection (no second corpus scan for the estimates). The
+    // bucket hash is the repo's cross-engine md5→long contract, so the
+    // DuckDB oracle REPLAYS the sketch cell-for-cell and hash-matches the
+    // estimates — and the CMS one-sided guarantee (estimate never
+    // undercounts) is enforced in-query via assert_true, GK-style.
+    "text_cms_freq" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftColumnBridge.{column => cexpr, expression => eexpr}
+      val (depth, width) = (4, 64)
+      val words = Sources.documents(s, dir)
+        .select(explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val sketch = words.agg(cexpr(functions.CmsAgg(
+        eexpr(col("word")), depth, width).toAggregateExpression()).as("cms"))
+      val exact = words.groupBy("word").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("word")).limit(20)
+      // Per-row point lookup: bucket_j(word) via the same md5 contract the
+      // native update loop uses; estimate = least over the depth rows.
+      val ests = (0 until depth).map { j =>
+        val bkt = conv(substring(md5(
+          concat(lit(s"$j:"), col("word")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % width
+        element_at(col("cms"), ((lit(j * width) + bkt).cast("int")) + 1)
+      }
+      exact.crossJoin(broadcast(sketch))
+        .withColumn("n_est", least(ests: _*))
+        .select(col("word"), col("n_exact"),
+          when(assert_true(col("n_est") >= col("n_exact"),
+            lit("CMS undercount — one-sided guarantee violated")).isNull,
+            col("n_est")).as("n_est"))
+        .orderBy(col("n_exact").desc, col("word"))
+    }),
+
     // BROADCAST-MODEL scoring (training-data extension): the fasttext-
     // style quality-filter shape — a (word → weight) model table small
     // enough to broadcast scores every document in one shuffle-free-ish
@@ -4081,6 +4119,27 @@ object SparkEntry {
          |  FROM documents)
          |SELECT word, count(*) AS n_occurrences FROM w WHERE word <> ''
          |GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 20""".stripMargin,
+    // Replays the Count-Min sketch CELL-FOR-CELL: every word's counts
+    // land in the same md5-derived buckets the native update loop fills,
+    // per-cell totals are summed, and each top word's estimate is the min
+    // over its depth cells — the sketch semantics as SQL. Deterministic
+    // because the bucket hash is the shared md5→long contract.
+    "text_cms_freq" ->
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |wf AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1),
+         |jj AS (SELECT unnest(range(0, 4)) AS j),
+         |b AS (SELECT word, n, j,
+         |        CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), ':', word)), 1, 8))
+         |             AS BIGINT) % 64 AS bkt
+         |      FROM wf CROSS JOIN jj),
+         |cells AS (SELECT j, bkt, CAST(sum(n) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+         |top AS (SELECT word, n FROM wf ORDER BY n DESC, word LIMIT 20)
+         |SELECT t.word, t.n AS n_exact, min(c.cnt) AS n_est
+         |FROM top t JOIN b ON b.word = t.word JOIN cells c ON c.j = b.j AND c.bkt = b.bkt
+         |GROUP BY t.word, t.n
+         |ORDER BY n_exact DESC, t.word""".stripMargin,
     "docs_lexical_score" ->
       s"""WITH w AS (
          |  SELECT doc_id,

@@ -102,6 +102,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain(bloom, item, numHashes) takes exactly 3 arguments")
       }))
     ext.injectFunction((
+      FunctionIdentifier("cms_agg"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "cms_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(item, depth, width) =>
+          CmsAgg(item, litInt(depth, "cms depth"), litInt(width, "cms width"))
+        case _ => throw new IllegalArgumentException(
+          "cms_agg(item, depth, width) takes exactly 3 arguments")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => args match {

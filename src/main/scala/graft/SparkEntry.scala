@@ -2743,6 +2743,52 @@ object SparkEntry {
         .orderBy("action")
     }),
 
+    // TIME-TRAVEL / versioned snapshot reads (round 6, lakehouse
+    // surface): three commits land in a SnapshotStore (v1 full base,
+    // v2 updates+deletes, v3 resurrecting re-inserts) and each version
+    // is read back AS OF — latest-wins per id via the bounded-heap
+    // top-1 operator, max-version tombstone join, manifest-gated
+    // visibility (sources/SnapshotStore.scala documents the commit
+    // protocol). The oracle replays the same deterministic commit
+    // definitions as plain SQL state algebra, so matching counts +
+    // content checksums prove the store's fold reconstructs every
+    // version exactly. Complements docs_merge_upsert (one-shot MERGE)
+    // and events_scd2 (validity intervals): this is the STORED,
+    // multi-version, read-path half.
+    "docs_snapshot_asof" -> ((s, dir) => {
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_snap_store")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(out)) fs.delete(out, true) // rebuild: commits are the demo
+      val d = Sources.documents(s, dir)
+      val store = out.toString
+      sources.SnapshotStore.commit(
+        d.select(col("doc_id"), col("text"), col("lang")), None, store, "doc_id")
+      sources.SnapshotStore.commit(
+        d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"),
+            col("lang")),
+        Some(d.filter(col("doc_id") % 11 === 0 && col("doc_id") % 5 =!= 0)
+          .select("doc_id")),
+        store, "doc_id")
+      sources.SnapshotStore.commit(
+        d.filter(col("doc_id") % 11 === 0 && col("doc_id") % 5 =!= 0 &&
+            col("doc_id") % 2 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" [rev3]")).as("text"),
+            col("lang")),
+        None, store, "doc_id")
+      (1 to 3).map { v =>
+        sources.SnapshotStore.readAsOf(s, store, "doc_id", v)
+          .withColumn("h40", conv(substring(md5(
+            concat(col("doc_id").cast("string"), lit(":"), col("text"))
+              .cast("binary")), 1, 10), 16, 10).cast("long"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+            sum(col("h40")).as("content_sum"))
+          .select(lit(v).as("version"), col("n_docs"), col("id_sum"),
+            col("content_sum"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     // WINSORIZATION (outlier clamping for training-feature hygiene):
     // clamp value into its per-type exact [p05, p95] band. Exact ranks,
     // not interpolated percentiles: the cut value is the row at
@@ -4501,6 +4547,30 @@ object SparkEntry {
         |SELECT status, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // State algebra replay of the three commits: as-of-2 = base minus
+    // tombstoned ids with %5 rows rewritten; as-of-3 resurrects the even
+    // tombstoned ids. Matching checksums prove the store's
+    // latest-wins/tombstone fold reconstructs each version exactly.
+    "docs_snapshot_asof" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |v1 AS (SELECT doc_id, text FROM d),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        |       FROM d WHERE NOT (doc_id % 11 = 0 AND doc_id % 5 <> 0)),
+        |v3 AS (SELECT * FROM v2
+        |       UNION ALL
+        |       SELECT doc_id, text || ' [rev3]' AS text FROM d
+        |       WHERE doc_id % 11 = 0 AND doc_id % 5 <> 0 AND doc_id % 2 = 0),
+        |snaps AS (
+        |  SELECT 1 AS version, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v3)
+        |SELECT version, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST(concat('0x',
+        |        substring(md5(concat(CAST(doc_id AS VARCHAR), ':', text)), 1, 10))
+        |      AS BIGINT)) AS BIGINT) AS content_sum
+        |FROM snaps GROUP BY version ORDER BY version""".stripMargin,
     "docs_merge_upsert" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |src AS (

@@ -68,8 +68,36 @@ object SnapshotStore {
     v
   }
 
+  /** Compactions present, ascending (marker-gated like commits). */
+  def compactedVersions(spark: SparkSession, dir: String): Seq[Int] = {
+    val p = new Path(s"$dir/_compactions")
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName.toInt).sorted.toSeq
+  }
+
+  /** CHECKPOINT the fold (the production read-path optimization — Delta
+    * checkpoint / Iceberg snapshot rewrite): materialize `readAsOf(upTo)`
+    * once under `dir/compactions/c=upTo`; from then on, reads at or past
+    * `upTo` start from the checkpoint and fold only the NEWER commits, so
+    * read cost is O(checkpoint + commits since), not O(all commits ever).
+    * Rows keep their original `v`, so later tombstones still adjudicate
+    * against them correctly. Marker-last, same torn-write story as
+    * commits; the log is untouched, so pre-checkpoint time travel keeps
+    * working. */
+  def compact(spark: SparkSession, dir: String, idCol: String,
+              upTo: Int): Unit = {
+    require(committedVersions(spark, dir).contains(upTo),
+      s"compact($upTo): not a committed version")
+    readAsOf(spark, dir, idCol, upTo)
+      .write.mode("overwrite").parquet(s"$dir/compactions/c=$upTo")
+    fs(spark, dir).create(new Path(s"$dir/_compactions/$upTo"), true).close()
+  }
+
   /** The table as of version `asOf` (inclusive). Output schema = the
-    * upsert payload plus `v`, each surviving row's version. */
+    * upsert payload plus `v`, each surviving row's version. Starts from
+    * the newest compaction ≤ `asOf` when one exists; the partition
+    * filters on `v` then exclude every pre-checkpoint file at the scan. */
   def readAsOf(spark: SparkSession, dir: String, idCol: String,
                asOf: Int): DataFrame = {
     val committed = committedVersions(spark, dir)
@@ -78,13 +106,23 @@ object SnapshotStore {
     // Trust the manifest, not the directory listing: cap the fold at the
     // newest MARKED version ≤ asOf so a torn (unmarked) write never leaks.
     val cap = committed.filter(_ <= asOf).max
-    val up = spark.read.parquet(s"$dir/upserts").filter(col("v") <= cap)
+    // floor = newest usable checkpoint (its rows already resolve every
+    // operation ≤ floor); 0 = fold the full log.
+    val floor = compactedVersions(spark, dir).filter(_ <= cap)
+      .lastOption.getOrElse(0)
+    val live = spark.read.parquet(s"$dir/upserts")
+      .filter(col("v") > floor && col("v") <= cap)
+    val up = if (floor == 0) live
+      else spark.read.parquet(s"$dir/compactions/c=$floor")
+        .unionByName(live)
     val lastUp = graft.plans.TopK.perKey(
       up, keyCols = Seq(idCol), orderBy = Seq("v" -> false), k = 1)
     val delDir = s"$dir/tombstones"
     if (!fs(spark, dir).exists(new Path(delDir))) lastUp
     else {
-      val del = spark.read.parquet(delDir).filter(col("v") <= cap)
+      // Tombstones ≤ floor are already resolved inside the checkpoint.
+      val del = spark.read.parquet(delDir)
+        .filter(col("v") > floor && col("v") <= cap)
         .groupBy(col(idCol)).agg(max(col("v")).as("_del_v"))
       lastUp.join(del, Seq(idCol), "left")
         .filter(col("_del_v").isNull || col("v") > col("_del_v"))

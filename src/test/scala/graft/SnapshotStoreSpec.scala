@@ -67,6 +67,26 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("compaction: reads past the checkpoint fold only newer commits, all states preserved") {
+    val dir = freshDir()
+    SnapshotStore.commit(df(1L -> "a1", 2L -> "b1", 3L -> "c1"), None, dir, "id")
+    SnapshotStore.commit(df(2L -> "b2"), Some(ids(3L)), dir, "id")
+    // Uncompacted truth for every version, captured BEFORE compacting.
+    val before = (1 to 2).map(v => state(dir, v))
+    SnapshotStore.compact(spark, dir, "id", 2)
+    SnapshotStore.commit(df(3L -> "c3"), Some(ids(1L)), dir, "id")
+    // Pre-checkpoint time travel still works and is unchanged...
+    assert(state(dir, 1) == before(0) && state(dir, 2) == before(1))
+    // ...post-checkpoint state folds checkpoint + the v3 commit: 1
+    // deleted at v3, 2 from the checkpoint, 3 resurrected at v3.
+    assert(state(dir, 3) == Map(2L -> "b2", 3L -> "c3"))
+    // The checkpointed read excludes pre-checkpoint LOG partitions at the
+    // scan: its upserts branch filters v > 2.
+    val plan = SnapshotStore.readAsOf(spark, dir, "id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("> 2"), s"expected a v > 2 partition filter:\n$plan")
+  }
+
   test("old-version reads prune newer partitions at the scan") {
     val dir = freshDir()
     SnapshotStore.commit(df(1L -> "a1"), None, dir, "id")

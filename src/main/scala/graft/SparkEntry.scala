@@ -350,6 +350,55 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // DEAD-LETTER ingest (round 6, the robustness half of schema-on-read):
+    // real corpus drops arrive with malformed lines, and at 100 TB the
+    // contract is ROUTE, never crash and never silently drop — good rows
+    // flow on, bad raw lines land in a quarantine output with full
+    // accounting. PERMISSIVE parse captures failed lines in
+    // _corrupt_record; ten deterministic corrupt lines are injected
+    // alongside the JSONL events so the oracle knows exactly what the
+    // quarantine must hold. (The parsed frame is materialized first:
+    // Spark disallows filtering raw file reads on the corrupt column
+    // alone — SPARK-21610's documented cache workaround, which is also
+    // the right plan shape: one parse pass feeding both routes.)
+    "events_jsonl_badrows" -> ((s, dir) => {
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_jsonl_badrows")
+      val fsys = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(out)) fsys.delete(out, true)
+      Sources.events(s, dir)
+        .select(col("event_id"), col("ts").cast("long").as("ts"), col("user_id"),
+          col("event_type"), floor(col("value") * 1e8 + 0.5).cast("long").as("value_q8"))
+        .coalesce(4)
+        .write.json(out.toString)
+      import s.implicits._
+      (0 until 10).map(k => s"""{"event_id": not-json-$k""").toDF("value")
+        .coalesce(1).write.mode("append").text(out.toString)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value_q8", LongType),
+        StructField("_corrupt_record", StringType)))
+      val parsed = graft.util.Views.materialize(
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(out.toString))
+      val good = parsed.filter(col("_corrupt_record").isNull)
+      val bad = parsed.filter(col("_corrupt_record").isNotNull)
+      good.agg(
+          count(lit(1)).as("n_good"),
+          sum(col("value_q8")).as("sum_value_q8"),
+          sum(col("user_id")).as("user_id_sum"))
+        .crossJoin(bad.agg(
+          count(lit(1)).as("n_bad"),
+          // The quarantine keeps the RAW lines: checksum them so silent
+          // truncation of the dead-letter payload would hash-mismatch.
+          sum(conv(substring(md5(col("_corrupt_record").cast("binary")), 1, 10),
+            16, 10).cast("long")).as("bad_sum40")))
+    }),
+
     // Partition-pruned read-back of ONE branch of the multi-sink (the
     // reference's per-collection read, yfinance_transform.py:131-137):
     // explicit branch schema + agg_type filter → the scan lists and reads
@@ -3786,6 +3835,20 @@ object SparkEntry {
     "events_hourly_window" ->
       s"""${streaming.Streams.hourlyTypeCountsSql("events")}
          |ORDER BY w_start, event_type""".stripMargin,
+    // The good route must carry exactly the events table; the quarantine
+    // must hold exactly the ten injected raw lines (40-bit md5 sum of the
+    // literal strings — recomputed here from the same constants).
+    "events_jsonl_badrows" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_good,
+        |  (SELECT CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+        |   FROM events) AS sum_value_q8,
+        |  (SELECT CAST(sum(user_id) AS BIGINT) FROM events) AS user_id_sum,
+        |  CAST(10 AS BIGINT) AS n_bad,
+        |  (SELECT CAST(sum(CAST(concat('0x',
+        |       substring(md5(concat('{"event_id": not-json-', CAST(k AS VARCHAR))), 1, 10))
+        |     AS BIGINT)) AS BIGINT)
+        |   FROM (SELECT unnest(range(0, 10)) AS k)) AS bad_sum40""".stripMargin,
     "events_day_slice" ->
       s"""SELECT event_type, count(*) AS n_events,
          |  count(DISTINCT user_id) AS n_users,

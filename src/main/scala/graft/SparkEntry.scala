@@ -1109,6 +1109,37 @@ object SparkEntry {
       events.RangeJoin.windowedMatches(Sources.events(s, dir), "error", "purchase")
         .orderBy("l_id")),
 
+    // BITMAP ROLLUP (round 6, the exact-distinct acceleration pattern):
+    // per-(day, bucket) user bitmaps are built ONCE from the raw events
+    // (Spark's native bitmap aggregates — 32k bits per bucket row), and
+    // every "distinct users in day range [a,b)" question is then
+    // answered by OR-merging the tiny per-day bitmaps — the raw events
+    // are never rescanned per question. At 100 TB this is the
+    // materialized-rollup complement of HLL: EXACT distincts over
+    // arbitrary composable slices, rollup size O(days × users/32k), and
+    // the OR-merge is associative so it parallelizes like any aggregate.
+    // user_id is offset by +1 on the internal path (bit positions are
+    // 1-based); the emitted counts are offset-free. Oracle = direct
+    // COUNT(DISTINCT) per range — the bitmap path must reproduce it
+    // exactly.
+    "events_bitmap_rollup" -> ((s, dir) => {
+      val ev = Sources.events(s, dir).select(
+        expr("ts DIV 86400000000000").as("day"),
+        (col("user_id") + 1).as("uid1"))
+      val daily = graft.util.Views.materialize(
+        ev.groupBy(col("day"), expr("bitmap_bucket_number(uid1)").as("bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(uid1))").as("bm")))
+      val ranges = Seq(("week1", 19723L, 19730L), ("week2", 19730L, 19737L),
+        ("month", 19723L, 19753L))
+      ranges.map { case (label, lo, hi) =>
+        daily.filter(col("day") >= lo && col("day") < hi)
+          .groupBy("bucket")
+          .agg(expr("bitmap_or_agg(bm)").as("bm_merged"))
+          .agg(sum(expr("bitmap_count(bm_merged)")).as("n_users"))
+          .select(lit(label).as("range_label"), col("n_users"))
+      }.reduce(_ unionByName _).orderBy("range_label")
+    }),
+
     // TIME-SLICED scan (the dominant events access pattern at scale:
     // "last week's events", not the full history): the day-range
     // predicate is applied to the RAW parquet column inside
@@ -3849,6 +3880,21 @@ object SparkEntry {
         |       substring(md5(concat('{"event_id": not-json-', CAST(k AS VARCHAR))), 1, 10))
         |     AS BIGINT)) AS BIGINT)
         |   FROM (SELECT unnest(range(0, 10)) AS k)) AS bad_sum40""".stripMargin,
+    // Direct distinct counts per range — the bitmap OR-merge must land on
+    // exactly these numbers.
+    "events_bitmap_rollup" ->
+      """WITH ed AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events)
+        |SELECT 'month' AS range_label,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ed WHERE day >= 19723 AND day < 19753
+        |UNION ALL
+        |SELECT 'week1', CAST(count(DISTINCT user_id) AS BIGINT)
+        |FROM ed WHERE day >= 19723 AND day < 19730
+        |UNION ALL
+        |SELECT 'week2', CAST(count(DISTINCT user_id) AS BIGINT)
+        |FROM ed WHERE day >= 19730 AND day < 19737
+        |ORDER BY range_label""".stripMargin,
     "events_day_slice" ->
       s"""SELECT event_type, count(*) AS n_events,
          |  count(DISTINCT user_id) AS n_users,

@@ -15,6 +15,10 @@ case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** A typed document for the streaming ingest surface. */
 case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+/** A typed change row for the streaming CDC-apply surface
+  * ([[Streams.cdcApply]]): op = 'u' update, 'i' insert, 'd' delete. */
+case class CdcChange(id: Long, payload: String, op: String)
+
 /** Emitted session summary from streaming sessionization. */
 case class SessionUpdate(user_id: Long, session_start_ms: Long,
                          session_end_ms: Long, n_events: Long, sum_value: Double)
@@ -126,6 +130,45 @@ object Streams {
           emit(survivors)
           if (appendToIndex)
             graft.dedup.Dedup.appendLshIndex(survivors, "doc_id", "text", indexDir)
+          graft.util.Views.unpersistAll()
+        }
+      }
+      .start()
+  }
+
+  /** Streaming CDC apply into the versioned
+    * [[graft.sources.SnapshotStore]] — the live half of the lakehouse
+    * surface (batch query `docs_snapshot_asof`): each micro-batch of
+    * change rows (`op` = 'u'/'i' upsert, 'd' delete; one change per id
+    * per batch, the standard compacted-CDC-batch contract) becomes ONE
+    * store commit, visible atomically behind the store's manifest-last
+    * marker — a reader sees whole micro-batches or nothing. Versions
+    * advance per micro-batch, so the store's time travel gives replayable
+    * PER-BATCH history of the stream.
+    *
+    * Replay safety: a `_batches/<batchId>` marker (written after the
+    * commit) makes re-delivered micro-batches no-ops; in the crash window
+    * between commit-marker and batch-marker a replay re-commits the SAME
+    * change rows as a new version, which latest-wins folding makes
+    * state-idempotent — the as-of-latest table is unchanged, only the
+    * version history carries the duplicate. No streaming engine state at
+    * all: the store on durable storage IS the state (the nearDupIngest
+    * discipline). */
+  def cdcApply(changes: DataFrame, storeDir: String, idCol: String)
+              : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$storeDir/_batches/$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val b = graft.util.Views.materialize(batch.toDF())
+          val ups = b.filter(col("op") =!= "d").drop("op")
+          val dels = b.filter(col("op") === "d").select(col(idCol))
+          graft.sources.SnapshotStore.commit(ups,
+            if (dels.isEmpty) None else Some(dels), storeDir, idCol)
+          fs.create(marker, true).close()
           graft.util.Views.unpersistAll()
         }
       }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import streaming.{StreamDoc, StreamEvent, Streams}
+import streaming.{CdcChange, StreamDoc, StreamEvent, Streams}
 
 class StreamingSpec extends SparkSpec {
 
@@ -385,5 +385,31 @@ class StreamingSpec extends SparkSpec {
       val s = spark.table("sessions2").collect().head
       assert(s.getAs[Long]("n_events") === 3L && s.getAs[Double]("sum_value") === 7.0)
     } finally q.stop()
+  }
+
+  test("cdcApply: micro-batches become store commits with per-batch time travel") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/store"
+    val stream = MemoryStream[CdcChange]
+    val q = Streams.cdcApply(stream.toDF(), dir, "id")
+    def state(v: Int): Map[Long, String] =
+      SnapshotStore.readAsOf(spark, dir, "id", v)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    try {
+      stream.addData(CdcChange(1, "a1", "i"), CdcChange(2, "b1", "i"))
+      q.processAllAvailable()
+      stream.addData(CdcChange(2, "b2", "u"), CdcChange(3, "c2", "i"))
+      q.processAllAvailable()
+      stream.addData(CdcChange(1, null, "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // One store version per non-empty micro-batch...
+    assert(SnapshotStore.committedVersions(spark, dir) == Seq(1, 2, 3))
+    // ...and the full history is navigable after the stream is gone: the
+    // durable store is the only state (no streaming state store at all).
+    assert(state(1) == Map(1L -> "a1", 2L -> "b1"))
+    assert(state(2) == Map(1L -> "a1", 2L -> "b2", 3L -> "c2"))
+    assert(state(3) == Map(2L -> "b2", 3L -> "c2"))
   }
 }

@@ -88,7 +88,11 @@ object Sources {
                     loNanos: Long, hiNanos: Long): DataFrame = {
     import org.apache.spark.sql.types._
     val df = table(spark, sfDir, "events")
-    def ceilDivMicros(n: Long): Long = Math.floorDiv(n + 999L, 1000L)
+    // floorDiv + remainder form, NOT floorDiv(n + 999): the additive form
+    // overflows for bounds near Long.MaxValue (an open-ended "everything
+    // since lo" range) and would silently yield an empty window.
+    def ceilDivMicros(n: Long): Long =
+      Math.floorDiv(n, 1000L) + (if (Math.floorMod(n, 1000L) == 0L) 0L else 1L)
     val (loUs, hiUs) = (ceilDivMicros(loNanos), ceilDivMicros(hiNanos))
     df.schema("ts").dataType match {
       case LongType =>
@@ -96,7 +100,10 @@ object Sources {
       case TimestampType =>
         // Instant literals compare as TimestampType attribute-vs-literal
         // (pushable); the session is pinned UTC so micros↔Instant is exact.
-        def i(us: Long) = java.time.Instant.EPOCH.plusNanos(us * 1000L)
+        // Built from seconds + sub-second nanos — a single us*1000 nanos
+        // value overflows Long for open-ended (Long.MaxValue) bounds.
+        def i(us: Long) = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
         df.filter(col("ts") >= lit(i(loUs)) && col("ts") < lit(i(hiUs)))
           .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case TimestampNTZType =>

@@ -1135,7 +1135,9 @@ object SparkEntry {
         daily.filter(col("day") >= lo && col("day") < hi)
           .groupBy("bucket")
           .agg(expr("bitmap_or_agg(bm)").as("bm_merged"))
-          .agg(sum(expr("bitmap_count(bm_merged)")).as("n_users"))
+          // coalesce: an EMPTY range sums zero groups → NULL, but the
+          // direct COUNT(DISTINCT) oracle says 0 for an empty slice.
+          .agg(coalesce(sum(expr("bitmap_count(bm_merged)")), lit(0L)).as("n_users"))
           .select(lit(label).as("range_label"), col("n_users"))
       }.reduce(_ unionByName _).orderBy("range_label")
     }),

@@ -38,10 +38,22 @@ object Verify {
         // plain-text sidecar with the full message for the human.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(4000)}"
-        Files.writeString(Paths.get(s"$outDir/$name._ERROR.txt"), msg)
-        import spark.implicits._
-        Seq(msg).toDF("_error").coalesce(1)
-          .write.mode("overwrite").parquet(s"$outDir/$name")
+        // The dump itself must never abort the run: if the session is the
+        // thing that died, the parquet write below throws too — swallow
+        // it so the remaining queries and oracle_sql.json still land
+        // (the sidecar goes through plain java.nio first for the same
+        // reason).
+        try Files.writeString(Paths.get(s"$outDir/$name._ERROR.txt"), msg)
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sidecar failed: ${e2.getMessage}")
+        }
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error dump failed: ${e2.getMessage}")
+        }
       }
       // Dedup/sim queries persist shared intermediates; reclaim them so
       // the multi-query run doesn't accumulate cache/shuffle residue.

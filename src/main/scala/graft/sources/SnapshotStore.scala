@@ -53,19 +53,31 @@ object SnapshotStore {
              dir: String, idCol: String): Int = {
     val spark = upserts.sparkSession
     val v = committedVersions(spark, dir).lastOption.getOrElse(0) + 1
-    require(upserts.groupBy(col(idCol)).count().filter(col("count") > 1).isEmpty,
-      s"commit v$v: duplicate $idCol within one upsert batch")
-    tombstoneIds.foreach { t =>
-      require(t.join(upserts.select(col(idCol)), Seq(idCol), "left_semi").isEmpty,
-        s"commit v$v: an id is both upserted and deleted in the same commit")
-    }
-    upserts.withColumn("v", lit(v))
-      .write.mode("append").partitionBy("v").parquet(s"$dir/upserts")
-    tombstoneIds.foreach(_.select(col(idCol)).withColumn("v", lit(v))
-      .write.mode("append").partitionBy("v").parquet(s"$dir/tombstones"))
-    // Marker LAST: this create is the commit point.
-    fs(spark, dir).create(new Path(s"$dir/_commits/$v"), true).close()
-    v
+    // One evaluation of the (possibly expensive) upsert lineage feeds the
+    // guards AND the write — without this, an unmaterialized input is
+    // scanned once per guard action plus once for the parquet write.
+    val ups = upserts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(ups.groupBy(col(idCol)).count().filter(col("count") > 1).isEmpty,
+        s"commit v$v: duplicate $idCol within one upsert batch")
+      tombstoneIds.foreach { t =>
+        require(t.join(ups.select(col(idCol)), Seq(idCol), "left_semi").isEmpty,
+          s"commit v$v: an id is both upserted and deleted in the same commit")
+      }
+      // Write the explicit `v=N` directory rather than partitionBy: an
+      // EMPTY batch (a delete-only CDC micro-batch, say) then still lands
+      // one zero-row parquet file carrying the payload SCHEMA — a
+      // partitioned write of zero rows emits no files at all, and a store
+      // whose first commit was delete-only would crash every readAsOf on
+      // parquet schema inference. Partition discovery supplies `v` from
+      // the directory name either way.
+      ups.write.mode("errorifexists").parquet(s"$dir/upserts/v=$v")
+      tombstoneIds.foreach(_.select(col(idCol))
+        .write.mode("errorifexists").parquet(s"$dir/tombstones/v=$v"))
+      // Marker LAST: this create is the commit point.
+      fs(spark, dir).create(new Path(s"$dir/_commits/$v"), true).close()
+      v
+    } finally ups.unpersist()
   }
 
   /** Compactions present, ascending (marker-gated like commits). */

@@ -146,21 +146,36 @@ object Streams {
     * advance per micro-batch, so the store's time travel gives replayable
     * PER-BATCH history of the stream.
     *
-    * Replay safety: a `_batches/<batchId>` marker (written after the
-    * commit) makes re-delivered micro-batches no-ops; in the crash window
-    * between commit-marker and batch-marker a replay re-commits the SAME
-    * change rows as a new version, which latest-wins folding makes
-    * state-idempotent — the as-of-latest table is unchanged, only the
-    * version history carries the duplicate. No streaming engine state at
-    * all: the store on durable storage IS the state (the nearDupIngest
-    * discipline). */
-  def cdcApply(changes: DataFrame, storeDir: String, idCol: String)
+    * Replay safety: a `_batches/<lineage>-<batchId>` marker (written
+    * after the commit) makes re-delivered micro-batches no-ops. The
+    * lineage tag is derived from `checkpointLocation` when given —
+    * batchIds are only meaningful WITHIN one checkpoint lineage, so a
+    * restarted query on the same checkpoint (same tag, continuing
+    * batchIds) dedups correctly, while a FRESH stream on the same store
+    * (new tag) can never be suppressed by a previous run's markers.
+    * Without a checkpoint the tag is unique per start() — re-delivery
+    * cannot happen without persisted offsets, so dedup is moot. In the
+    * crash window between commit-marker and batch-marker a replay
+    * re-commits the SAME change rows as a new version, which latest-wins
+    * folding makes state-idempotent — the as-of-latest table is
+    * unchanged, only the version history carries the duplicate. No
+    * streaming engine state at all: the store on durable storage IS the
+    * state (the nearDupIngest discipline). */
+  def cdcApply(changes: DataFrame, storeDir: String, idCol: String,
+               checkpointLocation: Option[String] = None)
               : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = changes.sparkSession
-    changes.writeStream
+    val lineage = checkpointLocation match {
+      case Some(c) => java.util.UUID.nameUUIDFromBytes(c.getBytes("UTF-8")).toString
+      case None => java.util.UUID.randomUUID().toString
+    }
+    val writer = changes.writeStream
       .outputMode(OutputMode.Update())
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val marker = new org.apache.hadoop.fs.Path(s"$storeDir/_batches/$batchId")
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$storeDir/_batches/$lineage-$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker) && !batch.isEmpty) {
           val b = graft.util.Views.materialize(batch.toDF())

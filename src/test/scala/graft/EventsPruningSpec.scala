@@ -38,15 +38,25 @@ class EventsPruningSpec extends SparkSpec {
   }
 
   test("eventsTsRange bounds are exact at non-aligned nanos edges") {
-    // A micros row at exactly lo must be included for lo%1000==0 and
-    // excluded when lo is 1 nano above it; same discipline at hi.
+    // A row at exactly lo must be included by the 1-nano window [lo, lo+1)
+    // whatever the physical encoding.
     val all = Sources.events(spark, sfDir)
     val someTs = all.select(min(col("ts"))).head.getLong(0)
-    assert(someTs % 1000L == 0L, "micros-sourced nanos end in 000")
     val inc = Sources.eventsTsRange(spark, sfDir, someTs, someTs + 1L).count()
-    val exc = Sources.eventsTsRange(spark, sfDir, someTs + 1L, someTs + 2L).count()
     assert(inc >= 1L, "row at lo must be included")
-    assert(exc == 0L, "1-nano-above-lo window must exclude the row")
+    // The nano-above-lo exclusion is only decidable for micros-sourced
+    // data (values end in 000, so ts+1 provably names no row); on
+    // INT64-nanos testdata — which this reader equally supports — skip it
+    // rather than asserting a property of the fixture's encoding.
+    if (someTs % 1000L == 0L) {
+      val exc = Sources.eventsTsRange(spark, sfDir, someTs + 1L, someTs + 2L).count()
+      assert(exc == 0L, "1-nano-above-lo window must exclude the row")
+    }
+    // Open-ended "everything since lo" must not overflow the micros
+    // bound conversion (regression: additive ceil-div overflowed near
+    // Long.MaxValue and returned an empty window).
+    val allSince = Sources.eventsTsRange(spark, sfDir, someTs, Long.MaxValue).count()
+    assert(allSince == all.count(), "open-ended range must cover every row")
   }
 
   test("events() post-normalization ts keeps LongType through the slice query") {

@@ -244,6 +244,19 @@ object SparkEntry {
         .orderBy("symbol")
     }),
 
+    // DSv2 AGGREGATE pushdown (round 6): the ungrouped count/min/max
+    // computes INSIDE the connector's partition readers — each partition
+    // emits one partial row and Spark merges them, so the exchange
+    // carries one row per partition instead of the table (the connector
+    // analogue of "server-side aggregation per shard"; CsvCatalogSpec
+    // asserts PushedAggregates in the plan, the refusal path for grouped
+    // aggs, and null partials on empty strides). Composed with a pushed
+    // filter here so both pushdowns are exercised together.
+    "yf_dsv2_agg_pushdown" -> ((s, dir) =>
+      Sources.stockCatalogV2(s).filter(col("Kode") < 500)
+        .agg(count(lit(1)).as("n_rows"), min(col("Kode")).as("min_kode"),
+          max(col("Kode")).as("max_kode"))),
+
     // Bucketed co-located join (the 100 TB join strategy SCALE.md names):
     // both sides bucketed+sorted on the join key at WRITE time, so the
     // join itself needs no exchange on either side — the shuffle is paid
@@ -3354,6 +3367,12 @@ object SparkEntry {
          |  ${util.Stable.exactSumSql(""""Volume"""")} AS sum_volume, max(b."High") AS max_high
          |FROM bars b JOIN cat c ON b.symbol = c.Kode
          |GROUP BY b.symbol, c."Nama Perusahaan" ORDER BY b.symbol""".stripMargin,
+    "yf_dsv2_agg_pushdown" ->
+      s"""SELECT count(*) AS n_rows,
+         |  min(CAST(Kode AS INTEGER)) AS min_kode,
+         |  max(CAST(Kode AS INTEGER)) AS max_kode
+         |FROM read_csv('${Sources.CatalogCsvPath}', header=true)
+         |WHERE CAST(Kode AS INTEGER) < 500""".stripMargin,
     "bucketed_join" ->
       s"""SELECT o_custkey, count(*) AS n_items,
          |  ${util.Stable.exactSumSql("l_extendedprice")} AS sum_price

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -81,10 +82,18 @@ private[sources] class CsvCatalogTable(path: String) extends Table with Supports
     new CsvCatalogScanBuilder(path)
 }
 
+/** The aggregate shapes the connector computes reader-side. */
+private[sources] sealed trait PushedAgg
+private[sources] case object AggCountStar extends PushedAgg
+private[sources] case object AggMinKode extends PushedAgg
+private[sources] case object AggMaxKode extends PushedAgg
+
 private[sources] class CsvCatalogScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CsvCatalog.Schema
+  private var aggs: Seq[PushedAgg] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition(CsvCatalog.evaluable)
@@ -94,7 +103,37 @@ private[sources] class CsvCatalogScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new CsvCatalogScan(path, pushed, required)
+
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays false —
+    * the scale-correct contract): each input partition emits its local
+    * (count / min / max) row and Spark's final aggregate merges them, so
+    * the exchange carries one row per partition instead of the table.
+    * Against a real store this is "server-side aggregation per shard".
+    * Grouped or unsupported aggregations are REFUSED and Spark keeps its
+    * own plan — like filter pushdown, connector coverage is a
+    * performance property, never a correctness dependency. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def kodeRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames().sameElements(Array("Kode"))
+        case _ => false
+      }
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    val specs = aggregation.aggregateExpressions().map {
+      case _: CountStar => Option[PushedAgg](AggCountStar)
+      case m: Min if kodeRef(m.column) => Option[PushedAgg](AggMinKode)
+      case m: Max if kodeRef(m.column) => Option[PushedAgg](AggMaxKode)
+      case _ => Option.empty[PushedAgg]
+    }
+    if (specs.exists(_.isEmpty)) false
+    else { aggs = specs.flatten.toSeq; true }
+  }
+
+  override def build(): Scan =
+    if (aggs.nonEmpty) new CsvCatalogAggScan(path, pushed, aggs)
+    else new CsvCatalogScan(path, pushed, required)
 }
 
 private[sources] class CsvCatalogScan(path: String, pushed: Array[Filter],
@@ -113,6 +152,73 @@ private[sources] class CsvCatalogScan(path: String, pushed: Array[Filter],
 
 private[sources] case class CsvCatalogPartition(path: String, idx: Int,
     numParts: Int) extends InputPartition
+
+/** Scan for a pushed (ungrouped) aggregation: each partition reads its
+  * stride, applies the pushed filters, and emits ONE partial row —
+  * (count / min / max) in the pushed order — that Spark's final
+  * aggregate merges. Output schema follows the aggregation positionally:
+  * LongType for COUNT(*), the column type (nullable — an empty stride
+  * has no min/max) for MIN/MAX. */
+private[sources] class CsvCatalogAggScan(path: String, pushed: Array[Filter],
+    aggs: Seq[PushedAgg]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    aggs.zipWithIndex.foldLeft(new StructType()) {
+      case (st, (AggCountStar, i)) => st.add(s"count_$i", LongType, nullable = false)
+      case (st, (AggMinKode, i)) => st.add(s"min_$i", IntegerType, nullable = true)
+      case (st, (AggMaxKode, i)) => st.add(s"max_$i", IntegerType, nullable = true)
+    }
+  override def description(): String =
+    s"CsvCatalogAggScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedAggregates: [${aggs.mkString(", ")}]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array.tabulate(CsvCatalog.NumPartitions)(i =>
+      CsvCatalogPartition(path, i, CsvCatalog.NumPartitions))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CsvCatalogAggReaderFactory(pushed, aggs)
+}
+
+private[sources] class CsvCatalogAggReaderFactory(pushed: Array[Filter],
+    aggs: Seq[PushedAgg]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CsvCatalogAggReader(
+      partition.asInstanceOf[CsvCatalogPartition], pushed, aggs)
+}
+
+/** Computes the partition-local partials in one stride pass. */
+private[sources] class CsvCatalogAggReader(p: CsvCatalogPartition,
+    pushed: Array[Filter], aggs: Seq[PushedAgg])
+    extends PartitionReader[InternalRow] {
+  private var emitted = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    var n = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    val src = scala.io.Source.fromFile(p.path)
+    try src.getLines().drop(1).zipWithIndex.foreach { case (line, i) =>
+      if (i % p.numParts == p.idx) {
+        val kode = line.substring(0, line.indexOf(',')).trim.toInt
+        if (pushed.forall(CsvCatalog.eval(_, kode))) {
+          n += 1
+          if (kode < mn) mn = kode
+          if (kode > mx) mx = kode
+        }
+      }
+    } finally src.close()
+    row = InternalRow.fromSeq(aggs.map {
+      case AggCountStar => n.asInstanceOf[Any]
+      case AggMinKode => if (n == 0) null else mn.asInstanceOf[Any]
+      case AggMaxKode => if (n == 0) null else mx.asInstanceOf[Any]
+    }.toIndexedSeq)
+    emitted = true
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
 
 private[sources] class CsvCatalogReaderFactory(pushed: Array[Filter],
     required: StructType) extends PartitionReaderFactory {

@@ -50,4 +50,44 @@ class CsvCatalogSpec extends SparkSpec {
     val rows = df.collect().map(_.getInt(0))
     assert(rows.forall(k => k < 100 && k % 2 == 0))
   }
+
+  test("ungrouped count/min/max push into the scan as partial aggregates") {
+    val truth = Sources.stockCatalog(spark)
+      .agg(count(lit(1)), min("Kode"), max("Kode")).head()
+    val df = v2.agg(count(lit(1)).as("n"), min("Kode").as("mn"), max("Kode").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"aggregation not pushed into the scan:\n$plan")
+    val r = df.head()
+    assert(r.getLong(0) == truth.getLong(0) &&
+      r.getInt(1) == truth.getInt(1) && r.getInt(2) == truth.getInt(2))
+  }
+
+  test("pushed aggregation composes with pushed filters") {
+    val df = v2.filter(col("Kode") < 50).agg(count(lit(1)), min("Kode"), max("Kode"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") && plan.contains("LessThan(Kode,50)"),
+      s"filter+agg not both pushed:\n$plan")
+    val r = df.head()
+    assert(r.getLong(0) == 50L && r.getInt(1) == 0 && r.getInt(2) == 49)
+  }
+
+  test("empty-result pushed aggregation: count 0, null min/max") {
+    val df = v2.filter(col("Kode") < 0).agg(count(lit(1)), min("Kode"), max("Kode"))
+    val r = df.head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("grouped aggregation is refused and still computes correctly") {
+    // groupBy is not pushable here: the builder must refuse and Spark
+    // runs its own aggregate over the plain scan.
+    val df = v2.filter(col("Kode") < 20)
+      .groupBy(pmod(col("Kode"), lit(2)).as("parity"))
+      .agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregates"),
+      s"grouped aggregation must not claim pushdown:\n$plan")
+    val m = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m == Map(0 -> 10L, 1 -> 10L))
+  }
 }

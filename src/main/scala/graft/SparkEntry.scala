@@ -257,6 +257,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), min(col("Kode")).as("min_kode"),
           max(col("Kode")).as("max_kode"))),
 
+    // DSv2 SINK round-trip (round 6): the V2 two-phase write commit —
+    // task-private temp files, driver-side rename of the winning
+    // attempts, marker-last visibility (sources/CsvSink.scala; CsvSinkSpec
+    // pins append/truncate/temp-hygiene) — exercised end-to-end: the
+    // pushed-filter V2 READ feeds the V2 WRITE, the committed files are
+    // read back, and the aggregate must match the oracle's direct view
+    // of the same slice. Proves the engine's connector boundary works in
+    // BOTH directions.
+    "yf_dsv2_sink_roundtrip" -> ((s, dir) => {
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_csv_sink")
+      Sources.stockCatalogV2(s).filter(col("Kode") < 300)
+        .write.format("graft.sources.CsvSink")
+        .option("path", out.toString).mode("overwrite").save()
+      s.read.schema("Kode INT, `Nama Perusahaan` STRING").csv(out.toString)
+        .agg(count(lit(1)).as("n_rows"), min(col("Kode")).as("min_kode"),
+          max(col("Kode")).as("max_kode"), sum(col("Kode")).as("kode_sum"))
+    }),
+
     // Bucketed co-located join (the 100 TB join strategy SCALE.md names):
     // both sides bucketed+sorted on the join key at WRITE time, so the
     // join itself needs no exchange on either side — the shuffle is paid
@@ -3373,6 +3392,13 @@ object SparkEntry {
          |  max(CAST(Kode AS INTEGER)) AS max_kode
          |FROM read_csv('${Sources.CatalogCsvPath}', header=true)
          |WHERE CAST(Kode AS INTEGER) < 500""".stripMargin,
+    "yf_dsv2_sink_roundtrip" ->
+      s"""SELECT count(*) AS n_rows,
+         |  min(CAST(Kode AS INTEGER)) AS min_kode,
+         |  max(CAST(Kode AS INTEGER)) AS max_kode,
+         |  CAST(sum(CAST(Kode AS INTEGER)) AS BIGINT) AS kode_sum
+         |FROM read_csv('${Sources.CatalogCsvPath}', header=true)
+         |WHERE CAST(Kode AS INTEGER) < 300""".stripMargin,
     "bucketed_join" ->
       s"""SELECT o_custkey, count(*) AS n_items,
          |  ${util.Stable.exactSumSql("l_extendedprice")} AS sum_price

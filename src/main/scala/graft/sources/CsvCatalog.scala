@@ -127,7 +127,13 @@ private[sources] class CsvCatalogScanBuilder(path: String)
       case m: Max if kodeRef(m.column) => Option[PushedAgg](AggMaxKode)
       case _ => Option.empty[PushedAgg]
     }
-    if (specs.exists(_.isEmpty)) false
+    // Refuse EMPTY aggregations too (not just unsupported ones): a
+    // `df.count()` over an ungrouped aggregate prunes the inner agg's
+    // expression list to nothing, and accepting it vacuously while
+    // build() falls back to the plain scan trips Spark's
+    // "unexpected number of columns" assertion in
+    // V2ScanRelationPushDown (found by the bench's count() protocol).
+    if (specs.isEmpty || specs.exists(_.isEmpty)) false
     else { aggs = specs.flatten.toSeq; true }
   }
 

@@ -78,6 +78,15 @@ class CsvCatalogSpec extends SparkSpec {
     assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("count() over a pushed-agg frame plans (empty aggregation refused)") {
+    // df.count() prunes the inner ungrouped aggregate's expression list
+    // to NOTHING; the builder must refuse the empty aggregation (accepting
+    // it vacuously trips Spark's column-count assertion in
+    // V2ScanRelationPushDown — the bench's count() protocol found this).
+    val df = SparkEntry.queries("yf_dsv2_agg_pushdown")(spark, sfDir)
+    assert(df.count() == 1L)
+  }
+
   test("grouped aggregation is refused and still computes correctly") {
     // groupBy is not pushable here: the builder must refuse and Spark
     // runs its own aggregate over the plain scan.

@@ -64,6 +64,26 @@ class CmsSpec extends SparkSpec {
       "wide-sketch estimate drifted from the exact count")
   }
 
+  test("sketch algebra: per-language sketches sum element-wise to the corpus sketch") {
+    // The property that makes STORED sketch rollups valid: a sketch per
+    // stratum (here: language), element-wise added, IS the corpus sketch
+    // — so a pipeline can keep per-source/per-day CMS artifacts and
+    // answer corpus-wide frequency questions by merging grids, never
+    // rescanning text. (Counter grids are linear; same algebra as the
+    // bitmap rollup's OR and HLL's max.)
+    val words = Sources.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(split(util.Norm.normalize(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val perLang = words.groupBy("lang").agg(expr("cms_agg(w, 4, 64)").as("cms"))
+      .collect().map(_.getSeq[Long](1))
+    assert(perLang.length > 1, "fixture must have multiple languages")
+    val summed = perLang.reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val global = words.agg(expr("cms_agg(w, 4, 64)").as("cms"))
+      .head.getSeq[Long](0)
+    assert(summed == global, "per-stratum grids must sum to the corpus grid")
+  }
+
   test("text_cms_freq: top-20 exact words with in-bound estimates") {
     val df = SparkEntry.queries("text_cms_freq")(spark, sfDir)
     val rows = df.collect()

@@ -2168,6 +2168,50 @@ object SparkEntry {
         .orderBy(col("n_exact").desc, col("word"))
     }),
 
+    // KMV DISTINCT-CARDINALITY sketch (native `kmv_agg`, the package's
+    // fourth sketch family): per-event-type distinct-user estimates from
+    // k-minimum-values summaries, PLUS the union-grain estimate computed
+    // by merging the per-type sketches in plain SQL (slice∘sort∘distinct
+    // ∘flatten — the KMV union algebra; the k smallest global hashes are
+    // always among each part's k smallest). The hash is the cross-engine
+    // md5→long contract, so DuckDB replays the sketch as `ORDER BY hash
+    // LIMIT k` and the estimates match bit-for-bit. At 100 TB: the
+    // buffer is k longs per group regardless of user cardinality — a
+    // distinct-user audit with NO per-key shuffle, and stored per-day
+    // sketches answer any date-range distinct question by array algebra
+    // (the approximate complement of events_bitmap_rollup's exact OR).
+    // The exact column is the fixture-scale audit; a 2x sanity band is
+    // enforced in-query (k=256 ⇒ ~6% std error, so 2x is a loud alarm).
+    "events_kmv_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftColumnBridge.{column => cexpr, expression => eexpr}
+      val k = 256
+      val kc = lit((k - 1).toDouble * functions.KmvUtil.HashSpan)
+      def estOf(kmv: org.apache.spark.sql.Column) =
+        when(size(kmv) < k, size(kmv).cast("double"))
+          .otherwise(kc / element_at(kmv, k).cast("double"))
+      val ev = Sources.events(s, dir)
+        .select(col("event_type"), col("user_id").cast("string").as("u"))
+      val perType = ev.groupBy("event_type")
+        .agg(cexpr(functions.KmvAgg(eexpr(col("u")), k).toAggregateExpression()).as("kmv"),
+          countDistinct(col("u")).as("n_exact"))
+      val typed = perType.select(
+        concat(lit("type:"), col("event_type")).as("grain"),
+        col("n_exact"), size(col("kmv")).cast("long").as("kmv_size"),
+        estOf(col("kmv")).as("n_est"))
+      val exactAll = ev.agg(countDistinct(col("u")).as("n_exact"))
+      val unioned = perType
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, k).as("kmv"))
+        .crossJoin(broadcast(exactAll)) // 1-row × 1-row
+        .select(lit("__union__").as("grain"), col("n_exact"),
+          size(col("kmv")).cast("long").as("kmv_size"), estOf(col("kmv")).as("n_est"))
+      typed.unionByName(unioned)
+        .withColumn("n_est", when(assert_true(
+          col("n_est") >= col("n_exact") * 0.5 && col("n_est") <= col("n_exact") * 2.0,
+          lit("KMV estimate outside the 2x sanity band")).isNull, col("n_est")))
+        .orderBy("grain")
+    }),
+
     // BROADCAST-MODEL scoring (training-data extension): the fasttext-
     // style quality-filter shape — a (word → weight) model table small
     // enough to broadcast scores every document in one shuffle-free-ish
@@ -2594,6 +2638,69 @@ object SparkEntry {
               util.Stable.rate2(col("l_discount")), 4)
             .as("revenue"),
           count(lit(1)).as("n_rows"))),
+
+    // TPC-H Q13 shape — customer order-count DISTRIBUTION: the outer-
+    // join-then-histogram classic, including the customers with ZERO
+    // qualifying orders (the rows an inner join silently drops). The
+    // scale-right plan aggregates orders to customer grain FIRST (one
+    // map-side-combinable keyed agg — the shuffle carries one row per
+    // customer, never raw orders), LEFT-joins the slim customer key
+    // column to the partials, and histograms the coalesced counts. At
+    // 100 TB the orders fact is reduced before any join, and the final
+    // histogram grain is O(max orders per customer) — tiny.
+    "orders_per_customer_distribution" -> ((s, dir) => {
+      val perCust = Sources.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy("o_custkey").agg(count(lit(1)).as("c_count"))
+      Sources.customer(s, dir).select("c_custkey")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("n_custs").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q4 shape — EXISTS turned into a LEFT-SEMI join: orders with
+    // at least one line shipped >60 days after the order date, counted
+    // per priority. The correlated EXISTS is exactly Spark's left_semi
+    // join (equi key + residual date predicate): the probe side keeps at
+    // most one match per order and carries only (orderkey, shipdate) —
+    // never a fact×fact blowup. Semi/anti are the two halves of the
+    // existence-join family (events_anti_join pins the NOT EXISTS side).
+    "orders_priority_semijoin" -> ((s, dir) => {
+      val o = Sources.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Sources.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q18 shape — HAVING-filtered aggregate joined back to its
+    // dimensions (large-basket orders): sum quantities per order in
+    // EXACT decimal, keep the >250 tail (~1% of orders), and only THEN
+    // join orders + customer — the post-HAVING key set is tiny, so the
+    // dimension joins are effectively broadcast-scale no matter how big
+    // the fact was. Top-20 by total price lands in TakeOrderedAndProject.
+    "orders_large_baskets" -> ((s, dir) => {
+      val big = Sources.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(util.Stable.dec2(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big
+        .join(Sources.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Sources.customer(s, dir).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("total_qty").cast(DecimalType(38, 2)).cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
 
     // GLOBAL-total scalar-subquery decorrelation (engine surface, TPC-H
     // Q11 shape): "parts whose revenue share is ≥20% above the mean
@@ -4399,6 +4506,40 @@ object SparkEntry {
          |FROM top t JOIN b ON b.word = t.word JOIN cells c ON c.j = b.j AND c.bkt = b.bkt
          |GROUP BY t.word, t.n
          |ORDER BY n_exact DESC, t.word""".stripMargin,
+    "events_kmv_distinct" ->
+      s"""WITH e AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events),
+         |hh AS (SELECT DISTINCT event_type,
+         |         CAST(concat('0x', substring(md5(concat('kmv:', u)), 1, 8)) AS BIGINT) AS h
+         |       FROM e),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS n_dh
+         |      FROM hh),
+         |ex AS (SELECT event_type, count(DISTINCT u) AS n_exact FROM e GROUP BY 1),
+         |kt AS (SELECT event_type,
+         |         max(CASE WHEN rn = 256 THEN h END) AS h_k,
+         |         CAST(least(max(n_dh), 256) AS BIGINT) AS kmv_size
+         |       FROM r WHERE rn <= 256 GROUP BY 1),
+         |typed AS (
+         |  SELECT concat('type:', kt.event_type) AS grain, ex.n_exact, kt.kmv_size,
+         |    CASE WHEN kt.kmv_size < 256 THEN CAST(kt.kmv_size AS DOUBLE)
+         |         ELSE (255 * 4294967296.0) / h_k END AS n_est
+         |  FROM kt JOIN ex ON kt.event_type = ex.event_type),
+         |uh AS (SELECT DISTINCT h FROM hh),
+         |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+         |         count(*) OVER () AS n_dh FROM uh),
+         |ua AS (SELECT max(CASE WHEN rn = 256 THEN h END) AS h_k,
+         |         CAST(least(max(n_dh), 256) AS BIGINT) AS kmv_size
+         |       FROM ur WHERE rn <= 256),
+         |uex AS (SELECT count(DISTINCT u) AS n_exact FROM e)
+         |SELECT * FROM (
+         |  SELECT grain, n_exact, kmv_size, n_est FROM typed
+         |  UNION ALL
+         |  SELECT '__union__' AS grain, uex.n_exact, ua.kmv_size,
+         |    CASE WHEN ua.kmv_size < 256 THEN CAST(ua.kmv_size AS DOUBLE)
+         |         ELSE (255 * 4294967296.0) / ua.h_k END AS n_est
+         |  FROM ua CROSS JOIN uex)
+         |ORDER BY grain""".stripMargin,
     "docs_lexical_score" ->
       s"""WITH w AS (
          |  SELECT doc_id,
@@ -4636,6 +4777,32 @@ object SparkEntry {
          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
          |  AND l_discount BETWEEN 0.02 AND 0.04
          |  AND l_quantity < 24""".stripMargin,
+    "orders_per_customer_distribution" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*) AS c_count FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT c_count, count(*) AS n_custs
+        |FROM (SELECT coalesce(pc.c_count, 0) AS c_count
+        |      FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey)
+        |GROUP BY 1 ORDER BY n_custs DESC, c_count DESC""".stripMargin,
+    "orders_priority_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "orders_large_baskets" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
     "part_revenue_share" ->
       s"""WITH per_part AS (
          |  SELECT l_partkey,

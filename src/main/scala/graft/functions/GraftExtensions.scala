@@ -111,6 +111,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "cms_agg(item, depth, width) takes exactly 3 arguments")
       }))
     ext.injectFunction((
+      FunctionIdentifier("kmv_agg"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "kmv_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(item, k) => KmvAgg(item, litInt(k, "kmv sketch size"))
+        case _ => throw new IllegalArgumentException(
+          "kmv_agg(item, k) takes exactly 2 arguments")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => args match {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,6 +57,7 @@ object CsvCatalog {
     case LessThanOrEqual("Kode", _: Int) => true
     case GreaterThan("Kode", _: Int) => true
     case GreaterThanOrEqual("Kode", _: Int) => true
+    case In("Kode", vs) => vs.forall(_.isInstanceOf[Int])
     case IsNotNull(_) => true // schema is non-nullable: always true
     case _ => false
   }
@@ -67,9 +68,21 @@ object CsvCatalog {
     case LessThanOrEqual("Kode", v: Int) => kode <= v
     case GreaterThan("Kode", v: Int) => kode > v
     case GreaterThanOrEqual("Kode", v: Int) => kode >= v
+    case In("Kode", vs) => vs.contains(kode)
     case IsNotNull(_) => true
     case _ => true
   }
+
+  /** Rows that survived reader-side predicate evaluation, across all
+    * partitions of the most recent scans in this JVM. Spec-only
+    * observability: in local mode every reader shares the JVM, so this
+    * counter proves a runtime filter actually reached the readers
+    * (fewer rows emitted) rather than being applied post-scan. */
+  val rowsEmitted = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Runtime-filter callbacks observed (spec-only observability). */
+  val runtimeFilterCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile var lastRuntimeFilters: Array[Filter] = Array.empty
 }
 
 private[sources] class CsvCatalogTable(path: String) extends Table with SupportsRead {
@@ -142,22 +155,51 @@ private[sources] class CsvCatalogScanBuilder(path: String)
     else new CsvCatalogScan(path, pushed, required)
 }
 
+/** RUNTIME filtering ([[SupportsRuntimeFiltering]]): when this scan's
+  * `Kode` joins a dimension that Spark can evaluate first (a broadcast
+  * build side), the planner plants a DynamicPruning subquery on the scan
+  * and, at execution time, calls [[filter]] with the build side's actual
+  * key set (an `In` filter). The readers then evaluate it alongside the
+  * statically-pushed predicates — the DSv2 twin of dynamic partition
+  * pruning (DppSpec pins the parquet case). Against a real sharded
+  * store, the same callback prunes whole shards/chunk ranges before any
+  * request is issued; here each stride reader skips non-matching rows at
+  * the parse loop. Unsupported runtime predicates are simply dropped —
+  * Spark re-applies the join predicate anyway, so (like static pushdown)
+  * connector coverage is a performance property, never correctness. */
 private[sources] class CsvCatalogScan(path: String, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("Kode"))
+  override def filter(filters: Array[Filter]): Unit = {
+    CsvCatalog.runtimeFilterCalls.incrementAndGet()
+    CsvCatalog.lastRuntimeFilters = filters
+    runtime = filters.filter(CsvCatalog.evaluable)
+  }
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"CsvCatalogScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
+  // The effective predicate set rides IN the partitions: Spark's runtime-
+  // filtering contract re-plans input partitions after the filter()
+  // callback, but may have created the reader factory BEFORE it (observed
+  // in 4.1) — a factory-captured filter array would silently miss the
+  // runtime predicates. Each partition is self-describing, exactly like a
+  // shard descriptor that carries its server-side query.
   override def planInputPartitions(): Array[InputPartition] =
     Array.tabulate(CsvCatalog.NumPartitions)(i =>
-      CsvCatalogPartition(path, i, CsvCatalog.NumPartitions))
+      CsvCatalogPartition(path, i, CsvCatalog.NumPartitions, pushed ++ runtime))
   override def createReaderFactory(): PartitionReaderFactory =
-    new CsvCatalogReaderFactory(pushed, required)
+    new CsvCatalogReaderFactory(required)
 }
 
 private[sources] case class CsvCatalogPartition(path: String, idx: Int,
-    numParts: Int) extends InputPartition
+    numParts: Int, filters: Array[Filter] = Array.empty) extends InputPartition
 
 /** Scan for a pushed (ungrouped) aggregation: each partition reads its
   * stride, applies the pushed filters, and emits ONE partial row —
@@ -226,11 +268,11 @@ private[sources] class CsvCatalogAggReader(p: CsvCatalogPartition,
   override def close(): Unit = ()
 }
 
-private[sources] class CsvCatalogReaderFactory(pushed: Array[Filter],
+private[sources] class CsvCatalogReaderFactory(
     required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CsvCatalogPartition]
-    new CsvCatalogReader(p, pushed, required)
+    new CsvCatalogReader(p, p.filters, required)
   }
 }
 
@@ -256,6 +298,7 @@ private[sources] class CsvCatalogReader(p: CsvCatalogPartition,
       val cut = line.indexOf(',')
       val kode = line.substring(0, cut).trim.toInt
       if (pushed.forall(CsvCatalog.eval(_, kode))) {
+        CsvCatalog.rowsEmitted.incrementAndGet()
         val vals = required.fieldNames.map {
           case "Kode" => kode.asInstanceOf[Any]
           case "Nama Perusahaan" => UTF8String.fromString(line.substring(cut + 1))

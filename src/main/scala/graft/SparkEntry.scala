@@ -1141,6 +1141,29 @@ object SparkEntry {
       events.RangeJoin.windowedMatches(Sources.events(s, dir), "error", "purchase")
         .orderBy("l_id")),
 
+    // INTERVAL×INTERVAL overlap join (the join class with no equi key on
+    // EITHER side — as-of/range joins still bin a point side): which
+    // cross-user session pairs were concurrently active, rolled up to a
+    // per-day concurrency audit. Plan = the bin trick (explode both
+    // interval sets into hour bins → equi-join on bin → arithmetic dedup
+    // at the overlap-start bin → exact closed-interval residual), never
+    // a nested loop; see graft.events.IntervalOverlap for the scale
+    // notes. Oracle = DuckDB's native inequality self-join over the
+    // SAME sessionization, so two independent join strategies check
+    // each other pair-for-pair.
+    "events_interval_overlap" -> ((s, dir) => {
+      val sess = events.Sessionize.sessionStats(Sources.events(s, dir))
+        .select(col("user_id"), col("session_idx"),
+          col("t_start_us").as("t0"), col("t_end_us").as("t1"))
+      events.IntervalOverlap.overlapPairs(sess)
+        .withColumn("day_idx", expr("ov_start div 86400000000"))
+        .groupBy("day_idx")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("ov_end") - col("ov_start")).as("sum_overlap_us"),
+          max(col("ov_end") - col("ov_start")).as("max_overlap_us"))
+        .orderBy("day_idx")
+    }),
+
     // BITMAP ROLLUP (round 6, the exact-distinct acceleration pattern):
     // per-(day, bucket) user bitmaps are built ONCE from the raw events
     // (Spark's native bitmap aggregates — 32k bits per bucket row), and
@@ -4059,6 +4082,18 @@ object SparkEntry {
     "events_range_join" ->
       s"""${events.RangeJoin.windowedMatchesSql("events", "error", "purchase")}
          |ORDER BY l_id""".stripMargin,
+    "events_interval_overlap" ->
+      s"""WITH stats AS (${events.Sessionize.sessionStatsSql("events")}),
+         |sess AS (SELECT user_id, session_idx,
+         |           t_start_us AS t0, t_end_us AS t1 FROM stats),
+         |pairs AS (
+         |  SELECT greatest(a.t0, b.t0) AS ov_start, least(a.t1, b.t1) AS ov_end
+         |  FROM sess a JOIN sess b
+         |    ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1)
+         |SELECT ov_start // 86400000000 AS day_idx, count(*) AS n_pairs,
+         |  CAST(sum(ov_end - ov_start) AS BIGINT) AS sum_overlap_us,
+         |  max(ov_end - ov_start) AS max_overlap_us
+         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_hourly_window" ->
       s"""${streaming.Streams.hourlyTypeCountsSql("events")}
          |ORDER BY w_start, event_type""".stripMargin,

@@ -188,6 +188,62 @@ object SparkEntry {
         .orderBy("symbol", "week_idx")
     }),
 
+    // VWAP (volume-weighted average price) per symbol-week: the
+    // execution-quality benchmark every trading pipeline computes. Both
+    // the price·volume numerator and the volume denominator are EXACT
+    // integer sums (1e-8-quantized close × integral volume — products
+    // and sums stay far inside BIGINT), divided back once at the end, so
+    // both engines emit bit-identical doubles. One keyed aggregation
+    // with map-side partials at (symbol, week) grain — no window.
+    "yf_vwap" -> ((s, dir) =>
+      Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .withColumn("week_idx", expr(
+          "(CAST(datediff(Date, DATE '1970-01-01') AS BIGINT) + 3) DIV 7"))
+        .withColumn("close_q8", floor(col("Close") * 1e8 + 0.5).cast("long"))
+        .withColumn("vol", floor(col("Volume") + 0.5).cast("long"))
+        .groupBy("symbol", "week_idx")
+        .agg(sum(col("close_q8") * col("vol")).as("pv_sum"),
+          sum(col("vol")).as("vol_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("vwap", (col("pv_sum") / 1e8) / col("vol_sum"))
+        .select("symbol", "week_idx", "n_bars", "vol_sum", "vwap")
+        .orderBy("symbol", "week_idx")),
+
+    // BOLLINGER BANDS: trailing-20-day mean ± 2 sample stddevs — the
+    // windowed-VARIANCE coverage the indicator family lacked (sma =
+    // sliding sum, ewma = ordered fold; this adds second moments). The
+    // window sums run over 1e-6-quantized daily closes, so (n·Σx² − Σx²)
+    // is EXACT integer arithmetic; the only FP steps are one division,
+    // one sqrt (correctly rounded by IEEE — a cross-engine contract,
+    // unlike pow), and the band adds, applied in identical order on both
+    // engines. Windows partitioned by symbol — no global ordering.
+    "yf_bollinger" -> ((s, dir) => {
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("close_avg", (col("close_sum") / 1e8) / col("n_bars"))
+        .withColumn("cq", floor(col("close_avg") * 1e6 + 0.5).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("Date").rowsBetween(-19, 0)
+      daily
+        .withColumn("n_w", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("cq")).over(w))
+        .withColumn("s2", sum(col("cq") * col("cq")).over(w))
+        .withColumn("sma20", (col("s1") / 1e6) / col("n_w"))
+        .withColumn("sd20", when(col("n_w") < 2, lit(null).cast("double"))
+          .otherwise(sqrt((col("n_w") * col("s2") - col("s1") * col("s1"))
+            .cast("double") / (col("n_w") * (col("n_w") - 1))) / 1e6))
+        .withColumn("upper", col("sma20") + lit(2.0) * col("sd20"))
+        .withColumn("lower", col("sma20") - lit(2.0) * col("sd20"))
+        .withColumn("squeeze", (col("upper") - col("lower") < 0.02).cast("int"))
+        .select("symbol", "Date", "close_avg", "sma20", "sd20",
+          "upper", "lower", "squeeze")
+        .orderBy("symbol", "Date")
+    }),
+
     // Broadcast catalog join (SURVEY.md §2.5): company identity via an
     // explicit equi-join against the small dimension instead of the
     // reference's 951 collection names; rolled up per company.
@@ -952,6 +1008,27 @@ object SparkEntry {
           util.Stable.exactSum(col("k")).as("sum_k"),
           max(col("k")).as("max_k"))
         .orderBy("event_type")),
+
+    // VARIANT semi-structured extraction (Spark 4's open-schema type —
+    // the schema-on-DEMAND complement of from_json's schema-on-read
+    // above): props parses ONCE into a binary variant value, and each
+    // path extraction is a typed variant_get — no per-path reparse, no
+    // up-front StructType, exactly how heterogeneous metadata columns
+    // are handled at lake scale (fields can come and go per row without
+    // schema migration). try_variant_get on an absent path must yield
+    // NULL (pinned by n_missing_nonnull = 0, a count over those nulls).
+    // Oracle = DuckDB's independent JSON path extraction.
+    "events_variant_extract" -> ((s, dir) =>
+      Sources.events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+        .withColumn("miss", expr("try_variant_get(v, '$.missing', 'int')"))
+        .groupBy(expr("CAST(k div 10 AS BIGINT)").as("k_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          util.Stable.exactSum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          count(col("miss")).as("n_missing_nonnull"))
+        .orderBy("k_bucket")),
 
     // NULL-SAFE equi-join (engine surface): `<=>` ⇔ DuckDB's
     // IS NOT DISTINCT FROM. The key deliberately manufactures NULLs
@@ -3679,6 +3756,51 @@ object SparkEntry {
          |  CAST(sum(vol_sum) AS BIGINT) AS volume,
          |  count(*) AS n_days
          |FROM a GROUP BY 1, 2 ORDER BY symbol, week_idx""".stripMargin,
+    "yf_vwap" ->
+      s"""WITH $barsCte,
+         |b AS (
+         |  SELECT symbol,
+         |    (CAST(CAST("Date" AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) // 7
+         |      AS week_idx,
+         |    CAST(floor("Close" * 1e8 + 0.5) AS BIGINT) AS close_q8,
+         |    CAST(floor("Volume" + 0.5) AS BIGINT) AS vol
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01')
+         |SELECT symbol, week_idx, count(*) AS n_bars,
+         |  CAST(sum(vol) AS BIGINT) AS vol_sum,
+         |  (CAST(sum(close_q8 * vol) AS BIGINT) / 1e8)
+         |    / CAST(sum(vol) AS BIGINT) AS vwap
+         |FROM b GROUP BY 1, 2 ORDER BY symbol, week_idx""".stripMargin,
+    "yf_bollinger" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    (CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT) / 1e8)
+         |      / count(*) AS close_avg
+         |  FROM bars
+         |  WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |q AS (SELECT symbol, "Date", close_avg,
+         |        CAST(floor(close_avg * 1e6 + 0.5) AS BIGINT) AS cq FROM daily),
+         |w AS (
+         |  SELECT symbol, "Date", close_avg,
+         |    count(*) OVER win AS n_w,
+         |    CAST(sum(cq) OVER win AS BIGINT) AS s1,
+         |    CAST(sum(cq * cq) OVER win AS BIGINT) AS s2
+         |  FROM q WINDOW win AS (PARTITION BY symbol ORDER BY "Date"
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |bands AS (
+         |  SELECT symbol, "Date", close_avg,
+         |    (s1 / 1e6) / n_w AS sma20,
+         |    CASE WHEN n_w < 2 THEN NULL
+         |         ELSE sqrt(CAST(n_w * s2 - s1 * s1 AS DOUBLE)
+         |                   / (n_w * (n_w - 1))) / 1e6 END AS sd20
+         |  FROM w)
+         |SELECT symbol, "Date", close_avg, sma20, sd20,
+         |  sma20 + 2.0 * sd20 AS upper,
+         |  sma20 - 2.0 * sd20 AS lower,
+         |  CAST(((sma20 + 2.0 * sd20) - (sma20 - 2.0 * sd20)) < 0.02 AS INTEGER)
+         |    AS squeeze
+         |FROM bands ORDER BY symbol, "Date"""".stripMargin,
     "yf_returns_drawdown" ->
       s"""WITH $barsCte,
          |daily AS (
@@ -3997,6 +4119,13 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n_events,
          |  ${util.Stable.exactSumSql("CAST(props->>'k' AS INTEGER)")} AS sum_k,
          |  max(CAST(props->>'k' AS INTEGER)) AS max_k
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_variant_extract" ->
+      s"""SELECT CAST(CAST(props->>'k' AS INTEGER) // 10 AS BIGINT) AS k_bucket,
+         |  count(*) AS n_events,
+         |  ${util.Stable.exactSumSql("value")} AS sum_value,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(0 AS BIGINT) AS n_missing_nonnull
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_pivot" ->
       """SELECT user_id,

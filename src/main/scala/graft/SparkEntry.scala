@@ -1539,6 +1539,34 @@ object SparkEntry {
         multimodal.Multimodal.synthesize(Sources.documents(s, dir)), 400, 160)
         .orderBy("media_id")),
 
+    // BINARY shard-manifest packing (WebDataset-style): every media asset
+    // is assigned a (bucket, shard) under a byte budget AND its exact
+    // byte offset inside the shard — the manifest a tar-shard writer and
+    // a random-access reader both consume. Packing is per-bucket
+    // independent (md5-rank order, docs_pack_shards' first-byte rule, one
+    // window over hash(bucket)); the offset is a second running sum
+    // partitioned by (bucket, shard) — hash(bucket) already clusters
+    // that superset key, so Spark adds only a sort, NOT a second
+    // exchange. 512 bytes/record models the tar header. The whole
+    // manifest is id + 4 longs per asset — payloads never move.
+    "mm_pack_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 16384L
+      val m = multimodal.Multimodal.synthesize(Sources.documents(s, dir))
+        .select(col("media_id"), (col("meta.n_bytes") + lit(512L)).as("rec_bytes"))
+        .withColumn("bucket", pmod(col("media_id"), lit(16)))
+        .withColumn("rk", md5(col("media_id").cast("string").cast("binary")))
+      val w = Window.partitionBy("bucket").orderBy("rk", "media_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w2 = Window.partitionBy("bucket", "shard_idx").orderBy("rk", "media_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn("cum", sum(col("rec_bytes")).over(w))
+        .withColumn("shard_idx", expr(s"(cum - rec_bytes) DIV $budget"))
+        .withColumn("byte_offset", coalesce(sum(col("rec_bytes")).over(w2), lit(0L)))
+        .select("media_id", "bucket", "shard_idx", "rec_bytes", "byte_offset")
+        .orderBy("media_id")
+    }),
+
     // SimHash near-dedup: 64-bit sign sketch per doc (two md5s per shingle,
     // flat partial+final aggregate), 4x16-bit banded candidate equi-join
     // (65 536 keys per band — sub-quadratic at corpus scale), full-width
@@ -3287,6 +3315,33 @@ object SparkEntry {
         .orderBy("event_type", "decile")
     }),
 
+    // WINDOW-FUNCTION completeness suite: the ranking family the rest of
+    // the surface doesn't cover — rank / dense_rank (gap vs gapless
+    // under TIES, so the order key is the 1e-2-quantized value alone and
+    // ties are REAL), percent_rank ((rank−1)/(n−1)) and cume_dist (both
+    // IEEE divisions of identical integers), plus the frame-navigation
+    // trio first/nth/last_value over an explicit unbounded ROWS frame
+    // with a TOTAL (vq, event_id) order so the navigated values are
+    // deterministic. All windows partitioned by event_type — no global
+    // ordering at any scale.
+    "events_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Sources.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("vq"))
+      val wTies = Window.partitionBy("event_type").orderBy("vq")
+      val wFull = Window.partitionBy("event_type").orderBy("vq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev.withColumn("rnk", rank().over(wTies))
+        .withColumn("drnk", dense_rank().over(wTies))
+        .withColumn("prnk", percent_rank().over(wTies))
+        .withColumn("cdist", cume_dist().over(wTies))
+        .withColumn("first_vq", first(col("vq")).over(wFull))
+        .withColumn("second_vq", nth_value(col("vq"), 2).over(wFull))
+        .withColumn("last_vq", last(col("vq")).over(wFull))
+        .orderBy("event_type", "vq", "event_id")
+    }),
+
     // EXACT-INTEGER EWMA (trend indicator): exponentially weighted
     // moving average with decay ½ over an 8-day window. The decay
     // choice is the determinism trick: halving weights make the
@@ -4289,6 +4344,24 @@ object SparkEntry {
     "mm_audio_windows" ->
       s"""${multimodal.Multimodal.audioWindowSql("documents", 400, 160)}
          |ORDER BY media_id""".stripMargin,
+    "mm_pack_shards" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) + 512 AS rec_bytes,
+        |    doc_id % 16 AS bucket,
+        |    md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(sum(rec_bytes) OVER (PARTITION BY bucket
+        |      ORDER BY rk, media_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM m),
+        |d AS (SELECT *, (cum - rec_bytes) // 16384 AS shard_idx FROM c)
+        |SELECT media_id, bucket, shard_idx, rec_bytes,
+        |  CAST(coalesce(sum(rec_bytes) OVER (PARTITION BY bucket, shard_idx
+        |      ORDER BY rk, media_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS byte_offset
+        |FROM d ORDER BY media_id""".stripMargin,
     // The stubbed decode is deterministic byte statistics over the UTF-8
     // payload, and the fixture text is pure ASCII (verified: octet_length
     // == length for every doc), so char code points == payload bytes and
@@ -5217,6 +5290,24 @@ object SparkEntry {
         |  count(*) AS n_events, min(vq) AS min_vq, max(vq) AS max_vq,
         |  CAST(sum(vq) AS BIGINT) AS sum_vq
         |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_window_suite" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events)
+        |SELECT event_id, event_type, vq,
+        |  CAST(rank() OVER ties AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER ties AS INTEGER) AS drnk,
+        |  percent_rank() OVER ties AS prnk,
+        |  cume_dist() OVER ties AS cdist,
+        |  first_value(vq) OVER fullw AS first_vq,
+        |  nth_value(vq, 2) OVER fullw AS second_vq,
+        |  last_value(vq) OVER fullw AS last_vq
+        |FROM ev
+        |WINDOW ties AS (PARTITION BY event_type ORDER BY vq),
+        |  fullw AS (PARTITION BY event_type ORDER BY vq, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_type, vq, event_id""".stripMargin,
     "yf_ewma" ->
       s"""WITH $barsCte,
          |daily AS (

@@ -190,6 +190,62 @@ object Streams {
       .start()
   }
 
+  /** Merge a batch's per-day KMV sketches into the stored sketch table
+    * (one [[graft.sources.SnapshotStore]] commit — versioned, atomic
+    * behind the manifest-last marker). The merge is the pure SQL union
+    * algebra `slice(sort(distinct(concat)))`, which is exactly the
+    * sketch of the unioned inputs (KmvSpec pins it) — so this fold is
+    * idempotent, commutative, and associative: a sketch store is a
+    * state-based CRDT, and replayed micro-batches need NO batch-id
+    * markers — re-merging the same data is a no-op on the state. */
+  def mergeKmvStore(fresh: DataFrame, storeDir: String, k: Int): Unit = {
+    val spark = fresh.sparkSession
+    val versions = graft.sources.SnapshotStore.committedVersions(spark, storeDir)
+    val merged = if (versions.isEmpty) fresh else {
+      val cur = graft.sources.SnapshotStore
+        .readAsOf(spark, storeDir, "day", versions.last)
+        .select(col("day"), col("kmv").as("kmv_old"))
+      val empty = expr("CAST(array() AS ARRAY<BIGINT>)")
+      fresh.withColumnRenamed("kmv", "kmv_new")
+        .join(cur, Seq("day"), "full_outer")
+        .select(col("day"),
+          slice(array_sort(array_distinct(concat(
+            coalesce(col("kmv_new"), empty), coalesce(col("kmv_old"), empty)))),
+            1, k).as("kmv"))
+    }
+    graft.sources.SnapshotStore.commit(
+      graft.util.Views.materialize(merged), None, storeDir, "day")
+    graft.util.Views.unpersistAll()
+  }
+
+  /** Streaming DISTINCT-USER rollup into a durable per-day KMV sketch
+    * store — the live twin of the batch query `events_kmv_distinct`:
+    * each micro-batch aggregates its events to per-day `kmv_agg`
+    * sketches (k longs per day, regardless of user cardinality — the
+    * shuffle carries sketches, never user ids) and [[mergeKmvStore]]s
+    * them into the versioned store. Any date-range distinct-user
+    * question is then answered from the store alone by the same array
+    * algebra, without ever rescanning events. Zero streaming-engine
+    * state — the durable store IS the state (the nearDupIngest
+    * discipline), and because sketch union is a CRDT merge, crash-replay
+    * duplicates change version history only, never the answer. Requires
+    * the session to register [[graft.functions.GraftExtensions]]
+    * (`kmv_agg` is used via SQL). */
+  def kmvRollup(events: DataFrame, storeDir: String, k: Int = 256)
+               : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val fresh = batch.toDF()
+            .select(expr("ts div 86400000000000").as("day"),
+              col("user_id").cast("string").as("u"))
+            .groupBy("day").agg(expr(s"kmv_agg(u, $k)").as("kmv"))
+          mergeKmvStore(fresh, storeDir, k)
+        }
+      }
+      .start()
+
   /** Watermarked STREAM-STREAM interval join — conversion attribution on
     * two live streams: each click matches the purchases of the same user
     * within the next 10 minutes. Spark buffers both sides in state; the

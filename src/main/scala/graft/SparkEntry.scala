@@ -3063,6 +3063,43 @@ object SparkEntry {
       summary.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     }),
 
+    // LINK PREDICTION by common neighbors — the graph-analytics read
+    // side: over the same thresholded co-purchase graph as
+    // graph_triangles, score NON-adjacent part pairs by how many
+    // neighbors they share (the classic common-neighbours baseline) and
+    // emit the top-20 candidate edges. Wedge enumeration here needs
+    // EVERY center (unlike triangle counting, where the degree
+    // orientation picks one canonical wedge per triangle), so the hub
+    // guard is explicit instead: centers above the degree cap are
+    // excluded (fixture max degree 13 — the cap only bites at scale,
+    // where a hub center's D² pair fan-out adds noise-floor signal at
+    // quadratic cost; hub-removal is the standard link-prediction
+    // practice). Non-adjacency = left_anti against the canonical u<v
+    // edge set; candidate ranking lands in TakeOrderedAndProject.
+    "graph_common_neighbors" -> ((s, dir) => {
+      val op = Sources.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = util.Views.materialize(
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("u", "v"))
+      val adj = edges.select(col("u").as("c"), col("v").as("nb"))
+        .unionAll(edges.select(col("v").as("c"), col("u").as("nb")))
+      val centerDeg = adj.groupBy("c").agg(count(lit(1)).as("dg"))
+      val small = util.Views.materialize(
+        adj.join(centerDeg.filter(col("dg") <= 64), "c").select("c", "nb"))
+      val cn = small.as("x").join(small.as("y"),
+          col("x.c") === col("y.c") && col("x.nb") < col("y.nb"))
+        .groupBy(col("x.nb").as("u"), col("y.nb").as("v"))
+        .agg(count(lit(1)).as("n_common"))
+      cn.join(edges, Seq("u", "v"), "left_anti")
+        .orderBy(col("n_common").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+
     // SNAPSHOT DIFF (data reconciliation): which rows were added,
     // removed, changed, or kept between two versions of a table —
     // the audit primitive behind incremental syncs, CDC validation, and
@@ -5146,6 +5183,24 @@ object SparkEntry {
         |  (SELECT count(*) FROM edges) AS n_edges,
         |  (SELECT count(*) FROM w) AS n_wedges,
         |  (SELECT n_triangles FROM t) AS n_triangles""".stripMargin,
+    "graph_common_neighbors" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS c, v AS nb FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |cd AS (SELECT c, count(*) AS dg FROM adj GROUP BY 1),
+        |sm AS (SELECT adj.c, adj.nb FROM adj JOIN cd USING (c) WHERE dg <= 64),
+        |cn AS (
+        |  SELECT x.nb AS u, y.nb AS v, count(*) AS n_common
+        |  FROM sm x JOIN sm y ON x.c = y.c AND x.nb < y.nb
+        |  GROUP BY 1, 2)
+        |SELECT cn.u, cn.v, cn.n_common
+        |FROM cn LEFT JOIN edges e ON cn.u = e.u AND cn.v = e.v
+        |WHERE e.u IS NULL
+        |ORDER BY cn.n_common DESC, cn.u, cn.v LIMIT 20""".stripMargin,
     "docs_table_diff" ->
       """WITH snap_a AS (
         |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 5 <> 1),

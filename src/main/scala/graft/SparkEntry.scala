@@ -3331,6 +3331,56 @@ object SparkEntry {
         .orderBy("user_id", "day_idx")
     }),
 
+    // BAG-semantics set operations (EXCEPT ALL / INTERSECT ALL): the
+    // multiplicity-preserving halves the DISTINCT-semantics set family
+    // (events_users_intersect/_except) can't express — "how many click
+    // rows survive after cancelling one-for-one against purchase rows"
+    // is a per-key count SUBTRACTION, not a membership test. Spark plans
+    // both as keyed count aggregates + a generate (no sort, map-side
+    // partials), which is exactly how one would hand-write it at scale.
+    // Both ops emit under one label column; per-user rollup keeps the
+    // verified payload bounded.
+    "events_bag_setops" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          expr("ts DIV 86400000000000").as("day_idx"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "day_idx")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "day_idx")
+      def rollup(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.groupBy("user_id")
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("day_idx")).as("n_days"))
+          .select(lit(label).as("op"), col("user_id"), col("n_rows"), col("n_days"))
+      rollup(clicks.exceptAll(purchases), "except_all")
+        .unionByName(rollup(clicks.intersectAll(purchases), "intersect_all"))
+        .orderBy("op", "user_id")
+    }),
+
+    // Min-per-group JOIN-BACK (TPC-H Q2's correlated scalar subquery,
+    // decorrelated): "the suppliers charging each part's minimum price"
+    // — WHERE price = (SELECT min(price) ... WHERE partkey = outer)
+    // becomes one per-part min aggregate joined back on (partkey, price)
+    // EQUALITY, preserving tie multiplicity (the semantics min_by/argmax
+    // flattens away — yf_weekly_ohlc pins that tier; this pins the
+    // all-ties tier). Prices compare in EXACT decimal so the equality
+    // join is well-defined cross-engine; the fact shuffles once on
+    // partkey for the aggregate and the join reuses that partitioning.
+    "part_cheapest_suppliers" -> ((s, dir) => {
+      val li = Sources.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          util.Stable.dec2(col("l_extendedprice")).as("price"))
+      val mins = li.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("price")).as("min_price"))
+      li.join(mins,
+          col("l_partkey") === col("mk") && col("price") === col("min_price"))
+        .groupBy("l_partkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_cheapest"),
+          min(col("l_suppkey")).as("best_supp"),
+          min(col("min_price")).cast("double").as("min_price"))
+        .orderBy("l_partkey")
+    }),
+
     // NTILE DECILES (distribution profiling): equal-count value buckets
     // per type — the rank-based complement of the equi-WIDTH
     // events_value_histogram. ntile's remainder rule (first buckets get
@@ -5332,6 +5382,33 @@ object SparkEntry {
         |SELECT user_id, epoch_ns(ts) // 86400000000000
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, day_idx""".stripMargin,
+    "events_bag_setops" ->
+      """WITH c AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day_idx
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day_idx
+        |      FROM events WHERE event_type = 'purchase'),
+        |ea AS (SELECT * FROM c EXCEPT ALL SELECT * FROM p),
+        |ia AS (SELECT * FROM c INTERSECT ALL SELECT * FROM p)
+        |SELECT * FROM (
+        |  SELECT 'except_all' AS op, user_id, count(*) AS n_rows,
+        |    count(DISTINCT day_idx) AS n_days FROM ea GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'intersect_all', user_id, count(*),
+        |    count(DISTINCT day_idx) FROM ia GROUP BY 2)
+        |ORDER BY op, user_id""".stripMargin,
+    "part_cheapest_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+        |  FROM lineitem),
+        |mins AS (SELECT l_partkey AS mk, min(price) AS min_price
+        |         FROM li GROUP BY 1)
+        |SELECT l_partkey,
+        |  count(DISTINCT l_suppkey) AS n_cheapest,
+        |  min(l_suppkey) AS best_supp,
+        |  CAST(min(min_price) AS DOUBLE) AS min_price
+        |FROM li JOIN mins ON l_partkey = mk AND price = min_price
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_value_deciles" ->
       """WITH ev AS (
         |  SELECT event_type, event_id,

@@ -3313,6 +3313,60 @@ object SparkEntry {
         ORDER BY gid, event_type, dow""")
     }),
 
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE) — iterative graph
+    // traversal expressed DECLARATIVELY: multi-hop reachability over the
+    // thresholded co-purchase graph from a sparse seed set, reporting
+    // how many parts are first reached at each hop (the BFS frontier
+    // profile). The engine's hand-built iterative twin is
+    // dedup_clusters' driver loop; the recursive form keeps the whole
+    // iteration inside one SQL plan. Hop cap 3 bounds path enumeration
+    // (UNION ALL recursion enumerates PATHS — on a denser graph the cap
+    // and the support threshold are the fan-out guards, the same role
+    // the LSH df-cap plays); first-reach dedup is a min-hop aggregate
+    // at the end. DuckDB runs the identical recursion.
+    "graph_reachability" -> ((s, dir) => {
+      val op = Sources.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("u", "v")
+        .createOrReplaceTempView("graft_reach_edges")
+      s.sql("""
+        WITH RECURSIVE adj AS (
+          SELECT u AS src, v AS dst FROM graft_reach_edges
+          UNION ALL SELECT v, u FROM graft_reach_edges),
+        r(n, hop) AS (
+          SELECT DISTINCT src AS n, 0 AS hop FROM adj WHERE src % 97 = 0
+          UNION ALL
+          SELECT adj.dst, r.hop + 1 FROM r JOIN adj ON r.n = adj.src
+          WHERE r.hop < 3)
+        SELECT hop, count(*) AS n_first_reached
+        FROM (SELECT n, min(hop) AS hop FROM r GROUP BY n)
+        GROUP BY hop ORDER BY hop""")
+    }),
+
+    // LISTAGG (SQL:2016 ordered string aggregation, Spark 4 surface):
+    // the canonical-roster shape — per nation, the '|'-joined supplier
+    // names in a DECLARED order (WITHIN GROUP makes the concatenation
+    // deterministic; an unordered listagg is a nondeterminism bug, the
+    // same trap collect_list has). Broadcast dimension join, one keyed
+    // aggregate; roster payloads stay bounded by the dimension size.
+    "nation_supplier_roster" -> ((s, dir) => {
+      Sources.supplier(s, dir)
+        .join(broadcast(Sources.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .createOrReplaceTempView("graft_roster")
+      s.sql("""
+        SELECT n_name,
+          count(1) AS n_suppliers,
+          listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name) AS roster
+        FROM graft_roster
+        GROUP BY n_name ORDER BY n_name""")
+    }),
+
     // EXCEPT — the set-op family's last member (union multiplex =
     // idx_union_years, INTERSECT = events_users_intersect), at (user,
     // day) granularity: click-days with no same-day purchase — the
@@ -5375,6 +5429,28 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value
         |FROM ev GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
         |ORDER BY gid, event_type, dow""".stripMargin,
+    "graph_reachability" ->
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS src, v AS dst FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |r(n, hop) AS (
+        |  SELECT DISTINCT src AS n, 0 AS hop FROM adj WHERE src % 97 = 0
+        |  UNION ALL
+        |  SELECT adj.dst, r.hop + 1 FROM r JOIN adj ON r.n = adj.src
+        |  WHERE r.hop < 3)
+        |SELECT hop, count(*) AS n_first_reached
+        |FROM (SELECT n, min(hop) AS hop FROM r GROUP BY n)
+        |GROUP BY hop ORDER BY hop""".stripMargin,
+    "nation_supplier_roster" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  string_agg(s_name, '|' ORDER BY s_name) AS roster
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_users_except" ->
       """SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day_idx
         |FROM events WHERE event_type = 'click'

@@ -935,6 +935,34 @@ object SparkEntry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
 
+    // MinHash ESTIMATE-vs-EXACT audit (the sketch-quality measurement for
+    // the dedup tier, like sim_ann_recall for the ANN tier): for every
+    // LSH candidate pair, the signature-agreement estimate
+    // (matching components / 12 — the unbiased MinHash Jaccard
+    // estimator) next to the exact shingle Jaccard. This is the number
+    // that justifies the band thresholds in production: est-vs-exact
+    // drift says re-tune bands, not "trust the sketch". Signatures ride
+    // the same md5 contract, so DuckDB recomputes them component-for-
+    // component; comparisons stay on the candidate set only (never
+    // all pairs).
+    "dedup_minhash_estimate" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val cand = graft.util.Views.materialize(
+        dedup.Dedup.lshCandidates(docs, "doc_id", "text"))
+      val sigs = docs.select(col("doc_id").as("id"),
+        dedup.Dedup.minhashSignature(dedup.Dedup.shingles(col("text"))).as("sig"))
+      val est = cand
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .withColumn("n_match",
+          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"))
+      val exact = dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.0, Some(cand))
+      est.join(exact, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("n_match"),
+          (col("n_match") / lit(12.0)).as("est_jaccard"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // FUZZY matching by EDIT DISTANCE, candidate-restricted: levenshtein
     // is O(len²) PER PAIR, so it must never see all pairs — the LSH
     // bands generate the candidates (sub-quadratic) and the distance
@@ -1240,6 +1268,40 @@ object SparkEntry {
           max(col("ov_end") - col("ov_start")).as("max_overlap_us"))
         .orderBy("day_idx")
     }),
+
+    // MARKOV transition matrix over per-user event sequences: how often
+    // does type A follow type B (lag over (user, time) windows — one
+    // per-user window, no global ordering), with the row-normalized
+    // transition probability as one IEEE division of exact counts. The
+    // n-gram-over-behavior profile every session-modeling pipeline
+    // starts from; 25 output rows regardless of event volume.
+    "events_type_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = Sources.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val totals = tr.groupBy("prev_type").agg(count(lit(1)).as("n_from"))
+      tr.groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n_trans"))
+        .join(totals, "prev_type")
+        .withColumn("p_trans", col("n_trans").cast("double") / col("n_from"))
+        .orderBy("prev_type", "event_type")
+    }),
+
+    // Aggregate-function breadth: count_if / bool_and / bool_or — the
+    // predicate-aggregate family (SQL:2023 names), each one map-side
+    // combinable. Booleans adjudicate on raw parquet doubles (identical
+    // bytes both engines); the mean is the house exact-decimal average.
+    "events_agg_breadth" -> ((s, dir) =>
+      Sources.events(s, dir)
+        .groupBy("event_type")
+        .agg(count_if(col("value") > 50.0).as("n_high"),
+          bool_and(col("value") >= 0.0).as("all_nonneg"),
+          bool_or(col("value") > 99.0).as("any_extreme"),
+          util.Stable.exactAvg(col("value")).as("avg_value"))
+        .orderBy("event_type")),
 
     // BITMAP ROLLUP (round 6, the exact-distinct acceleration pattern):
     // per-(day, bucket) user bitmaps are built ONCE from the raw events
@@ -3327,12 +3389,19 @@ object SparkEntry {
     "graph_reachability" -> ((s, dir) => {
       val op = Sources.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("u", "v")
+      // MATERIALIZE the edge list before the recursion: each recursive
+      // step re-evaluates the plan under the anchor CTEs, so an
+      // unmaterialized edge derivation (distinct + self-join + groupBy
+      // over the fact table) would run once per hop — measured 7.2 s at
+      // sf0.1 vs ~1.5 s materialized. At cluster scale the edge list is
+      // a stored artifact anyway (the graph_pagerank discipline).
+      graft.util.Views.materialize(
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("u", "v"))
         .createOrReplaceTempView("graft_reach_edges")
       s.sql("""
         WITH RECURSIVE adj AS (
@@ -4206,6 +4275,25 @@ object SparkEntry {
          |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
          |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
          |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "dedup_minhash_estimate" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.lshCandidatesCtes("docs")},
+         |${dedup.Dedup.jaccardPairsCtes("docs", 0.0, Some("cand"))},
+         |sigs AS (
+         |  SELECT doc_id AS id,
+         |    ${dedup.Dedup.minhashSignatureSql(dedup.Dedup.shinglesSql("text"))} AS sig
+         |  FROM docs),
+         |m AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len([i FOR i IN range(1, ${dedup.Dedup.NumHashes + 1})
+         |              IF sa.sig[i] = sb.sig[i]]) AS INTEGER) AS n_match
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.id = c.id_a
+         |  JOIN sigs sb ON sb.id = c.id_b)
+         |SELECT m.id_a, m.id_b, m.n_match,
+         |  m.n_match / 12.0 AS est_jaccard, p.jaccard
+         |FROM m JOIN pairs p ON p.id_a = m.id_a AND p.id_b = m.id_b
+         |ORDER BY m.id_a, m.id_b""".stripMargin,
     "dedup_fuzzy_editdist" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.lshCandidatesCtes("docs")},
@@ -4436,6 +4524,28 @@ object SparkEntry {
         |       substring(md5(concat('{"event_id": not-json-', CAST(k AS VARCHAR))), 1, 10))
         |     AS BIGINT)) AS BIGINT)
         |   FROM (SELECT unnest(range(0, 10)) AS k)) AS bad_sum40""".stripMargin,
+    "events_type_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tsn, event_id) AS prev_type,
+        |    event_type
+        |  FROM e),
+        |t2 AS (SELECT * FROM tr WHERE prev_type IS NOT NULL),
+        |tot AS (SELECT prev_type, count(*) AS n_from FROM t2 GROUP BY 1)
+        |SELECT t.prev_type, t.event_type, count(*) AS n_trans, tot.n_from,
+        |  CAST(count(*) AS DOUBLE) / tot.n_from AS p_trans
+        |FROM t2 t JOIN tot USING (prev_type)
+        |GROUP BY 1, 2, tot.n_from ORDER BY 1, 2""".stripMargin,
+    "events_agg_breadth" ->
+      s"""SELECT event_type,
+         |  CAST(count(*) FILTER (WHERE value > 50.0) AS BIGINT) AS n_high,
+         |  bool_and(value >= 0.0) AS all_nonneg,
+         |  bool_or(value > 99.0) AS any_extreme,
+         |  ${util.Stable.exactAvgSql("value")} AS avg_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Direct distinct counts per range — the bitmap OR-merge must land on
     // exactly these numbers.
     "events_bitmap_rollup" ->

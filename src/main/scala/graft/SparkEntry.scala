@@ -1303,6 +1303,59 @@ object SparkEntry {
           util.Stable.exactAvg(col("value")).as("avg_value"))
         .orderBy("event_type")),
 
+    // A/B-TEST readout (two-proportion z): deterministic hash-bucket
+    // arms (user parity — production uses a salted md5, same plan),
+    // conversion = purchased in the first experiment week. Exposure and
+    // conversion counts are exact keyed aggregates pivoted to one row
+    // by conditional sums; the z statistic is IEEE arithmetic over
+    // those exact integers, with the expression tree written
+    // IDENTICALLY in the oracle (each step correctly rounded ⇒
+    // bit-identical). The whole readout shuffles counts, never users.
+    "events_ab_test" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+      val arms = ev.select(col("user_id")).distinct()
+        .withColumn("arm", pmod(col("user_id"), lit(2)))
+      val conv = ev
+        .filter(col("event_type") === "purchase" &&
+          expr("ts DIV 86400000000000").between(19723, 19729))
+        .select("user_id").distinct().withColumn("converted", lit(1L))
+      val wide = arms.join(conv, Seq("user_id"), "left")
+        .groupBy("arm").agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("converted"), lit(0L))).as("n_conv"))
+        .agg(
+          sum(when(col("arm") === 0, col("n_users"))).as("n0"),
+          sum(when(col("arm") === 0, col("n_conv"))).as("c0"),
+          sum(when(col("arm") === 1, col("n_users"))).as("n1"),
+          sum(when(col("arm") === 1, col("n_conv"))).as("c1"))
+      wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        (col("c0").cast("double") / col("n0")).as("p0"),
+        (col("c1").cast("double") / col("n1")).as("p1"),
+        ((col("c0").cast("double") / col("n0") -
+          col("c1").cast("double") / col("n1")) /
+          sqrt(((col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")) *
+            (lit(1.0) - (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")))) *
+            (lit(1.0) / col("n0") + lit(1.0) / col("n1")))).as("z_score"))
+    }),
+
+    // Month-over-month GROWTH: lag over the AGGREGATED month table —
+    // the window is global but its input is one row per month (the
+    // reference-parity global-window caveat does not apply: a century
+    // is 1 200 rows). Revenue in exact decimal; the growth ratio is
+    // ((r − prev) / prev) · 100 in identical IEEE order both engines.
+    "orders_monthly_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = Sources.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          util.Stable.exactSumAt(util.Stable.dec2(col("o_totalprice")), 2)
+            .as("revenue"))
+      val w = Window.orderBy("month")
+      m.withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("mom_pct",
+          (col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100.0)
+        .orderBy("month")
+    }),
+
     // BITMAP ROLLUP (round 6, the exact-distinct acceleration pattern):
     // per-(day, bucket) user bitmaps are built ONCE from the raw events
     // (Spark's native bitmap aggregates — 32k bits per bucket row), and
@@ -4539,6 +4592,46 @@ object SparkEntry {
         |  CAST(count(*) AS DOUBLE) / tot.n_from AS p_trans
         |FROM t2 t JOIN tot USING (prev_type)
         |GROUP BY 1, 2, tot.n_from ORDER BY 1, 2""".stripMargin,
+    "events_ab_test" ->
+      """WITH arms AS (
+        |  SELECT DISTINCT user_id, user_id % 2 AS arm FROM events),
+        |conv AS (
+        |  SELECT DISTINCT user_id, 1 AS converted FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND epoch_ns(ts) // 86400000000000 BETWEEN 19723 AND 19729),
+        |s AS (
+        |  SELECT arm, count(*) AS n_users,
+        |    CAST(sum(coalesce(converted, 0)) AS BIGINT) AS n_conv
+        |  FROM arms LEFT JOIN conv USING (user_id) GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN n_conv END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN n_conv END) AS BIGINT) AS c1
+        |  FROM s)
+        |SELECT n0, c0, n1, c1,
+        |  CAST(c0 AS DOUBLE) / n0 AS p0,
+        |  CAST(c1 AS DOUBLE) / n1 AS p1,
+        |  (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+        |    / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+        |            * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)))
+        |           * (1.0 / n0 + 1.0 / n1)) AS z_score
+        |FROM w""".stripMargin,
+    "orders_monthly_growth" ->
+      s"""WITH m AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |    count(*) AS n_orders,
+         |    ${util.Stable.exactSumAtSql(util.Stable.dec2Sql("o_totalprice"), 2)}
+         |      AS revenue
+         |  FROM orders GROUP BY 1),
+         |g AS (
+         |  SELECT month, n_orders, revenue,
+         |    lag(revenue) OVER (ORDER BY month) AS prev_revenue
+         |  FROM m)
+         |SELECT month, n_orders, revenue, prev_revenue,
+         |  (revenue - prev_revenue) / prev_revenue * 100.0 AS mom_pct
+         |FROM g ORDER BY month""".stripMargin,
     "events_agg_breadth" ->
       s"""SELECT event_type,
          |  CAST(count(*) FILTER (WHERE value > 50.0) AS BIGINT) AS n_high,

@@ -146,6 +146,74 @@ object SparkEntry {
         .orderBy("symbol", "day_idx")
     }),
 
+    // LINEAR INTERPOLATION gap filling — the two-sided complement of
+    // yf_forward_fill's last-observation carry: each missing day on the
+    // dense per-symbol spine gets prev + (next−prev)·(d−pd)/(nd−pd),
+    // computed as ONE exact integer numerator (q8 closes × day spans)
+    // over two IEEE divisions in identical order both engines. Boundary
+    // days with no observation on one side stay NULL (interpolation
+    // never extrapolates). Windows: last(ignoreNulls) backward +
+    // first(ignoreNulls) forward, both per-symbol — no global ordering.
+    "yf_interpolate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1995-04-01"))
+        .withColumn("day_idx", datediff(col("Date"), lit("1970-01-01")).cast("long"))
+        .groupBy("symbol", "day_idx")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("xq", expr("close_sum div n_bars"))
+        .select("symbol", "day_idx", "xq")
+      val spine = daily.groupBy("symbol")
+        .agg(min(col("day_idx")).as("d0"), max(col("day_idx")).as("d1"))
+        .select(col("symbol"), explode(sequence(col("d0"), col("d1"))).as("day_idx"))
+      val joined = spine.join(daily, Seq("symbol", "day_idx"), "left")
+        .withColumn("obs_day", when(col("xq").isNotNull, col("day_idx")))
+      val wBack = Window.partitionBy("symbol").orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wFwd = Window.partitionBy("symbol").orderBy("day_idx")
+        .rowsBetween(0, Window.unboundedFollowing)
+      joined
+        .withColumn("prev_xq", last(col("xq"), ignoreNulls = true).over(wBack))
+        .withColumn("prev_day", last(col("obs_day"), ignoreNulls = true).over(wBack))
+        .withColumn("next_xq", first(col("xq"), ignoreNulls = true).over(wFwd))
+        .withColumn("next_day", first(col("obs_day"), ignoreNulls = true).over(wFwd))
+        .withColumn("is_observed", col("xq").isNotNull.cast("int"))
+        .withColumn("close_interp",
+          when(col("xq").isNotNull, col("xq").cast("double") / 1e8)
+            .otherwise(
+              (col("prev_xq") * (col("next_day") - col("day_idx")) +
+                col("next_xq") * (col("day_idx") - col("prev_day"))).cast("double")
+                / (col("next_day") - col("prev_day")) / 1e8))
+        .select("symbol", "day_idx", "is_observed", "close_interp")
+        .orderBy("symbol", "day_idx")
+    }),
+
+    // PARETO concentration (the "top 10% of customers drive X% of
+    // revenue" table): customers rank into revenue deciles and each
+    // decile reports its exact-decimal revenue and IEEE share. The
+    // ntile window's INPUT is one row per customer (post-aggregate
+    // grain) — at billions of customers the rank-free path is the GK
+    // quantile cut (events_quantiles_approx), same output contract.
+    "customer_pareto" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = Sources.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(util.Stable.dec2(col("o_totalprice"))).as("rev"))
+      val total = cust.agg(
+        sum(col("rev")).cast(DecimalType(38, 2)).cast("double").as("total_rev"))
+      cust
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("rev").desc, col("o_custkey"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).cast(DecimalType(38, 2)).cast("double").as("revenue"))
+        .crossJoin(broadcast(total))
+        .withColumn("rev_share_pct", col("revenue") / col("total_rev") * 100.0)
+        .select("decile", "n_customers", "revenue", "rev_share_pct")
+        .orderBy("decile")
+    }),
+
     // Weekly OHLC RESAMPLING — the canonical financial downsample (daily
     // bars → weekly candles) and the suite's argmin/argmax aggregate
     // coverage: open = the FIRST day's value, close = the LAST day's
@@ -4044,6 +4112,56 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY symbol ORDER BY day_idx
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |ORDER BY symbol, day_idx""".stripMargin,
+    "yf_interpolate" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol,
+         |    CAST(CAST("Date" AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars
+         |  WHERE "Date" >= '1995-01-01' AND "Date" < '1995-04-01'
+         |  GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT symbol, unnest(range(mn, mx + 1)) AS day_idx
+         |  FROM (SELECT symbol, min(day_idx) AS mn, max(day_idx) AS mx
+         |        FROM daily GROUP BY 1)),
+         |j AS (
+         |  SELECT s.symbol, s.day_idx, d.xq,
+         |    CASE WHEN d.xq IS NOT NULL THEN s.day_idx END AS obs_day
+         |  FROM spine s LEFT JOIN daily d USING (symbol, day_idx)),
+         |w AS (
+         |  SELECT symbol, day_idx, xq,
+         |    last_value(xq IGNORE NULLS) OVER wb AS prev_xq,
+         |    last_value(obs_day IGNORE NULLS) OVER wb AS prev_day,
+         |    first_value(xq IGNORE NULLS) OVER wf AS next_xq,
+         |    first_value(obs_day IGNORE NULLS) OVER wf AS next_day
+         |  FROM j
+         |  WINDOW wb AS (PARTITION BY symbol ORDER BY day_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wf AS (PARTITION BY symbol ORDER BY day_idx
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT symbol, day_idx,
+         |  CAST(xq IS NOT NULL AS INTEGER) AS is_observed,
+         |  CASE WHEN xq IS NOT NULL THEN CAST(xq AS DOUBLE) / 1e8
+         |       ELSE CAST(prev_xq * (next_day - day_idx)
+         |                 + next_xq * (day_idx - prev_day) AS DOUBLE)
+         |            / (next_day - prev_day) / 1e8 END AS close_interp
+         |FROM w ORDER BY symbol, day_idx""".stripMargin,
+    "customer_pareto" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE)
+        |        AS total_rev FROM cust),
+        |d AS (SELECT o_custkey, rev,
+        |        ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+        |      FROM cust)
+        |SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n_customers,
+        |  CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE) / total_rev * 100.0
+        |    AS rev_share_pct
+        |FROM d CROSS JOIN t GROUP BY 1, total_rev ORDER BY 1""".stripMargin,
     "yf_weekly_ohlc" ->
       s"""WITH $barsCte,
          |daily AS (

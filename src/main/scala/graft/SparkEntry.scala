@@ -146,6 +146,46 @@ object SparkEntry {
         .orderBy("symbol", "day_idx")
     }),
 
+    // RSI (Cutler's SMA variant): 100 − 100/(1 + ΣgainΣ/Σloss) over a
+    // trailing 14-day window. Wilder's original uses exponential
+    // smoothing with factor 1/14 — pow() smoothing is not correctly
+    // rounded and can't be a cross-engine contract (the yf_ewma lesson;
+    // its decay-½ trick doesn't apply to 13/14) — Cutler's SMA form is
+    // the standard deterministic substitute: gains/losses are integer
+    // q8 diffs, the window sums are exact, and the RSI is three ordered
+    // IEEE ops. All-gain windows pin RSI = 100 explicitly (the Σloss=0
+    // pole); windows before any diff exists stay NULL.
+    "yf_rsi" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("xq", expr("close_sum div n_bars"))
+      val wOrd = Window.partitionBy("symbol").orderBy("Date")
+      val w14 = wOrd.rowsBetween(-13, 0)
+      daily
+        .withColumn("diff", col("xq") - lag(col("xq"), 1).over(wOrd))
+        // explicit NULL propagation: greatest() IGNORES nulls (in both
+        // engines, but with different histories) — the first row's
+        // missing diff must stay NULL, not clamp to 0
+        .withColumn("gain",
+          when(col("diff").isNull, lit(null).cast("long"))
+            .otherwise(greatest(col("diff"), lit(0L))))
+        .withColumn("loss",
+          when(col("diff").isNull, lit(null).cast("long"))
+            .otherwise(greatest(-col("diff"), lit(0L))))
+        .withColumn("gsum", sum(col("gain")).over(w14))
+        .withColumn("lsum", sum(col("loss")).over(w14))
+        .withColumn("rsi",
+          when(col("lsum") === 0L, lit(100.0))
+            .otherwise(lit(100.0) -
+              lit(100.0) / (lit(1.0) + col("gsum").cast("double") / col("lsum"))))
+        .select("symbol", "Date", "xq", "gsum", "lsum", "rsi")
+        .orderBy("symbol", "Date")
+    }),
+
     // LINEAR INTERPOLATION gap filling — the two-sided complement of
     // yf_forward_fill's last-observation carry: each missing day on the
     // dense per-symbol spine gets prev + (next−prev)·(d−pd)/(nd−pd),
@@ -4112,6 +4152,35 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY symbol ORDER BY day_idx
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |ORDER BY symbol, day_idx""".stripMargin,
+    "yf_rsi" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars
+         |  WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |d2 AS (
+         |  SELECT symbol, "Date", xq,
+         |    xq - lag(xq) OVER (PARTITION BY symbol ORDER BY "Date") AS diff
+         |  FROM daily),
+         |d3 AS (
+         |  SELECT symbol, "Date", xq,
+         |    CASE WHEN diff IS NULL THEN NULL ELSE greatest(diff, 0) END AS gain,
+         |    CASE WHEN diff IS NULL THEN NULL ELSE greatest(-diff, 0) END AS loss
+         |  FROM d2),
+         |w AS (
+         |  SELECT symbol, "Date", xq,
+         |    CAST(sum(gain) OVER w14 AS BIGINT) AS gsum,
+         |    CAST(sum(loss) OVER w14 AS BIGINT) AS lsum
+         |  FROM d3
+         |  WINDOW w14 AS (PARTITION BY symbol ORDER BY "Date"
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, "Date", xq, gsum, lsum,
+         |  CASE WHEN lsum = 0 THEN 100.0
+         |       ELSE 100.0 - 100.0 / (1.0 + CAST(gsum AS DOUBLE) / lsum) END AS rsi
+         |FROM w ORDER BY symbol, "Date"""".stripMargin,
     "yf_interpolate" ->
       s"""WITH $barsCte,
          |daily AS (

@@ -229,6 +229,69 @@ object SparkEntry {
         .orderBy("symbol", "day_idx")
     }),
 
+    // DATASET CARD — the one-row corpus fact sheet every published
+    // training set ships (docs, token mass, language/source spread,
+    // duplicate and degenerate shares): one pass, all map-side
+    // combinable aggregates composed from the suite's own signal
+    // definitions (house tokenizer, normalized-md5 fingerprint). The
+    // detailed per-language/per-source breakdowns are the existing
+    // docs_source_audit / docs_lm_buckets queries — this is the
+    // headline row above them.
+    "docs_dataset_card" -> ((s, dir) => {
+      val base = Sources.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+          .cast("long").as("n_tokens"),
+        md5(util.Norm.normalize(col("text")).cast("binary")).as("fp"))
+      base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
+        count_if(col("n_tokens") < 5).as("n_short_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+    }),
+
+    // COHORT LTV triangle — the dollar-weighted twin of
+    // events_retention's user-count triangle: customers cohort by
+    // FIRST-order month, and each (cohort, months-since-first) cell
+    // accumulates exact-decimal revenue. Month arithmetic is pure
+    // integers (year·12+month); the cohort assignment is one per-
+    // customer min aggregate joined back co-keyed on custkey — the
+    // orders fact shuffles once.
+    "customer_cohort_ltv" -> ((s, dir) => {
+      val o = Sources.orders(s, dir).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"),
+        util.Stable.dec2(col("o_totalprice")).as("rev"))
+      val firstM = o.groupBy("o_custkey").agg(min(col("m")).as("m0"))
+      o.join(firstM, "o_custkey")
+        .groupBy(col("m0").as("cohort_month"), (col("m") - col("m0")).as("k"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          sum(col("rev")).cast(DecimalType(38, 2)).cast("double").as("revenue"))
+        .orderBy("cohort_month", "k")
+    }),
+
+    // RANGE-frame windows (value-based frames — every other window in
+    // the suite is ROWS-based): for each event, how many same-type
+    // events sit within 100 value-quanta BELOW it, and their sum. A
+    // RANGE frame's contents depend only on VALUES, so ties need no
+    // tiebreak for determinism — the frame semantics themselves are
+    // what's pinned here.
+    "events_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("vq").rangeBetween(-100L, 0L)
+      Sources.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("vq"))
+        .withColumn("n_near_below", count(lit(1)).over(w))
+        .withColumn("sum_near_below", sum(col("vq")).over(w))
+        .orderBy("event_type", "vq", "event_id")
+    }),
+
     // PARETO concentration (the "top 10% of customers drive X% of
     // revenue" table): customers rank into revenue deciles and each
     // decile reports its exact-decimal revenue and IEEE share. The
@@ -4231,6 +4294,48 @@ object SparkEntry {
         |  CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE) / total_rev * 100.0
         |    AS rev_share_pct
         |FROM d CROSS JOIN t GROUP BY 1, total_rev ORDER BY 1""".stripMargin,
+    "customer_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS rev
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1)
+        |SELECT CAST(f.m0 AS BIGINT) AS cohort_month,
+        |  CAST(o.m - f.m0 AS BIGINT) AS k,
+        |  count(DISTINCT o.o_custkey) AS n_customers,
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_range_frame" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events)
+        |SELECT event_id, event_type, vq,
+        |  count(*) OVER w AS n_near_below,
+        |  CAST(sum(vq) OVER w AS BIGINT) AS sum_near_below
+        |FROM ev
+        |WINDOW w AS (PARTITION BY event_type ORDER BY vq
+        |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, vq, event_id""".stripMargin,
+    "docs_dataset_card" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
+         |      AS BIGINT) AS n_tokens,
+         |    md5(${util.Norm.normalizeSql("text")}) AS fp
+         |  FROM documents)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT source) AS n_sources,
+         |  count(*) - count(DISTINCT fp) AS n_dup_docs,
+         |  CAST(count(*) FILTER (WHERE n_tokens < 5) AS BIGINT) AS n_short_docs,
+         |  min(n_tokens) AS min_tokens,
+         |  max(n_tokens) AS max_tokens
+         |FROM b""".stripMargin,
     "yf_weekly_ohlc" ->
       s"""WITH $barsCte,
          |daily AS (

@@ -1527,6 +1527,31 @@ object SparkEntry {
         .orderBy("month")
     }),
 
+    // NATIVE session_window — Spark's built-in gap-session operator
+    // next to the engine's hand-built lag+running-sum sessionization
+    // (events_sessionize): same 30-minute gap, aggregated to per-user
+    // session counts and event totals. Semantics note pinned by the
+    // oracle: session_window closes a session when the NEXT event is
+    // ≥ gap after the previous (boundary-equal events merge into the
+    // window [ts, ts+gap)), whereas the hand-built rule splits on
+    // strictly-greater — the oracle replays the ≥ rule, so the two
+    // queries also document the off-by-boundary difference between
+    // the conventions. Plans as a single keyed aggregate with session
+    // merging — no window function at all.
+    "events_session_window_native" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          util.Stable.exactSum(col("value")).as("sum_value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          util.Stable.exactSum(col("sum_value")).as("sum_value"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy("user_id")
+    }),
+
     // BITMAP ROLLUP (round 6, the exact-distinct acceleration pattern):
     // per-(day, bucket) user bitmaps are built ONCE from the raw events
     // (Spark's native bitmap aggregates — 32k bits per bucket row), and
@@ -4869,6 +4894,27 @@ object SparkEntry {
         |       substring(md5(concat('{"event_id": not-json-', CAST(k AS VARCHAR))), 1, 10))
         |     AS BIGINT)) AS BIGINT)
         |   FROM (SELECT unnest(range(0, 10)) AS k)) AS bad_sum40""".stripMargin,
+    "events_session_window_native" ->
+      s"""WITH us AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |                   OR ts_us - lag(ts_us) OVER w >= 1800000000
+         |                 THEN 1 ELSE 0 END AS ns
+         |  FROM us WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (
+         |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM f),
+         |sess AS (
+         |  SELECT user_id, sid, count(*) AS n_events,
+         |    ${util.Stable.exactSumSql("value")} AS sum_value
+         |  FROM s GROUP BY 1, 2)
+         |SELECT user_id, count(*) AS n_sessions,
+         |  CAST(sum(n_events) AS BIGINT) AS n_events,
+         |  ${util.Stable.exactSumSql("sum_value")} AS sum_value,
+         |  max(n_events) AS max_session_events
+         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_type_transitions" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type

@@ -3862,6 +3862,134 @@ object SparkEntry {
           util.Stable.sig(col("z")).as("z_sig"))
         .orderBy("doc_id")
     }),
+
+    // RFM SEGMENTATION (recency / frequency / monetary — the classic
+    // customer-base triage): per customer, days since last order (anchor
+    // = the corpus's own max order day, so the query is data-derived and
+    // reproducible forever), order count, and exact-decimal revenue;
+    // each dimension quintiles via ntile(5) with o_custkey tiebreak
+    // (score 5 = best: most recent / most frequent / highest spend) and
+    // the output aggregates to SEGMENT grain (r·100+f·10+m), so the
+    // verified payload is ≤125 rows however many customers exist. The
+    // three ntile windows run over the POST-AGGREGATE one-row-per-
+    // customer grain (the customer_pareto precedent); at billions of
+    // customers the rank-free path is the GK quantile cut
+    // (events_quantiles_approx) producing the same score boundaries.
+    // Revenue decimal ordering and integer day/count ordering make every
+    // quintile boundary adjudicate identically on both engines.
+    "customer_rfm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = Sources.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(
+          max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+            .cast("long")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(util.Stable.dec2(col("o_totalprice"))).as("rev"))
+      val anchor = cust.agg(max(col("last_day")).as("ref_day"))
+      cust.crossJoin(broadcast(anchor))
+        .withColumn("recency_days", col("ref_day") - col("last_day"))
+        .withColumn("r_score",
+          ntile(5).over(Window.orderBy(col("last_day"), col("o_custkey"))))
+        .withColumn("f_score",
+          ntile(5).over(Window.orderBy(col("freq"), col("o_custkey"))))
+        .withColumn("m_score",
+          ntile(5).over(Window.orderBy(col("rev"), col("o_custkey"))))
+        .withColumn("segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"),
+          (sum(col("recency_days")).cast("double") / count(lit(1)))
+            .as("avg_recency_days"),
+          sum(col("freq")).as("n_orders"),
+          sum(col("rev")).cast(DecimalType(38, 2)).cast("double").as("revenue"))
+        .orderBy("segment")
+    }),
+
+    // MARKET-BASKET PAIR MINING (association rules: support / confidence
+    // / lift over co-purchased parts). The at-scale shape end to end:
+    // DISTINCT (order, part) FIRST so line-level duplicates never inflate
+    // the pair join; a basket-size cap (2..20 — the boilerplate-hot-key
+    // guard of docs_cross_source_dup applied to baskets) bounds the
+    // self-join fan-out at C(20,2)=190 rows per order; pair counts and
+    // item counts are keyed aggregates with map-side partials; a minimum
+    // support of 3 cuts the long tail BEFORE the metric joins; and the
+    // top-20-by-lift emission is a TakeOrderedAndProject, never a global
+    // sort. Lift = n_ab·n_orders / (n_a·n_b) — ONE IEEE division of
+    // exact BIGINT products (counts < 2^31 keep the products far inside
+    // BIGINT at any SF), so the ranking and the cut adjudicate
+    // identically on both engines; (lift desc, part_a, part_b) is total.
+    "orders_basket_lift" -> ((s, dir) => {
+      val items = Sources.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val sizes = items.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("basket_size"))
+        .filter(col("basket_size").between(2, 20))
+        .select("l_orderkey")
+      val kept = items.join(sizes, "l_orderkey")
+      val nOrders = kept.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val itemCnt = kept.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+      val pairs = kept.as("a")
+        .join(kept.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(itemCnt.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")),
+          "part_a")
+        .join(itemCnt.select(col("l_partkey").as("part_b"), col("n_item").as("n_b")),
+          "part_b")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("support", col("n_ab").cast("double") / col("n_orders"))
+        .withColumn("confidence", col("n_ab").cast("double") / col("n_a"))
+        .withColumn("lift",
+          (col("n_ab") * col("n_orders")).cast("double") / (col("n_a") * col("n_b")))
+        .select("part_a", "part_b", "n_ab", "n_a", "n_b",
+          "support", "confidence", "lift")
+        .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
+    // MAD-BASED ANOMALY DETECTION (median absolute deviation — the
+    // robust-stats complement of docs_zscore_outliers: medians don't
+    // move when the outliers themselves do). Values quantize to 1e-6
+    // longs; both medians are then EXACT in half-units (an even-n median
+    // of integers is (a+b)/2 — doubling it recovers the integer a+b, and
+    // integer sums ≤2^53 are exact in the double percentile returns), so
+    // med2 is half-quanta, the per-row deviation dev2 = |2·vq − med2| is
+    // pure BIGINT, and mad4 (the median of dev2, doubled again) is
+    // quarter-quanta. The standard 3σ-equivalent cut |dev| > 3·1.4826·mad
+    // becomes the INTEGER comparison dev2·10000 > 22239·mad4 (both sides
+    // ≤ ~1e13 here; ≪ 2^63 at any plausible value scale) — zero FP
+    // adjudication anywhere. Two keyed aggregations plus two broadcast
+    // joins of the per-type stat tables; at a billion rows per type the
+    // exact in-group sort behind percentile() is the cost, and the
+    // rank-free path is GK (events_quantiles_approx) with the same
+    // integer adjudication downstream.
+    "events_anomaly_mad" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .select(col("event_type"), floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+      val med = ev.groupBy("event_type").agg(
+        expr("CAST(round(percentile(vq, 0.5D) * 2) AS BIGINT)").as("med2"),
+        count(lit(1)).as("n_events"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("vq") * 2 - col("med2")))
+      val mad = dev.groupBy("event_type").agg(
+        expr("CAST(round(percentile(dev2, 0.5D) * 2) AS BIGINT)").as("mad4"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type", "n_events", "med2", "mad4")
+        .agg(
+          sum((col("dev2") * 10000L > col("mad4") * 22239L).cast("long"))
+            .as("n_outliers"),
+          max(col("dev2")).as("max_dev2"))
+        .select(col("event_type"), col("n_events"),
+          (col("med2") / 2e6).as("median_value"),
+          (col("mad4") / 4e6).as("mad_value"),
+          col("n_outliers"),
+          (col("max_dev2") / 2e6).as("max_abs_dev"))
+        .orderBy("event_type")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -6092,5 +6220,74 @@ object SparkEntry {
         |  FROM documents d JOIN stats t USING (lang))
         |SELECT doc_id, lang, n_chars, printf('%.4e', z) AS z_sig
         |FROM z WHERE abs(z) > 1.5 ORDER BY doc_id""".stripMargin,
+    "customer_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    max(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT))
+        |      AS last_day,
+        |    count(*) AS freq,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_day) AS ref_day FROM cust),
+        |sc AS (
+        |  SELECT o_custkey, ref_day - last_day AS recency_days, freq, rev,
+        |    ntile(5) OVER (ORDER BY last_day, o_custkey) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+        |    ntile(5) OVER (ORDER BY rev, o_custkey) AS m_score
+        |  FROM cust CROSS JOIN a)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS segment,
+        |  count(*) AS n_customers,
+        |  CAST(CAST(sum(recency_days) AS BIGINT) AS DOUBLE) / count(*)
+        |    AS avg_recency_days,
+        |  CAST(sum(freq) AS BIGINT) AS n_orders,
+        |  CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "orders_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sizes AS (
+        |  SELECT l_orderkey FROM items GROUP BY 1
+        |  HAVING count(*) BETWEEN 2 AND 20),
+        |kept AS (SELECT i.l_orderkey, i.l_partkey
+        |         FROM items i JOIN sizes s USING (l_orderkey)),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM kept),
+        |ic AS (SELECT l_partkey, count(*) AS n_item FROM kept GROUP BY 1),
+        |p AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+        |  FROM kept a JOIN kept b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  CAST(n_ab AS DOUBLE) / n_orders AS support,
+        |  CAST(n_ab AS DOUBLE) / ia.n_item AS confidence,
+        |  CAST(n_ab * n_orders AS DOUBLE) / (ia.n_item * ib.n_item) AS lift
+        |FROM p
+        |JOIN ic ia ON p.part_a = ia.l_partkey
+        |JOIN ic ib ON p.part_b = ib.l_partkey
+        |CROSS JOIN n
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "events_anomaly_mad" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    CAST(round(quantile_cont(vq, 0.5) * 2) AS BIGINT) AS med2,
+        |    count(*) AS n_events
+        |  FROM ev GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, med2, n_events, abs(e.vq * 2 - med2) AS dev2
+        |  FROM ev e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type,
+        |    CAST(round(quantile_cont(dev2, 0.5) * 2) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, n_events,
+        |  med2 / 2e6 AS median_value,
+        |  mad4 / 4e6 AS mad_value,
+        |  CAST(count(*) FILTER (WHERE dev2 * 10000 > mad4 * 22239) AS BIGINT)
+        |    AS n_outliers,
+        |  max(dev2) / 2e6 AS max_abs_dev
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
   )
 }

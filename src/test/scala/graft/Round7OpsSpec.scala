@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions: RFM segmentation, market-basket pair mining, and
+  * MAD-based robust anomaly detection. Each test re-derives the query's
+  * core contract independently (driver-side brute force over the tiny
+  * sf0.001 fixture) so the oracle gate is not the only line of defense.
+  */
+class Round7OpsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("customer_rfm: segments partition the customer base exactly") {
+    val out = q("customer_rfm").collect()
+    val nCustomers = Sources.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_customers")).sum == nCustomers)
+    // Segment codes are three digits, each 1..5.
+    for (r <- out) {
+      val seg = r.getAs[Int]("segment")
+      for (d <- Seq(seg / 100, seg / 10 % 10, seg % 10))
+        assert(d >= 1 && d <= 5, s"segment $seg out of range")
+    }
+    // Revenue is conserved: segment revenues sum to the exact corpus total.
+    val total = Sources.orders(spark, sfDir)
+      .agg(sum(util.Stable.dec2(col("o_totalprice")))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double"))
+      .head().getDouble(0)
+    val segTotal = out.map(_.getAs[Double]("revenue")).sum
+    assert(math.abs(segTotal - total) < 1e-6 * math.abs(total))
+  }
+
+  test("customer_rfm: m=5 segments out-spend m=1 segments per customer") {
+    // Every m_score=5 customer's revenue >= every m_score=1 customer's
+    // (ntile buckets are ordered), so the per-customer averages must be
+    // ordered too.
+    val out = q("customer_rfm").collect()
+    def avgRev(m: Int): Option[Double] = {
+      val rs = out.filter(_.getAs[Int]("segment") % 10 == m)
+      if (rs.isEmpty) None
+      else Some(rs.map(_.getAs[Double]("revenue")).sum /
+        rs.map(_.getAs[Long]("n_customers")).sum)
+    }
+    (avgRev(5), avgRev(1)) match {
+      case (Some(hi), Some(lo)) => assert(hi >= lo)
+      case _ => fail("expected both m=1 and m=5 segments to exist")
+    }
+  }
+
+  test("orders_basket_lift: metrics are internally consistent and ordered") {
+    val rows = q("orders_basket_lift").collect()
+    assert(rows.nonEmpty, "fixture produced no pairs at min-support 3")
+    assert(rows.length <= 20)
+    for (r <- rows) {
+      val (nAb, nA, nB) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      assert(nAb >= 3 && nAb <= math.min(nA, nB))
+      assert(math.abs(r.getAs[Double]("confidence") - nAb.toDouble / nA) < 1e-12)
+      assert(r.getAs[Double]("support") > 0.0 && r.getAs[Double]("support") <= 1.0)
+    }
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y },
+      "rows not ordered by lift desc")
+  }
+
+  test("orders_basket_lift: top pair's count matches a direct recount") {
+    val rows = q("orders_basket_lift").collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    val (pa, pb) = (top.getAs[Long]("part_a"), top.getAs[Long]("part_b"))
+    // Direct recount: orders (within the 2..20 basket band) containing
+    // BOTH parts.
+    val items = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val band = items.groupBy("l_orderkey").count()
+      .filter(col("count").between(2, 20)).select("l_orderkey")
+    val kept = items.join(band, "l_orderkey")
+    val n = kept.filter(col("l_partkey") === pa).select("l_orderkey")
+      .intersect(kept.filter(col("l_partkey") === pb).select("l_orderkey"))
+      .count()
+    assert(n == top.getAs[Long]("n_ab"))
+  }
+
+  test("events_anomaly_mad: medians, MAD, and outlier counts match brute force") {
+    val out = q("events_anomaly_mad").collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val byType = Sources.events(spark, sfDir)
+      .select(col("event_type"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Long]("vq")).sorted).toMap
+    assert(out.keySet == byType.keySet)
+    // Exact doubled median of a sorted integer array.
+    def med2(xs: Array[Long]): Long =
+      if (xs.length % 2 == 1) 2 * xs(xs.length / 2)
+      else xs(xs.length / 2 - 1) + xs(xs.length / 2)
+    for ((t, xs) <- byType) {
+      val m2 = med2(xs)
+      val dev2 = xs.map(x => math.abs(2 * x - m2)).sorted
+      val m4 = med2(dev2)
+      val r = out(t)
+      assert(r.getAs[Long]("n_events") == xs.length)
+      assert(r.getAs[Double]("median_value") == m2 / 2e6, s"median for $t")
+      assert(r.getAs[Double]("mad_value") == m4 / 4e6, s"mad for $t")
+      val nOut = dev2.count(d => d * 10000L > m4 * 22239L)
+      assert(r.getAs[Long]("n_outliers") == nOut, s"outliers for $t")
+      assert(r.getAs[Double]("max_abs_dev") == dev2.max / 2e6)
+    }
+  }
+}

@@ -3990,6 +3990,129 @@ object SparkEntry {
           (col("max_dev2") / 2e6).as("max_abs_dev"))
         .orderBy("event_type")
     }),
+
+    // AUTOCORRELATION (lag-1..3 ACF of each symbol's daily close — the
+    // time-series diagnostic behind every mean-reversion/momentum
+    // screen). Daily bars consolidate to an integer q6 close (2-dp
+    // source values — q6 is exact); each lag pairs x_t with x_{t-k} via
+    // a per-symbol lag window, and Pearson r comes from PURE-BIGINT
+    // moment sums (n ≤ trading days, xq ≤ 1e5 ⇒ every product and sum
+    // ≤ ~4e14, far inside BIGINT — unlike the double-promoted moment
+    // arithmetic of events_type_value_corr, nothing here rounds before
+    // the final expression): numerator n·Σxy − Σx·Σy and both variance
+    // terms stay exact integers, cast once into a single IEEE
+    // sqrt+divide tree, so r is bit-identical cross-engine. Zero-
+    // variance pairs null out via nullif. Lag windows and the moment
+    // aggregation are per-symbol — no global ordering at any scale.
+    "yf_acf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("xq", expr("close_sum div n_bars"))
+      val w = Window.partitionBy("symbol").orderBy("Date")
+      val lagged = daily.select(
+        col("symbol"), col("xq"),
+        lag(col("xq"), 1).over(w).as("l1"),
+        lag(col("xq"), 2).over(w).as("l2"),
+        lag(col("xq"), 3).over(w).as("l3"))
+      val byLag = (1 to 3).map { k =>
+        lagged.filter(col(s"l$k").isNotNull)
+          .select(col("symbol"), lit(k).as("lag"),
+            col("xq").as("x"), col(s"l$k").as("y"))
+      }.reduce(_ unionAll _)
+      val mom = byLag.groupBy("symbol", "lag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      mom
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("acf",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(nullif((col("vx").cast("double") * col("vy")), lit(0.0))))
+        .select("symbol", "lag", "n", "acf")
+        .orderBy("symbol", "lag")
+    }),
+
+    // CHI-SQUARE INDEPENDENCE TEST (event_type × day-of-week contingency
+    // — the categorical sibling of events_ab_test's z readout: "does
+    // event mix depend on weekday?"). Observed counts are one keyed
+    // aggregate; marginals re-aggregate the CELL table (≤ types×7 rows —
+    // never a second corpus pass) and broadcast back. Each cell's
+    // (o−e)²/e is one IEEE tree over exact integers (e = r·c/n with r·c
+    // in BIGINT), bit-identical per cell — but a cross-partition SUM of
+    // doubles is order-dependent, so each term QUANTIZES to 1e-6 longs
+    // first and the statistic is an exact integer sum divided back once
+    // (the suite's summation-order discipline applied to a test
+    // statistic). Cramér's V derives from the quantized χ² in one more
+    // IEEE tree. Output: one row (n, dof, chi2, cramers_v).
+    "events_chi2_independence" -> ((s, dir) => {
+      val cells = Sources.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts DIV 86400000000000) % 7").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rowTot = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+      val colTot = cells.groupBy("dow").agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("event_type")).as("nr"),
+        countDistinct(col("dow")).as("nc"))
+      val terms = cells
+        .join(broadcast(rowTot), "event_type")
+        .join(broadcast(colTot), "dow")
+        .crossJoin(broadcast(n))
+        .withColumn("e", (col("r") * col("c")).cast("double") / col("n"))
+        .withColumn("term_q",
+          floor((col("o") - col("e")) * (col("o") - col("e")) / col("e") * 1e6
+            + 0.5).cast("long"))
+      terms
+        .groupBy("n", "nr", "nc")
+        .agg(sum(col("term_q")).as("chi2_q"))
+        .select(col("n"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          (col("chi2_q") / 1e6).as("chi2"),
+          sqrt(col("chi2_q") / 1e6 /
+            (col("n") * least(col("nr") - 1, col("nc") - 1))).as("cramers_v"))
+    }),
+
+    // CUSUM CHANGE-POINT DETECTION (where did a type's daily volume
+    // shift?): the classic cumulative-sum statistic S_k = Σ_{i≤k}(c_i −
+    // mean) maximized over k — computed ENTIRELY in integers by scaling
+    // through the mean's denominator: D·prefix_k − k·T (D = days with
+    // events for the type, T = total events) is BIGINT-exact, so the
+    // argmax needs no FP adjudication; ties break to the earliest day.
+    // Per-type daily counts are one keyed aggregate; the prefix sum and
+    // row index are per-type windows; the argmax is a second keyed
+    // aggregate joined back co-keyed (never a sort of the day table).
+    // At 100 TB this is the shape you'd run per metric series after an
+    // incremental per-day rollup (events_incremental_agg feeds it).
+    "events_cusum_shift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayCnt = Sources.events(s, dir)
+        .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val tot = dayCnt.groupBy("event_type")
+        .agg(sum(col("c")).as("t"), count(lit(1)).as("d"))
+      val scored = dayCnt
+        .withColumn("prefix", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("k", row_number().over(w))
+        .join(broadcast(tot), "event_type")
+        .withColumn("stat", abs(col("d") * col("prefix") - col("k") * col("t")))
+      val best = scored.groupBy("event_type").agg(max(col("stat")).as("stat"))
+      scored.join(broadcast(best), Seq("event_type", "stat"))
+        .groupBy(col("event_type"), col("stat"), col("t"), col("d"))
+        .agg(min(col("day")).as("shift_day"))
+        .select(col("event_type"), col("d").as("n_days"),
+          col("t").as("total_events"), col("shift_day"),
+          (col("stat") / col("d").cast("double")).as("max_abs_cusum"))
+        .orderBy("event_type")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -6289,5 +6412,74 @@ object SparkEntry {
         |  max(dev2) / 2e6 AS max_abs_dev
         |FROM dev d JOIN mad m USING (event_type)
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    "yf_acf" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date" AS d,
+         |    CAST(sum(CAST(floor("Close" * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |lagged AS (
+         |  SELECT symbol, xq,
+         |    lag(xq, 1) OVER w AS l1, lag(xq, 2) OVER w AS l2,
+         |    lag(xq, 3) OVER w AS l3
+         |  FROM daily WINDOW w AS (PARTITION BY symbol ORDER BY d)),
+         |pairs AS (
+         |  SELECT symbol, 1 AS lag, xq AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+         |  UNION ALL
+         |  SELECT symbol, 2, xq, l2 FROM lagged WHERE l2 IS NOT NULL
+         |  UNION ALL
+         |  SELECT symbol, 3, xq, l3 FROM lagged WHERE l3 IS NOT NULL),
+         |m AS (
+         |  SELECT symbol, lag, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT symbol, CAST(lag AS INTEGER) AS lag, n,
+         |  CAST(n * sxy - sx * sy AS DOUBLE) /
+         |    sqrt(nullif(CAST(n * sxx - sx * sx AS DOUBLE)
+         |                * CAST(n * syy - sy * sy AS DOUBLE), 0.0)) AS acf
+         |FROM m ORDER BY symbol, lag""".stripMargin,
+    "events_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 % 7 AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |         count(DISTINCT event_type) AS nr, count(DISTINCT dow) AS nc
+        |       FROM cells),
+        |t AS (
+        |  SELECT n, nr, nc,
+        |    CAST(floor((o - e) * (o - e) / e * 1e6 + 0.5) AS BIGINT) AS term_q
+        |  FROM (SELECT cells.o, CAST(r * c AS DOUBLE) / n AS e, n, nr, nc
+        |        FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+        |        CROSS JOIN nn))
+        |SELECT n, CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+        |  CAST(sum(term_q) AS BIGINT) / 1e6 AS chi2,
+        |  sqrt(CAST(sum(term_q) AS BIGINT) / 1e6
+        |       / (n * least(nr - 1, nc - 1))) AS cramers_v
+        |FROM t GROUP BY 1, nr, nc""".stripMargin,
+    "events_cusum_shift" ->
+      """WITH dc AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS t, count(*) AS d
+        |        FROM dc GROUP BY 1),
+        |sc AS (
+        |  SELECT dc.event_type, day, t, d,
+        |    abs(d * CAST(sum(c) OVER w AS BIGINT)
+        |        - CAST(row_number() OVER w AS BIGINT) * t) AS stat
+        |  FROM dc JOIN tot USING (event_type)
+        |  WINDOW w AS (PARTITION BY dc.event_type ORDER BY day)),
+        |b AS (SELECT event_type, max(stat) AS stat FROM sc GROUP BY 1)
+        |SELECT s.event_type, d AS n_days, t AS total_events,
+        |  min(day) AS shift_day, stat / CAST(d AS DOUBLE) AS max_abs_cusum
+        |FROM sc s JOIN b USING (event_type, stat)
+        |GROUP BY 1, 2, 3, stat ORDER BY 1""".stripMargin,
   )
 }

@@ -110,4 +110,84 @@ class Round7OpsSpec extends SparkSpec {
       assert(r.getAs[Double]("max_abs_dev") == dev2.max / 2e6)
     }
   }
+
+  test("yf_acf: correlations bounded and lag-1 matches brute force") {
+    val out = q("yf_acf").collect()
+    assert(out.nonEmpty)
+    for (r <- out; a = r.getAs[Double]("acf") if !r.isNullAt(r.fieldIndex("acf")))
+      assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12, s"acf $a out of range")
+    // Brute-force lag-1 ACF for one symbol from the consolidated dailies.
+    val daily = Sources.ohlcv(spark, sfDir)
+      .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+      .groupBy("symbol", "Date")
+      .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("cs"),
+        count(lit(1)).as("nb"))
+      .withColumn("xq", expr("cs div nb"))
+      .orderBy("symbol", "Date").collect()
+    val sym = daily.head.getAs[Long]("symbol")
+    val xs = daily.filter(_.getAs[Long]("symbol") == sym).map(_.getAs[Long]("xq"))
+    if (xs.length >= 2) {
+      val pairsXY = xs.tail.zip(xs.dropRight(1)) // (x_t, x_{t-1})
+      val n = pairsXY.length.toLong
+      val sx = pairsXY.map(_._1).sum; val sy = pairsXY.map(_._2).sum
+      val sxx = pairsXY.map(p => p._1 * p._1).sum
+      val syy = pairsXY.map(p => p._2 * p._2).sum
+      val sxy = pairsXY.map(p => p._1 * p._2).sum
+      val den = math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy))
+      val expected = (n * sxy - sx * sy).toDouble / den
+      val got = out.find(r => r.getAs[Long]("symbol") == sym &&
+        r.getAs[Int]("lag") == 1).get
+      assert(got.getAs[Long]("n") == n)
+      if (den != 0.0) assert(got.getAs[Double]("acf") == expected)
+    }
+  }
+
+  test("events_chi2_independence: statistic matches a driver-side recount") {
+    val r = q("events_chi2_independence").collect().head
+    val cells = Sources.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("(ts DIV 86400000000000) % 7").as("dow"))
+      .agg(count(lit(1)).as("o")).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("dow"),
+        x.getAs[Long]("o")))
+    val n = cells.map(_._3).sum
+    val rowT = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val colT = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val chi2q = cells.map { case (t, d, o) =>
+      val e = (rowT(t) * colT(d)).toDouble / n
+      math.floor((o - e) * (o - e) / e * 1e6 + 0.5).toLong
+    }.sum
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("dof") == (rowT.size - 1).toLong * (colT.size - 1))
+    assert(r.getAs[Double]("chi2") == chi2q / 1e6)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0 + 1e-12)
+  }
+
+  test("events_cusum_shift: max scaled CUSUM and its day match brute force") {
+    val out = q("events_cusum_shift").collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val dayCnt = Sources.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("day"), r.getAs[Long]("c")))
+        .sortBy(_._1)).toMap
+    assert(out.keySet == dayCnt.keySet)
+    for ((t, days) <- dayCnt) {
+      val d = days.length.toLong
+      val tot = days.map(_._2).sum
+      var prefix = 0L
+      val stats = days.zipWithIndex.map { case ((day, c), i) =>
+        prefix += c
+        (day, math.abs(d * prefix - (i + 1) * tot))
+      }
+      val maxStat = stats.map(_._2).max
+      val shiftDay = stats.filter(_._2 == maxStat).map(_._1).min
+      val r = out(t)
+      assert(r.getAs[Long]("n_days") == d)
+      assert(r.getAs[Long]("total_events") == tot)
+      assert(r.getAs[Long]("shift_day") == shiftDay, s"shift day for $t")
+      assert(r.getAs[Double]("max_abs_cusum") == maxStat / d.toDouble)
+    }
+  }
 }

@@ -4113,6 +4113,94 @@ object SparkEntry {
           (col("stat") / col("d").cast("double")).as("max_abs_cusum"))
         .orderBy("event_type")
     }),
+
+    // BM25 RANKED RETRIEVAL (the scoring function behind every lexical
+    // search/dedup-candidate/decontamination retriever; text_tfidf stops
+    // at the weight, this ranks). Query terms are DATA-DERIVED — the 5
+    // rarest corpus words (df asc, ties broken by word — deterministic
+    // at any SF) stand in for a query workload; each term scores ONLY
+    // the docs containing it (posting-restricted via broadcast semi-join
+    // on the tiny term table — the inverted-index discipline, never a
+    // corpus × query cross). Score = idf · tf·(k1+1)/(tf + k1·(1−b +
+    // b·dl·N/Σdl)) with k1=1.2, b=0.75: idf QUANTIZES ln to 1e-4 longs
+    // (the text_word_entropy contract), and the rest is one fixed IEEE
+    // tree over exact integers (tf, dl, N, Σdl), so scores are
+    // bit-identical cross-engine and the top-10-per-term window
+    // (score desc, doc_id) adjudicates identically. Per-term windows —
+    // no global ordering; tf/df/dl are the same keyed aggregates the
+    // tfidf/inverted-index queries already scale.
+    "docs_bm25_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfreq = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      val qterms = dfreq
+        .orderBy(col("df"), col("word")).limit(5)
+      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val idfQ = floor(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e4
+          + 0.5).cast("long")
+      val w = Window.partitionBy("word").orderBy(col("score").desc, col("doc_id"))
+      tf.join(broadcast(qterms), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("score",
+          (idfQ / 1e4) * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(1.0) - 0.75 +
+              lit(0.75) * col("dl") * col("n_docs") / col("sum_dl"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("word", "rank", "doc_id", "tf", "df", "dl", "score")
+        .orderBy("word", "rank")
+    }),
+
+    // MARKET BETA (each symbol's return sensitivity to the equal-weight
+    // market — the cross-sectional regression slope every risk model
+    // starts from). Daily returns derive from integer q6 closes by ONE
+    // IEEE division then QUANTIZE to 1e-4 longs (bit-identical per row
+    // cross-engine ⇒ the quantized longs are identical, and every moment
+    // sum after that is exact BIGINT — the summation-order discipline
+    // applied to derived FP values); the market return is the integer
+    // mean (div) of the day's symbol returns, joined back broadcast (one
+    // row per trading day). β = (n·Σxm − Σx·Σm)/(n·Σmm − Σm²) — all four
+    // terms exact integers cast once into a single division. Lag windows
+    // per symbol; moments per symbol; nothing global. Degenerate (zero
+    // market variance) symbols null via nullif.
+    "yf_beta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("xq", expr("close_sum div n_bars"))
+      val w = Window.partitionBy("symbol").orderBy("Date")
+      val rets = daily
+        .withColumn("prev", lag(col("xq"), 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= 0L)
+        .withColumn("rq",
+          floor((col("xq").cast("double") / col("prev") - 1.0) * 1e4 + 0.5)
+            .cast("long"))
+      val mkt = rets.groupBy("Date")
+        .agg(expr("sum(rq) div count(1)").as("mq"))
+      val mom = rets.join(broadcast(mkt), "Date")
+        .groupBy("symbol").agg(
+          count(lit(1)).as("n"),
+          sum(col("rq")).as("sx"), sum(col("mq")).as("sm"),
+          sum(col("rq") * col("mq")).as("sxm"),
+          sum(col("mq") * col("mq")).as("smm"))
+      mom
+        .withColumn("beta",
+          (col("n") * col("sxm") - col("sx") * col("sm")).cast("double") /
+            nullif((col("n") * col("smm") - col("sm") * col("sm"))
+              .cast("double"), lit(0.0)))
+        .select("symbol", "n", "beta")
+        .orderBy("symbol")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -6481,5 +6569,58 @@ object SparkEntry {
         |  min(day) AS shift_day, stat / CAST(d AS DOUBLE) AS max_abs_cusum
         |FROM sc s JOIN b USING (event_type, stat)
         |GROUP BY 1, 2, 3, stat ORDER BY 1""".stripMargin,
+    "docs_bm25_topk" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM w2 GROUP BY 1),
+         |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY 1),
+         |qterms AS (SELECT word, df FROM dfreq ORDER BY df, word LIMIT 5),
+         |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+         |           FROM dl),
+         |scored AS (
+         |  SELECT t.word, t.doc_id, t.tf, q.df, d.dl,
+         |    (CAST(floor(ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) * 1e4
+         |                + 0.5) AS BIGINT) / 1e4)
+         |      * (t.tf * CAST(2.2 AS DOUBLE))
+         |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl * n_docs / sum_dl))
+         |      AS score
+         |  FROM tf t JOIN qterms q USING (word) JOIN dl d USING (doc_id)
+         |  CROSS JOIN corpus)
+         |SELECT word, CAST(rank AS INTEGER) AS rank, doc_id, tf, df, dl, score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY word
+         |        ORDER BY score DESC, doc_id) AS rank FROM scored)
+         |WHERE rank <= 10 ORDER BY word, rank""".stripMargin,
+    "yf_beta" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date" AS d,
+         |    CAST(sum(CAST(floor("Close" * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |rets AS (
+         |  SELECT symbol, d,
+         |    CAST(floor((CAST(xq AS DOUBLE) / prev - 1.0) * 1e4 + 0.5) AS BIGINT)
+         |      AS rq
+         |  FROM (SELECT symbol, d, xq,
+         |          lag(xq, 1) OVER (PARTITION BY symbol ORDER BY d) AS prev
+         |        FROM daily)
+         |  WHERE prev IS NOT NULL AND prev <> 0),
+         |mkt AS (SELECT d, CAST(sum(rq) AS BIGINT) // count(*) AS mq
+         |        FROM rets GROUP BY 1),
+         |m AS (
+         |  SELECT symbol, count(*) AS n,
+         |    CAST(sum(rq) AS BIGINT) AS sx, CAST(sum(mq) AS BIGINT) AS sm,
+         |    CAST(sum(rq * mq) AS BIGINT) AS sxm,
+         |    CAST(sum(mq * mq) AS BIGINT) AS smm
+         |  FROM rets JOIN mkt USING (d) GROUP BY 1)
+         |SELECT symbol, n,
+         |  CAST(n * sxm - sx * sm AS DOUBLE) /
+         |    nullif(CAST(n * smm - sm * sm AS DOUBLE), 0.0) AS beta
+         |FROM m ORDER BY symbol""".stripMargin,
   )
 }

@@ -190,4 +190,74 @@ class Round7OpsSpec extends SparkSpec {
       assert(r.getAs[Double]("max_abs_cusum") == maxStat / d.toDouble)
     }
   }
+
+  test("docs_bm25_topk: scores rank correctly and match a direct recompute") {
+    val out = q("docs_bm25_topk").collect()
+    assert(out.nonEmpty)
+    // Per term: ranks are 1..k, scores non-increasing, doc_id tiebreak.
+    for ((_, rows) <- out.groupBy(_.getAs[String]("word"))) {
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      for (Array(a, b) <- sorted.sliding(2)) {
+        val (sa, sb) = (a.getAs[Double]("score"), b.getAs[Double]("score"))
+        assert(sa > sb ||
+          (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+      }
+    }
+    // Recompute one row's score from its own emitted ingredients.
+    val r = out.head
+    val corpus = Sources.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("sumdl")).head()
+    val (n, sumdl) = (corpus.getAs[Long]("n"), corpus.getAs[Long]("sumdl"))
+    val df = r.getAs[Long]("df"); val tf = r.getAs[Long]("tf")
+    val dl = r.getAs[Long]("dl")
+    val idfq = math.floor(
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e4 + 0.5).toLong
+    val expected = (idfq / 1e4) * (tf * 2.2) /
+      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * n / sumdl.toDouble))
+    assert(math.abs(r.getAs[Double]("score") - expected) < 1e-12)
+  }
+
+  test("yf_beta: per-symbol betas match an independent brute force") {
+    val out = q("yf_beta").collect()
+    assert(out.nonEmpty)
+    // Brute force per symbol from consolidated dailies.
+    val daily = Sources.ohlcv(spark, sfDir)
+      .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+      .groupBy("symbol", "Date")
+      .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("cs"),
+        count(lit(1)).as("nb"))
+      .withColumn("xq", expr("cs div nb"))
+      .orderBy("symbol", "Date").collect()
+      .groupBy(_.getAs[Long]("symbol"))
+      .view.mapValues(_.map(r =>
+        (String.valueOf(r.get(r.fieldIndex("Date"))), r.getAs[Long]("xq")))).toMap
+    val rets = daily.toSeq.flatMap { case (sym, rows) =>
+      rows.zip(rows.tail).collect { case ((_, p), (d, x)) if p != 0L =>
+        (sym, d, math.floor((x.toDouble / p - 1.0) * 1e4 + 0.5).toLong)
+      }
+    }
+    val mkt = rets.groupBy(_._2).view.mapValues { rs =>
+      val s = rs.map(_._3).sum; val n = rs.length
+      // Scala / on negative longs truncates like SQL div.
+      s / n
+    }.toMap
+    for (r <- out.take(10)) {
+      val sym = r.getAs[Long]("symbol")
+      val mine = rets.filter(_._1 == sym).map(t => (t._3, mkt(t._2)))
+      val n = mine.length.toLong
+      val sx = mine.map(_._1).sum; val sm = mine.map(_._2).sum
+      val sxm = mine.map(t => t._1 * t._2).sum
+      val smm = mine.map(t => t._2 * t._2).sum
+      assert(r.getAs[Long]("n") == n, s"n for $sym")
+      val den = (n * smm - sm * sm).toDouble
+      if (den != 0.0)
+        assert(r.getAs[Double]("beta") == (n * sxm - sx * sm).toDouble / den,
+          s"beta for $sym")
+    }
+  }
 }

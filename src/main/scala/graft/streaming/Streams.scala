@@ -246,6 +246,95 @@ object Streams {
       }
       .start()
 
+  /** Merge a batch's per-day Misra–Gries sketches into the stored sketch
+    * table (one [[graft.sources.SnapshotStore]] commit). The merge is
+    * the standard MG combine in relational form — key-wise counter sum,
+    * then subtract the (capacity+1)-th largest count and drop the
+    * non-positives (exactly [[graft.functions.MisraGries.merge]]'s rule,
+    * so the additive error bound of "Mergeable Summaries" carries over;
+    * MgRollupSpec proves SQL-merge ≡ native-merge on a shared fixture).
+    * Everything is keyed by day: the entry explode, the counter sum, the
+    * per-day rank window, and the map rebuild — each day's state is
+    * ≤ capacity entries, so the shuffle carries sketch entries, never
+    * raw items. UNLIKE the KMV fold this merge is NOT idempotent
+    * (summing counters twice double-counts), which is why
+    * [[mgRollup]] must guard replays with batch-id markers where
+    * [[kmvRollup]] needs none — the two rollups demonstrate the two
+    * at-least-once disciplines side by side. */
+  def mergeMgStore(fresh: DataFrame, storeDir: String, capacity: Int): Unit = {
+    val spark = fresh.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val versions = graft.sources.SnapshotStore.committedVersions(spark, storeDir)
+    val merged = if (versions.isEmpty) fresh else {
+      val cur = graft.sources.SnapshotStore
+        .readAsOf(spark, storeDir, "day", versions.last)
+      def ents(df: DataFrame) = df.select(col("day"),
+        explode(map_entries(col("mg"))).as("e"))
+      val summed = ents(fresh).unionAll(ents(cur))
+        .groupBy(col("day"), col("e.key").as("k"))
+        .agg(sum(col("e.value")).as("c"))
+      val w = Window.partitionBy("day").orderBy(col("c").desc, col("k"))
+      val ranked = summed.withColumn("rn", row_number().over(w))
+      val cuts = ranked.filter(col("rn") === capacity + 1)
+        .select(col("day"), col("c").as("cut"))
+      ranked.join(broadcast(cuts), Seq("day"), "left")
+        .withColumn("c2", col("c") - coalesce(col("cut"), lit(0L)))
+        .filter(col("c2") > 0)
+        .groupBy("day")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("k"), col("c2"))))).as("mg"))
+    }
+    graft.sources.SnapshotStore.commit(
+      graft.util.Views.materialize(merged), None, storeDir, "day")
+    graft.util.Views.unpersistAll()
+  }
+
+  /** Streaming HEAVY-HITTERS rollup into a durable per-day Misra–Gries
+    * sketch store — the live twin of the batch query `text_heavy_hitters`
+    * and the non-CRDT counterpart of [[kmvRollup]]: each micro-batch
+    * aggregates to per-day `mg_sketch` candidate maps (≤ capacity
+    * entries per day regardless of key cardinality — the shuffle carries
+    * sketches, never raw ids) and [[mergeMgStore]]s them into the
+    * versioned store, so "who dominated day X" is answered from the
+    * store alone with the N/(capacity+1) superset guarantee intact
+    * (errors add across merges per "Mergeable Summaries").
+    *
+    * Counter sums are NOT idempotent, so at-least-once delivery needs
+    * the [[cdcApply]] marker discipline: a per-lineage batch-id marker
+    * lands AFTER the store commit, and a replayed micro-batch that finds
+    * its marker is skipped. In the crash window between commit and
+    * marker a replay double-merges — the bound degrades by that batch's
+    * N but the sketch stays a valid candidate generator, and phase-2
+    * exact recounts (the text_heavy_hitters discipline) are unaffected.
+    * Zero streaming-engine state — the durable store IS the state. */
+  def mgRollup(events: DataFrame, storeDir: String, capacity: Int = 16,
+               checkpointLocation: Option[String] = None)
+              : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    val lineage = checkpointLocation match {
+      case Some(c) => java.util.UUID.nameUUIDFromBytes(c.getBytes("UTF-8")).toString
+      case None => java.util.UUID.randomUUID().toString
+    }
+    val writer = events.writeStream
+      .outputMode(OutputMode.Update())
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$storeDir/_batches/$lineage-$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val fresh = batch.toDF()
+            .select(expr("ts div 86400000000000").as("day"),
+              col("user_id").cast("string").as("u"))
+            .groupBy("day").agg(expr(s"mg_sketch(u, $capacity)").as("mg"))
+          mergeMgStore(fresh, storeDir, capacity)
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+  }
+
   /** Watermarked STREAM-STREAM interval join — conversion attribution on
     * two live streams: each click matches the purchases of the same user
     * within the next 10 minutes. Spark buffers both sides in state; the

@@ -4201,6 +4201,74 @@ object SparkEntry {
         .select("symbol", "n", "beta")
         .orderBy("symbol")
     }),
+
+    // SEQUENCE / PATH MINING (which 3-step journeys dominate? — the
+    // product-analytics question MATCH_RECOGNIZE answers on engines that
+    // have it, composed here from bounded windows): each (user, day)
+    // contributes its FIRST three event types in (ts, event_id) order —
+    // the rank cut happens BEFORE any aggregation, so per-key state is
+    // bounded at 3 rows however hot the user (the TopK discipline; a
+    // collect-then-slice would materialize unbounded arrays). Paths
+    // assemble via sort_array(collect_list(struct(rn, type))) — ≤3
+    // entries, deterministic order — and the top-10 paths emit through
+    // TakeOrderedAndProject with (count desc, path) total order. One
+    // window + two keyed aggregates, all user/day/path-keyed.
+    "events_top_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("user_id"), expr("ts DIV 86400000000000"))
+        .orderBy(col("ts"), col("event_id"))
+      Sources.events(s, dir)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"),
+          col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id", "day")
+        .agg(expr("array_join(transform(array_sort(collect_list(" +
+          "struct(rn, event_type))), e -> e.event_type), '>')").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_user_days"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_user_days").desc, col("path"))
+        .limit(10)
+    }),
+
+    // SCHEMA EVOLUTION ON READ (the 100 TB reality the round-5 ts-drift
+    // incident made concrete: a long-lived table's files were written by
+    // MANY writer generations). Two parquet generations land under the
+    // warehouse — v1 with the original (doc_id, text) schema, v2 adding
+    // a n_chars column — and ONE mergeSchema read reconstructs the union
+    // schema, filling the missing column with nulls instead of failing
+    // or silently dropping files (schema-on-read's widening half;
+    // events_jsonl_badrows covers the malformed-row half). The audit
+    // aggregates by writer generation (n_chars IS NULL ⇔ legacy file)
+    // with the house 40-bit-md5 content checksum proving every row of
+    // both generations survived the merged scan byte-intact. At scale
+    // mergeSchema's footer reconciliation is a one-time planning cost;
+    // the per-file projection adapts at the reader, row-group pruning
+    // intact.
+    "docs_schema_evolution" -> ((s, dir) => {
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_docs_schema_evo")
+      val docs = Sources.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$base/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/gen=2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen=1", s"$base/gen=2")
+        .withColumn("legacy_schema", col("n_chars").isNull)
+        .withColumn("h40", conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit(":"), col("text")).cast("binary")),
+          1, 10), 16, 10).cast("long"))
+        .groupBy("legacy_schema")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_n_chars"),
+          sum(col("h40")).as("content_sum"))
+        .orderBy("legacy_schema")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -6622,5 +6690,30 @@ object SparkEntry {
          |  CAST(n * sxm - sx * sm AS DOUBLE) /
          |    nullif(CAST(n * smm - sm * sm AS DOUBLE), 0.0) AS beta
          |FROM m ORDER BY symbol""".stripMargin,
+    "events_top_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    epoch_ns(ts) AS tsn, event_id, event_type
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day, event_type,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY tsn, event_id) AS rn
+        |  FROM ev),
+        |p AS (
+        |  SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_user_days, count(DISTINCT user_id) AS n_users
+        |FROM p GROUP BY 1
+        |ORDER BY n_user_days DESC, path LIMIT 10""".stripMargin,
+    "docs_schema_evolution" ->
+      """SELECT doc_id % 2 = 0 AS legacy_schema, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS BIGINT) END)
+        |    AS BIGINT) AS sum_n_chars,
+        |  CAST(sum(CAST(concat('0x',
+        |      substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 10))
+        |    AS BIGINT)) AS BIGINT) AS content_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -260,4 +260,43 @@ class Round7OpsSpec extends SparkSpec {
           s"beta for $sym")
     }
   }
+
+  test("events_top_paths: top paths match a driver-side recount") {
+    val out = q("events_top_paths").collect()
+    assert(out.nonEmpty && out.length <= 10)
+    for (r <- out)
+      assert(r.getAs[String]("path").split(">").length <= 3)
+    // Brute force: first 3 event types per (user, day) by (ts, event_id).
+    val byKey = Sources.events(spark, sfDir)
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")))
+      .view.mapValues(_.sortBy(r => (r.getAs[Long]("ts"), r.getAs[Long]("event_id")))
+        .take(3).map(_.getAs[String]("event_type")).mkString(">")).toMap
+    val freq = byKey.groupBy(_._2).map { case (p, m) =>
+      p -> (m.size.toLong, m.keys.map(_._1).toSet.size.toLong)
+    }
+    val expected = freq.toSeq.sortBy { case (p, (n, _)) => (-n, p) }.take(10)
+    val got = out.map(r => (r.getAs[String]("path"),
+      (r.getAs[Long]("n_user_days"), r.getAs[Long]("n_users")))).toSeq
+    assert(got == expected)
+  }
+
+  test("docs_schema_evolution: both writer generations survive the merged read") {
+    val out = q("docs_schema_evolution").collect()
+      .map(r => r.getAs[Boolean]("legacy_schema") -> r).toMap
+    assert(out.keySet == Set(true, false),
+      "expected one legacy and one evolved group")
+    val docs = Sources.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+    val (legacy, evolved) = docs.partition(_.getAs[Long]("doc_id") % 2 == 0)
+    assert(out(true).getAs[Long]("n_docs") == legacy.length)
+    assert(out(false).getAs[Long]("n_docs") == evolved.length)
+    // The column absent from gen-1 files reads back as null there (sum of
+    // an all-null group is null), and as the true values for gen-2.
+    assert(out(true).isNullAt(out(true).fieldIndex("sum_n_chars")))
+    assert(out(false).getAs[Long]("sum_n_chars") ==
+      evolved.map(_.getAs[Number]("n_chars").longValue).sum)
+  }
 }

@@ -4269,6 +4269,67 @@ object SparkEntry {
           sum(col("h40")).as("content_sum"))
         .orderBy("legacy_schema")
     }),
+
+    // LSH RETRIEVAL QUALITY AUDIT (precision/recall of the banding
+    // itself — completing the quality-audit symmetry: sim_ann_recall
+    // audits the ANN tier, dedup_minhash_estimate audits the similarity
+    // ESTIMATOR, this audits the candidate RETRIEVAL): ground truth =
+    // the exact all-pairs Jaccard≥0.6 set (the declared exact tier —
+    // fixture-feasible here; at corpus scale the truth set comes from a
+    // SAMPLE, the standard continuous-audit protocol), retrieved = the
+    // banded LSH candidate pairs. Precision/recall/F1 derive from three
+    // exact pair counts in one fixed IEEE tree. A recall drop says the
+    // band/row split no longer matches the dedup threshold — re-tune
+    // bands, don't trust the index (the dedup_minhash_estimate rule,
+    // applied to the retrieval stage).
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val truth = graft.util.Views.materialize(
+        dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, None)
+          .select("id_a", "id_b"))
+      val cand = graft.util.Views.materialize(
+        dedup.Dedup.lshCandidates(docs, "doc_id", "text"))
+      val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hits"))))
+        .withColumn("precision",
+          col("n_hits").cast("double") / nullif(col("n_candidates"), lit(0L)))
+        .withColumn("recall",
+          col("n_hits").cast("double") / nullif(col("n_truth"), lit(0L)))
+        .withColumn("f1",
+          lit(2.0) * col("precision") * col("recall") /
+            nullif(col("precision") + col("recall"), lit(0.0)))
+    }),
+
+    // PROMO REVENUE SHARE (TPC-H Q14 shape — the conditional-aggregate
+    // join: what fraction of each month's discounted revenue came from
+    // promo parts?). Revenue terms follow the dec2/rate2 exact-decimal
+    // discipline (price and discount cast to decimal BEFORE arithmetic,
+    // so every product and both sums are exact and order-free); the
+    // share is one IEEE division of two exact decimals ×100. The
+    // fact-dim join is key-equi on partkey — co-partitioned at scale
+    // (the dim projection is 2 columns; broadcast if it fits, shuffle
+    // join if not — either plan is correct, the aggregate is downstream
+    // of the join in both). One keyed aggregate at month grain.
+    "orders_promo_share" -> ((s, dir) => {
+      val rev = (util.Stable.dec2(col("l_extendedprice")) *
+        (util.Stable.rate2(lit(1.0)) - util.Stable.rate2(col("l_discount"))))
+      Sources.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .join(Sources.part(s, dir).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(
+          util.Stable.exactSumAt(when(col("p_type") === "PROMO", rev), 4)
+            .as("promo_revenue"),
+          util.Stable.exactSumAt(rev, 4).as("total_revenue"),
+          count(lit(1)).as("n_items"))
+        .withColumn("promo_share_pct",
+          col("promo_revenue") / col("total_revenue") * 100.0)
+        .orderBy("month")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -6706,6 +6767,40 @@ object SparkEntry {
         |SELECT path, count(*) AS n_user_days, count(DISTINCT user_id) AS n_users
         |FROM p GROUP BY 1
         |ORDER BY n_user_days DESC, path LIMIT 10""".stripMargin,
+    "dedup_lsh_recall" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.lshCandidatesCtes("docs")},
+         |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, None)},
+         |t AS (SELECT count(*) AS n_truth FROM pairs),
+         |c AS (SELECT count(*) AS n_candidates FROM cand),
+         |h AS (SELECT count(*) AS n_hits
+         |      FROM pairs p JOIN cand x ON p.id_a = x.id_a AND p.id_b = x.id_b)
+         |SELECT n_truth, n_candidates, n_hits,
+         |  CAST(n_hits AS DOUBLE) / nullif(n_candidates, 0) AS precision,
+         |  CAST(n_hits AS DOUBLE) / nullif(n_truth, 0) AS recall,
+         |  2.0 * (CAST(n_hits AS DOUBLE) / nullif(n_candidates, 0))
+         |      * (CAST(n_hits AS DOUBLE) / nullif(n_truth, 0))
+         |    / nullif(CAST(n_hits AS DOUBLE) / nullif(n_candidates, 0)
+         |             + CAST(n_hits AS DOUBLE) / nullif(n_truth, 0), 0.0) AS f1
+         |FROM t CROSS JOIN c CROSS JOIN h""".stripMargin,
+    "orders_promo_share" ->
+      s"""WITH t AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS month, p_type,
+         |    ${util.Stable.dec2Sql("l_extendedprice")}
+         |      * (${util.Stable.rate2Sql("1.0")}
+         |         - ${util.Stable.rate2Sql("l_discount")}) AS rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'),
+         |m AS (
+         |  SELECT month,
+         |    ${util.Stable.exactSumAtSql("CASE WHEN p_type = 'PROMO' THEN rev END", 4)}
+         |      AS promo_revenue,
+         |    ${util.Stable.exactSumAtSql("rev", 4)} AS total_revenue,
+         |    count(*) AS n_items
+         |  FROM t GROUP BY 1)
+         |SELECT month, promo_revenue, total_revenue, n_items,
+         |  promo_revenue / total_revenue * 100.0 AS promo_share_pct
+         |FROM m ORDER BY month""".stripMargin,
     "docs_schema_evolution" ->
       """SELECT doc_id % 2 = 0 AS legacy_schema, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,

@@ -299,4 +299,45 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(false).getAs[Long]("sum_n_chars") ==
       evolved.map(_.getAs[Number]("n_chars").longValue).sum)
   }
+
+  test("dedup_lsh_recall: counts intersect correctly and F1 is the harmonic mean") {
+    val r = q("dedup_lsh_recall").collect().head
+    val (nT, nC, nH) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_candidates"),
+      r.getAs[Long]("n_hits"))
+    assert(nT > 0, "fixture must contain true near-dup pairs")
+    assert(nH <= math.min(nT, nC))
+    // Independent driver-side intersection of the two pair sets.
+    val docs = dedup.Dedup.augmented(Sources.documents(spark, sfDir))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val truth = pairSet(dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, None))
+    val cand = pairSet(dedup.Dedup.lshCandidates(docs, "doc_id", "text"))
+    graft.util.Views.unpersistAll()
+    assert(nT == truth.size && nC == cand.size)
+    assert(nH == (truth intersect cand).size)
+    val (p, rec, f1) = (r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+      r.getAs[Double]("f1"))
+    assert(p == nH.toDouble / nC && rec == nH.toDouble / nT)
+    assert(math.abs(f1 - 2.0 * p * rec / (p + rec)) < 1e-15)
+    assert(f1 >= math.min(p, rec) - 1e-15 && f1 <= math.max(p, rec) + 1e-15,
+      "harmonic mean must lie between the two rates")
+  }
+
+  test("orders_promo_share: promo decomposes the monthly total") {
+    val out = q("orders_promo_share").collect()
+    assert(out.length == 12, "one row per 1995 month")
+    for (r <- out) {
+      val (p, t) = (r.getAs[Double]("promo_revenue"), r.getAs[Double]("total_revenue"))
+      assert(p >= 0.0 && p <= t)
+      val share = r.getAs[Double]("promo_share_pct")
+      assert(share >= 0.0 && share <= 100.0)
+      assert(share == p / t * 100.0)
+    }
+    val nJoined = Sources.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01"))
+      .join(Sources.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .count()
+    assert(out.map(_.getAs[Long]("n_items")).sum == nJoined)
+  }
 }

@@ -4330,6 +4330,34 @@ object SparkEntry {
           col("promo_revenue") / col("total_revenue") * 100.0)
         .orderBy("month")
     }),
+
+    // CORRELATED LATERAL JOIN (SQL:1999 LATERAL — the "for each outer
+    // row, run this parameterized subquery" operator users reach for
+    // before they know window functions): top-3 orders per customer
+    // written as JOIN LATERAL (... ORDER BY ... LIMIT 3). Catalyst
+    // DECORRELATES it (DecorrelateInnerQuery): the per-row subquery
+    // becomes a window/partitioned-limit over one co-keyed join — the
+    // plan a 1000-executor cluster can run, not N outer-row subquery
+    // executions. Same result contract as top_orders_per_customer
+    // (window form) and _auto (bounded-heap operator form) — three
+    // formulations of one operator, all hash-matching; the oracle runs
+    // DuckDB's OWN lateral implementation, so two independent
+    // decorrelations check each other.
+    "orders_lateral_topk" -> ((s, dir) => {
+      Sources.customer(s, dir).select("c_custkey")
+        .createOrReplaceTempView("g_lat_customer")
+      Sources.orders(s, dir).createOrReplaceTempView("g_lat_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM g_lat_customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM g_lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -6801,6 +6829,16 @@ object SparkEntry {
          |SELECT month, promo_revenue, total_revenue, n_items,
          |  promo_revenue / total_revenue * 100.0 AS promo_share_pct
          |FROM m ORDER BY month""".stripMargin,
+    "orders_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 3) t ON true
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "docs_schema_evolution" ->
       """SELECT doc_id % 2 = 0 AS legacy_schema, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,

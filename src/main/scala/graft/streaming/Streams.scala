@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.util.Stable
 
@@ -22,6 +22,11 @@ case class CdcChange(id: Long, payload: String, op: String)
 /** Emitted session summary from streaming sessionization. */
 case class SessionUpdate(user_id: Long, session_start_ms: Long,
                          session_end_ms: Long, n_events: Long, sum_value: Double)
+
+/** Per-user lifetime totals emitted by [[Streams.runningUserTotals]]
+  * (value carried as 1e-8-quantized longs so the running state is exact
+  * integer arithmetic — stream ≡ batch regardless of delivery order). */
+case class UserTotals(user_id: Long, n_events: Long, sum_value_q8: Long)
 
 /** Internal per-user session accumulator. */
 case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
@@ -495,6 +500,58 @@ object Streams {
             closed.iterator
           }
       }
+  }
+
+  /** Per-user LIFETIME running totals via `transformWithState` — the
+    * Spark 4 arbitrary-state API (typed per-key state primitives on the
+    * RocksDB store, explicit TTL, timers) that supersedes
+    * `mapGroupsWithState` for new pipelines; the engine carries both so
+    * a user of either surface can switch. State here is ONE fixed-width
+    * `ValueState[UserTotals]` per user — the running aggregate never
+    * buffers events, so state size is O(active users) whatever the
+    * stream volume, and the value sum is 1e-8-quantized integer
+    * arithmetic (order-free: stream ≡ batch exactly, spec-asserted).
+    * TTL is deliberately NONE for lifetime totals; a retention-bounded
+    * deployment sets `TTLConfig(Duration)` and the store evicts idle
+    * users without code changes — that knob existing AT ALL is the
+    * operational argument for this API at 100 TB. Requires the RocksDB
+    * state store provider (`spark.sql.streaming.stateStore
+    * .providerClass`); the caller owns that conf. */
+  class RunningTotalsProcessor
+    extends StatefulProcessor[Long, StreamEvent, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[StreamEvent],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val cur =
+        if (totals.exists()) totals.get()
+        else UserTotals(key, 0L, 0L)
+      var n = cur.n_events
+      var s = cur.sum_value_q8
+      rows.foreach { e =>
+        n += 1
+        s += math.floor(e.value * 1e8 + 0.5).toLong
+      }
+      val next = UserTotals(key, n, s)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** One updated [[UserTotals]] row per (user, micro-batch) — the keyed
+    * running-aggregate shape (Update mode; downstream sinks upsert on
+    * user_id). */
+  def runningUserTotals(events: Dataset[StreamEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[UserTotals])
   }
 
   // --------------------------------------------------------------- oracle

@@ -340,4 +340,19 @@ class Round7OpsSpec extends SparkSpec {
       .count()
     assert(out.map(_.getAs[Long]("n_items")).sum == nJoined)
   }
+
+  test("orders_lateral_topk: the decorrelated lateral equals the window form") {
+    val lateral = q("orders_lateral_topk").collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[Double]("o_totalprice"))).toSet
+    val window = q("top_orders_per_customer").collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[Double]("o_totalprice"))).toSet
+    assert(lateral == window,
+      "LATERAL ... LIMIT 3 must select exactly the window top-3 per customer")
+    // And the lateral really was decorrelated: no per-row subquery shape
+    // survives — the plan is joins/windows, nothing iterative.
+    val plan = q("orders_lateral_topk").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -355,4 +355,13 @@ class Round7OpsSpec extends SparkSpec {
     val plan = q("orders_lateral_topk").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("events_orc_roundtrip: predicate pushdown reaches the ORC scan") {
+    assert(q("events_orc_roundtrip").collect().nonEmpty) // writes the ORC dir
+    val orcDir = spark.conf.get("spark.sql.warehouse.dir") + "/graft_events_orc"
+    val plan = spark.read.orc(orcDir).filter(col("user_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(user_id,7)"),
+      s"expected the user_id predicate in the ORC scan's PushedFilters:\n$plan")
+  }
 }

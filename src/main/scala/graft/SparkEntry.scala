@@ -2651,6 +2651,51 @@ object SparkEntry {
         .orderBy("grain")
     }),
 
+    // KMV SET-ALGEBRA: INTERSECTION estimate (completing the sketch
+    // algebra beside events_kmv_distinct's union — the "how many users
+    // did BOTH" question answered from two stored sketches without
+    // touching raw data): est(A∩B) = est(A) + est(B) − est(A∪B) by
+    // inclusion–exclusion, with the union sketch built by the same
+    // plain-SQL merge algebra (slice∘sort∘distinct∘concat) KmvSpec
+    // proves ≡ the directly-built sketch. Clamped at 0 (sampling noise
+    // can push a small intersection negative — the clamp is part of the
+    // estimator's contract, not a fudge); no sanity band because
+    // intersection error is ABSOLUTE in the union's scale, not relative
+    // to the (possibly tiny) intersection — the exact twin
+    // (events_users_intersect) is the audit. Everything after the two
+    // keyed sketch aggregates is 1-row broadcast arithmetic; the
+    // estimates hash-match DuckDB's replay of the identical md5 sketch.
+    "events_kmv_intersect" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftColumnBridge.{column => cexpr, expression => eexpr}
+      val k = 256
+      val kc = lit((k - 1).toDouble * functions.KmvUtil.HashSpan)
+      def estOf(kmv: org.apache.spark.sql.Column) =
+        when(size(kmv) < k, size(kmv).cast("double"))
+          .otherwise(kc / element_at(kmv, k).cast("double"))
+      val ev = Sources.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id").cast("string").as("u"))
+      val sk = ev.groupBy("event_type")
+        .agg(cexpr(functions.KmvAgg(eexpr(col("u")), k).toAggregateExpression())
+          .as("kmv"))
+      val a = sk.filter(col("event_type") === "click").select(col("kmv").as("kmv_a"))
+      val b = sk.filter(col("event_type") === "purchase").select(col("kmv").as("kmv_b"))
+      val exact = ev.filter(col("event_type") === "click").select("u")
+        .intersect(ev.filter(col("event_type") === "purchase").select("u"))
+        .agg(count(lit(1)).as("n_exact_intersect"))
+      a.crossJoin(broadcast(b)) // 1-row × 1-row
+        .withColumn("kmv_u",
+          slice(array_sort(array_distinct(concat(col("kmv_a"), col("kmv_b")))),
+            1, k))
+        .crossJoin(broadcast(exact)) // 1-row × 1-row
+        .select(col("n_exact_intersect"),
+          estOf(col("kmv_a")).as("est_clicks"),
+          estOf(col("kmv_b")).as("est_purchases"),
+          estOf(col("kmv_u")).as("est_union"),
+          greatest(lit(0.0), estOf(col("kmv_a")) + estOf(col("kmv_b"))
+            - estOf(col("kmv_u"))).as("est_intersect"))
+    }),
+
     // BROADCAST-MODEL scoring (training-data extension): the fasttext-
     // style quality-filter shape — a (word → weight) model table small
     // enough to broadcast scores every document in one shuffle-free-ish
@@ -5989,6 +6034,42 @@ object SparkEntry {
          |         ELSE (255 * 4294967296.0) / ua.h_k END AS n_est
          |  FROM ua CROSS JOIN uex)
          |ORDER BY grain""".stripMargin,
+    "events_kmv_intersect" ->
+      s"""WITH e AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+         |           WHERE event_type IN ('click', 'purchase')),
+         |hh AS (SELECT DISTINCT event_type,
+         |         CAST(concat('0x', substring(md5(concat('kmv:', u)), 1, 8)) AS BIGINT) AS h
+         |       FROM e),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS n_dh
+         |      FROM hh),
+         |kt AS (SELECT event_type,
+         |         max(CASE WHEN rn = 256 THEN h END) AS h_k,
+         |         CAST(least(max(n_dh), 256) AS BIGINT) AS kmv_size
+         |       FROM r WHERE rn <= 256 GROUP BY 1),
+         |est AS (SELECT event_type,
+         |          CASE WHEN kmv_size < 256 THEN CAST(kmv_size AS DOUBLE)
+         |               ELSE (255 * 4294967296.0) / h_k END AS n_est
+         |        FROM kt),
+         |uh AS (SELECT DISTINCT h FROM hh),
+         |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+         |         count(*) OVER () AS n_dh FROM uh),
+         |ua AS (SELECT max(CASE WHEN rn = 256 THEN h END) AS h_k,
+         |         CAST(least(max(n_dh), 256) AS BIGINT) AS kmv_size
+         |       FROM ur WHERE rn <= 256),
+         |ue AS (SELECT CASE WHEN kmv_size < 256 THEN CAST(kmv_size AS DOUBLE)
+         |              ELSE (255 * 4294967296.0) / h_k END AS est_union FROM ua),
+         |ex AS (SELECT count(*) AS n_exact_intersect FROM (
+         |         SELECT u FROM e WHERE event_type = 'click'
+         |         INTERSECT
+         |         SELECT u FROM e WHERE event_type = 'purchase'))
+         |SELECT ex.n_exact_intersect,
+         |  a.n_est AS est_clicks, b.n_est AS est_purchases, ue.est_union,
+         |  greatest(0.0, a.n_est + b.n_est - ue.est_union) AS est_intersect
+         |FROM (SELECT n_est FROM est WHERE event_type = 'click') a
+         |CROSS JOIN (SELECT n_est FROM est WHERE event_type = 'purchase') b
+         |CROSS JOIN ue CROSS JOIN ex""".stripMargin,
     "docs_lexical_score" ->
       s"""WITH w AS (
          |  SELECT doc_id,

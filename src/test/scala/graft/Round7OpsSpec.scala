@@ -356,6 +356,24 @@ class Round7OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("events_kmv_intersect: inclusion-exclusion identity and exact twin") {
+    val r = q("events_kmv_intersect").collect().head
+    val ev = Sources.events(spark, sfDir)
+    val exact = ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .count()
+    assert(r.getAs[Long]("n_exact_intersect") == exact)
+    val (a, b, u, i) = (r.getAs[Double]("est_clicks"),
+      r.getAs[Double]("est_purchases"), r.getAs[Double]("est_union"),
+      r.getAs[Double]("est_intersect"))
+    assert(Seq(a, b, u, i).forall(_ >= 0.0))
+    assert(i == math.max(0.0, a + b - u), "inclusion-exclusion identity")
+    // Below sketch capacity every estimate is exact — the fixture's tier.
+    val nClick = ev.filter(col("event_type") === "click")
+      .select("user_id").distinct().count()
+    if (nClick < 256) assert(a == nClick.toDouble)
+  }
+
   test("events_orc_roundtrip: predicate pushdown reaches the ORC scan") {
     assert(q("events_orc_roundtrip").collect().nonEmpty) // writes the ORC dir
     val orcDir = spark.conf.get("spark.sql.warehouse.dir") + "/graft_events_orc"

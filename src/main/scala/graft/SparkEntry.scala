@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -4754,6 +4754,82 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // TIME-SERIES DENSIFICATION (gap fill): per-user daily event counts
+    // with every MISSING day inside the user's own [first, last] activity
+    // span materialized as an explicit zero row (`filled` = 1). The
+    // sparse→dense step is the prerequisite for any window/forecast math
+    // that assumes regular spacing (yf_interpolate fills VALUES at known
+    // rows; this fills the ROWS themselves). Scale shape: the calendar
+    // explode is per-key `sequence(min_day, max_day)` — bounded by the
+    // observation window (30 days in this corpus), NEVER by corpus size;
+    // the fill-in join is co-keyed on (user_id, day) against the already-
+    // aggregated daily grain, so nothing about it grows faster than
+    // users × window-days. A global calendar crossJoin would be the
+    // anti-pattern: it couples every user to the corpus-wide span.
+    "events_gap_fill" -> ((s, dir) => {
+      val daily = Sources.events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n_events"))
+      val cal = daily.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id").as("u"),
+          explode(sequence(col("lo"), col("hi"))).as("d"))
+      cal.join(daily,
+          cal("u") === daily("user_id") && cal("d") === daily("day"), "left")
+        .select(col("u").as("user_id"), col("d").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("n_events").isNull.cast("int").as("filled"))
+        .orderBy("user_id", "day")
+    }),
+
+    // MACD (moving-average convergence/divergence) — completes the
+    // indicator family (SMA/EWMA/RSI/Bollinger/VWAP). Deterministic
+    // variant: both EWMAs use the yf_ewma half-decay Horner fold (decay
+    // ½ is what keeps the numerator EXACT in BIGINT — a standard 12/26
+    // smoothing needs pow(λ,j), which is not correctly rounded and
+    // diverges cross-engine) at fast=4-day / slow=8-day windows, and the
+    // signal line is Cutler-style SMA-3 of the QUANTIZED macd (the
+    // yf_rsi precedent: SMA over exact integers instead of a recursive
+    // EWMA of doubles). macd = fast − slow of bit-identical doubles;
+    // histogram = macd − signal. Per-symbol windows — no global order.
+    "yf_macd" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("xq", expr("close_sum div n_bars"))
+      def win(n: Int) = Window.partitionBy("symbol").orderBy("Date")
+        .rowsBetween(-(n - 1), 0)
+      def horner(arr: String): Column =
+        expr(s"aggregate(reverse($arr), CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc * 2 + x)").cast("double") /
+          (expr(s"shiftleft(CAST(1 AS BIGINT), size($arr))") - 1) / 1e8
+      val wSig = Window.partitionBy("symbol").orderBy("Date").rowsBetween(-2, 0)
+      // The signal line and histogram are emitted as EXACT integers —
+      // signal = sig_num/sig_cnt/1e8 and hist·cnt·1e8 = hist_q — rather
+      // than %.4e strings: SMA-of-quantized values terminates in few
+      // decimal digits, which lands exactly on 5th-significant-digit
+      // midpoints where JVM HALF_UP and C half-even formatting disagree
+      // (the one case Stable.sig's margin cannot absorb; observed on
+      // this very query's hist column). Integers sidestep formatting
+      // entirely. macd keeps the sig form — a difference of two
+      // 15-digit-dividend quotients never terminates on a midpoint.
+      daily
+        .withColumn("arr_f", collect_list(col("xq")).over(win(4)))
+        .withColumn("arr_s", collect_list(col("xq")).over(win(8)))
+        .withColumn("macd", horner("arr_f") - horner("arr_s"))
+        .withColumn("macd_q", floor(col("macd") * 1e8 + 0.5).cast("long"))
+        .withColumn("sig_num", sum(col("macd_q")).over(wSig))
+        .withColumn("sig_cnt", count(lit(1)).over(wSig))
+        .select(col("symbol"), col("Date"),
+          util.Stable.sig(col("macd")).as("macd_sig"),
+          col("macd_q"), col("sig_num"), col("sig_cnt"),
+          (col("macd_q") * col("sig_cnt") - col("sig_num")).as("hist_q"))
+        .orderBy("symbol", "Date")
+    }),
+
     // TPC-H Q22 — global sales opportunity. ADAPTED: no c_phone, so a
     // nationkey set stands in for the phone-prefix country codes, and
     // "never ordered" is relaxed to "no orders since 1999-01-01" (every
@@ -7463,6 +7539,61 @@ object SparkEntry {
          |FROM sq JOIN supplier s ON sq.l_suppkey = s.s_suppkey
          |WHERE qty * 2 > tot
          |ORDER BY s_suppkey""".stripMargin,
+    "events_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |          FROM daily GROUP BY 1),
+        |cal AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+        |        FROM spans)
+        |SELECT cal.user_id, cal.day,
+        |  CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+        |  CAST(daily.n IS NULL AS INTEGER) AS filled
+        |FROM cal LEFT JOIN daily
+        |  ON cal.user_id = daily.user_id AND cal.day = daily.day
+        |ORDER BY 1, 2""".stripMargin,
+    "yf_macd" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars
+         |  WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |wins AS (
+         |  SELECT symbol, "Date",
+         |    list(xq) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS arr_f,
+         |    list(xq) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr_s
+         |  FROM daily),
+         |m AS (
+         |  SELECT symbol, "Date",
+         |    CAST(list_reduce(list_reverse(arr_f), (acc, x) -> acc * 2 + x)
+         |        AS DOUBLE)
+         |      / ((CAST(1 AS BIGINT) << len(arr_f)) - 1) / 1e8
+         |    - CAST(list_reduce(list_reverse(arr_s), (acc, x) -> acc * 2 + x)
+         |        AS DOUBLE)
+         |      / ((CAST(1 AS BIGINT) << len(arr_s)) - 1) / 1e8 AS macd
+         |  FROM wins),
+         |q AS (
+         |  SELECT symbol, "Date", macd,
+         |    CAST(floor(macd * 1e8 + 0.5) AS BIGINT) AS macd_q
+         |  FROM m),
+         |sig AS (
+         |  SELECT symbol, "Date", macd, macd_q,
+         |    CAST(sum(macd_q) OVER w AS BIGINT) AS sig_num,
+         |    count(*) OVER w AS sig_cnt
+         |  FROM q
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY "Date"
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, "Date",
+         |  printf('%.4e', macd) AS macd_sig,
+         |  macd_q, sig_num, sig_cnt,
+         |  CAST(macd_q * sig_cnt - sig_num AS BIGINT) AS hist_q
+         |FROM sig ORDER BY symbol, "Date"""".stripMargin,
     "tpch_q22" ->
       s"""WITH eligible AS (
          |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer

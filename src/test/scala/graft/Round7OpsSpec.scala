@@ -382,4 +382,39 @@ class Round7OpsSpec extends SparkSpec {
     assert(plan.contains("EqualTo(user_id,7)"),
       s"expected the user_id predicate in the ORC scan's PushedFilters:\n$plan")
   }
+
+  test("events_gap_fill: per-user span is dense and counts are conserved") {
+    val rows = q("events_gap_fill").collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    for ((_, rs) <- byUser) {
+      val days = rs.map(_.getAs[Long]("day")).sorted
+      // Dense coverage: exactly one row per day in [min, max].
+      assert(days.length == (days.last - days.head + 1).toInt)
+      assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 })
+      // Synthesized rows carry zero events and only they carry `filled`.
+      for (r <- rs)
+        assert((r.getAs[Int]("filled") == 1) == (r.getAs[Long]("n_events") == 0L))
+    }
+    // Conservation: filled rows add nothing; totals equal the corpus count.
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Sources.events(spark, sfDir).count())
+  }
+
+  test("yf_macd: first bar per symbol is zero and hist identity holds") {
+    val rows = q("yf_macd").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("hist_q") ==
+        r.getAs[Long]("macd_q") * r.getAs[Long]("sig_cnt") -
+          r.getAs[Long]("sig_num"))
+    // A symbol's first bar has equal fast/slow windows (both see one
+    // element) → macd exactly 0, and the 1-element SMA equals macd_q.
+    val firsts = rows.groupBy(_.getAs[Long]("symbol"))
+      .map { case (_, rs) => rs.minBy(_.getAs[AnyRef]("Date").toString) }
+    for (r <- firsts) {
+      assert(r.getAs[Long]("macd_q") == 0L)
+      assert(r.getAs[Long]("sig_cnt") == 1L)
+      assert(r.getAs[Long]("sig_num") == r.getAs[Long]("macd_q"))
+    }
+  }
 }

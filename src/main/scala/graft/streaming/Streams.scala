@@ -359,6 +359,31 @@ object Streams {
         col("c.user_id").as("user_id"),
         col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
 
+  /** LEFT-OUTER stream-stream join — the attribution report that also
+    * shows the clicks that DIDN'T convert. The subtlety outer adds over
+    * [[attributedPurchases]] is WHEN the null row can emit: a matching
+    * purchase may still arrive any time inside the click's 10-minute
+    * window, so Spark must hold the unmatched click in state until the
+    * PURCHASE-SIDE WATERMARK passes the window's far edge (click.ts +
+    * 10 min); only then is "no match" final and the null-extended row
+    * emitted. Outer results are therefore inherently watermark-delayed —
+    * a downstream consumer sees conversions promptly but abandonment
+    * only one watermark later. State eviction follows the same horizon,
+    * so this stays bounded on an unbounded stream exactly like the
+    * inner form. Watermark kept short here (10 min) because it is ALSO
+    * the null-emission latency, not just a lateness tolerance. */
+  def attributedPurchasesOuter(clicks: DataFrame, purchases: DataFrame,
+                               watermark: String = "10 minutes"): DataFrame =
+    clicks.withWatermark("ts", watermark).alias("c")
+      .join(purchases.withWatermark("ts", watermark).alias("p"),
+        expr("c.user_id = p.user_id AND " +
+          "p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
+
   /** Stream-static ENRICHMENT join: each micro-batch joins the static
     * dimension snapshot — completely STATELESS on the streaming side
     * (Spark re-plans the static scan per batch; no watermark, no state

@@ -305,6 +305,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("left-outer stream-stream join: unmatched clicks emit with nulls only after the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamEvent]
+    val df = stream.toDF()
+    val q = Streams.attributedPurchasesOuter(
+      df.filter(col("event_type") === "click"),
+      df.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("attributed_outer")
+      .outputMode("append").start()
+    def rows() = spark.table("attributed_outer")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    try {
+      // c1 converts within its window; c2 never does.
+      stream.addData(ev(1, 10, 1, "click", 1.0), ev(2, 15, 1, "purchase", 5.0),
+        ev(3, 20, 2, "click", 1.0))
+      q.processAllAvailable()
+      // The match emits eagerly; the unmatched click must NOT — a
+      // purchase could still arrive inside its window.
+      assert(rows() === Set((1L, Some(2L))))
+      // Advance BOTH sides' event time far past c2's window horizon
+      // (watermark = min over sources; both must move). The watermark
+      // updates at the END of this batch…
+      stream.addData(ev(90, 120, 90, "click", 1.0),
+        ev(91, 120, 91, "purchase", 1.0))
+      q.processAllAvailable()
+      // …so the null-extended row lands in the NEXT batch.
+      stream.addData(ev(92, 121, 92, "click", 1.0))
+      q.processAllAvailable()
+      assert(rows().contains((3L, None)),
+        s"unmatched click should have emitted with nulls: ${rows()}")
+      // The fresh clicks' windows are still open — no premature nulls.
+      assert(!rows().exists(r => r._1 >= 90 && r._2.isEmpty))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment equals the batch join and keys missing from the catalog survive") {
     implicit val sqlCtx = spark.sqlContext
     val catalog = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")

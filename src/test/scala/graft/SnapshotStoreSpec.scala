@@ -96,4 +96,64 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("(v"),
       s"expected a v-partition filter at the scan:\n$plan")
   }
+
+  private def partFiles(dir: String): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (!root.exists()) Map.empty
+    else root.listFiles().filter(_.isDirectory)
+      .filterNot(_.getName.startsWith("."))
+      .flatMap(d => d.listFiles().filter(f => f.getName.endsWith(".parquet")))
+      .map(f => f.getPath -> f.length()).toMap
+  }
+
+  test("purgeIds erases an id from ALL history but rewrites only affected versions") {
+    val dir = freshDir()
+    SnapshotStore.commit(df(1L -> "a1", 2L -> "b1"), None, dir, "id")
+    SnapshotStore.commit(df(3L -> "c2"), None, dir, "id")        // no id 2
+    SnapshotStore.commit(df(2L -> "b3"), Some(ids(1L)), dir, "id")
+    SnapshotStore.compact(spark, dir, "id", 2)
+    val before = partFiles(s"$dir/upserts")
+    val rewritten = SnapshotStore.purgeIds(spark, dir, "id", ids(2L))
+    // v=2 contains no id-2 rows: its files must be untouched, byte for byte.
+    val after = partFiles(s"$dir/upserts")
+    val v2Before = before.filter(_._1.contains("v=2"))
+    assert(v2Before.nonEmpty && v2Before.forall { case (p, len) =>
+      after.get(p).contains(len) }, "untouched version was rewritten")
+    assert(rewritten.exists(_.contains("v=1")) &&
+      rewritten.exists(_.contains("v=3")) &&
+      !rewritten.exists(_.contains("v=2")))
+    // Erased from every historical read, not just the head.
+    for (v <- 1 to 3)
+      assert(!state(dir, v).contains(2L), s"id 2 visible at v=$v after purge")
+    // Other ids' history is intact (1 visible at v1/v2, tombstoned at v3).
+    assert(state(dir, 1).get(1L).contains("a1"))
+    assert(state(dir, 3) == Map(3L -> "c2"))
+  }
+
+  test("purgeIds erases the id from tombstone files too") {
+    val dir = freshDir()
+    SnapshotStore.commit(df(1L -> "a1", 2L -> "b1"), None, dir, "id")
+    SnapshotStore.commit(df(), Some(ids(1L)), dir, "id")
+    SnapshotStore.purgeIds(spark, dir, "id", ids(1L))
+    val tombs = spark.read.parquet(s"$dir/tombstones")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!tombs.contains(1L), "purged id still present in a tombstone file")
+    assert(state(dir, 2) == Map(2L -> "b1"))
+  }
+
+  test("recoverInterruptedPurge restores a crash between the two renames") {
+    val dir = freshDir()
+    SnapshotStore.commit(df(1L -> "a1"), None, dir, "id")
+    // Simulate the worst crash point: live staged away to bak, publish
+    // never happened.
+    val live = new java.io.File(s"$dir/upserts/v=1")
+    val bak = new java.io.File(s"$dir/upserts/.v=1.purge_bak")
+    assert(live.renameTo(bak))
+    SnapshotStore.recoverInterruptedPurge(spark, dir)
+    assert(state(dir, 1) == Map(1L -> "a1"))
+    assert(!bak.exists())
+    // Idempotent on a healthy store.
+    SnapshotStore.recoverInterruptedPurge(spark, dir)
+    assert(state(dir, 1) == Map(1L -> "a1"))
+  }
 }

@@ -99,4 +99,23 @@ class CsvCatalogSpec extends SparkSpec {
     val m = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(m == Map(0 -> 10L, 1 -> 10L))
   }
+
+  test("reported statistics reach plan stats and enable UNHINTED auto-broadcast") {
+    // The scan reports its true ~30 KB size (SupportsReportStatistics);
+    // without it a DSv2 relation defaults to "huge" and can never
+    // auto-broadcast. Stats must flow into the optimized plan…
+    val stats = v2.queryExecution.optimizedPlan.stats
+    val fileLen = new java.io.File(Sources.CatalogCsvPath).length()
+    assert(stats.sizeInBytes.toLong == fileLen,
+      s"expected the reported file length $fileLen, got ${stats.sizeInBytes}")
+    assert(stats.rowCount.forall(_.toLong > 0))
+    // …and the join side must broadcast with NO broadcast() hint.
+    val fact = Sources.ohlcv(spark, sfDir).select(col("symbol"))
+    val dim = Sources.stockCatalogV2(spark)
+    val joined = fact.join(dim, col("symbol") === col("Kode"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected stats-driven auto-broadcast of the catalog side:\n$plan")
+  }
 }

@@ -127,23 +127,35 @@ private[sources] class CsvCatalogScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private var groupBy: Seq[String] = Nil
+
   /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays false —
     * the scale-correct contract): each input partition emits its local
-    * (count / min / max) row and Spark's final aggregate merges them, so
-    * the exchange carries one row per partition instead of the table.
-    * Against a real store this is "server-side aggregation per shard".
-    * Grouped or unsupported aggregations are REFUSED and Spark keeps its
-    * own plan — like filter pushdown, connector coverage is a
-    * performance property, never a correctness dependency. */
+    * (count / min / max) rows and Spark's final aggregate merges them,
+    * so the exchange carries one row per (group ×) partition instead of
+    * the table. Against a real store this is "server-side aggregation
+    * per shard". GROUP BY plain catalog COLUMNS is pushed too (round 7):
+    * the scan then emits group-key columns FIRST, one partial row per
+    * group per partition — Spark's merge aggregate re-groups on those
+    * keys, which is exactly the map-side-combine contract. Grouping by
+    * an EXPRESSION (or any unsupported aggregate) is still REFUSED and
+    * Spark keeps its own plan — like filter pushdown, connector
+    * coverage is a performance property, never a correctness
+    * dependency. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    def kodeRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    def colRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
-        case r: NamedReference => r.fieldNames().sameElements(Array("Kode"))
-        case _ => false
+        case r: NamedReference if r.fieldNames().length == 1 &&
+          CsvCatalog.Schema.fieldNames.contains(r.fieldNames()(0)) =>
+          Some(r.fieldNames()(0))
+        case _ => None
       }
-    if (aggregation.groupByExpressions().nonEmpty) return false
+    def kodeRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      colRef(e).contains("Kode")
+    val groups = aggregation.groupByExpressions().map(colRef)
+    if (groups.exists(_.isEmpty)) return false // expression grouping: refuse
     val specs = aggregation.aggregateExpressions().map {
       case _: CountStar => Option[PushedAgg](AggCountStar)
       case m: Min if kodeRef(m.column) => Option[PushedAgg](AggMinKode)
@@ -157,11 +169,15 @@ private[sources] class CsvCatalogScanBuilder(path: String)
     // "unexpected number of columns" assertion in
     // V2ScanRelationPushDown (found by the bench's count() protocol).
     if (specs.isEmpty || specs.exists(_.isEmpty)) false
-    else { aggs = specs.flatten.toSeq; true }
+    else {
+      aggs = specs.flatten.toSeq
+      groupBy = groups.flatten.toSeq
+      true
+    }
   }
 
   override def build(): Scan =
-    if (aggs.nonEmpty) new CsvCatalogAggScan(path, pushed, aggs)
+    if (aggs.nonEmpty) new CsvCatalogAggScan(path, pushed, aggs, groupBy)
     else new CsvCatalogScan(path, pushed, required)
 }
 
@@ -231,68 +247,93 @@ private[sources] class CsvCatalogScan(path: String, pushed: Array[Filter],
 private[sources] case class CsvCatalogPartition(path: String, idx: Int,
     numParts: Int, filters: Array[Filter] = Array.empty) extends InputPartition
 
-/** Scan for a pushed (ungrouped) aggregation: each partition reads its
-  * stride, applies the pushed filters, and emits ONE partial row —
-  * (count / min / max) in the pushed order — that Spark's final
-  * aggregate merges. Output schema follows the aggregation positionally:
+/** Scan for a pushed aggregation: each partition reads its stride,
+  * applies the pushed filters, and emits its partial rows — the group-
+  * key columns FIRST (when grouped), then (count / min / max) in the
+  * pushed order — that Spark's final aggregate merges. Ungrouped: ONE
+  * row per partition; grouped: one row per group per partition (the
+  * map-side-combine contract — the exchange carries partials, never
+  * table rows). Output schema follows the aggregation positionally:
   * LongType for COUNT(*), the column type (nullable — an empty stride
   * has no min/max) for MIN/MAX. */
 private[sources] class CsvCatalogAggScan(path: String, pushed: Array[Filter],
-    aggs: Seq[PushedAgg]) extends Scan with Batch {
-  override def readSchema(): StructType =
-    aggs.zipWithIndex.foldLeft(new StructType()) {
+    aggs: Seq[PushedAgg], groupBy: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = {
+    val withGroups = groupBy.foldLeft(new StructType()) { (st, g) =>
+      st.add(CsvCatalog.Schema(g))
+    }
+    aggs.zipWithIndex.foldLeft(withGroups) {
       case (st, (AggCountStar, i)) => st.add(s"count_$i", LongType, nullable = false)
       case (st, (AggMinKode, i)) => st.add(s"min_$i", IntegerType, nullable = true)
       case (st, (AggMaxKode, i)) => st.add(s"max_$i", IntegerType, nullable = true)
     }
+  }
   override def description(): String =
     s"CsvCatalogAggScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
-      s"PushedAggregates: [${aggs.mkString(", ")}]"
+      s"PushedAggregates: [${aggs.mkString(", ")}], " +
+      s"PushedGroupBy: [${groupBy.mkString(", ")}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array.tabulate(CsvCatalog.NumPartitions)(i =>
       CsvCatalogPartition(path, i, CsvCatalog.NumPartitions))
   override def createReaderFactory(): PartitionReaderFactory =
-    new CsvCatalogAggReaderFactory(pushed, aggs)
+    new CsvCatalogAggReaderFactory(pushed, aggs, groupBy)
 }
 
 private[sources] class CsvCatalogAggReaderFactory(pushed: Array[Filter],
-    aggs: Seq[PushedAgg]) extends PartitionReaderFactory {
+    aggs: Seq[PushedAgg], groupBy: Seq[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CsvCatalogAggReader(
-      partition.asInstanceOf[CsvCatalogPartition], pushed, aggs)
+      partition.asInstanceOf[CsvCatalogPartition], pushed, aggs, groupBy)
 }
 
-/** Computes the partition-local partials in one stride pass. */
+/** Computes the partition-local partials in one stride pass. Grouped:
+  * an insertion-ordered map keyed by the group values accumulates
+  * (count, min, max) per group — bounded by the stride's distinct group
+  * count, the same bound a hash-aggregate's map has. */
 private[sources] class CsvCatalogAggReader(p: CsvCatalogPartition,
-    pushed: Array[Filter], aggs: Seq[PushedAgg])
+    pushed: Array[Filter], aggs: Seq[PushedAgg], groupBy: Seq[String])
     extends PartitionReader[InternalRow] {
-  private var emitted = false
+  private final class Acc { var n = 0L; var mn = Int.MaxValue; var mx = Int.MinValue }
+  private var rows: Iterator[InternalRow] = _
   private var row: InternalRow = _
 
-  override def next(): Boolean = {
-    if (emitted) return false
-    var n = 0L
-    var mn = Int.MaxValue
-    var mx = Int.MinValue
+  private def computed(): Iterator[InternalRow] = {
+    val accs = new scala.collection.mutable.LinkedHashMap[Seq[Any], Acc]()
     val src = scala.io.Source.fromFile(p.path)
     try src.getLines().drop(1).zipWithIndex.foreach { case (line, i) =>
       if (i % p.numParts == p.idx) {
-        val kode = line.substring(0, line.indexOf(',')).trim.toInt
+        val cut = line.indexOf(',')
+        val kode = line.substring(0, cut).trim.toInt
         if (pushed.forall(CsvCatalog.eval(_, kode))) {
-          n += 1
-          if (kode < mn) mn = kode
-          if (kode > mx) mx = kode
+          val key: Seq[Any] = groupBy.map {
+            case "Kode" => kode.asInstanceOf[Any]
+            case _ => UTF8String.fromString(line.substring(cut + 1))
+          }
+          val a = accs.getOrElseUpdate(key, new Acc)
+          a.n += 1
+          if (kode < a.mn) a.mn = kode
+          if (kode > a.mx) a.mx = kode
         }
       }
     } finally src.close()
-    row = InternalRow.fromSeq(aggs.map {
-      case AggCountStar => n.asInstanceOf[Any]
-      case AggMinKode => if (n == 0) null else mn.asInstanceOf[Any]
-      case AggMaxKode => if (n == 0) null else mx.asInstanceOf[Any]
-    }.toIndexedSeq)
-    emitted = true
-    true
+    // Ungrouped contract: exactly one partial row even for an empty
+    // stride (count 0, null min/max); grouped: empty stride → no rows.
+    val groups: Iterator[(Seq[Any], Acc)] =
+      if (groupBy.isEmpty && accs.isEmpty) Iterator((Nil, new Acc))
+      else accs.iterator
+    groups.map { case (key, a) =>
+      InternalRow.fromSeq(key.toIndexedSeq ++ aggs.map {
+        case AggCountStar => a.n.asInstanceOf[Any]
+        case AggMinKode => if (a.n == 0) null else a.mn.asInstanceOf[Any]
+        case AggMaxKode => if (a.n == 0) null else a.mx.asInstanceOf[Any]
+      })
+    }
+  }
+
+  override def next(): Boolean = {
+    if (rows == null) rows = computed()
+    if (rows.hasNext) { row = rows.next(); true } else false
   }
   override def get(): InternalRow = row
   override def close(): Unit = ()

@@ -100,6 +100,33 @@ class CsvCatalogSpec extends SparkSpec {
     assert(m == Map(0 -> 10L, 1 -> 10L))
   }
 
+  test("GROUP BY a plain column pushes as a grouped partial aggregate") {
+    val df = v2.filter(col("Kode") < 40)
+      .groupBy(col("Kode")).agg(count(lit(1)).as("n"), max(col("Kode")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") && plan.contains("PushedGroupBy: [Kode]"),
+      s"expected a grouped pushed aggregate:\n$plan")
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    // The catalog's keys are unique → every group counts exactly 1 and
+    // max(Kode) echoes the key; the merge aggregate summed the per-
+    // partition partials correctly.
+    assert(rows.length == 40)
+    assert(rows.forall { case (k, n, mx) => n == 1L && mx == k && k < 40 })
+  }
+
+  test("grouped pushdown by a string column carries UTF8 keys intact") {
+    val df = v2.filter(col("Kode") < 10)
+      .groupBy(col("Nama Perusahaan")).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupBy: [Nama Perusahaan]"),
+      s"expected the string group key pushed:\n$plan")
+    val direct = Sources.stockCatalog(spark).filter(col("Kode") < 10)
+      .groupBy(col("Nama Perusahaan")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == direct && got.nonEmpty)
+  }
+
   test("reported statistics reach plan stats and enable UNHINTED auto-broadcast") {
     // The scan reports its true ~30 KB size (SupportsReportStatistics);
     // without it a DSv2 relation defaults to "huge" and can never

@@ -484,6 +484,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), min(col("Kode")).as("min_kode"),
           max(col("Kode")).as("max_kode"))),
 
+    // GROUPED partial-aggregate pushdown through the engine's own DSv2
+    // connector (round 7): the per-group (count, max) partials compute
+    // INSIDE the stride readers — group keys lead the scan output, one
+    // partial row per group per partition crosses the exchange, Spark's
+    // merge aggregate re-groups (CsvCatalogSpec pins PushedGroupBy and
+    // the UTF8-string-key variant). The mod-100 bucket rollup keeps the
+    // verified payload small while exercising real multi-row groups.
+    "yf_dsv2_grouped_agg" -> ((s, dir) =>
+      Sources.stockCatalogV2(s).filter(col("Kode") < 400)
+        .groupBy(col("Kode")).agg(count(lit(1)).as("n"),
+          max(col("Kode")).as("mx"))
+        // A second, ENGINE-side rollup over the pushed partials: buckets
+        // of 100 codes — proves the pushed grouped scan composes with
+        // ordinary downstream aggregation.
+        .groupBy((col("Kode") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n_codes"), sum(col("n")).as("n_rows"),
+          max(col("mx")).as("max_kode"))
+        .orderBy("bucket")),
+
     // DSv2 SINK round-trip (round 6): the V2 two-phase write commit —
     // task-private temp files, driver-side rename of the winning
     // attempts, marker-last visibility (sources/CsvSink.scala; CsvSinkSpec
@@ -5148,6 +5167,15 @@ object SparkEntry {
          |  max(CAST(Kode AS INTEGER)) AS max_kode
          |FROM read_csv('${Sources.CatalogCsvPath}', header=true)
          |WHERE CAST(Kode AS INTEGER) < 500""".stripMargin,
+    "yf_dsv2_grouped_agg" ->
+      s"""WITH per_code AS (
+         |  SELECT CAST(Kode AS INTEGER) AS Kode, count(*) AS n,
+         |    max(CAST(Kode AS INTEGER)) AS mx
+         |  FROM read_csv('${Sources.CatalogCsvPath}', header=true)
+         |  WHERE CAST(Kode AS INTEGER) < 400 GROUP BY 1)
+         |SELECT Kode % 100 AS bucket, count(*) AS n_codes,
+         |  CAST(sum(n) AS BIGINT) AS n_rows, max(mx) AS max_kode
+         |FROM per_code GROUP BY 1 ORDER BY 1""".stripMargin,
     "yf_dsv2_sink_roundtrip" ->
       s"""SELECT count(*) AS n_rows,
          |  min(CAST(Kode AS INTEGER)) AS min_kode,

@@ -4849,6 +4849,37 @@ object SparkEntry {
         .orderBy("symbol", "Date")
     }),
 
+    // ON-BALANCE VOLUME (OBV) — the cumulative member of the indicator
+    // family (MACD/RSI/Bollinger are windowed; OBV is an unbounded
+    // running sum): volume flows with the close's direction — added on
+    // up-days, subtracted on down-days, flat otherwise. INTEGER-exact
+    // end to end: daily close consolidates to the same 1e-8-quantized
+    // mean as yf_ewma, volume is integral by construction, and the
+    // signed cumulative sum is pure BIGINT — no FP anywhere, so the
+    // hash match is trivial. Per-symbol lag + running-sum windows (the
+    // events_sessionize shape) — no global ordering at any scale.
+    "yf_obv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"),
+          sum(col("Volume").cast("long")).as("vol"))
+        .withColumn("xq", expr("close_sum div n_bars"))
+      val wo = Window.partitionBy("symbol").orderBy("Date")
+      daily
+        .withColumn("prev", lag(col("xq"), 1).over(wo))
+        .withColumn("signed", when(col("prev").isNull, lit(0L))
+          .when(col("xq") > col("prev"), col("vol"))
+          .when(col("xq") < col("prev"), -col("vol"))
+          .otherwise(lit(0L)))
+        .withColumn("obv",
+          sum(col("signed")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("symbol"), col("Date"), col("obv"))
+        .orderBy("symbol", "Date")
+    }),
+
     // TPC-H Q22 — global sales opportunity. ADAPTED: no c_phone, so a
     // nationkey set stands in for the phone-prefix country codes, and
     // "never ordered" is relaxed to "no orders since 1999-01-01" (every
@@ -7622,6 +7653,27 @@ object SparkEntry {
          |  macd_q, sig_num, sig_cnt,
          |  CAST(macd_q * sig_cnt - sig_num AS BIGINT) AS hist_q
          |FROM sig ORDER BY symbol, "Date"""".stripMargin,
+    "yf_obv" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq,
+         |    CAST(sum(CAST("Volume" AS BIGINT)) AS BIGINT) AS vol
+         |  FROM bars
+         |  WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |d2 AS (
+         |  SELECT symbol, "Date", vol, xq,
+         |    lag(xq) OVER (PARTITION BY symbol ORDER BY "Date") AS prev
+         |  FROM daily)
+         |SELECT symbol, "Date",
+         |  CAST(sum(CASE WHEN prev IS NULL THEN 0
+         |                WHEN xq > prev THEN vol
+         |                WHEN xq < prev THEN -vol ELSE 0 END)
+         |    OVER (PARTITION BY symbol ORDER BY "Date"
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+         |FROM d2 ORDER BY symbol, "Date"""".stripMargin,
     "tpch_q22" ->
       s"""WITH eligible AS (
          |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer

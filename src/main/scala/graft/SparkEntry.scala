@@ -4849,6 +4849,36 @@ object SparkEntry {
         .orderBy("symbol", "Date")
     }),
 
+    // IN-FLIGHT INTERVAL COUNTING (sweep line): how many orders were
+    // OPEN on each day — open from o_orderdate until the order's last
+    // line ships. The naive form joins every day against every interval
+    // (days × orders); the sweep-line rewrite converts each interval to
+    // a +1 open / −1 close delta, aggregates deltas to DAY grain (one
+    // keyed agg — the shuffle carries ≤ 2 rows per order), and runs one
+    // cumulative sum over the day spine. The only ordered window is over
+    // the POST-AGGREGATE day grain, whose cardinality is the calendar
+    // (~2.5k rows here, bounded at any corpus size) — never the fact.
+    // Orders with no lineitems never close; the fixture has none, and
+    // the inner max-ship join makes the choice explicit.
+    "orders_backlog" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val openEv = Sources.orders(s, dir)
+        .select(to_date(col("o_orderdate")).as("day"), lit(1L).as("delta"))
+      val closeEv = Sources.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("last_ship"))
+        // Still open ON the ship day: the −1 lands the day after.
+        .select(date_add(to_date(col("last_ship")), 1).as("day"),
+          lit(-1L).as("delta"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      openEv.unionByName(closeEv)
+        .groupBy("day").agg(sum(col("delta")).as("day_delta"))
+        .withColumn("backlog", sum(col("day_delta")).over(w))
+        .select(col("day").cast("string").as("day"), col("day_delta"),
+          col("backlog"))
+        .orderBy("day")
+    }),
+
     // ON-BALANCE VOLUME (OBV) — the cumulative member of the indicator
     // family (MACD/RSI/Bollinger are windowed; OBV is an unbounded
     // running sum): volume flows with the close's direction — added on
@@ -7653,6 +7683,19 @@ object SparkEntry {
          |  macd_q, sig_num, sig_cnt,
          |  CAST(macd_q * sig_cnt - sig_num AS BIGINT) AS hist_q
          |FROM sig ORDER BY symbol, "Date"""".stripMargin,
+    "orders_backlog" ->
+      """WITH ev AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+        |  UNION ALL
+        |  SELECT CAST(max(l_shipdate) AS DATE) + 1 AS day, -1 AS delta
+        |  FROM lineitem GROUP BY l_orderkey),
+        |daily AS (
+        |  SELECT day, CAST(sum(delta) AS BIGINT) AS day_delta
+        |  FROM ev GROUP BY 1)
+        |SELECT CAST(day AS VARCHAR) AS day, day_delta,
+        |  CAST(sum(day_delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS backlog
+        |FROM daily ORDER BY day""".stripMargin,
     "yf_obv" ->
       s"""WITH $barsCte,
          |daily AS (

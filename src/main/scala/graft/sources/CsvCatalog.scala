@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
@@ -88,6 +88,8 @@ object CsvCatalog {
     * per path — planning may ask repeatedly and the answer is stable for
     * the session (a real connector would read this from its catalog). */
   private val lineCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  /** Drop cached statistics after a mutation (row-level DELETE). */
+  def invalidateStats(path: String): Unit = lineCounts.remove(path)
   def dataLineCount(path: String): Long =
     lineCounts.computeIfAbsent(path, p => {
       val src = scala.io.Source.fromFile(p)
@@ -96,12 +98,19 @@ object CsvCatalog {
 }
 
 private[sources] class CsvCatalogTable(path: String,
-    bucketedByDefault: Boolean = false) extends Table with SupportsRead {
+    bucketedByDefault: Boolean = false) extends Table with SupportsRead
+    with SupportsRowLevelOperations {
   require(path != null, "CsvCatalog requires option(\"path\", ...)")
   override def name(): String = s"csv_catalog($path)"
   override def schema(): StructType = CsvCatalog.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+  /** Row-level DELETE via the group-based copy-on-write rewrite —
+    * see [[CsvDeleteOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new CsvDeleteOperation(path, info)
   /** The bucketed table advertises its layout at the TABLE level too —
     * what `DESCRIBE` and catalog tooling read. */
   override def partitioning(): Array[Transform] =
@@ -121,7 +130,8 @@ private[sources] case object AggCountStar extends PushedAgg
 private[sources] case object AggMinKode extends PushedAgg
 private[sources] case object AggMaxKode extends PushedAgg
 
-private[sources] class CsvCatalogScanBuilder(path: String, bucketed: Boolean)
+private[sources] class CsvCatalogScanBuilder(path: String, bucketed: Boolean,
+    runtimeFilterable: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
@@ -188,7 +198,7 @@ private[sources] class CsvCatalogScanBuilder(path: String, bucketed: Boolean)
 
   override def build(): Scan =
     if (aggs.nonEmpty) new CsvCatalogAggScan(path, pushed, aggs, groupBy)
-    else new CsvCatalogScan(path, pushed, required, bucketed)
+    else new CsvCatalogScan(path, pushed, required, bucketed, runtimeFilterable)
 }
 
 /** RUNTIME filtering ([[SupportsRuntimeFiltering]]): when this scan's
@@ -204,7 +214,8 @@ private[sources] class CsvCatalogScanBuilder(path: String, bucketed: Boolean)
   * Spark re-applies the join predicate anyway, so (like static pushdown)
   * connector coverage is a performance property, never correctness. */
 private[sources] class CsvCatalogScan(path: String, pushed: Array[Filter],
-    required: StructType, bucketed: Boolean = false)
+    required: StructType, bucketed: Boolean = false,
+    runtimeFilterable: Boolean = true)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -250,8 +261,15 @@ private[sources] class CsvCatalogScan(path: String, pushed: Array[Filter],
       java.util.OptionalLong.of(rows)
   }
 
+  // A row-level operation's REPLACEMENT scan must refuse runtime
+  // filtering on the data column: Spark's group-filtering rule would
+  // deliver the MATCHING (to-delete) keys as the dynamic filter, and a
+  // scan honoring it would read exactly the rows being deleted — the
+  // survivors the write needs would never be scanned. (Real file-group
+  // stores runtime-filter on FILE identity metadata instead.)
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("Kode"))
+    if (runtimeFilterable) Array(Expressions.column("Kode"))
+    else Array.empty
   override def filter(filters: Array[Filter]): Unit = {
     CsvCatalog.runtimeFilterCalls.incrementAndGet()
     CsvCatalog.lastRuntimeFilters = filters

@@ -8,10 +8,10 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** GROUP-BASED row-level DELETE for the catalog table — `DELETE FROM
-  * graft_cat.stock_catalog WHERE ...` end-to-end through Spark's
-  * row-level-operation framework (the copy-on-write architecture
-  * Iceberg/Delta use):
+/** GROUP-BASED row-level operations for the catalog table — `DELETE
+  * FROM` / `UPDATE` / `MERGE INTO graft_cat.stock_catalog ...`
+  * end-to-end through Spark's row-level-operation framework (the
+  * copy-on-write architecture Iceberg/Delta use):
   *
   *  1. Spark rewrites the DELETE into a ReplaceData plan: it SCANS the
   *     table through the operation's own scan builder, keeps the rows
@@ -29,8 +29,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * file is a catalog, and catalog files diff cleanly when sorted. */
 private[sources] class CsvDeleteOperation(path: String,
     info: RowLevelOperationInfo) extends RowLevelOperation {
-  require(info.command == RowLevelOperation.Command.DELETE,
-    s"CsvCatalog supports row-level DELETE only, got ${info.command}")
+  // DELETE, UPDATE, and MERGE all ride the SAME group-based rewrite: the
+  // connector only ever sees "scan the affected groups, write back the
+  // replacement rows" — Spark computes what those rows ARE (survivors,
+  // updated images, merge results). That one connector surface covering
+  // all three commands is the point of the group-based architecture.
 
   override def command(): RowLevelOperation.Command = info.command
   override def description(): String = s"CsvDeleteOperation($path)"

@@ -43,6 +43,47 @@ class RowLevelDeleteSpec extends SparkSpec {
     assert(stats.rowCount.forall(_.toLong == expected.size))
   }
 
+  test("UPDATE rewrites matching rows in place through the same machinery") {
+    val path = freshTable()
+    spark.conf.set("spark.sql.catalog.graft_upd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_upd.path", path)
+    val before = spark.sql("SELECT * FROM graft_upd.stock_catalog")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    spark.sql("UPDATE graft_upd.stock_catalog " +
+      "SET `Nama Perusahaan` = concat(`Nama Perusahaan`, ' (d)') " +
+      "WHERE Kode % 5 = 0")
+    val after = spark.sql("SELECT * FROM graft_upd.stock_catalog")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val expected = before.map { case (k, n) =>
+      (k, if (k % 5 == 0) n + " (d)" else n)
+    }.toSet
+    assert(after == expected)
+  }
+
+  test("MERGE INTO applies update+insert against a source frame") {
+    import spark.implicits._
+    val path = freshTable()
+    spark.conf.set("spark.sql.catalog.graft_mrg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mrg.path", path)
+    val before = spark.sql("SELECT * FROM graft_mrg.stock_catalog")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val maxK = before.map(_._1).max
+    Seq((before.head._1, "Renamed Co"), (maxK + 1, "Fresh Co"))
+      .toDF("k", "n").createOrReplaceTempView("merge_src")
+    spark.sql(
+      """MERGE INTO graft_mrg.stock_catalog t USING merge_src s
+        |ON t.Kode = s.k
+        |WHEN MATCHED THEN UPDATE SET `Nama Perusahaan` = s.n
+        |WHEN NOT MATCHED THEN INSERT (Kode, `Nama Perusahaan`) VALUES (s.k, s.n)
+        |""".stripMargin)
+    val after = spark.sql("SELECT * FROM graft_mrg.stock_catalog")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val expected = before.map { case (k, n) =>
+      (k, if (k == before.head._1) "Renamed Co" else n)
+    }.toSet + ((maxK + 1, "Fresh Co"))
+    assert(after == expected)
+  }
+
   test("a second DELETE composes and an all-matching DELETE empties the table") {
     val path = freshTable()
     spark.conf.set("spark.sql.catalog.graft_del2", "graft.sources.GraftCatalog")

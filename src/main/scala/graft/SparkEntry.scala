@@ -484,6 +484,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), min(col("Kode")).as("min_kode"),
           max(col("Kode")).as("max_kode"))),
 
+    // STORAGE-PARTITIONED JOIN through the V2 catalog plugin (round 7):
+    // both sides are the connector's BUCKETED layout — each scan
+    // partition holds one Kode-hash bucket and reports
+    // KeyGroupedPartitioning, the catalog's function catalog resolves
+    // the bucket transform, and the self-join plans with ZERO exchanges
+    // (SpjSpec pins the plan; this query makes the result part of the
+    // driver's DuckDB gate). The aggregate keeps the verified payload
+    // at one row while still consuming every joined pair.
+    "yf_spj_catalog_join" -> ((s, dir) => {
+      val a = s.table("graft_cat.stock_catalog_bucketed")
+        .select(col("Kode").as("k1"), col("Nama Perusahaan").as("name1"))
+      val b = s.table("graft_cat.stock_catalog_bucketed")
+        .select(col("Kode").as("k2"))
+      a.join(b, col("k1") === col("k2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("k1").cast("long")).as("kode_sum"),
+          min(length(col("name1"))).as("min_name_len"),
+          max(length(col("name1"))).as("max_name_len"))
+    }),
+
     // GROUPED partial-aggregate pushdown through the engine's own DSv2
     // connector (round 7): the per-group (count, max) partials compute
     // INSIDE the stride readers — group keys lead the scan output, one
@@ -3447,6 +3467,59 @@ object SparkEntry {
       summary.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     }),
 
+    // K-CORE DECOMPOSITION (round 7): the iterative PEELING member of
+    // the graph family — repeatedly drop nodes whose degree in the
+    // SURVIVING subgraph is < k until stable; what remains is the
+    // maximal subgraph of minimum degree k (the standard "dense nucleus"
+    // cut before community detection). Runs a FIXED 6 peel rounds on
+    // both engines (the fixed-unroll pagerank discipline — identical
+    // recurrence ⇒ identical state, converged or not; the fixture
+    // converges in 3), each round one semi-join restriction + one keyed
+    // degree aggregate — co-keyed shuffles only, lineage truncated per
+    // round via materialized views exactly like the cluster propagation
+    // loop. Output: the k-core's nodes with their in-core degrees.
+    "graph_kcore" -> ((s, dir) => {
+      val k = 3
+      val op = Sources.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = util.Views.materialize(
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("u", "v"))
+      def degreesIn(nodes: DataFrame): DataFrame = {
+        val live = edges
+          .join(nodes.select(col("node").as("u")), "u", "left_semi")
+          .join(nodes.select(col("node").as("v")), "v", "left_semi")
+        live.select(col("u").as("node"))
+          .unionAll(live.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+      }
+      // Lineage-truncate each round (the cluster-propagation loop's
+      // discipline): persist caches the DATA, but the logical plan still
+      // nests round over round and Catalyst re-optimization grows
+      // EXPONENTIALLY (measured here: 0.9 → 3.2 → 18.6 → 217 s by round
+      // 5 without truncation).
+      def round(df: DataFrame): DataFrame =
+        org.apache.spark.sql.GraftColumnBridge.lineageTruncated(
+          util.Views.materialize(df))
+      var nodes = round(
+        edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= k).select("node"))
+      for (_ <- 1 to 6)
+        nodes = round(degreesIn(nodes).filter(col("dg") >= k).select("node"))
+      // Degrees of the round-6 node set, no extra filter: the oracle
+      // unrolls the SAME 10 rounds, so both report identical state even
+      // in the (impossible-here) unconverged case.
+      degreesIn(nodes)
+        .select(col("node"), col("dg").as("core_degree"))
+        .orderBy("node")
+    }),
+
     // LINK PREDICTION by common neighbors — the graph-analytics read
     // side: over the same thresholded co-purchase graph as
     // graph_triangles, score NON-adjacent part pairs by how many
@@ -5257,6 +5330,15 @@ object SparkEntry {
          |  max(CAST(Kode AS INTEGER)) AS max_kode
          |FROM read_csv('${Sources.CatalogCsvPath}', header=true)
          |WHERE CAST(Kode AS INTEGER) < 500""".stripMargin,
+    "yf_spj_catalog_join" ->
+      s"""WITH cat AS (
+         |  SELECT CAST(Kode AS INTEGER) AS Kode, "Nama Perusahaan" AS name1
+         |  FROM read_csv('${Sources.CatalogCsvPath}', header=true))
+         |SELECT count(*) AS n_pairs,
+         |  CAST(sum(a.Kode) AS BIGINT) AS kode_sum,
+         |  CAST(min(length(a.name1)) AS INTEGER) AS min_name_len,
+         |  CAST(max(length(a.name1)) AS INTEGER) AS max_name_len
+         |FROM cat a JOIN cat b ON a.Kode = b.Kode""".stripMargin,
     "yf_dsv2_grouped_agg" ->
       s"""WITH per_code AS (
          |  SELECT CAST(Kode AS INTEGER) AS Kode, count(*) AS n,
@@ -6978,6 +7060,43 @@ object SparkEntry {
         |  (SELECT count(*) FROM edges) AS n_edges,
         |  (SELECT count(*) FROM w) AS n_wedges,
         |  (SELECT n_triangles FROM t) AS n_triangles""".stripMargin,
+    "graph_kcore" -> {
+      // Fixed 10-round unroll mirroring the Spark loop (the pagerank
+      // oracle discipline — iteration count generated next to the loop
+      // so they cannot drift).
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+      // reference, and each round references its predecessor four times
+      // — 10 inlined rounds would expand 4^10-fold and never finish.
+      val rounds = (1 to 6).map { i =>
+        s"""n$i AS MATERIALIZED (
+           |  SELECT node FROM (
+           |    SELECT e.u AS node FROM edges e
+           |    WHERE e.u IN (SELECT node FROM n${i - 1})
+           |      AND e.v IN (SELECT node FROM n${i - 1})
+           |    UNION ALL
+           |    SELECT e.v FROM edges e
+           |    WHERE e.u IN (SELECT node FROM n${i - 1})
+           |      AND e.v IN (SELECT node FROM n${i - 1}))
+           |  GROUP BY 1 HAVING count(*) >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |edges AS (
+         |  SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |n0 AS (
+         |  SELECT n AS node
+         |  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+         |  GROUP BY 1 HAVING count(*) >= 3),
+         |$rounds
+         |SELECT node, count(*) AS core_degree FROM (
+         |  SELECT e.u AS node FROM edges e
+         |  WHERE e.u IN (SELECT node FROM n6) AND e.v IN (SELECT node FROM n6)
+         |  UNION ALL
+         |  SELECT e.v FROM edges e
+         |  WHERE e.u IN (SELECT node FROM n6) AND e.v IN (SELECT node FROM n6))
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
     "graph_common_neighbors" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |edges AS (

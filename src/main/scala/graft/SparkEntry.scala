@@ -4931,6 +4931,38 @@ object SparkEntry {
         .orderBy("symbol", "Date")
     }),
 
+    // DIFFERENTIALLY-PRIVATE RELEASE (training-data governance): per-type
+    // event counts published with Laplace(1/ε) noise — the mechanism a
+    // pipeline applies before sharing corpus statistics externally. The
+    // engine's no-rand rule holds: the uniform draw is HASH-DERIVED
+    // (md5(type) first 48 bits / 2^48 — exact integer → IEEE division on
+    // both engines), then one inverse-CDF transform. In production the
+    // draw would be a secure RNG; the MECHANISM (sensitivity-1 count,
+    // ε-scaled noise, post-processed non-negativity) is what's under
+    // test, and determinism is what makes it testable. ln() is not
+    // correctly-rounded cross-engine, so the noised value is compared at
+    // 5 significant digits (Stable.sig — noise is irrational, never on a
+    // format midpoint); the exact count and the exact uniform ride
+    // alongside so the oracle replays every step.
+    "events_dp_counts" -> ((s, dir) => {
+      val eps = lit(0.5)
+      val u = (conv(substring(md5(col("event_type")), 1, 12), 16, 10)
+        .cast("double") / lit(281474976710656.0)).as("u") // 2^48
+      Sources.events(s, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("true_count"))
+        .withColumn("u", u)
+        .withColumn("noise",
+          (-signum(col("u") - 0.5)) / eps *
+            log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+        .select(col("event_type"), col("true_count"),
+          util.Stable.sig(col("u")).as("u_sig"),
+          util.Stable.sig(col("noise")).as("noise_sig"),
+          util.Stable.sig(
+            greatest(col("true_count") + col("noise"), lit(0.0)))
+            .as("dp_count_sig"))
+        .orderBy("event_type")
+    }),
+
     // SQL PIPE SYNTAX (Spark 4 / SQL:2023-trajectory `|>` operators —
     // the linear "FROM → WHERE → AGGREGATE → ORDER BY" form that reads
     // in execution order): the same declarative plan as the classic
@@ -7834,6 +7866,23 @@ object SparkEntry {
          |  macd_q, sig_num, sig_cnt,
          |  CAST(macd_q * sig_cnt - sig_num AS BIGINT) AS hist_q
          |FROM sig ORDER BY symbol, "Date"""".stripMargin,
+    "events_dp_counts" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS true_count FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, true_count,
+        |    CAST(concat('0x', substring(md5(event_type), 1, 12)) AS BIGINT)
+        |      / 281474976710656.0 AS u
+        |  FROM c),
+        |n AS (
+        |  SELECT event_type, true_count, u,
+        |    (-sign(u - 0.5)) / 0.5 * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+        |  FROM d)
+        |SELECT event_type, true_count,
+        |  printf('%.4e', u) AS u_sig,
+        |  printf('%.4e', noise) AS noise_sig,
+        |  printf('%.4e', greatest(true_count + noise, 0.0)) AS dp_count_sig
+        |FROM n ORDER BY event_type""".stripMargin,
     "events_pipe_syntax" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT)

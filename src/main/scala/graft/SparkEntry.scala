@@ -5069,6 +5069,213 @@ object SparkEntry {
           util.Stable.exactSumAt(col("c_acctbal"), 2).as("totacctbal"))
         .orderBy("c_nationkey")
     }),
+
+    // PER-SYMBOL OLS TREND — closed-form simple linear regression of the
+    // (1e-6-quantized) daily close on the trading-day index: slope,
+    // intercept, and R² from the five moment sums, the regression sibling
+    // of yf_acf's correlation readout. Everything before the final
+    // per-row expression is exact integer arithmetic (x = days since the
+    // window start ≤ 365, y ≤ 1e5 quantized ⇒ every moment sum and both
+    // variance terms stay far inside BIGINT), so the one IEEE
+    // divide/multiply tree per symbol is bit-identical cross-engine.
+    // One keyed aggregate with map-side combine — no window, no global
+    // ordering; at 100 TB this is a single shuffle keyed by symbol.
+    "yf_trend_ols" -> ((s, dir) => {
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("y", expr("close_sum div n_bars"))
+        .withColumn("x", datediff(col("Date"), lit("1995-01-01")).cast("long"))
+      val mom = daily.groupBy("symbol").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      mom
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("slope",
+          col("num").cast("double") / nullif(col("vx").cast("double"), lit(0.0)))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double"))
+        .withColumn("r2",
+          (col("num").cast("double") * col("num").cast("double")) /
+            nullif(col("vx").cast("double") * col("vy").cast("double"), lit(0.0)))
+        .select("symbol", "n", "slope", "intercept", "r2")
+        .orderBy("symbol")
+    }),
+
+    // L-DIVERSITY audit — the companion readout to events_k_anonymity:
+    // a class can satisfy k-anonymity (many users) while every row in it
+    // shares ONE sensitive value, so an attacker who locates the class
+    // learns the attribute anyway. Quasi-identifiers here are
+    // (event_type, day-of-week); the sensitive attribute is the value
+    // band. Two keyed aggregates (classes, then per-type rollup of the
+    // tiny class table) — map-side combinable, no window, scale-free.
+    "events_l_diversity" -> ((s, dir) => {
+      val l = 3
+      val classes = Sources.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts DIV 86400000000000) % 7").as("dow"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 5000").as("vband"))
+        .groupBy("event_type", "dow")
+        .agg(countDistinct(col("vband")).as("n_sensitive"),
+          count(lit(1)).as("n_rows"))
+      classes.groupBy("event_type")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("n_sensitive") < l, 1L).otherwise(0L)).as("n_low_div"),
+          sum(when(col("n_sensitive") < l, col("n_rows")).otherwise(0L)).as("rows_at_risk"),
+          min(col("n_sensitive")).as("min_l"))
+        .orderBy("event_type")
+    }),
+
+    // SEQUENCE-PATTERN MATCH (MATCH_RECOGNIZE stand-in): each user's
+    // event history collapses to an ordered initial-letter string
+    // (c/e/p/s/v), and funnel-style regexes run over it — subsequence
+    // funnels ('s.*c.*p'), direct pairs, and negative patterns
+    // ('^[^e]*$' = never errored) that per-step min-timestamp funnels
+    // (events_funnel) cannot express. ONE keyed aggregate builds every
+    // sequence (array_sort over (ts_us, event_id, initial) structs is a
+    // total order, so the string is deterministic on any partitioning;
+    // per-user state is bounded by that user's history); all three
+    // regexes then evaluate in a single pass over the per-user table and
+    // stack() unpivots the counts — the corpus is scanned exactly once.
+    "events_seq_pattern" -> ((s, dir) => {
+      val seqs = Sources.events(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("init"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("ts_us"), col("event_id"), col("init")))).as("evs"))
+        .select(array_join(transform(col("evs"), e => e("init")), "").as("seq"))
+      seqs.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("seq").rlike("s.*c.*p"), 1L).otherwise(0L)).as("m1"),
+          sum(when(col("seq").rlike("v.*p"), 1L).otherwise(0L)).as("m2"),
+          sum(when(col("seq").rlike("^[^e]*$"), 1L).otherwise(0L)).as("m3"))
+        .selectExpr(
+          "stack(3, 'signup>click>purchase', m1, 'view>purchase', m2, " +
+            "'error_free', m3) AS (pattern, n_matched)",
+          "n_users")
+        .orderBy("pattern")
+    }),
+
+    // CONVERSION LAG — the time-to-convert readout events_funnel omits:
+    // for each user, first signup → first SUBSEQUENT purchase, then the
+    // population's lag distribution (count, min/max, exact mean). The
+    // mean divides two exact integers (sum of micro-lags, count) once at
+    // the end — no FP accumulation. Two keyed min-aggregates + one
+    // co-keyed join on user_id; at 100 TB both sides shuffle once on the
+    // same key (or are bucket-co-located) and the final rollup is one row.
+    "events_conversion_lag" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val s2 = ev.filter(col("event_type") === "purchase").join(s1, "user_id")
+        .filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts_us") - col("t1")).as("lag_us"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(broadcast(s2.agg(
+          count(lit(1)).as("n_converted"),
+          min(col("lag_us")).as("min_lag_us"),
+          max(col("lag_us")).as("max_lag_us"),
+          sum(col("lag_us")).as("sum_lag_us"))))
+        .withColumn("avg_lag_s",
+          col("sum_lag_us").cast("double") / col("n_converted") / 1e6)
+        .select("n_signup", "n_converted", "min_lag_us", "max_lag_us", "avg_lag_s")
+    }),
+
+    // LINK PREDICTION, Jaccard variant — common-neighbours normalized by
+    // the neighbourhood union: |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)|, which demotes
+    // hub-adjacent pairs that the raw count over-ranks. Reuses the
+    // graph_common_neighbors wedge machinery (same thresholded
+    // co-purchase graph, same ≤64-degree center cap) plus one broadcast
+    // degree join; the score is an exact integer ratio (×1e6 div) so the
+    // ranking hashes identically cross-engine. Top-20 lands in
+    // TakeOrderedAndProject — no global sort materializes.
+    "graph_link_prediction" -> ((s, dir) => {
+      val op = Sources.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = util.Views.materialize(
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("u", "v"))
+      val adj = edges.select(col("u").as("c"), col("v").as("nb"))
+        .unionAll(edges.select(col("v").as("c"), col("u").as("nb")))
+      val deg = adj.groupBy(col("nb")).agg(count(lit(1)).as("dg"))
+      val centerDeg = adj.groupBy("c").agg(count(lit(1)).as("dg"))
+      val small = util.Views.materialize(
+        adj.join(centerDeg.filter(col("dg") <= 64), "c").select("c", "nb"))
+      val cn = small.as("x").join(small.as("y"),
+          col("x.c") === col("y.c") && col("x.nb") < col("y.nb"))
+        .groupBy(col("x.nb").as("u"), col("y.nb").as("v"))
+        .agg(count(lit(1)).as("n_common"))
+      cn.join(edges, Seq("u", "v"), "left_anti")
+        .join(broadcast(deg.select(col("nb").as("u"), col("dg").as("du"))), "u")
+        .join(broadcast(deg.select(col("nb").as("v"), col("dg").as("dv"))), "v")
+        .withColumn("jaccard_q",
+          expr("n_common * 1000000 div (du + dv - n_common)"))
+        .select("u", "v", "n_common", "du", "dv", "jaccard_q")
+        .orderBy(col("jaccard_q").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+
+    // RAKE KEYWORD EXTRACTION (Rose et al. 2010) — unsupervised
+    // keyphrase mining, the corpus-curation primitive behind topic
+    // audits and dataset cards. Candidate phrases are maximal stopword-
+    // free token runs (split on non-alpha; breaks = empties + the en
+    // stopword profile); each word scores degree/frequency (degree =
+    // Σ length of phrases containing it), each phrase the sum of its
+    // word scores. Word scores quantize to ×1e6 integer division and
+    // phrase scores are exact integer sums — no FP summation order
+    // anywhere. Shapes at scale: tokenization + break marking are
+    // row-local; phrase numbering is a per-doc window (bounded by doc
+    // length); word stats are one keyed aggregate whose output (the
+    // vocabulary) broadcasts back onto phrase members; the global top-20
+    // is TakeOrderedAndProject, never a full sort.
+    "text_rake_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stops = text.TextAnalysis.stopwords.head._2
+      val toks = Sources.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(lower(col("text")), "[^a-z]+")))
+        .withColumnRenamed("col", "w")
+        .withColumn("is_break",
+          (col("w") === "" || col("w").isInCollection(stops)).cast("long"))
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val members = toks
+        .withColumn("phrase_id", sum(col("is_break")).over(wDoc))
+        .filter(col("is_break") === 0)
+        .withColumn("plen",
+          count(lit(1)).over(Window.partitionBy("doc_id", "phrase_id")))
+      val wordStats = members.groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("wscore_q", expr("deg * 1000000 div freq"))
+      val phraseText = members.groupBy("doc_id", "phrase_id")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            e => e("w")), " ").as("phrase"),
+          count(lit(1)).as("n_words"))
+      val phraseScore = members
+        .join(broadcast(wordStats.select("w", "wscore_q")), "w")
+        .groupBy("doc_id", "phrase_id").agg(sum(col("wscore_q")).as("score_q"))
+      phraseText.join(phraseScore, Seq("doc_id", "phrase_id"))
+        .filter(col("n_words") >= 2)
+        .groupBy("phrase", "n_words")
+        .agg(count(lit(1)).as("n_occ"), max(col("score_q")).as("score_q"))
+        .withColumn("score", col("score_q") / 1e6)
+        .select("phrase", "n_words", "n_occ", "score")
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(20)
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -7938,5 +8145,143 @@ object SparkEntry {
          |                  WHERE o.o_custkey = eligible.c_custkey
          |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "yf_trend_ols" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol,
+         |    CAST(sum(CAST(floor("Close" * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS y,
+         |    date_diff('day', DATE '1995-01-01', CAST("Date" AS DATE)) AS x
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY symbol, "Date"),
+         |m AS (
+         |  SELECT symbol, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM daily GROUP BY 1)
+         |SELECT symbol, n,
+         |  CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS slope,
+         |  (CAST(sy AS DOUBLE)
+         |   - (CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0))
+         |     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+         |  (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+         |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
+         |             * CAST(n * syy - sy * sy AS DOUBLE), 0.0) AS r2
+         |FROM m ORDER BY symbol""".stripMargin,
+    "events_l_diversity" ->
+      """WITH classes AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 86400000000000) % 7 AS dow,
+        |    count(DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000)
+        |      AS n_sensitive,
+        |    count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_div,
+        |  CAST(sum(CASE WHEN n_sensitive < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  min(n_sensitive) AS min_l
+        |FROM classes GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "events_seq_pattern" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |               ORDER BY epoch_ns(ts) // 1000, event_id) AS seq
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT count(*) AS n_users,
+        |    CAST(sum(CASE WHEN regexp_matches(seq, 's.*c.*p') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m1,
+        |    CAST(sum(CASE WHEN regexp_matches(seq, 'v.*p') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m2,
+        |    CAST(sum(CASE WHEN regexp_matches(seq, '^[^e]*$') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m3
+        |  FROM seqs)
+        |SELECT * FROM (
+        |  SELECT 'signup>click>purchase' AS pattern, m1 AS n_matched, n_users FROM f
+        |  UNION ALL SELECT 'view>purchase', m2, n_users FROM f
+        |  UNION ALL SELECT 'error_free', m3, n_users FROM f)
+        |ORDER BY pattern""".stripMargin,
+    "events_conversion_lag" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT ev.user_id, min(ts_us - t1) AS lag_us
+        |  FROM ev JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > t1
+        |  GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |  count(*) AS n_converted,
+        |  min(lag_us) AS min_lag_us, max(lag_us) AS max_lag_us,
+        |  CAST(sum(lag_us) AS DOUBLE) / count(*) / 1e6 AS avg_lag_s
+        |FROM s2""".stripMargin,
+    "graph_link_prediction" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS c, v AS nb FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT nb, count(*) AS dg FROM adj GROUP BY 1),
+        |cd AS (SELECT c, count(*) AS dg FROM adj GROUP BY 1),
+        |sm AS (SELECT adj.c, adj.nb FROM adj JOIN cd USING (c) WHERE dg <= 64),
+        |cn AS (
+        |  SELECT x.nb AS u, y.nb AS v, count(*) AS n_common
+        |  FROM sm x JOIN sm y ON x.c = y.c AND x.nb < y.nb
+        |  GROUP BY 1, 2),
+        |nonadj AS (
+        |  SELECT cn.u, cn.v, cn.n_common
+        |  FROM cn LEFT JOIN edges e ON cn.u = e.u AND cn.v = e.v
+        |  WHERE e.u IS NULL)
+        |SELECT nonadj.u, nonadj.v, n_common, du.dg AS du, dv.dg AS dv,
+        |  n_common * 1000000 // (du.dg + dv.dg - n_common) AS jaccard_q
+        |FROM nonadj
+        |  JOIN deg du ON du.nb = nonadj.u
+        |  JOIN deg dv ON dv.nb = nonadj.v
+        |ORDER BY jaccard_q DESC, nonadj.u, nonadj.v LIMIT 20""".stripMargin,
+    "text_rake_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(range(1, len(t) + 1)) - 1 AS pos, unnest(t) AS w
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(text), '[^a-z]+') AS t
+        |        FROM documents)),
+        |marked AS (
+        |  SELECT doc_id, pos, w,
+        |    CASE WHEN w = '' OR w IN ('the', 'a', 'of', 'and', 'to', 'in',
+        |                              'is', 'that', 'it', 'for')
+        |         THEN 1 ELSE 0 END AS is_break
+        |  FROM toks),
+        |members AS (
+        |  SELECT doc_id, pos, w, phrase_id,
+        |    count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+        |  FROM (
+        |    SELECT doc_id, pos, w, is_break,
+        |      CAST(sum(is_break) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phrase_id
+        |    FROM marked)
+        |  WHERE is_break = 0),
+        |ws AS (
+        |  SELECT w, CAST(sum(plen) AS BIGINT) * 1000000 // count(*) AS wscore_q
+        |  FROM members GROUP BY 1),
+        |pt AS (
+        |  SELECT doc_id, phrase_id,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase, count(*) AS n_words
+        |  FROM members GROUP BY 1, 2),
+        |ps AS (
+        |  SELECT doc_id, phrase_id, CAST(sum(wscore_q) AS BIGINT) AS score_q
+        |  FROM members JOIN ws USING (w) GROUP BY 1, 2)
+        |SELECT phrase, n_words, count(*) AS n_occ, max(score_q) / 1e6 AS score
+        |FROM pt JOIN ps USING (doc_id, phrase_id)
+        |WHERE n_words >= 2
+        |GROUP BY 1, 2
+        |ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
   )
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: OLS trend, l-diversity, sequence-pattern match,
+  * conversion lag, Jaccard link prediction, and RAKE keyword extraction.
+  * Each test re-derives the query's core contract independently over the
+  * tiny sf0.001 fixture so the oracle gate is not the only line of defense.
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("yf_trend_ols: moments reproduce slope/intercept/r2 and r2 is bounded") {
+    val out = q("yf_trend_ols").collect()
+    assert(out.nonEmpty)
+    for (r <- out; r2 = r.getAs[Double]("r2") if !r.isNullAt(r.fieldIndex("r2")))
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 $r2 outside [0,1]")
+    // Brute-force one symbol's regression from the same quantized series.
+    val sym = out.head.getAs[Long]("symbol")
+    val daily = Sources.ohlcv(spark, sfDir)
+      .filter(col("symbol") === sym &&
+        col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+      .groupBy("Date")
+      .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("cs"),
+        count(lit(1)).as("nb"))
+      .select(datediff(col("Date"), lit("1995-01-01")).cast("long").as("x"),
+        expr("cs div nb").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = daily.length.toLong
+    val (sx, sy) = (daily.map(_._1).sum, daily.map(_._2).sum)
+    val sxx = daily.map(p => p._1 * p._1).sum
+    val sxy = daily.map(p => p._1 * p._2).sum
+    val expSlope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val got = out.find(_.getAs[Long]("symbol") == sym).get
+    assert(got.getAs[Long]("n") == n)
+    assert(math.abs(got.getAs[Double]("slope") - expSlope) <= 1e-12 * math.abs(expSlope))
+  }
+
+  test("events_l_diversity: class accounting is conserved per event type") {
+    val out = q("events_l_diversity").collect()
+    val classes = Sources.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("(ts DIV 86400000000000) % 7").as("dow"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 5000").as("vband"))
+      .groupBy("event_type", "dow")
+      .agg(countDistinct(col("vband")).as("ns"), count(lit(1)).as("nr"))
+      .collect()
+    for (r <- out) {
+      val mine = classes.filter(_.getAs[String]("event_type") == r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_classes") == mine.length)
+      assert(r.getAs[Long]("min_l") == mine.map(_.getAs[Long]("ns")).min)
+      assert(r.getAs[Long]("n_low_div") == mine.count(_.getAs[Long]("ns") < 3))
+      assert(r.getAs[Long]("rows_at_risk") ==
+        mine.filter(_.getAs[Long]("ns") < 3).map(_.getAs[Long]("nr")).sum)
+    }
+  }
+
+  test("events_seq_pattern: matches equal a driver-side regex replay") {
+    val out = q("events_seq_pattern").collect()
+      .map(r => r.getAs[String]("pattern") ->
+        (r.getAs[Long]("n_matched"), r.getAs[Long]("n_users"))).toMap
+    val seqs = Sources.events(spark, sfDir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("i"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (_, rows) =>
+        rows.sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+          .map(_.getAs[String]("i")).mkString
+      }.toSeq
+    val nUsers = seqs.length.toLong
+    def m(re: String) = seqs.count(s => re.r.findFirstIn(s).isDefined).toLong
+    assert(out("signup>click>purchase") == (m("s.*c.*p"), nUsers))
+    assert(out("view>purchase") == (m("v.*p"), nUsers))
+    assert(out("error_free") == (m("^[^e]*$"), nUsers))
+  }
+
+  test("events_conversion_lag: converted <= signups and lags are ordered") {
+    val r = q("events_conversion_lag").head()
+    assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_signup"))
+    val (lo, hi) = (r.getAs[Long]("min_lag_us"), r.getAs[Long]("max_lag_us"))
+    assert(lo > 0 && lo <= hi)
+    val avgUs = r.getAs[Double]("avg_lag_s") * 1e6
+    assert(avgUs >= lo - 1 && avgUs <= hi + 1)
+  }
+
+  test("graph_link_prediction: jaccard is the exact ratio and pairs are non-adjacent") {
+    val rows = q("graph_link_prediction").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    for (r <- rows) {
+      val (nc, du, dv) = (r.getAs[Long]("n_common"), r.getAs[Long]("du"), r.getAs[Long]("dv"))
+      assert(r.getAs[Long]("u") < r.getAs[Long]("v"))
+      assert(nc >= 1 && nc <= math.min(du, dv))
+      assert(r.getAs[Long]("jaccard_q") == nc * 1000000L / (du + dv - nc))
+      assert(r.getAs[Long]("jaccard_q") <= 1000000L)
+    }
+    // Scores arrive ranked.
+    val js = rows.map(_.getAs[Long]("jaccard_q"))
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("text_rake_keywords: phrases are stopword-free multiword runs with positive scores") {
+    val stops = text.TextAnalysis.stopwords.head._2.toSet
+    val rows = q("text_rake_keywords").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    for (r <- rows) {
+      val words = r.getAs[String]("phrase").split(" ").toSeq
+      assert(words.length == r.getAs[Long]("n_words") && words.length >= 2)
+      for (w <- words) {
+        assert(w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+        assert(!stops.contains(w), s"stopword '$w' inside a candidate phrase")
+      }
+      assert(r.getAs[Long]("n_occ") >= 1)
+      // Each member word contributes degree/freq >= 1 (a word's degree
+      // counts at least its own phrase's length >= its frequency of 1...
+      // actually degree >= freq always, so score >= n_words).
+      assert(r.getAs[Double]("score") >= words.length - 1e-9)
+    }
+  }
+}

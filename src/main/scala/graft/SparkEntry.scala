@@ -493,6 +493,11 @@ object SparkEntry {
     // driver's DuckDB gate). The aggregate keeps the verified payload
     // at one row while still consuming every joined pair.
     "yf_spj_catalog_join" -> ((s, dir) => {
+      // Register the catalog plugin lazily + idempotently: catalog confs
+      // resolve on first use, so the query is self-contained in any fresh
+      // session (driver Verify/Bench JVMs don't pre-register it).
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
       val a = s.table("graft_cat.stock_catalog_bucketed")
         .select(col("Kode").as("k1"), col("Nama Perusahaan").as("name1"))
       val b = s.table("graft_cat.stock_catalog_bucketed")
@@ -5276,6 +5281,101 @@ object SparkEntry {
         .orderBy(col("score").desc, col("phrase"))
         .limit(20)
     }),
+
+    // OUT-OF-ORDER ARRIVAL AUDIT — the batch measurement that sizes a
+    // streaming watermark: treating event_id as the arrival (ingest)
+    // order, an event is LATE when some earlier-arrived event of the
+    // same user already carried a newer timestamp; its lateness is the
+    // gap to that running maximum. Exactly the statistic
+    // withWatermark(delay) needs before anyone picks `delay`. One
+    // per-user window (arrival-ordered running max, rows-frame excludes
+    // self) + one keyed rollup — per-key parallel at any scale, and the
+    // lateness sums stay in exact integer micros until the single final
+    // divide.
+    "events_lateness_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Sources.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us"))
+        .withColumn("prior_max_us", max(col("ts_us")).over(w))
+        .withColumn("late_us",
+          when(col("prior_max_us") > col("ts_us"),
+            col("prior_max_us") - col("ts_us")).otherwise(lit(0L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+          max(col("late_us")).as("max_late_us"),
+          sum(col("late_us")).as("sum_late_us"))
+        .withColumn("avg_late_s",
+          col("sum_late_us").cast("double") /
+            nullif(col("n_late").cast("double"), lit(0.0)) / 1e6)
+        .select("event_type", "n_events", "n_late", "max_late_us", "avg_late_s")
+        .orderBy("event_type")
+    }),
+
+    // VOCABULARY COVERAGE CURVE — the tokenizer-budget readout every
+    // BPE/vocab decision starts from: what fraction of corpus token mass
+    // do the top-N word types cover? Token counting is one keyed
+    // aggregate over the corpus; the curve itself runs on the VOCABULARY
+    // table (types ≪ tokens — the global rank window is over word types
+    // only, and at 100 TB the vocab that matters is prunable to the
+    // top cutoff with a TakeOrdered before ranking). Coverage sums are
+    // exact integer token counts; the share divides once per cutoff row.
+    "docs_ngram_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = Sources.documents(s, dir)
+        .select(explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val ranked = vocab.withColumn("rk",
+        row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+      val totals = vocab.agg(sum(col("freq")).as("total_tokens"),
+        count(lit(1)).as("n_types"))
+      // Fixture vocabulary is ~31 synthetic types, so the fixture curve
+      // uses small cutoffs; at corpus scale these would be 1e4..1e5.
+      val cutoffs = Seq(5, 10, 20)
+      cutoffs.map { c =>
+        ranked.filter(col("rk") <= c)
+          .agg(sum(col("freq")).as("covered_tokens"))
+          .withColumn("cutoff", lit(c.toLong))
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(totals))
+        .withColumn("share",
+          col("covered_tokens").cast("double") / col("total_tokens").cast("double"))
+        .select("cutoff", "n_types", "covered_tokens", "total_tokens", "share")
+        .orderBy("cutoff")
+    }),
+
+    // EMBEDDING HYGIENE AUDIT — the pre-flight check before any ANN /
+    // clustering run: per label, vector counts, dimensionality drift,
+    // zero vectors, and the norm² distribution. Each component quantizes
+    // to 1e-8 longs and norm² is a ROW-LOCAL exact-integer fold
+    // (dim=64, |v|<1 ⇒ Σq² ≤ ~2e17, inside BIGINT) — no explode, no
+    // per-dimension shuffle, and integer sums are order-independent so
+    // the rollup hashes identically on any partitioning. One keyed
+    // aggregate over row-local projections: scales linearly, zero skew
+    // exposure.
+    "emb_norm_audit" -> ((s, dir) => {
+      val q = transform(col("embedding"),
+        v => floor(v.cast("double") * 1e8 + 0.5).cast("long"))
+      Sources.embeddings(s, dir)
+        .select(col("label"), size(col("embedding")).as("dim"),
+          aggregate(q, lit(0L), (acc, x) => acc + x * x).as("norm2_q"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+          sum(when(col("norm2_q") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min(col("norm2_q")).as("min_norm2_q"),
+          max(col("norm2_q")).as("max_norm2_q"),
+          sum(col("norm2_q")).as("sum_norm2_q"))
+        .withColumn("avg_norm2",
+          col("sum_norm2_q").cast("double") / col("n_vecs").cast("double") / 1e16)
+        .select("label", "n_vecs", "min_dim", "max_dim", "n_zero",
+          "min_norm2_q", "max_norm2_q", "avg_norm2")
+        .orderBy("label")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -8283,5 +8383,62 @@ object SparkEntry {
         |WHERE n_words >= 2
         |GROUP BY 1, 2
         |ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
+    "events_lateness_audit" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events),
+        |lat AS (
+        |  SELECT event_type,
+        |    CASE WHEN prior_max_us > ts_us THEN prior_max_us - ts_us
+        |         ELSE 0 END AS late_us
+        |  FROM (
+        |    SELECT event_type, ts_us,
+        |      max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max_us
+        |    FROM ev))
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  max(late_us) AS max_late_us,
+        |  CAST(CAST(sum(late_us) AS BIGINT) AS DOUBLE)
+        |    / nullif(CAST(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS DOUBLE), 0.0)
+        |    / 1e6 AS avg_late_s
+        |FROM lat GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "docs_ngram_coverage" ->
+      s"""WITH words AS (
+         |  SELECT w FROM (
+         |    SELECT unnest(string_split(${graft.util.Norm.normalizeSql("text")}, ' ')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |vocab AS (SELECT w AS word, count(*) AS freq FROM words GROUP BY 1),
+         |ranked AS (
+         |  SELECT word, freq,
+         |    row_number() OVER (ORDER BY freq DESC, word) AS rk
+         |  FROM vocab),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens,
+         |               count(*) AS n_types FROM vocab)
+         |SELECT CAST(cutoff AS BIGINT) AS cutoff, n_types, covered_tokens,
+         |  total_tokens,
+         |  CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share
+         |FROM (
+         |  SELECT c.cutoff, CAST(sum(freq) AS BIGINT) AS covered_tokens
+         |  FROM (VALUES (5), (10), (20)) c(cutoff)
+         |  JOIN ranked ON rk <= c.cutoff
+         |  GROUP BY 1) cov, tot
+         |ORDER BY cutoff""".stripMargin,
+    "emb_norm_audit" ->
+      """WITH e AS (
+        |  SELECT label, CAST(len(embedding) AS INTEGER) AS dim,
+        |    CAST(list_aggregate(list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)
+        |           * CAST(floor(CAST(v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)),
+        |      'sum') AS BIGINT) AS norm2_q
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs, min(dim) AS min_dim,
+        |  max(dim) AS max_dim,
+        |  CAST(sum(CASE WHEN norm2_q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  min(norm2_q) AS min_norm2_q, max(norm2_q) AS max_norm2_q,
+        |  CAST(CAST(sum(norm2_q) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e16 AS avg_norm2
+        |FROM e GROUP BY 1 ORDER BY label""".stripMargin,
   )
 }

@@ -118,4 +118,49 @@ class Round8OpsSpec extends SparkSpec {
       assert(r.getAs[Double]("score") >= words.length - 1e-9)
     }
   }
+
+  test("events_lateness_audit: late counts bounded and totals conserve the corpus") {
+    val out = q("events_lateness_audit").collect()
+    val total = Sources.events(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_events")).sum == total)
+    for (r <- out) {
+      val (n, late) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_late"))
+      assert(late >= 0 && late <= n)
+      if (late == 0) {
+        assert(r.getAs[Long]("max_late_us") == 0L)
+        assert(r.isNullAt(r.fieldIndex("avg_late_s")))
+      } else {
+        assert(r.getAs[Long]("max_late_us") > 0L)
+        assert(r.getAs[Double]("avg_late_s") * 1e6 <= r.getAs[Long]("max_late_us") + 1)
+      }
+    }
+  }
+
+  test("docs_ngram_coverage: coverage is monotone in the cutoff and bounded by 1") {
+    val rows = q("docs_ngram_coverage").collect().sortBy(_.getAs[Long]("cutoff"))
+    assert(rows.length == 3)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-12 })
+    for (r <- rows) {
+      assert(r.getAs[Long]("covered_tokens") <= r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Double]("share") > 0.0 && r.getAs[Double]("share") <= 1.0)
+      // A cutoff at or above the type count must cover everything.
+      if (r.getAs[Long]("cutoff") >= r.getAs[Long]("n_types"))
+        assert(r.getAs[Long]("covered_tokens") == r.getAs[Long]("total_tokens"))
+    }
+  }
+
+  test("emb_norm_audit: per-label counts conserve and norm ordering holds") {
+    val out = q("emb_norm_audit").collect()
+    val total = Sources.embeddings(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == total)
+    for (r <- out) {
+      assert(r.getAs[Int]("min_dim") == 64 && r.getAs[Int]("max_dim") == 64)
+      assert(r.getAs[Long]("n_zero") == 0L)
+      val (lo, hi) = (r.getAs[Long]("min_norm2_q"), r.getAs[Long]("max_norm2_q"))
+      assert(lo > 0 && lo <= hi)
+      val avg = r.getAs[Double]("avg_norm2")
+      assert(avg * 1e16 >= lo - 1 && avg * 1e16 <= hi + 1)
+    }
+  }
 }

@@ -5376,6 +5376,103 @@ object SparkEntry {
           "min_norm2_q", "max_norm2_q", "avg_norm2")
         .orderBy("label")
     }),
+
+    // VALUE-AT-RISK / CVaR — the tail-risk member of the indicator
+    // family: per symbol, the k-th worst daily change (k = ⌈5%·n⌉,
+    // computed as the exact integer (n+19) div 20) and the mean of the
+    // k worst (CVaR / expected shortfall). Daily changes are differences
+    // of 1e-8-quantized closes — exact BIGINT end to end; the only FP is
+    // the final sum/k divide. Selection is rank-based ((dq, Date)
+    // row_number = a total order, so ties are deterministic) rather than
+    // value-threshold-based, which is also what makes it scale: per-
+    // symbol windows, no global ordering anywhere.
+    "yf_var_cvar" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("xq", expr("close_sum div n_bars"))
+      val wo = Window.partitionBy("symbol").orderBy("Date")
+      val dq = daily
+        .withColumn("dq", col("xq") - lag(col("xq"), 1).over(wo))
+        .filter(col("dq").isNotNull)
+      val ranked = dq
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("symbol").orderBy(col("dq"), col("Date"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+        .withColumn("k", expr("(n + 19) div 20"))
+      ranked.filter(col("rn") <= col("k"))
+        .groupBy("symbol", "n", "k")
+        .agg(max(col("dq")).as("var_q"), sum(col("dq")).as("tail_sum_q"))
+        .withColumn("cvar",
+          col("tail_sum_q").cast("double") / col("k").cast("double") / 1e8)
+        .select(col("symbol"), col("n").as("n_days"), col("k"),
+          (col("var_q") / 1e8).as("var"), col("cvar"))
+        .orderBy("symbol")
+    }),
+
+    // DIFFERENCE-IN-DIFFERENCES — the causal-analysis readout over the
+    // event log: a deterministic treatment split (odd user_id) crossed
+    // with a pre/post cutoff at the corpus's midpoint day, cell means of
+    // the 1e-6-quantized value, and the DiD estimate
+    // (treat_post−treat_pre)−(ctrl_post−ctrl_pre). All four cell sums
+    // are exact integers from ONE conditional aggregate over one scan
+    // (the min/max day probe is a 1-row broadcast); each mean divides
+    // once, and the estimate is a fixed 4-leaf IEEE tree — bit-identical
+    // cross-engine. Map-side combinable, no window, no skew exposure.
+    "events_impact_did" -> ((s, dir) => {
+      val days = Sources.events(s, dir)
+        .select(col("user_id"), col("value"),
+          expr("ts DIV 86400000000000").as("day_idx"))
+      val cutoff = days.agg(
+        expr("(min(day_idx) + max(day_idx)) div 2").as("cutoff_day"))
+      def cell(t: Column, p: Column, nm: String): Seq[Column] = Seq(
+        sum(when(t && p, 1L).otherwise(0L)).as(s"n_$nm"),
+        sum(when(t && p, expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)"))
+          .otherwise(0L)).as(s"sum_$nm"))
+      val treat = col("user_id") % 2 === 1
+      val post = col("day_idx") >= col("cutoff_day")
+      val aggCols = cell(treat, post, "tp") ++ cell(treat, !post, "tr") ++
+        cell(!treat, post, "cp") ++ cell(!treat, !post, "cr") :+
+        first(col("cutoff_day")).as("cutoff_day")
+      val cells = days.crossJoin(broadcast(cutoff))
+        .agg(aggCols.head, aggCols.tail: _*)
+      def mean(nm: String): Column =
+        col(s"sum_$nm").cast("double") / col(s"n_$nm").cast("double") / 1e6
+      cells
+        .withColumn("mean_tp", mean("tp")).withColumn("mean_tr", mean("tr"))
+        .withColumn("mean_cp", mean("cp")).withColumn("mean_cr", mean("cr"))
+        .withColumn("did",
+          (col("mean_tp") - col("mean_tr")) - (col("mean_cp") - col("mean_cr")))
+        .select("cutoff_day", "n_tp", "n_tr", "n_cp", "n_cr",
+          "mean_tp", "mean_tr", "mean_cp", "mean_cr", "did")
+    }),
+
+    // EXACT MEDIA DEDUP — the multimodal twin of dedup_exact: identical
+    // binary payloads collapse by md5 over the raw bytes (the standard
+    // content-addressed-store key), per format: asset count, distinct
+    // payloads, duplicate assets, and the bytes a dedup pass reclaims
+    // (every byte beyond each group's min-media_id survivor). Payload
+    // hashing is row-local; the group-and-rollup is one keyed aggregate
+    // on (format, md5) then one tiny per-format rollup — the same
+    // two-level shape dedup_exact scales with.
+    "mm_dedup_exact" -> ((s, dir) => {
+      val media = multimodal.Multimodal.synthesize(Sources.documents(s, dir))
+        .select(col("media_id"), col("meta.format").as("format"),
+          md5(col("payload")).as("h"),
+          length(col("payload")).cast("long").as("n_bytes"))
+      val groups = media.groupBy("format", "h")
+        .agg(count(lit(1)).as("n_assets"), min(col("media_id")).as("survivor_id"),
+          sum(col("n_bytes")).as("group_bytes"), max(col("n_bytes")).as("one_size"))
+      groups.groupBy("format")
+        .agg(sum(col("n_assets")).as("n_assets"),
+          count(lit(1)).as("n_unique_payloads"),
+          sum(col("n_assets") - 1).as("n_dup_assets"),
+          sum(col("group_bytes") - col("one_size")).as("bytes_reclaimed"))
+        .orderBy("format")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -8440,5 +8537,81 @@ object SparkEntry {
         |  CAST(CAST(sum(norm2_q) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) / 1e16 AS avg_norm2
         |FROM e GROUP BY 1 ORDER BY label""".stripMargin,
+    "yf_var_cvar" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  SELECT symbol, "Date",
+         |    xq - lag(xq) OVER (PARTITION BY symbol ORDER BY "Date") AS dq
+         |  FROM daily),
+         |r AS (
+         |  SELECT symbol, dq,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY dq, "Date") AS rn,
+         |    count(*) OVER (PARTITION BY symbol) AS n
+         |  FROM d WHERE dq IS NOT NULL)
+         |SELECT symbol, n AS n_days, (n + 19) // 20 AS k,
+         |  max(dq) / 1e8 AS "var",
+         |  CAST(CAST(sum(dq) AS BIGINT) AS DOUBLE)
+         |    / CAST((n + 19) // 20 AS DOUBLE) / 1e8 AS cvar
+         |FROM r WHERE rn <= (n + 19) // 20
+         |GROUP BY symbol, n ORDER BY symbol""".stripMargin,
+    "events_impact_did" ->
+      """WITH days AS (
+        |  SELECT user_id, value, epoch_ns(ts) // 86400000000000 AS day_idx
+        |  FROM events),
+        |c AS (SELECT (min(day_idx) + max(day_idx)) // 2 AS cutoff_day FROM days),
+        |cells AS (
+        |  SELECT cutoff_day,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND day_idx >= cutoff_day
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND day_idx >= cutoff_day
+        |                  THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS sum_tp,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND NOT day_idx >= cutoff_day
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND NOT day_idx >= cutoff_day
+        |                  THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS sum_tr,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 1 AND day_idx >= cutoff_day
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 1 AND day_idx >= cutoff_day
+        |                  THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS sum_cp,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 1 AND NOT day_idx >= cutoff_day
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_cr,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 1 AND NOT day_idx >= cutoff_day
+        |                  THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS sum_cr
+        |  FROM days, c GROUP BY cutoff_day)
+        |SELECT cutoff_day, n_tp, n_tr, n_cp, n_cr,
+        |  CAST(sum_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) / 1e6 AS mean_tp,
+        |  CAST(sum_tr AS DOUBLE) / CAST(n_tr AS DOUBLE) / 1e6 AS mean_tr,
+        |  CAST(sum_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) / 1e6 AS mean_cp,
+        |  CAST(sum_cr AS DOUBLE) / CAST(n_cr AS DOUBLE) / 1e6 AS mean_cr,
+        |  (mean_tp - mean_tr) - (mean_cp - mean_cr) AS did
+        |FROM cells""".stripMargin,
+    "mm_dedup_exact" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |         ELSE 'wav' END AS format,
+        |    md5(text) AS h,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |g AS (
+        |  SELECT format, h, count(*) AS n_assets,
+        |    CAST(sum(n_bytes) AS BIGINT) AS group_bytes,
+        |    max(n_bytes) AS one_size
+        |  FROM media GROUP BY 1, 2)
+        |SELECT format, CAST(sum(n_assets) AS BIGINT) AS n_assets,
+        |  count(*) AS n_unique_payloads,
+        |  CAST(sum(n_assets - 1) AS BIGINT) AS n_dup_assets,
+        |  CAST(sum(group_bytes - one_size) AS BIGINT) AS bytes_reclaimed
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -163,4 +163,39 @@ class Round8OpsSpec extends SparkSpec {
       assert(avg * 1e16 >= lo - 1 && avg * 1e16 <= hi + 1)
     }
   }
+
+  test("yf_var_cvar: k is the 5% ceiling and CVaR lower-bounds VaR") {
+    val out = q("yf_var_cvar").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (n, k) = (r.getAs[Long]("n_days"), r.getAs[Long]("k"))
+      assert(k == (n + 19) / 20 && k >= 1)
+      // CVaR averages the k WORST changes, so it cannot exceed VaR
+      // (the best of them).
+      assert(r.getAs[Double]("cvar") <= r.getAs[Double]("var") + 1e-12)
+    }
+  }
+
+  test("events_impact_did: cells partition the corpus and did recomposes from means") {
+    val r = q("events_impact_did").head()
+    val total = Sources.events(spark, sfDir).count()
+    val cells = Seq("n_tp", "n_tr", "n_cp", "n_cr").map(r.getAs[Long])
+    assert(cells.sum == total && cells.forall(_ > 0))
+    val did = (r.getAs[Double]("mean_tp") - r.getAs[Double]("mean_tr")) -
+      (r.getAs[Double]("mean_cp") - r.getAs[Double]("mean_cr"))
+    assert(r.getAs[Double]("did") == did)
+  }
+
+  test("mm_dedup_exact: per-format accounting is conserved") {
+    val out = q("mm_dedup_exact").collect()
+    val total = Sources.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_assets")).sum == total)
+    assert(out.map(_.getAs[String]("format")).toSet.subsetOf(Set("jpeg", "png", "wav")))
+    for (r <- out) {
+      assert(r.getAs[Long]("n_unique_payloads") <= r.getAs[Long]("n_assets"))
+      assert(r.getAs[Long]("n_dup_assets") ==
+        r.getAs[Long]("n_assets") - r.getAs[Long]("n_unique_payloads"))
+      assert(r.getAs[Long]("bytes_reclaimed") >= 0)
+    }
+  }
 }

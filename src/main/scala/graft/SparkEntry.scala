@@ -5473,6 +5473,92 @@ object SparkEntry {
           sum(col("group_bytes") - col("one_size")).as("bytes_reclaimed"))
         .orderBy("format")
     }),
+
+    // DAY-OF-WEEK SEASONALITY — the decomposition-lite readout: per
+    // (symbol, weekday), the mean 1e-6-quantized close against the
+    // symbol's overall mean, as an absolute deviation and a ratio. Both
+    // means divide exact integer sums once; the per-symbol totals
+    // re-aggregate the 7-row-per-symbol cell table (never a second
+    // corpus pass) and join back co-keyed — the marginals pattern of
+    // events_chi2_independence applied to a seasonal profile. Two keyed
+    // aggregates + one broadcast-size join; no windows.
+    "yf_seasonality" -> ((s, dir) => {
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("close_sum"),
+          count(lit(1)).as("n_bars"))
+        .withColumn("xq", expr("close_sum div n_bars"))
+        // Weekday bucket as epoch-day arithmetic (0..6 anchored at the
+        // window start), NOT dayofweek(): Spark numbers Sunday=1..7 while
+        // DuckDB's dow is 0-based — integer day math is the contract both
+        // engines share (same rule as the events dow buckets).
+        .withColumn("dow",
+          (datediff(col("Date"), lit("1995-01-01")) % 7).cast("long"))
+      val cells = daily.groupBy("symbol", "dow")
+        .agg(count(lit(1)).as("n_days"), sum(col("xq")).as("sum_q"))
+      val totals = cells.groupBy("symbol")
+        .agg(sum(col("n_days")).as("n_total"), sum(col("sum_q")).as("sum_total"))
+      cells.join(totals, "symbol")
+        .withColumn("dow_mean",
+          col("sum_q").cast("double") / col("n_days").cast("double") / 1e6)
+        .withColumn("overall_mean",
+          col("sum_total").cast("double") / col("n_total").cast("double") / 1e6)
+        .withColumn("seasonal_ratio", col("dow_mean") / col("overall_mean"))
+        .select("symbol", "dow", "n_days", "dow_mean", "overall_mean",
+          "seasonal_ratio")
+        .orderBy("symbol", "dow")
+    }),
+
+    // BURSTINESS / OVERDISPERSION — the Fano factor (variance/mean) of
+    // daily event counts per type: 1 ⇒ Poisson-like arrivals, ≫1 ⇒
+    // bursty. Day counts are one keyed aggregate; the moment sums over
+    // the per-day table are exact BIGINT (counts are integers — no
+    // quantization needed at all), so variance n·Σc²−(Σc)² is exact and
+    // the factor is one IEEE tree per type. The statistic that decides
+    // whether a rate limiter / capacity plan can assume smooth traffic.
+    "events_burstiness" -> ((s, dir) => {
+      val dayCounts = Sources.events(s, dir)
+        .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      dayCounts.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("c")).as("sc"), sum(col("c") * col("c")).as("scc"),
+          max(col("c")).as("peak_day"))
+        .withColumn("mean_per_day",
+          col("sc").cast("double") / col("n_days").cast("double"))
+        .withColumn("fano",
+          ((col("n_days") * col("scc") - col("sc") * col("sc")).cast("double") /
+            (col("n_days") * col("n_days")).cast("double")) / col("mean_per_day"))
+        .select("event_type", "n_days", "peak_day", "mean_per_day", "fano")
+        .orderBy("event_type")
+    }),
+
+    // HERFINDAHL–HIRSCHMAN CONCENTRATION — how concentrated is monthly
+    // trading volume across symbols? HHI = Σ share² per month, shares
+    // from exact integer volume sums: numerator Σv² and denominator
+    // (Σv)² stay in BIGINT through the aggregates and divide ONCE —
+    // never a per-symbol double share summed across the group (that sum
+    // would be partitioning-order-dependent). Two keyed aggregates, the
+    // second over the per-(month,symbol) table; the anti-trust readout
+    // reused here as a corpus-source concentration audit shape. Volume
+    // aggregates in units of 1000 (integer-divided BEFORE summing, same
+    // rule both engines) so Σv² keeps BIGINT headroom at 100× the
+    // fixture volume — shares are scale-free, so the unit cancels.
+    "yf_hhi_concentration" -> ((s, dir) => {
+      val monthly = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .withColumn("month", date_format(col("Date"), "yyyy-MM"))
+        .groupBy("month", "symbol")
+        .agg(sum(expr("CAST(Volume AS BIGINT) div 1000")).as("v"))
+      monthly.groupBy("month")
+        .agg(count(lit(1)).as("n_symbols"),
+          sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
+        .withColumn("hhi",
+          col("svv").cast("double") / (col("sv").cast("double") * col("sv").cast("double")))
+        .select("month", "n_symbols", "sv", "hhi")
+        .orderBy("month")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -8613,5 +8699,56 @@ object SparkEntry {
         |  CAST(sum(n_assets - 1) AS BIGINT) AS n_dup_assets,
         |  CAST(sum(group_bytes - one_size) AS BIGINT) AS bytes_reclaimed
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "yf_seasonality" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq,
+         |    date_diff('day', DATE '1995-01-01', CAST("Date" AS DATE)) % 7 AS dow
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY symbol, "Date"),
+         |cells AS (
+         |  SELECT symbol, dow, count(*) AS n_days,
+         |    CAST(sum(xq) AS BIGINT) AS sum_q
+         |  FROM daily GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT symbol, CAST(sum(n_days) AS BIGINT) AS n_total,
+         |    CAST(sum(sum_q) AS BIGINT) AS sum_total
+         |  FROM cells GROUP BY 1)
+         |SELECT symbol, dow, n_days,
+         |  CAST(sum_q AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e6 AS dow_mean,
+         |  CAST(sum_total AS DOUBLE) / CAST(n_total AS DOUBLE) / 1e6
+         |    AS overall_mean,
+         |  dow_mean / overall_mean AS seasonal_ratio
+         |FROM cells JOIN tot USING (symbol)
+         |ORDER BY symbol, dow""".stripMargin,
+    "events_burstiness" ->
+      """WITH dc AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc,
+        |    max(c) AS peak_day
+        |  FROM dc GROUP BY 1)
+        |SELECT event_type, n_days, peak_day,
+        |  CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_per_day,
+        |  (CAST(n_days * scc - sc * sc AS DOUBLE)
+        |     / CAST(n_days * n_days AS DOUBLE)) / mean_per_day AS fano
+        |FROM m ORDER BY event_type""".stripMargin,
+    "yf_hhi_concentration" ->
+      s"""WITH $barsCte,
+         |monthly AS (
+         |  SELECT strftime(CAST("Date" AS DATE), '%Y-%m') AS month, symbol,
+         |    CAST(sum(CAST("Volume" AS BIGINT) // 1000) AS BIGINT) AS v
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2)
+         |SELECT month, count(*) AS n_symbols, CAST(sum(v) AS BIGINT) AS sv,
+         |  CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE)
+         |    / (CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+         |       * CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)) AS hhi
+         |FROM monthly GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

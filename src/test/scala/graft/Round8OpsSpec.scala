@@ -186,6 +186,51 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("did") == did)
   }
 
+  test("yf_seasonality: weekday cells partition each symbol's days and ratios recompose") {
+    val rows = q("yf_seasonality").collect()
+    val bySym = rows.groupBy(_.getAs[Long]("symbol"))
+    for ((_, rs) <- bySym.take(5)) {
+      // Overall mean is constant within a symbol, and the day-weighted
+      // average of the weekday means equals it.
+      assert(rs.map(_.getAs[Double]("overall_mean")).distinct.length == 1)
+      val weighted = rs.map(r => r.getAs[Double]("dow_mean") * r.getAs[Long]("n_days")).sum /
+        rs.map(_.getAs[Long]("n_days")).sum
+      assert(math.abs(weighted - rs.head.getAs[Double]("overall_mean")) < 1e-9)
+      for (r <- rs) {
+        assert(r.getAs[Long]("dow") >= 0 && r.getAs[Long]("dow") <= 6)
+        assert(math.abs(r.getAs[Double]("seasonal_ratio") -
+          r.getAs[Double]("dow_mean") / r.getAs[Double]("overall_mean")) == 0.0)
+      }
+    }
+  }
+
+  test("events_burstiness: fano equals the brute-force dispersion per type") {
+    val out = q("events_burstiness").collect()
+    val counts = Sources.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    for (r <- out) {
+      val cs = counts(r.getAs[String]("event_type")).map(_.getAs[Long]("c"))
+      val n = cs.length.toDouble
+      val mean = cs.sum / n
+      val varPop = cs.map(c => (c - mean) * (c - mean)).sum / n
+      assert(r.getAs[Long]("n_days") == cs.length)
+      assert(r.getAs[Long]("peak_day") == cs.max)
+      assert(math.abs(r.getAs[Double]("fano") - varPop / mean) < 1e-9)
+    }
+  }
+
+  test("yf_hhi_concentration: hhi is bounded by [1/n, 1]") {
+    val rows = q("yf_hhi_concentration").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, hhi) = (r.getAs[Long]("n_symbols"), r.getAs[Double]("hhi"))
+      assert(n >= 1 && r.getAs[Long]("sv") > 0)
+      assert(hhi >= 1.0 / n - 1e-12 && hhi <= 1.0 + 1e-12)
+    }
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

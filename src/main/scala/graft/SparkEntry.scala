@@ -5559,6 +5559,62 @@ object SparkEntry {
         .select("month", "n_symbols", "sv", "hhi")
         .orderBy("month")
     }),
+
+    // FIRST-ORDER MARKOV CHAIN over the event stream — transition
+    // probabilities AND per-state entropy rate (how predictable is the
+    // next event given the current one; the sequence-compressibility
+    // readout behind session modeling). Adjacent pairs come from one
+    // per-user lag window on the (ts_us, event_id) total order;
+    // transition counts and state totals are exact integers; p divides
+    // once per cell, and the entropy uses text_word_entropy's ln
+    // discipline — quantize ln(count) of INTEGER inputs to 1e-4 longs,
+    // sum exactly, one final divide: H(s) = (n·lnQ(n) − Σc·lnQ(c))/(n·1e4).
+    // State-count cells (≤ types² rows) re-aggregate and broadcast back.
+    "events_markov_chain" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def lnQ(c: Column) = floor(log(c.cast("double")) * 1e4 + 0.5).cast("long")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val pairs = Sources.events(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val cells = pairs.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromStats = cells.groupBy("from_type")
+        .agg(sum(col("n")).as("n_from"),
+          sum(col("n") * lnQ(col("n"))).as("sum_n_ln_n_q4"))
+        .withColumn("entropy_from",
+          (col("n_from") * lnQ(col("n_from")) - col("sum_n_ln_n_q4"))
+            / (col("n_from") * lit(1e4)))
+      cells.join(broadcast(fromStats.select("from_type", "n_from", "entropy_from")),
+          "from_type")
+        .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+        .select("from_type", "to_type", "n", "n_from", "p", "entropy_from")
+        .orderBy("from_type", "to_type")
+    }),
+
+    // TOKENIZER FERTILITY — BPE-ish tokens per whitespace word, by
+    // language: the readout that decides whether a tokenizer is
+    // efficient on each language slice of a corpus (fertility ≫ 1 means
+    // the vocab fragments that language). Reuses tokenStats' row-local
+    // token counters (both engines share the regex contract); the
+    // rollup is one lang-keyed aggregate of exact integer counts, and
+    // fertility divides the two corpus sums once.
+    "text_tokenizer_fertility" -> ((s, dir) => {
+      val d = Sources.documents(s, dir)
+      text.TextAnalysis.tokenStats(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws_tokens")).as("ws_tokens"),
+          sum(col("n_bpe_tokens")).as("bpe_tokens"))
+        .withColumn("fertility",
+          col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+        .select("lang", "n_docs", "ws_tokens", "bpe_tokens", "fertility")
+        .orderBy("lang")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -8750,5 +8806,38 @@ object SparkEntry {
          |    / (CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
          |       * CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)) AS hhi
          |FROM monthly GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_markov_chain" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_type
+        |  FROM ev),
+        |cells AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |fs AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from,
+        |    CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e4 + 0.5)
+        |                      AS BIGINT)) AS BIGINT) AS sum_n_ln_n_q4
+        |  FROM cells GROUP BY 1)
+        |SELECT from_type, to_type, n, n_from,
+        |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p,
+        |  (n_from * CAST(floor(ln(CAST(n_from AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)
+        |     - sum_n_ln_n_q4) / (n_from * 1e4) AS entropy_from
+        |FROM cells JOIN fs USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "text_tokenizer_fertility" ->
+      s"""WITH ts AS (
+         |${text.TextAnalysis.tokenStatsSql("documents", "doc_id", "text")})
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_ws_tokens) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+         |  CAST(CAST(sum(n_bpe_tokens) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(n_ws_tokens) AS BIGINT) AS DOUBLE) AS fertility
+         |FROM ts JOIN documents USING (doc_id)
+         |GROUP BY 1 ORDER BY lang""".stripMargin,
   )
 }

@@ -231,6 +231,33 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("events_markov_chain: rows are distributions and entropy is bounded") {
+    val out = q("events_markov_chain").collect()
+    assert(out.nonEmpty)
+    val byFrom = out.groupBy(_.getAs[String]("from_type"))
+    for ((_, rs) <- byFrom) {
+      // p sums to 1 within each from-state and n_from is its cell total.
+      assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+      assert(rs.map(_.getAs[Long]("n")).sum == rs.head.getAs[Long]("n_from"))
+      // 0 <= H <= ln(#targets), constant within the state.
+      val h = rs.map(_.getAs[Double]("entropy_from")).distinct
+      assert(h.length == 1)
+      assert(h.head >= -1e-9 && h.head <= math.log(rs.length.toDouble) + 1e-3)
+    }
+  }
+
+  test("text_tokenizer_fertility: per-lang sums conserve and fertility >= 1") {
+    val out = q("text_tokenizer_fertility").collect()
+    val total = Sources.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    for (r <- out) {
+      // The BPE-ish regex splits words further but never merges across
+      // whitespace, so it cannot undercount vs whitespace words.
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens"))
+      assert(r.getAs[Double]("fertility") >= 1.0 - 1e-12)
+    }
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

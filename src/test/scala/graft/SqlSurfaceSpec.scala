@@ -61,4 +61,25 @@ class SqlSurfaceSpec extends SparkSpec {
     val direct = Sources.events(spark, sfDir).filter(col("user_id") >= 5).count()
     assert(n == direct && direct > 0)
   }
+
+  test("SQL scripting: DECLARE/WHILE/SET with scalar subqueries over a real table") {
+    // Spark 4 SQL scripting (SQL/PSM control flow) — the procedural
+    // authoring surface: a WHILE loop accumulating per-bucket counts via
+    // scalar subqueries into session variables. The partition-by-modulus
+    // loop must recompose the exact corpus total.
+    Sources.events(spark, sfDir).createOrReplaceTempView("sql_surface_events")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    val total = spark.sql(
+      """BEGIN
+        |  DECLARE i INT DEFAULT 0;
+        |  DECLARE total BIGINT DEFAULT 0;
+        |  WHILE i < 7 DO
+        |    SET total = total +
+        |      (SELECT count(*) FROM sql_surface_events WHERE user_id % 7 = i);
+        |    SET i = i + 1;
+        |  END WHILE;
+        |  SELECT total;
+        |END""".stripMargin).head().getLong(0)
+    assert(total == Sources.events(spark, sfDir).count() && total > 0)
+  }
 }

@@ -5615,6 +5615,47 @@ object SparkEntry {
         .select("lang", "n_docs", "ws_tokens", "bpe_tokens", "fertility")
         .orderBy("lang")
     }),
+
+    // CROSS-SYMBOL CORRELATION SCREEN — the pairs-trading / risk-model
+    // input: Pearson r between every symbol pair's daily closes over the
+    // shared calendar, top-20 most-correlated pairs. The self-join is
+    // CO-KEYED ON Date (each day's cross-section pairs locally — never
+    // an all-days cross product), the moment sums per pair are exact
+    // BIGINT over 1e-6-quantized closes, and r is one IEEE tree per
+    // pair — so ordering by r is deterministic cross-engine and the
+    // top-20 lands in TakeOrderedAndProject. Pairs scale as symbols²:
+    // at thousands of symbols you block by sector/liquidity tier first
+    // (the dedup-LSH banding argument applied to finance); the
+    // ≥30-shared-days floor keeps spurious short-overlap pairs out.
+    "yf_pairs_correlation" -> ((s, dir) => {
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .select(col("symbol"), col("Date"), expr("cs div nb").as("xq"))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.Date") === col("b.Date") && col("a.symbol") < col("b.symbol"))
+        .select(col("a.symbol").as("s1"), col("b.symbol").as("s2"),
+          col("a.xq").as("x"), col("b.xq").as("y"))
+      pairs.groupBy("s1", "s2")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(col("n") >= 30)
+        .withColumn("r",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(nullif(
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double"),
+              lit(0.0))))
+        .filter(col("r").isNotNull)
+        .select("s1", "s2", "n", "r")
+        .orderBy(col("r").desc, col("s1"), col("s2"))
+        .limit(20)
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -8839,5 +8880,31 @@ object SparkEntry {
          |    / CAST(CAST(sum(n_ws_tokens) AS BIGINT) AS DOUBLE) AS fertility
          |FROM ts JOIN documents USING (doc_id)
          |GROUP BY 1 ORDER BY lang""".stripMargin,
+    "yf_pairs_correlation" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT a.symbol AS s1, b.symbol AS s2, count(*) AS n,
+         |    CAST(sum(a.xq) AS BIGINT) AS sx, CAST(sum(b.xq) AS BIGINT) AS sy,
+         |    CAST(sum(a.xq * a.xq) AS BIGINT) AS sxx,
+         |    CAST(sum(b.xq * b.xq) AS BIGINT) AS syy,
+         |    CAST(sum(a.xq * b.xq) AS BIGINT) AS sxy
+         |  FROM daily a JOIN daily b
+         |    ON a."Date" = b."Date" AND a.symbol < b.symbol
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 30)
+         |SELECT s1, s2, n, r FROM (
+         |  SELECT s1, s2, n,
+         |    CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(nullif(CAST(n * sxx - sx * sx AS DOUBLE)
+         |                    * CAST(n * syy - sy * sy AS DOUBLE), 0.0)) AS r
+         |  FROM m)
+         |WHERE r IS NOT NULL
+         |ORDER BY r DESC, s1, s2 LIMIT 20""".stripMargin,
   )
 }

@@ -258,6 +258,39 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("yf_pairs_correlation: r in [-1,1], ranked, and exact for one pair") {
+    // sf0.001 has <30 shared trading days per pair (the floor correctly
+    // empties the result), so this spec exercises the sf0.01 fixture.
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("yf_pairs_correlation")(spark, sf01).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val rs = rows.map(_.getAs[Double]("r"))
+    assert(rs.forall(r => r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a >= b })
+    // Brute-force the top pair's r from the same quantized daily series.
+    val top = rows.head
+    val daily = Sources.ohlcv(spark, sf01)
+      .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+      .filter(col("symbol").isin(top.getAs[Long]("s1"), top.getAs[Long]("s2")))
+      .groupBy("symbol", "Date")
+      .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("cs"),
+        count(lit(1)).as("nb"))
+      .select(col("symbol"), col("Date"), expr("cs div nb").as("xq"))
+      .collect().map(r => (r.getAs[Long]("symbol"), r.getAs[java.sql.Timestamp]("Date"), r.getAs[Long]("xq")))
+    val bySym = daily.groupBy(_._1).map { case (k, v) => k -> v.map(t => t._2 -> t._3).toMap }
+    val (m1, m2) = (bySym(top.getAs[Long]("s1")), bySym(top.getAs[Long]("s2")))
+    val shared = m1.keySet.intersect(m2.keySet).toSeq
+    val (xs, ys) = (shared.map(m1), shared.map(m2))
+    val n = shared.size.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val (sxx, syy) = (xs.map(v => v * v).sum, ys.map(v => v * v).sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val expR = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    assert(top.getAs[Long]("n") == n)
+    assert(math.abs(top.getAs[Double]("r") - expR) < 1e-12)
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

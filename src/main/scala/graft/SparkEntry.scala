@@ -5656,6 +5656,94 @@ object SparkEntry {
         .orderBy(col("r").desc, col("s1"), col("s2"))
         .limit(20)
     }),
+
+    // NDCG@10 of the RHP-LSH retrieval against exact brute force — the
+    // GRADED ranking-quality metric completing the retrieval-eval triad
+    // (precision/recall in dedup_lsh_recall, set recall in
+    // sim_ann_recall): relevance of a hit = 11 − its ideal rank, DCG
+    // terms rel/log2(rank+1) quantize per item to 1e-6 longs (the lnQ
+    // discipline — per-item IEEE then exact integer sums, so cross-
+    // partition summation order can't perturb the hash) and NDCG divides
+    // the two quantized sums once. Both ranked lists come from the
+    // bounded-heap per-key operator; the eval join is keyed on
+    // (query_id, vec_id) — k rows per query per side at any scale.
+    "sim_ann_ndcg" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+      val brute = sim.Similarity.bruteTopK(q, emb, 10)
+        .select(col("query_id"), col("vec_id"), col("rank").as("ideal_rank"))
+      val ann = sim.Similarity.rhpTopK(q, emb, 10)
+        .select(col("query_id"), col("vec_id"), col("rank").as("ann_rank"))
+      def termQ(rel: Column, rank: Column): Column =
+        floor(rel.cast("double") * lit(1e6) / log2(rank.cast("double") + 1.0) + 0.5)
+          .cast("long")
+      val dcg = ann.join(brute, Seq("query_id", "vec_id"), "left")
+        .withColumn("rel", when(col("ideal_rank").isNotNull,
+          lit(11) - col("ideal_rank")).otherwise(lit(0)))
+        .groupBy("query_id")
+        .agg(sum(termQ(col("rel"), col("ann_rank"))).as("dcg_q"))
+      val idcg = brute
+        .groupBy("query_id")
+        .agg(sum(termQ(lit(11) - col("ideal_rank"), col("ideal_rank"))).as("idcg_q"))
+      idcg.join(dcg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("dcg_q"), lit(0L)).as("dcg_q"), col("idcg_q"),
+          (coalesce(col("dcg_q"), lit(0L)).cast("double") /
+            col("idcg_q").cast("double")).as("ndcg"))
+        .orderBy("query_id")
+    }),
+
+    // LANGUAGE-ID CONFUSION MATRIX — the classifier-eval readout over
+    // the heuristic language tagger: truth (the corpus lang column) ×
+    // prediction cells with per-truth share. Prediction is the row-local
+    // langId projection; the matrix is one keyed aggregate over ≤
+    // langs² cells, marginals re-aggregate the cell table (the
+    // chi2/seasonality pattern) — the corpus is scanned once.
+    "text_lang_confusion" -> ((s, dir) => {
+      val pred = text.TextAnalysis.langId(Sources.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang_id").as("pred"))
+      val cells = Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("truth"))
+        .join(pred, "doc_id")
+        .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("truth").agg(sum(col("n")).as("n_truth"))
+      cells.join(broadcast(totals), "truth")
+        .withColumn("share",
+          col("n").cast("double") / col("n_truth").cast("double"))
+        .select("truth", "pred", "n", "n_truth", "share")
+        .orderBy("truth", "pred")
+    }),
+
+    // TRAIN/TEST LEAKAGE AUDIT — does any (normalized-content) duplicate
+    // straddle a split boundary? Run over the dup-injected corpus (the
+    // dedup fixture) with docs_split's exact hash rule: content
+    // fingerprints join only within fingerprint groups (dup groups are
+    // tiny — the join is keyed on the md5, never quadratic in the
+    // corpus), cross-split pairs aggregate per boundary. The check every
+    // eval pipeline must run BEFORE trusting its test numbers; at 100 TB
+    // this is the same keyed-aggregate shape as dedup_exact plus one
+    // ordered-pair rollup.
+    "docs_split_leakage" -> ((s, dir) => {
+      val nibble = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      val d = dedup.Dedup.augmented(Sources.documents(s, dir))
+        .withColumn("split",
+          when(nibble.isin("e", "f"), lit("test"))
+            .when(nibble.isin("c", "d"), lit("val"))
+            .otherwise(lit("train")))
+        .select(col("doc_id"), col("split"),
+          md5(util.Norm.normalize(col("text")).cast("binary")).as("fp"))
+      d.as("a").join(d.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.split") =!= col("b.split"))
+        .select(least(col("a.split"), col("b.split")).as("split_lo"),
+          greatest(col("a.split"), col("b.split")).as("split_hi"),
+          col("a.fp").as("fp"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_leaked_pairs"),
+          countDistinct(col("fp")).as("n_leaked_fingerprints"))
+        .orderBy("split_lo", "split_hi")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -8906,5 +8994,62 @@ object SparkEntry {
          |  FROM m)
          |WHERE r IS NOT NULL
          |ORDER BY r DESC, s1, s2 LIMIT 20""".stripMargin,
+    "sim_ann_ndcg" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |b AS (
+         |  WITH ${sim.Similarity.bruteTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |  SELECT query_id, vec_id, rank AS ideal_rank FROM topk),
+         |a AS (
+         |  WITH ${sim.Similarity.rhpTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |  SELECT query_id, vec_id, rank AS ann_rank FROM topk),
+         |d AS (
+         |  SELECT a.query_id,
+         |    CAST(sum(CAST(floor(
+         |      CAST(CASE WHEN b.ideal_rank IS NOT NULL THEN 11 - b.ideal_rank
+         |                ELSE 0 END AS DOUBLE) * 1e6
+         |        / log2(CAST(a.ann_rank AS DOUBLE) + 1.0) + 0.5) AS BIGINT))
+         |      AS BIGINT) AS dcg_q
+         |  FROM a LEFT JOIN b USING (query_id, vec_id) GROUP BY 1),
+         |i AS (
+         |  SELECT query_id,
+         |    CAST(sum(CAST(floor(CAST(11 - ideal_rank AS DOUBLE) * 1e6
+         |        / log2(CAST(ideal_rank AS DOUBLE) + 1.0) + 0.5) AS BIGINT))
+         |      AS BIGINT) AS idcg_q
+         |  FROM b GROUP BY 1)
+         |SELECT i.query_id, coalesce(d.dcg_q, 0) AS dcg_q, i.idcg_q,
+         |  CAST(coalesce(d.dcg_q, 0) AS DOUBLE) / CAST(i.idcg_q AS DOUBLE) AS ndcg
+         |FROM i LEFT JOIN d USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+    "text_lang_confusion" ->
+      s"""WITH pred AS (
+         |${text.TextAnalysis.langIdSql("documents", "doc_id", "text")}),
+         |cells AS (
+         |  SELECT d.lang AS truth, p.lang_id AS pred, count(*) AS n
+         |  FROM documents d JOIN pred p USING (doc_id)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT truth, CAST(sum(n) AS BIGINT) AS n_truth
+         |        FROM cells GROUP BY 1)
+         |SELECT truth, pred, n, n_truth,
+         |  CAST(n AS DOUBLE) / CAST(n_truth AS DOUBLE) AS share
+         |FROM cells JOIN tot USING (truth)
+         |ORDER BY truth, pred""".stripMargin,
+    "docs_split_leakage" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |d AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |            IN ('e', 'f') THEN 'test'
+         |          WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |            IN ('c', 'd') THEN 'val'
+         |          ELSE 'train' END) AS split,
+         |    md5(${util.Norm.normalizeSql("text")}) AS fp
+         |  FROM docs)
+         |SELECT least(a.split, b.split) AS split_lo,
+         |  greatest(a.split, b.split) AS split_hi,
+         |  count(*) AS n_leaked_pairs,
+         |  count(DISTINCT a.fp) AS n_leaked_fingerprints
+         |FROM d a JOIN d b
+         |  ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.split <> b.split
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -291,6 +291,40 @@ class Round8OpsSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("r") - expR) < 1e-12)
   }
 
+  test("sim_ann_ndcg: bounded by 1, idcg constant per k, dcg <= idcg") {
+    val out = q("sim_ann_ndcg").collect()
+    assert(out.nonEmpty)
+    // IDCG@10 is the same constant for every query (all have 10 ideal hits).
+    assert(out.map(_.getAs[Long]("idcg_q")).distinct.length == 1)
+    for (r <- out) {
+      assert(r.getAs[Long]("dcg_q") <= r.getAs[Long]("idcg_q"))
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-12)
+    }
+  }
+
+  test("text_lang_confusion: cells conserve the corpus and shares sum to 1") {
+    val out = q("text_lang_confusion").collect()
+    val total = Sources.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    for ((_, rs) <- out.groupBy(_.getAs[String]("truth"))) {
+      assert(rs.map(_.getAs[Long]("n")).sum == rs.head.getAs[Long]("n_truth"))
+      assert(math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("docs_split_leakage: the injected exact dups that straddle splits are caught") {
+    val out = q("docs_split_leakage").collect()
+    // The augmented corpus injects exact dups for doc_id % 11 = 0; the
+    // md5 split scatters originals and copies independently, so at least
+    // one pair must straddle a boundary on any non-trivial fixture.
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getAs[String]("split_lo") < r.getAs[String]("split_hi"))
+      assert(r.getAs[Long]("n_leaked_fingerprints") <= r.getAs[Long]("n_leaked_pairs"))
+    }
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

@@ -5744,6 +5744,144 @@ object SparkEntry {
           countDistinct(col("fp")).as("n_leaked_fingerprints"))
         .orderBy("split_lo", "split_hi")
     }),
+
+    // SLO ERROR-BUDGET BURN RATE — the SRE readout over the event log:
+    // per day, the error share against a declared 25% budget, at 1-day
+    // and trailing-7-day horizons (the multiwindow alert rule). Shares
+    // quantize to ×1e6 integer division; the only windows run over the
+    // DAY-GRAIN table (≤ a few thousand rows at any corpus size — the
+    // orders_backlog argument: aggregate first, window over the tiny
+    // spine), so the global ordering is bounded and the corpus itself
+    // is touched by one keyed aggregate.
+    "events_slo_burn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayStats = Sources.events(s, dir)
+        .groupBy(expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+      val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+      dayStats
+        .withColumn("err7", sum(col("n_err")).over(w7))
+        .withColumn("tot7", sum(col("n_total")).over(w7))
+        .withColumn("share_1d_q", expr("n_err * 1000000 div n_total"))
+        .withColumn("share_7d_q", expr("err7 * 1000000 div tot7"))
+        // budget 25% ⇒ burn = share / 0.25 = share_q / 250000.
+        .withColumn("burn_1d", col("share_1d_q").cast("double") / 250000.0)
+        .withColumn("burn_7d", col("share_7d_q").cast("double") / 250000.0)
+        .select("day", "n_total", "n_err", "burn_1d", "burn_7d")
+        .orderBy("day")
+    }),
+
+    // CUPED VARIANCE-REDUCED A/B READOUT — the experimentation-platform
+    // estimator: θ = cov(pre, post)/var(pre) over per-user period sums,
+    // and the adjusted effect (ȳt − ȳc) − θ(x̄t − x̄c). Per-user pre/post
+    // sums are exact cent-quantized integers (value·100 keeps every
+    // moment inside BIGINT at 1000× the fixture); the pooled moments and
+    // the four arm sums are exact, θ and both effects are single IEEE
+    // trees. Two keyed aggregates (user grain, then arm cells) — the
+    // same one-scan discipline as events_impact_did.
+    "events_ab_cuped" -> ((s, dir) => {
+      val days = Sources.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vq"),
+          expr("ts DIV 86400000000000").as("day_idx"))
+      val cutoff = days.agg(
+        expr("(min(day_idx) + max(day_idx)) div 2").as("cutoff_day"))
+      val users = days.crossJoin(broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(sum(when(col("day_idx") < col("cutoff_day"), col("vq"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("day_idx") >= col("cutoff_day"), col("vq"))
+            .otherwise(0L)).as("y"))
+        .withColumn("treat", (col("user_id") % 2 === 1).cast("int"))
+      val m = users.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(when(col("treat") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treat") === 1, col("x")).otherwise(0L)).as("sx_t"),
+        sum(when(col("treat") === 1, col("y")).otherwise(0L)).as("sy_t"))
+      m.withColumn("theta",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            nullif((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+              lit(0.0)))
+        .withColumn("n_c", col("n") - col("n_t"))
+        .withColumn("raw_effect",
+          (col("sy_t").cast("double") / col("n_t").cast("double") -
+            (col("sy") - col("sy_t")).cast("double") / col("n_c").cast("double"))
+            / 100.0)
+        .withColumn("pre_diff",
+          (col("sx_t").cast("double") / col("n_t").cast("double") -
+            (col("sx") - col("sx_t")).cast("double") / col("n_c").cast("double"))
+            / 100.0)
+        .withColumn("cuped_effect",
+          col("raw_effect") - col("theta") * col("pre_diff"))
+        .select("n", "n_t", "n_c", "theta", "raw_effect", "pre_diff",
+          "cuped_effect")
+    }),
+
+    // COHEN'S KAPPA — chance-corrected agreement between the heuristic
+    // language tagger and the corpus labels: κ = (p_o − p_e)/(1 − p_e)
+    // from the same confusion cells as text_lang_confusion. Diagonal and
+    // marginal sums are exact integers; p_o, p_e, and κ are one IEEE
+    // tree over them in a single output row — the annotation-QA number
+    // every labeling pipeline tracks, at aggregate cost O(langs²).
+    "text_lang_kappa" -> ((s, dir) => {
+      val cells = text.TextAnalysis.langId(Sources.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang_id").as("pred"))
+        .join(Sources.documents(s, dir).select(col("doc_id"), col("lang").as("truth")),
+          "doc_id")
+        .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+      val rowT = cells.groupBy("truth").agg(sum(col("n")).as("rt"))
+      val colT = cells.groupBy("pred").agg(sum(col("n")).as("ct"))
+      val agree = cells.filter(col("truth") === col("pred"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_agree"))
+      val chance = rowT.join(colT, col("truth") === col("pred"))
+        .agg(coalesce(sum(col("rt") * col("ct")), lit(0L)).as("sum_rc"))
+      val total = cells.agg(sum(col("n")).as("n_total"))
+      total.crossJoin(broadcast(agree)).crossJoin(broadcast(chance))
+        .withColumn("po",
+          col("n_agree").cast("double") / col("n_total").cast("double"))
+        .withColumn("pe",
+          col("sum_rc").cast("double") /
+            (col("n_total").cast("double") * col("n_total").cast("double")))
+        .withColumn("kappa",
+          (col("po") - col("pe")) / nullif(lit(1.0) - col("pe"), lit(0.0)))
+        .select("n_total", "n_agree", "po", "pe", "kappa")
+    }),
+
+    // FORECAST BACKTEST (seasonal-naive baseline) — the eval loop every
+    // forecasting pipeline starts from: predict each day's per-type
+    // count with the count 7 days earlier (same-weekday naive), score
+    // MAE and mean bias on the days where the lag exists. Daily counts
+    // are one keyed aggregate; the lag is a per-type window over the
+    // day-grain table; errors are exact integers summed exactly, each
+    // metric divides once. The baseline that any real model must beat —
+    // and the harness that would score that model is this same query
+    // with `pred` swapped.
+    "events_forecast_naive_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.events(s, dir)
+        .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("pred", lag(col("c"), 7).over(w))
+        .filter(col("pred").isNotNull)
+        .withColumn("err", col("c") - col("pred"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("err"))).as("sum_abs_err"),
+          sum(col("err")).as("sum_err"),
+          max(abs(col("err"))).as("max_abs_err"))
+        .withColumn("mae",
+          col("sum_abs_err").cast("double") / col("n_eval").cast("double"))
+        .withColumn("bias",
+          col("sum_err").cast("double") / col("n_eval").cast("double"))
+        .select("event_type", "n_eval", "mae", "bias", "max_abs_err")
+        .orderBy("event_type")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -9051,5 +9189,93 @@ object SparkEntry {
          |FROM d a JOIN d b
          |  ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.split <> b.split
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_slo_burn" ->
+      """WITH ds AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n_total,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_err
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, n_total, n_err,
+        |    CAST(sum(n_err) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS err7,
+        |    CAST(sum(n_total) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS tot7
+        |  FROM ds)
+        |SELECT day, n_total, n_err,
+        |  CAST(n_err * 1000000 // n_total AS DOUBLE) / 250000.0 AS burn_1d,
+        |  CAST(err7 * 1000000 // tot7 AS DOUBLE) / 250000.0 AS burn_7d
+        |FROM w ORDER BY day""".stripMargin,
+    "events_ab_cuped" ->
+      """WITH days AS (
+        |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq,
+        |    epoch_ns(ts) // 86400000000000 AS day_idx
+        |  FROM events),
+        |c AS (SELECT (min(day_idx) + max(day_idx)) // 2 AS cutoff_day FROM days),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN day_idx < cutoff_day THEN vq ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN day_idx >= cutoff_day THEN vq ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat
+        |  FROM days, c GROUP BY user_id),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN treat = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+        |    CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t
+        |  FROM u)
+        |SELECT n, n_t, n - n_t AS n_c,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS theta,
+        |  (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |   - CAST(sy - sy_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) / 100.0
+        |    AS raw_effect,
+        |  (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |   - CAST(sx - sx_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) / 100.0
+        |    AS pre_diff,
+        |  raw_effect - theta * pre_diff AS cuped_effect
+        |FROM m""".stripMargin,
+    "text_lang_kappa" ->
+      s"""WITH pred AS (
+         |${text.TextAnalysis.langIdSql("documents", "doc_id", "text")}),
+         |cells AS (
+         |  SELECT d.lang AS truth, p.lang_id AS pred, count(*) AS n
+         |  FROM documents d JOIN pred p USING (doc_id)
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT truth, CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         |ct AS (SELECT pred, CAST(sum(n) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         |ag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_agree
+         |       FROM cells WHERE truth = pred),
+         |ch AS (SELECT CAST(coalesce(sum(rt.rt * ct.ct), 0) AS BIGINT) AS sum_rc
+         |       FROM rt JOIN ct ON rt.truth = ct.pred),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
+         |SELECT n_total, n_agree,
+         |  CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS po,
+         |  CAST(sum_rc AS DOUBLE)
+         |    / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) AS pe,
+         |  (po - pe) / nullif(1.0 - pe, 0.0) AS kappa
+         |FROM t, ag, ch""".stripMargin,
+    "events_forecast_naive_eval" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, c,
+        |    lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+        |  FROM daily),
+        |e AS (SELECT event_type, c - pred AS err FROM p WHERE pred IS NOT NULL)
+        |SELECT event_type, count(*) AS n_eval,
+        |  CAST(CAST(sum(abs(err)) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mae,
+        |  CAST(CAST(sum(err) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS bias,
+        |  max(abs(err)) AS max_abs_err
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -325,6 +325,50 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("events_slo_burn: shares bounded, 7-day window smooths the 1-day spikes") {
+    val rows = q("events_slo_burn").collect().sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_err") <= r.getAs[Long]("n_total"))
+      // burn = share/0.25 with share in [0,1] ⇒ burn in [0,4].
+      for (c <- Seq("burn_1d", "burn_7d")) {
+        val b = r.getAs[Double](c)
+        assert(b >= 0.0 && b <= 4.0)
+      }
+    }
+    val v1 = rows.map(_.getAs[Double]("burn_1d"))
+    val v7 = rows.map(_.getAs[Double]("burn_7d"))
+    def spread(v: Seq[Double]) = v.max - v.min
+    assert(spread(v7) <= spread(v1) + 1e-12)
+  }
+
+  test("events_ab_cuped: arm counts conserve and cuped recomposes from theta") {
+    val r = q("events_ab_cuped").head()
+    assert(r.getAs[Long]("n_t") + r.getAs[Long]("n_c") == r.getAs[Long]("n"))
+    val expected = r.getAs[Double]("raw_effect") -
+      r.getAs[Double]("theta") * r.getAs[Double]("pre_diff")
+    assert(r.getAs[Double]("cuped_effect") == expected)
+  }
+
+  test("text_lang_kappa: po/pe/kappa are consistent and bounded") {
+    val r = q("text_lang_kappa").head()
+    val (po, pe, k) = (r.getAs[Double]("po"), r.getAs[Double]("pe"),
+      r.getAs[Double]("kappa"))
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    assert(math.abs(k - (po - pe) / (1.0 - pe)) < 1e-12)
+    assert(r.getAs[Long]("n_agree") <= r.getAs[Long]("n_total"))
+  }
+
+  test("events_forecast_naive_eval: mae >= |bias| and bounded by the peak error") {
+    val out = q("events_forecast_naive_eval").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getAs[Double]("mae") >= math.abs(r.getAs[Double]("bias")) - 1e-12)
+      assert(r.getAs[Double]("mae") <= r.getAs[Long]("max_abs_err") + 1e-12)
+      assert(r.getAs[Long]("n_eval") > 0)
+    }
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

@@ -5882,6 +5882,96 @@ object SparkEntry {
         .select("event_type", "n_eval", "mae", "bias", "max_abs_err")
         .orderBy("event_type")
     }),
+
+    // BENFORD FIRST-DIGIT AUDIT — the fraud/synthetic-data screen: the
+    // leading digit of every order total against Benford's log10(1+1/d)
+    // law. The digit comes from the BIGINT cent amount's decimal string
+    // (integer→string is engine-identical; a double→string render is
+    // NOT), the expected shares are BUILD-TIME Scala constants
+    // interpolated into both engines' plans (so no runtime log10 ulp
+    // can split them), and the chi²-style distance quantizes each
+    // digit's term to 1e-6 before the exact 9-term sum — the
+    // events_chi2_independence discipline. One keyed aggregate at digit
+    // grain + a 1-row broadcast; the corpus never shuffles.
+    "orders_benford_audit" -> ((s, dir) => {
+      val expected: Map[Int, Double] =
+        (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+      val expCol = (1 to 9).foldRight(lit(Double.NaN): Column) {
+        case (d, e) => when(col("digit") === d.toString, lit(expected(d))).otherwise(e)
+      }
+      val digits = Sources.orders(s, dir)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(
+          expr("CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)"),
+          1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val total = digits.agg(sum(col("n_obs")).as("n_total"))
+      val scored = digits.crossJoin(broadcast(total))
+        .withColumn("share",
+          col("n_obs").cast("double") / col("n_total").cast("double"))
+        .withColumn("expected", expCol)
+        .withColumn("term_q",
+          floor((col("n_obs") - col("expected") * col("n_total")) *
+            (col("n_obs") - col("expected") * col("n_total")) /
+            (col("expected") * col("n_total")) * 1e6 + 0.5).cast("long"))
+      val chi2 = scored.agg(sum(col("term_q")).as("chi2_q"))
+      scored.crossJoin(broadcast(chi2))
+        .withColumn("chi2", col("chi2_q") / 1e6)
+        .select("digit", "n_obs", "n_total", "share", "expected", "chi2")
+        .orderBy("digit")
+    }),
+
+    // DATA PROFILING SUMMARY — the first query any warehouse runs on an
+    // unknown table: per column, row/null/distinct counts in ONE pass
+    // (the distinct aggregates Expand the scan ×columns — at 100 TB you
+    // trade that for approx_count_distinct; the exact twin is the
+    // correctness tier here, same pattern as the sketch families). The
+    // stack() unpivot emits one row per column from the single
+    // aggregate row — no per-column scans, no driver loops.
+    "data_profile_summary" -> ((s, dir) => {
+      val o = Sources.orders(s, dir)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+            countDistinct(col(c)).as(s"dist_$c"))
+        }
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', null_$c, dist_$c").mkString(", ")
+      one.selectExpr(
+          s"stack(${cols.length}, $stackArgs) AS (column_name, n_null, n_distinct)",
+          "n_rows")
+        .orderBy("column_name")
+    }),
+
+    // ACCOUNTS-RECEIVABLE AGING — open liability bucketed by age at a
+    // fixed as-of date: orders still unshipped (no lineitem ship at or
+    // before the as-of day) age from their order date into the classic
+    // 0-30/31-60/61-90/90+ buckets with exact-decimal money totals.
+    // Openness = one left_anti against the shipped-order key set (keys
+    // only cross the shuffle); aging is row-local date math; the rollup
+    // is one tiny keyed aggregate. The finance-ops close-process query.
+    "orders_open_aging" -> ((s, dir) => {
+      val asOf = "1998-06-01"
+      val shipped = Sources.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(asOf))
+        .select(col("l_orderkey")).distinct()
+      Sources.orders(s, dir)
+        .filter(col("o_orderdate") <= lit(asOf))
+        .join(shipped, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .withColumn("age_days", datediff(lit(asOf), col("o_orderdate")))
+        .withColumn("bucket",
+          when(col("age_days") <= 30, "a_0_30")
+            .when(col("age_days") <= 60, "b_31_60")
+            .when(col("age_days") <= 90, "c_61_90")
+            .otherwise("d_90_plus"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          util.Stable.exactSumAt(col("o_totalprice"), 2).as("open_value"),
+          min(col("age_days")).as("min_age"), max(col("age_days")).as("max_age"))
+        .orderBy("bucket")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -9277,5 +9367,70 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE) AS bias,
         |  max(abs(err)) AS max_abs_err
         |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "orders_benford_audit" -> {
+      // NB: a bare decimal literal is DECIMAL in DuckDB (not DOUBLE) —
+      // the e0 exponent forces DOUBLE so the arithmetic tree matches
+      // Spark's and the rendered `expected` column hashes identically.
+      val expectedCase = (1 to 9).map { d =>
+        s"WHEN '$d' THEN ${math.log10(1.0 + 1.0 / d)}e0"
+      }.mkString(" ")
+      s"""WITH digits AS (
+         |  SELECT substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS digit, count(*) AS n_obs
+         |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM digits),
+         |scored AS (
+         |  SELECT digit, n_obs, n_total,
+         |    CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+         |    (CASE digit $expectedCase END) AS expected,
+         |    CAST(floor((n_obs - (CASE digit $expectedCase END) * n_total)
+         |      * (n_obs - (CASE digit $expectedCase END) * n_total)
+         |      / ((CASE digit $expectedCase END) * n_total) * 1e6 + 0.5)
+         |      AS BIGINT) AS term_q
+         |  FROM digits, t),
+         |c AS (SELECT CAST(sum(term_q) AS BIGINT) AS chi2_q FROM scored)
+         |SELECT digit, n_obs, n_total, share, expected, chi2_q / 1e6 AS chi2
+         |FROM scored, c ORDER BY digit""".stripMargin
+    },
+    "data_profile_summary" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS column_name,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null,
+        |    count(DISTINCT o_orderkey) AS n_distinct, count(*) AS n_rows
+        |  FROM orders
+        |  UNION ALL SELECT 'o_custkey',
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_custkey), count(*) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderstatus), count(*) FROM orders
+        |  UNION ALL SELECT 'o_totalprice',
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_totalprice), count(*) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority',
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderpriority), count(*) FROM orders)
+        |ORDER BY column_name""".stripMargin,
+    "orders_open_aging" ->
+      s"""WITH shipped AS (
+         |  SELECT DISTINCT l_orderkey FROM lineitem
+         |  WHERE l_shipdate <= TIMESTAMP '1998-06-01 00:00:00'),
+         |open_orders AS (
+         |  SELECT o_orderkey, o_totalprice,
+         |    date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-06-01')
+         |      AS age_days
+         |  FROM orders
+         |  WHERE o_orderdate <= TIMESTAMP '1998-06-01 00:00:00'
+         |    AND NOT EXISTS (SELECT 1 FROM shipped s
+         |                    WHERE s.l_orderkey = orders.o_orderkey))
+         |SELECT (CASE WHEN age_days <= 30 THEN 'a_0_30'
+         |             WHEN age_days <= 60 THEN 'b_31_60'
+         |             WHEN age_days <= 90 THEN 'c_61_90'
+         |             ELSE 'd_90_plus' END) AS bucket,
+         |  count(*) AS n_orders,
+         |  ${util.Stable.exactSumAtSql("o_totalprice", 2)} AS open_value,
+         |  min(age_days) AS min_age, max(age_days) AS max_age
+         |FROM open_orders GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -369,6 +369,42 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("orders_benford_audit: digits partition the orders and chi2 recomposes") {
+    val rows = q("orders_benford_audit").collect()
+    assert(rows.map(_.getAs[String]("digit")).forall(d => d >= "1" && d <= "9"))
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == rows.head.getAs[Long]("n_total"))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - 1.0) < 1e-12)
+    assert(rows.map(_.getAs[Double]("chi2")).distinct.length == 1)
+    assert(rows.head.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("data_profile_summary: per-column stats are consistent with the table") {
+    val rows = q("data_profile_summary").collect()
+    assert(rows.length == 5)
+    val total = Sources.orders(spark, sfDir).count()
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_rows") == total)
+      assert(r.getAs[Long]("n_null") == 0L)
+      assert(r.getAs[Long]("n_distinct") >= 1 && r.getAs[Long]("n_distinct") <= total)
+    }
+    val dist = rows.map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct")).toMap
+    assert(dist("o_orderkey") == total)
+    assert(dist("o_orderpriority") <= 10)
+  }
+
+  test("orders_open_aging: buckets respect their age ranges and openness") {
+    val rows = q("orders_open_aging").collect()
+    assert(rows.nonEmpty)
+    val ranges = Map("a_0_30" -> (0, 30), "b_31_60" -> (31, 60),
+      "c_61_90" -> (61, 90), "d_90_plus" -> (91, Int.MaxValue))
+    for (r <- rows) {
+      val (lo, hi) = ranges(r.getAs[String]("bucket"))
+      assert(r.getAs[Int]("min_age") >= lo && r.getAs[Int]("max_age") <= hi)
+      assert(r.getAs[Long]("n_orders") > 0)
+    }
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

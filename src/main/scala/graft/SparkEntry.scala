@@ -5972,6 +5972,75 @@ object SparkEntry {
           min(col("age_days")).as("min_age"), max(col("age_days")).as("max_age"))
         .orderBy("bucket")
     }),
+
+    // SUPPLIER LATENCY SCORECARD — order-to-ship lead time per supplier:
+    // mean (exact integer day sums ÷ once), p90 by RANK SELECTION (the
+    // yf_var_cvar discipline — k = ⌈0.9·n⌉-th smallest on a
+    // (latency, orderkey, linenumber) total order, never a value
+    // threshold), and the max. One co-keyed fact⋈orders join at order
+    // grain, then per-supplier windows — the ops scorecard every
+    // procurement team runs, shaped to stay per-key parallel at any
+    // supplier count.
+    "supplier_latency_scorecard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lat = Sources.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_shipdate"))
+        .join(Sources.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lat"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ranked = lat
+        .withColumn("rn", row_number().over(Window.partitionBy("l_suppkey")
+          .orderBy(col("lat"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_suppkey")))
+        .withColumn("k90", expr("(9 * n + 9) div 10"))
+      val p90 = ranked.filter(col("rn") === col("k90"))
+        .select(col("l_suppkey"), col("lat").as("p90_days"))
+      lat.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_shipments"),
+          sum(col("lat")).as("sum_days"), max(col("lat")).as("max_days"))
+        .join(p90, "l_suppkey")
+        .withColumn("mean_days",
+          col("sum_days").cast("double") / col("n_shipments").cast("double"))
+        .select("l_suppkey", "n_shipments", "mean_days", "p90_days", "max_days")
+        .orderBy("l_suppkey")
+    }),
+
+    // NATION TRADE MATRIX — cross-border revenue flows: customer nation
+    // × supplier nation with exact-decimal revenue and an
+    // intra/cross-border flag, top-20 flows. The generalization of
+    // TPC-H Q7's two-nation slice to the full matrix: facts join
+    // co-keyed at order grain, both nation dimensions BROADCAST, and
+    // the aggregate lands at nation² grain before TakeOrderedAndProject
+    // ranks the flows — the corpus shuffles once regardless of how many
+    // nation pairs exist.
+    "nation_trade_matrix" -> ((s, dir) => {
+      val rev = util.Stable.dec2(col("l_extendedprice")) *
+        (util.Stable.rate2(lit(1.0)) - util.Stable.rate2(col("l_discount")))
+      Sources.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+        .join(Sources.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Sources.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Sources.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Sources.nation(s, dir)
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sk"))
+        .join(broadcast(Sources.nation(s, dir)
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("ck"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(count(lit(1)).as("n_lineitems"),
+          util.Stable.exactSumAt(col("rev"), 4).as("revenue"))
+        .withColumn("cross_border",
+          (col("cust_nation") =!= col("supp_nation")).cast("int"))
+        .orderBy(col("revenue").desc, col("cust_nation"), col("supp_nation"))
+        .limit(20)
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -9432,5 +9501,44 @@ object SparkEntry {
          |  ${util.Stable.exactSumAtSql("o_totalprice", 2)} AS open_value,
          |  min(age_days) AS min_age, max(age_days) AS max_age
          |FROM open_orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "supplier_latency_scorecard" ->
+      """WITH lat AS (
+        |  SELECT l_suppkey,
+        |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+        |      AS lat, l_orderkey, l_linenumber
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (
+        |  SELECT l_suppkey, lat,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY lat, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_suppkey) AS n
+        |  FROM lat),
+        |p90 AS (
+        |  SELECT l_suppkey, lat AS p90_days FROM r
+        |  WHERE rn = (9 * n + 9) // 10),
+        |agg AS (
+        |  SELECT l_suppkey, count(*) AS n_shipments,
+        |    CAST(sum(lat) AS BIGINT) AS sum_days, max(lat) AS max_days
+        |  FROM lat GROUP BY 1)
+        |SELECT a.l_suppkey, n_shipments,
+        |  CAST(sum_days AS DOUBLE) / CAST(n_shipments AS DOUBLE) AS mean_days,
+        |  p90_days, max_days
+        |FROM agg a JOIN p90 USING (l_suppkey)
+        |ORDER BY a.l_suppkey""".stripMargin,
+    "nation_trade_matrix" ->
+      s"""SELECT c_nat.n_name AS cust_nation, s_nat.n_name AS supp_nation,
+         |  count(*) AS n_lineitems,
+         |  ${util.Stable.exactSumAtSql(
+               s"${util.Stable.dec2Sql("l.l_extendedprice")} * (1 - ${util.Stable.rate2Sql("l.l_discount")})", 4)} AS revenue,
+         |  CAST(CASE WHEN c_nat.n_name <> s_nat.n_name THEN 1 ELSE 0 END
+         |    AS INTEGER) AS cross_border
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation s_nat ON s.s_nationkey = s_nat.n_nationkey
+         |JOIN nation c_nat ON c.c_nationkey = c_nat.n_nationkey
+         |GROUP BY 1, 2
+         |ORDER BY revenue DESC, cust_nation, supp_nation LIMIT 20""".stripMargin,
   )
 }

@@ -405,6 +405,32 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("supplier_latency_scorecard: mean <= p90 <= max and counts cover the facts") {
+    val rows = q("supplier_latency_scorecard").collect()
+    assert(rows.nonEmpty)
+    val totalFacts = Sources.lineitem(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_shipments")).sum == totalFacts)
+    for (r <- rows) {
+      // p90 is the k-th of n with k = ceil(0.9 n): at least the mean's
+      // neighborhood; always <= max, and mean <= max.
+      assert(r.getAs[Long]("p90_days") <= r.getAs[Long]("max_days"))
+      assert(r.getAs[Double]("mean_days") <= r.getAs[Long]("max_days") + 1e-9)
+      assert(r.getAs[Long]("n_shipments") > 0)
+    }
+  }
+
+  test("nation_trade_matrix: ranked flows with consistent cross-border flag") {
+    val rows = q("nation_trade_matrix").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    for (r <- rows) {
+      val same = r.getAs[String]("cust_nation") == r.getAs[String]("supp_nation")
+      assert(r.getAs[Int]("cross_border") == (if (same) 0 else 1))
+      assert(r.getAs[Long]("n_lineitems") > 0)
+    }
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

@@ -6045,6 +6045,106 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("cust_nation"), col("supp_nation"))
         .limit(20)
     }),
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST, EXACT-INTEGER FORM — does the
+    // value distribution differ between the A/B arms? The supremum
+    // |F₁−F₂| is computed WITHOUT any FP accumulation: per distinct
+    // cent-quantized value, arm counts; cumulative counts c₁,c₂ over the
+    // value order; and the statistic's numerator max|c₁·N₂ − c₂·N₁| is
+    // pure BIGINT cross-multiplication — D divides once at the end. The
+    // only window runs over the DISTINCT-VALUE grain (bounded by value
+    // resolution, not corpus size). The z/χ² tests' nonparametric
+    // sibling; the 5% critical value is a build-time constant.
+    "events_ks_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = Sources.events(s, dir)
+        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vq"),
+          (col("user_id") % 2 === 1).cast("int").as("treat"))
+      val grain = vals.groupBy("vq")
+        .agg(sum(when(col("treat") === 1, 1L).otherwise(0L)).as("a1"),
+          sum(when(col("treat") === 0, 1L).otherwise(0L)).as("a2"))
+      val w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = grain
+        .withColumn("c1", sum(col("a1")).over(w))
+        .withColumn("c2", sum(col("a2")).over(w))
+      val tot = grain.agg(sum(col("a1")).as("n1"), sum(col("a2")).as("n2"),
+        count(lit(1)).as("n_values"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("dn", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .groupBy("n1", "n2", "n_values")
+        .agg(max(col("dn")).as("d_num"))
+        .withColumn("d_stat",
+          col("d_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")))
+        // 5% two-sample critical value c(α)=1.358.
+        .withColumn("d_crit",
+          lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))))
+        .withColumn("reject_5pct", (col("d_stat") > col("d_crit")).cast("int"))
+        .select("n1", "n2", "n_values", "d_stat", "d_crit", "reject_5pct")
+    }),
+
+    // UNDERWATER-SPELL DURATION — the drawdown readout yf_returns_drawdown
+    // omits: the LONGEST consecutive run of days below the running peak
+    // per symbol (how long investors waited for a new high). Running max
+    // + gaps-and-islands segmentation (new-high days increment the run
+    // id, underwater runs group under it) — all per-symbol windows on
+    // exact integer quantized closes; the rollup counts the longest
+    // island. The sessionize shape applied to a derived predicate.
+    "yf_underwater_duration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("xq", expr("cs div nb"))
+      val wo = Window.partitionBy("symbol").orderBy("Date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val marked = daily
+        .withColumn("peak", max(col("xq")).over(wo))
+        .withColumn("under", (col("xq") < col("peak")).cast("long"))
+        .withColumn("run_id", sum(lit(1L) - col("under")).over(wo))
+      val spells = marked.filter(col("under") === 1L)
+        .groupBy("symbol", "run_id").agg(count(lit(1)).as("spell_len"))
+      daily.groupBy("symbol").agg(count(lit(1)).as("n_days"))
+        .join(spells.groupBy("symbol")
+            .agg(sum(col("spell_len")).as("n_underwater"),
+              max(col("spell_len")).as("max_spell")),
+          Seq("symbol"), "left")
+        .select(col("symbol"), col("n_days"),
+          coalesce(col("n_underwater"), lit(0L)).as("n_underwater"),
+          coalesce(col("max_spell"), lit(0L)).as("max_spell"))
+        .orderBy("symbol")
+    }),
+
+    // GINI COEFFICIENT of monthly order values — the inequality readout
+    // behind customer_pareto's deciles, in closed rank-weighted form:
+    // G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over cent-quantized totals
+    // ranked within each month. Ranks come from a PER-MONTH window
+    // (never global), every sum is exact BIGINT, and G is one IEEE
+    // division per month row. The same shape audits corpus-source or
+    // shard-size inequality at 100 TB.
+    "orders_gini_monthly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Sources.orders(s, dir)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+          col("o_orderkey"))
+      val ranked = o.withColumn("i",
+        row_number().over(Window.partitionBy("month")
+          .orderBy(col("cents"), col("o_orderkey"))).cast("long"))
+      ranked.groupBy("month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("i") * col("cents")).as("sum_rank_cents"))
+        .withColumn("gini",
+          (lit(2L) * col("sum_rank_cents") -
+            (col("n_orders") + 1L) * col("sum_cents")).cast("double") /
+            (col("n_orders") * col("sum_cents")).cast("double"))
+        .select("month", "n_orders", "sum_cents", "gini")
+        .orderBy("month")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -9544,5 +9644,85 @@ object SparkEntry {
          |JOIN nation c_nat ON c.c_nationkey = c_nat.n_nationkey
          |GROUP BY 1, 2
          |ORDER BY revenue DESC, cust_nation, supp_nation LIMIT 20""".stripMargin,
+    "events_ks_test" ->
+      """WITH vals AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq,
+        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat
+        |  FROM events),
+        |grain AS (
+        |  SELECT vq,
+        |    CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a2
+        |  FROM vals GROUP BY 1),
+        |cum AS (
+        |  SELECT vq,
+        |    CAST(sum(a1) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(a2) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS c2
+        |  FROM grain),
+        |t AS (SELECT CAST(sum(a1) AS BIGINT) AS n1,
+        |        CAST(sum(a2) AS BIGINT) AS n2, count(*) AS n_values
+        |      FROM grain)
+        |SELECT n1, n2, n_values,
+        |  CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
+        |  1.358e0 * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS d_crit,
+        |  CAST(CASE WHEN CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |      > 1.358e0 * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+        |    THEN 1 ELSE 0 END AS INTEGER) AS reject_5pct
+        |FROM cum, t GROUP BY 1, 2, 3""".stripMargin,
+    "yf_underwater_duration" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |flagged AS (
+         |  SELECT symbol, "Date", xq,
+         |    CASE WHEN xq < max(xq) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS UNBOUNDED PRECEDING) THEN 1 ELSE 0 END AS under
+         |  FROM daily),
+         |marked AS (
+         |  SELECT symbol, "Date", xq, under,
+         |    CAST(sum(1 - under) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+         |  FROM flagged),
+         |spells AS (
+         |  SELECT symbol, run_id, count(*) AS spell_len
+         |  FROM marked WHERE under = 1 GROUP BY 1, 2),
+         |per_sym AS (
+         |  SELECT symbol,
+         |    CAST(coalesce(sum(spell_len), 0) AS BIGINT) AS n_underwater,
+         |    CAST(coalesce(max(spell_len), 0) AS BIGINT) AS max_spell
+         |  FROM spells GROUP BY 1),
+         |nd AS (SELECT symbol, count(*) AS n_days FROM daily GROUP BY 1)
+         |SELECT nd.symbol, n_days,
+         |  coalesce(n_underwater, 0) AS n_underwater,
+         |  coalesce(max_spell, 0) AS max_spell
+         |FROM nd LEFT JOIN per_sym USING (symbol)
+         |ORDER BY nd.symbol""".stripMargin,
+    "orders_gini_monthly" ->
+      """WITH o AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT month, cents,
+        |    CAST(row_number() OVER (PARTITION BY month
+        |      ORDER BY cents, o_orderkey) AS BIGINT) AS i
+        |  FROM o)
+        |SELECT month, count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(2 * CAST(sum(i * cents) AS BIGINT)
+        |       - (count(*) + 1) * CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) * CAST(sum(cents) AS BIGINT) AS DOUBLE) AS gini
+        |FROM r GROUP BY 1 ORDER BY month""".stripMargin,
   )
 }

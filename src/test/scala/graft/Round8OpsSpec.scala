@@ -431,6 +431,46 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("events_ks_test: exact statistic matches a driver-side replay") {
+    val r = q("events_ks_test").head()
+    val vals = Sources.events(spark, sfDir)
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vq"),
+        (col("user_id") % 2 === 1).cast("int").as("t")).collect()
+      .map(x => (x.getLong(0), x.getInt(1)))
+    val treat = vals.filter(_._2 == 1).map(_._1).sorted
+    val ctrl = vals.filter(_._2 == 0).map(_._1).sorted
+    val (n1, n2) = (treat.length.toLong, ctrl.length.toLong)
+    val cuts = (treat ++ ctrl).distinct.sorted
+    val dNum = cuts.map { v =>
+      math.abs(treat.count(_ <= v) * n2 - ctrl.count(_ <= v) * n1)
+    }.max
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Double]("d_stat") == dNum.toDouble / (n1.toDouble * n2.toDouble))
+    assert(r.getAs[Double]("d_crit") > 0.0)
+  }
+
+  test("yf_underwater_duration: spells bounded by day counts") {
+    val out = q("yf_underwater_duration").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (n, u, m) = (r.getAs[Long]("n_days"), r.getAs[Long]("n_underwater"),
+        r.getAs[Long]("max_spell"))
+      // The first day is never underwater (the peak includes it).
+      assert(u < n && m <= u)
+      assert((u == 0) == (m == 0))
+    }
+  }
+
+  test("orders_gini_monthly: gini bounded in [0,1) and zero for 1-order months") {
+    val out = q("orders_gini_monthly").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val g = r.getAs[Double]("gini")
+      assert(g >= -1e-12 && g < 1.0)
+      if (r.getAs[Long]("n_orders") == 1) assert(math.abs(g) < 1e-12)
+    }
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

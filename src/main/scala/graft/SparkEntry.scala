@@ -6145,6 +6145,37 @@ object SparkEntry {
         .select("month", "n_orders", "sum_cents", "gini")
         .orderBy("month")
     }),
+
+    // MANN–WHITNEY U (rank-sum) — the KS test's location-shift sibling:
+    // does one A/B arm stochastically dominate? Exact-integer via
+    // DOUBLED midranks (2·rank keeps tie midpoints integral): per
+    // distinct value, the doubled midrank is 2·(count below) + (count
+    // at) + 1; R₁ sums arm-1 counts × midranks in BIGINT; U₁ derives by
+    // identity; the common-language effect size U₁/(n₁n₂) divides once.
+    // Value-grain window only (the KS discipline) — corpus scanned once.
+    "events_mannwhitney_u" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grain = Sources.events(s, dir)
+        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vq"),
+          (col("user_id") % 2 === 1).cast("int").as("treat"))
+        .groupBy("vq")
+        .agg(sum(when(col("treat") === 1, 1L).otherwise(0L)).as("a1"),
+          sum(when(col("treat") === 0, 1L).otherwise(0L)).as("a2"))
+      val w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = grain
+        .withColumn("below", coalesce(sum(col("a1") + col("a2")).over(w), lit(0L)))
+        .withColumn("midrank2", lit(2L) * col("below") + col("a1") + col("a2") + 1L)
+      ranked.agg(
+          sum(col("a1")).as("n1"), sum(col("a2")).as("n2"),
+          sum(col("a1") * col("midrank2")).as("r1_2"))
+        // U₁ stays in DOUBLED units (ties make real U half-integral):
+        // u1_x2 = 2·R₁ − n₁(n₁+1); effect = u1_x2 / (2·n₁·n₂).
+        .withColumn("u1_x2", col("r1_2") - col("n1") * (col("n1") + 1L))
+        .withColumn("effect_size",
+          col("u1_x2").cast("double") /
+            (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
+        .select("n1", "n2", "u1_x2", "effect_size")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -9724,5 +9755,28 @@ object SparkEntry {
         |       - (count(*) + 1) * CAST(sum(cents) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) * CAST(sum(cents) AS BIGINT) AS DOUBLE) AS gini
         |FROM r GROUP BY 1 ORDER BY month""".stripMargin,
+    "events_mannwhitney_u" ->
+      """WITH grain AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a1,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a2
+        |  FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT vq, a1, a2,
+        |    2 * CAST(coalesce(sum(a1 + a2) OVER (ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      + a1 + a2 + 1 AS midrank2
+        |  FROM grain)
+        |SELECT CAST(sum(a1) AS BIGINT) AS n1, CAST(sum(a2) AS BIGINT) AS n2,
+        |  CAST(sum(a1 * midrank2) AS BIGINT)
+        |    - CAST(sum(a1) AS BIGINT) * (CAST(sum(a1) AS BIGINT) + 1) AS u1_x2,
+        |  CAST(CAST(sum(a1 * midrank2) AS BIGINT)
+        |       - CAST(sum(a1) AS BIGINT) * (CAST(sum(a1) AS BIGINT) + 1)
+        |    AS DOUBLE)
+        |    / (2.0e0 * CAST(CAST(sum(a1) AS BIGINT) AS DOUBLE)
+        |       * CAST(CAST(sum(a2) AS BIGINT) AS DOUBLE)) AS effect_size
+        |FROM ranked""".stripMargin,
   )
 }

@@ -471,6 +471,25 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("events_mannwhitney_u: doubled-unit U matches a driver-side pair count") {
+    val r = q("events_mannwhitney_u").head()
+    val vals = Sources.events(spark, sfDir)
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vq"),
+        (col("user_id") % 2 === 1).cast("int").as("t")).collect()
+      .map(x => (x.getLong(0), x.getInt(1)))
+    val treat = vals.filter(_._2 == 1).map(_._1)
+    val ctrl = vals.filter(_._2 == 0).map(_._1)
+    // U1 = #(treat > ctrl pairs) + 0.5 #(ties) — doubled: 2 wins + ties.
+    var u2 = 0L
+    for (t <- treat; c <- ctrl)
+      u2 += (if (t > c) 2L else if (t == c) 1L else 0L)
+    assert(r.getAs[Long]("n1") == treat.length.toLong)
+    assert(r.getAs[Long]("n2") == ctrl.length.toLong)
+    assert(r.getAs[Long]("u1_x2") == u2)
+    assert(r.getAs[Double]("effect_size") ==
+      u2.toDouble / (2.0 * treat.length.toDouble * ctrl.length.toDouble))
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

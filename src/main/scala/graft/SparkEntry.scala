@@ -6176,6 +6176,122 @@ object SparkEntry {
             (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
         .select("n1", "n2", "u1_x2", "effect_size")
     }),
+
+    // SHARPE & SORTINO RATIOS — risk-adjusted return per symbol over the
+    // 1995 window: mean daily change over total vs DOWNSIDE-ONLY
+    // dispersion. Both second moments are exact BIGINT over 1e-8-
+    // quantized close diffs (the yf_var_cvar series); population
+    // stddev and the two ratios are one IEEE tree per symbol. Sortino's
+    // downside moment conditions inside the SAME aggregate (CASE, not a
+    // second scan). One keyed aggregate, no windows beyond the lag.
+    "yf_sharpe_sortino" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("xq", expr("cs div nb"))
+      val wo = Window.partitionBy("symbol").orderBy("Date")
+      val dq = daily.withColumn("dq", col("xq") - lag(col("xq"), 1).over(wo))
+        .filter(col("dq").isNotNull)
+      dq.groupBy("symbol").agg(
+          count(lit(1)).as("n"),
+          sum(col("dq")).as("sd"),
+          sum(col("dq") * col("dq")).as("sdd"),
+          sum(when(col("dq") < 0, col("dq") * col("dq")).otherwise(0L)).as("sdd_down"),
+          sum(when(col("dq") < 0, 1L).otherwise(0L)).as("n_down"))
+        .withColumn("mean_chg", col("sd").cast("double") / col("n").cast("double"))
+        .withColumn("sd_all",
+          sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double")) /
+            col("n").cast("double"))
+        .withColumn("sd_down",
+          sqrt(col("sdd_down").cast("double") / col("n").cast("double")))
+        .withColumn("sharpe",
+          col("mean_chg") / nullif(col("sd_all"), lit(0.0)))
+        .withColumn("sortino",
+          col("mean_chg") / nullif(col("sd_down"), lit(0.0)))
+        .select("symbol", "n", "n_down", "sharpe", "sortino")
+        .orderBy("symbol")
+    }),
+
+    // TYPE-MIX ENTROPY DRIFT — the distribution-shift monitor: per day,
+    // the entropy of the event-type mix (quantized-ln identity over
+    // exact counts, the text_word_entropy discipline) next to the
+    // corpus-wide reference entropy, with the absolute drift. Day cells
+    // are one keyed aggregate; the reference re-aggregates the tiny
+    // cell table and broadcasts back. The alert input for "did
+    // yesterday's traffic mix change shape" at any scale.
+    "events_entropy_drift" -> ((s, dir) => {
+      def lnQ(c: Column) = floor(log(c.cast("double")) * 1e4 + 0.5).cast("long")
+      val cells = Sources.events(s, dir)
+        .groupBy(expr("ts DIV 86400000000000").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val daily = cells.groupBy("day")
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * lnQ(col("c"))).as("s_clnc"))
+        .withColumn("h_day",
+          (col("n") * lnQ(col("n")) - col("s_clnc")) / (col("n") * lit(1e4)))
+      val overall = cells.groupBy("event_type").agg(sum(col("c")).as("c"))
+        .agg(sum(col("c")).as("n_all"),
+          sum(col("c") * lnQ(col("c"))).as("s_all"))
+        .withColumn("h_ref",
+          (col("n_all") * lnQ(col("n_all")) - col("s_all")) /
+            (col("n_all") * lit(1e4)))
+        .select("h_ref")
+      daily.crossJoin(broadcast(overall))
+        .withColumn("drift", abs(col("h_day") - col("h_ref")))
+        .select("day", "n", "h_day", "h_ref", "drift")
+        .orderBy("day")
+    }),
+
+    // JENSEN–SHANNON DIVERGENCE between two source slices' vocabulary
+    // distributions — the corpus-drift number behind "did source B's
+    // language shift vs source A". Word-grain counts for both slices
+    // full-outer-join on the word; each word's two KL terms
+    // c·ln(2c·N_other-side-aware mixture ratio) quantize to 1e-4 longs
+    // (the bigram-logprob ln discipline: identical integer inputs →
+    // identical IEEE ln → identical quantized term) and sum exactly;
+    // JS = (KL₁+KL₂)/(2·ln2-free nats) divides once. Vocabulary-grain
+    // everything — corpus scanned once per slice.
+    "docs_js_divergence" -> ((s, dir) => {
+      // Slices = the even/odd doc_id halves — a pure predicate (no
+      // driver-side source picking), standing in for any two corpus
+      // shards/snapshots whose language drift is in question.
+      val words = Sources.documents(s, dir)
+        .select((col("doc_id") % 2).as("half"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val ca = words.filter(col("half") === 0)
+        .groupBy("word").agg(count(lit(1)).as("c1"))
+      val cb = words.filter(col("half") === 1)
+        .groupBy("word").agg(count(lit(1)).as("c2"))
+      val joined = ca.join(cb, Seq("word"), "full_outer")
+        .select(col("word"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      val tot = joined.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      // Per-word KL terms vs the mixture m = (p+q)/2, in 1e-4-quantized
+      // nats: term1 = c1·lnQ(2·c1·n2 / (c1·n2 + c2·n1)) etc — the ratio
+      // is exact-integer-derived so both engines feed ln identical doubles.
+      def lnQratio(num: Column, den: Column) =
+        floor(log(num.cast("double") / den.cast("double")) * 1e4 + 0.5).cast("long")
+      val terms = joined.crossJoin(broadcast(tot))
+        .withColumn("mden", col("c1") * col("n2") + col("c2") * col("n1"))
+        .withColumn("t1", when(col("c1") > 0,
+          col("c1") * lnQratio(lit(2L) * col("c1") * col("n2"), col("mden")))
+          .otherwise(0L))
+        .withColumn("t2", when(col("c2") > 0,
+          col("c2") * lnQratio(lit(2L) * col("c2") * col("n1"), col("mden")))
+          .otherwise(0L))
+      terms.groupBy("n1", "n2")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("t1")).as("kl1_q"), sum(col("t2")).as("kl2_q"))
+        .withColumn("js_nats",
+          (col("kl1_q").cast("double") / col("n1").cast("double") +
+            col("kl2_q").cast("double") / col("n2").cast("double")) / 2e4)
+        .select("n1", "n2", "n_words", "js_nats")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -9778,5 +9894,90 @@ object SparkEntry {
         |    / (2.0e0 * CAST(CAST(sum(a1) AS BIGINT) AS DOUBLE)
         |       * CAST(CAST(sum(a2) AS BIGINT) AS DOUBLE)) AS effect_size
         |FROM ranked""".stripMargin,
+    "yf_sharpe_sortino" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  SELECT symbol,
+         |    xq - lag(xq) OVER (PARTITION BY symbol ORDER BY "Date") AS dq
+         |  FROM daily),
+         |m AS (
+         |  SELECT symbol, count(*) AS n,
+         |    CAST(sum(dq) AS BIGINT) AS sd,
+         |    CAST(sum(dq * dq) AS BIGINT) AS sdd,
+         |    CAST(sum(CASE WHEN dq < 0 THEN dq * dq ELSE 0 END) AS BIGINT)
+         |      AS sdd_down,
+         |    CAST(sum(CASE WHEN dq < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+         |  FROM d WHERE dq IS NOT NULL GROUP BY 1)
+         |SELECT symbol, n, n_down,
+         |  (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / nullif(sqrt(CAST(n * sdd - sd * sd AS DOUBLE))
+         |             / CAST(n AS DOUBLE), 0.0) AS sharpe,
+         |  (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / nullif(sqrt(CAST(sdd_down AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)
+         |    AS sortino
+         |FROM m ORDER BY symbol""".stripMargin,
+    "events_entropy_drift" ->
+      """WITH cells AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT day, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e4 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS s_clnc
+        |  FROM cells GROUP BY 1),
+        |tc AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS c
+        |       FROM cells GROUP BY 1),
+        |ov AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_all,
+        |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e4 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS s_all
+        |  FROM tc),
+        |r AS (SELECT (n_all * CAST(floor(ln(CAST(n_all AS DOUBLE)) * 1e4 + 0.5)
+        |        AS BIGINT) - s_all) / (n_all * 1e4) AS h_ref FROM ov)
+        |SELECT day, n,
+        |  (n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)
+        |     - s_clnc) / (n * 1e4) AS h_day,
+        |  h_ref, abs((n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e4 + 0.5)
+        |     AS BIGINT) - s_clnc) / (n * 1e4) - h_ref) AS drift
+        |FROM daily, r ORDER BY day""".stripMargin,
+    "docs_js_divergence" ->
+      s"""WITH words AS (
+         |  SELECT doc_id % 2 AS half, w FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |ca AS (SELECT w AS word, count(*) AS c1 FROM words
+         |       WHERE half = 0 GROUP BY 1),
+         |cb AS (SELECT w AS word, count(*) AS c2 FROM words
+         |       WHERE half = 1 GROUP BY 1),
+         |j AS (
+         |  SELECT coalesce(ca.word, cb.word) AS word,
+         |    CAST(coalesce(c1, 0) AS BIGINT) AS c1,
+         |    CAST(coalesce(c2, 0) AS BIGINT) AS c2
+         |  FROM ca FULL JOIN cb ON ca.word = cb.word),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |        CAST(sum(c2) AS BIGINT) AS n2 FROM j),
+         |terms AS (
+         |  SELECT c1, c2, n1, n2,
+         |    c1 * n2 + c2 * n1 AS mden,
+         |    CASE WHEN c1 > 0 THEN c1 * CAST(floor(ln(
+         |      CAST(2 * c1 * n2 AS DOUBLE) / CAST(c1 * n2 + c2 * n1 AS DOUBLE))
+         |      * 1e4 + 0.5) AS BIGINT) ELSE 0 END AS t1,
+         |    CASE WHEN c2 > 0 THEN c2 * CAST(floor(ln(
+         |      CAST(2 * c2 * n1 AS DOUBLE) / CAST(c1 * n2 + c2 * n1 AS DOUBLE))
+         |      * 1e4 + 0.5) AS BIGINT) ELSE 0 END AS t2
+         |  FROM j, t)
+         |SELECT n1, n2, count(*) AS n_words,
+         |  (CAST(CAST(sum(t1) AS BIGINT) AS DOUBLE) / CAST(n1 AS DOUBLE)
+         |   + CAST(CAST(sum(t2) AS BIGINT) AS DOUBLE) / CAST(n2 AS DOUBLE))
+         |    / 2e4 AS js_nats
+         |FROM terms GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -490,6 +490,40 @@ class Round8OpsSpec extends SparkSpec {
       u2.toDouble / (2.0 * treat.length.toDouble * ctrl.length.toDouble))
   }
 
+  test("yf_sharpe_sortino: sortino magnifies sharpe when downside is the minority") {
+    val out = q("yf_sharpe_sortino").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_down") <= r.getAs[Long]("n"))
+      // Downside-only dispersion <= total dispersion, so |sortino| >= |sharpe|
+      // whenever both exist and the mean is nonzero... only guaranteed in
+      // sign-consistency; check finiteness and sign agreement instead.
+      val (sh, so) = (r.getAs[Double]("sharpe"), r.getAs[Double]("sortino"))
+      if (!r.isNullAt(r.fieldIndex("sharpe")) && !r.isNullAt(r.fieldIndex("sortino")))
+        assert(sh == 0.0 || so == 0.0 || (sh > 0) == (so > 0))
+    }
+  }
+
+  test("events_entropy_drift: entropies bounded by ln(#types), drift consistent") {
+    val out = q("events_entropy_drift").collect()
+    assert(out.nonEmpty)
+    val maxH = math.log(5.0) + 1e-3
+    assert(out.map(_.getAs[Double]("h_ref")).distinct.length == 1)
+    for (r <- out) {
+      assert(r.getAs[Double]("h_day") >= -1e-9 && r.getAs[Double]("h_day") <= maxH)
+      assert(math.abs(r.getAs[Double]("drift") -
+        math.abs(r.getAs[Double]("h_day") - r.getAs[Double]("h_ref"))) == 0.0)
+    }
+  }
+
+  test("docs_js_divergence: bounded by ln 2 and halves cover the corpus") {
+    val r = q("docs_js_divergence").head()
+    val js = r.getAs[Double]("js_nats")
+    assert(js >= -1e-6 && js <= math.log(2.0) + 1e-3)
+    val totalTokens = r.getAs[Long]("n1") + r.getAs[Long]("n2")
+    assert(totalTokens > 0 && r.getAs[Long]("n_words") > 0)
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

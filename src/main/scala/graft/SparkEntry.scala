@@ -6292,6 +6292,44 @@ object SparkEntry {
             col("kl2_q").cast("double") / col("n2").cast("double")) / 2e4)
         .select("n1", "n2", "n_words", "js_nats")
     }),
+
+    // ZIPF SLOPE — does the vocabulary follow a power law, and how
+    // steep? OLS of lnQ(freq) on lnQ(rank) over the frequency-ranked
+    // vocabulary, with BOTH log coordinates quantized to 1e-4 longs
+    // BEFORE the moment sums (identical integer ln inputs → identical
+    // quantized coordinates cross-engine), so the closed-form slope/R²
+    // is one IEEE tree over exact BIGINT moments. The rank window runs
+    // over vocabulary types only (the docs_ngram_coverage argument); a
+    // natural corpus lands near slope −1 — drifting far from it flags
+    // synthetic or templated text.
+    "text_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def lnQ(c: Column) = floor(log(c.cast("double")) * 1e4 + 0.5).cast("long")
+      val vocab = Sources.documents(s, dir)
+        .select(explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val pts = vocab
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("freq").desc, col("word"))).cast("long"))
+        .select(lnQ(col("rk")).as("x"), lnQ(col("freq")).as("y"))
+      pts.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            nullif((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+              lit(0.0)))
+        .withColumn("r2",
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+            nullif((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double"),
+              lit(0.0)))
+        .select("n", "slope", "r2")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -9979,5 +10017,31 @@ object SparkEntry {
          |   + CAST(CAST(sum(t2) AS BIGINT) AS DOUBLE) / CAST(n2 AS DOUBLE))
          |    / 2e4 AS js_nats
          |FROM terms GROUP BY 1, 2""".stripMargin,
+    "text_zipf_slope" ->
+      s"""WITH words AS (
+         |  SELECT w FROM (
+         |    SELECT unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |vocab AS (SELECT w AS word, count(*) AS freq FROM words GROUP BY 1),
+         |pts AS (
+         |  SELECT
+         |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY freq DESC, word)
+         |      AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS x,
+         |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS y
+         |  FROM vocab),
+         |m AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM pts)
+         |SELECT n,
+         |  CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS slope,
+         |  (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+         |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
+         |             * CAST(n * syy - sy * sy AS DOUBLE), 0.0) AS r2
+         |FROM m""".stripMargin,
   )
 }

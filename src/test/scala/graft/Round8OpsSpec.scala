@@ -524,6 +524,16 @@ class Round8OpsSpec extends SparkSpec {
     assert(totalTokens > 0 && r.getAs[Long]("n_words") > 0)
   }
 
+  test("text_zipf_slope: slope is negative and r2 bounded") {
+    val r = q("text_zipf_slope").head()
+    assert(r.getAs[Long]("n") >= 2)
+    // Frequencies are rank-sorted descending, so the log-log slope must
+    // be non-positive; r2 lives in [0,1].
+    assert(r.getAs[Double]("slope") <= 0.0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

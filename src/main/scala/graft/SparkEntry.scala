@@ -6330,6 +6330,59 @@ object SparkEntry {
               lit(0.0)))
         .select("n", "slope", "r2")
     }),
+
+    // COHORT REPEAT-PURCHASE RATE — the orders-side loyalty readout (the
+    // LTV triangle's headline number): per first-order-month cohort, how
+    // many customers ever ordered again. Customer grain first (one keyed
+    // aggregate; the cohort month comes from min(o_orderdate) — tie-free
+    // by construction since only the month survives), then a tiny cohort
+    // rollup; the repeat share divides two exact counts once.
+    "customer_repeat_rate" -> ((s, dir) => {
+      val perCust = Sources.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderdate")).as("first_date"))
+        .select(col("o_custkey"), col("n_orders"),
+          date_format(col("first_date"), "yyyy-MM").as("cohort"))
+      perCust.groupBy("cohort")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+        .withColumn("repeat_rate",
+          col("n_repeat").cast("double") / col("n_customers").cast("double"))
+        .select("cohort", "n_customers", "n_repeat", "repeat_rate")
+        .orderBy("cohort")
+    }),
+
+    // HOURLY TRAFFIC PROFILE — per event type: the 24-hour histogram's
+    // peak and trough hours plus a peak-to-mean ratio (the capacity-
+    // planning shape: how spiky is each stream within the day). Hour
+    // cells are one keyed aggregate; argmax/argmin use max_by/min_by on
+    // a (count, hour) total order (deterministic ties — the weekly-OHLC
+    // discipline); the ratio multiplies exact integers before its one
+    // division.
+    "events_peak_hours" -> ((s, dir) => {
+      val cells = Sources.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts DIV 3600000000000) % 24").as("hour"))
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("c")).as("n_events"),
+          // (count, hour) total orders encoded as one BIGINT (hour < 100)
+          // so max_by/arg_max agree cross-engine without struct compares:
+          // peak = max count, ties to the EARLIEST hour; trough = min
+          // count, ties likewise.
+          expr("max_by(hour, c * 100 - hour)").as("peak_hour"),
+          max(col("c")).as("peak_count"),
+          expr("min_by(hour, c * 100 + hour)").as("trough_hour"),
+          min(col("c")).as("trough_count"))
+        .withColumn("peak_to_mean",
+          (col("peak_count") * col("n_hours")).cast("double") /
+            col("n_events").cast("double"))
+        .select("event_type", "n_events", "peak_hour", "peak_count",
+          "trough_hour", "trough_count", "peak_to_mean")
+        .orderBy("event_type")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -10043,5 +10096,29 @@ object SparkEntry {
          |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
          |             * CAST(n * syy - sy * sy AS DOUBLE), 0.0) AS r2
          |FROM m""".stripMargin,
+    "customer_repeat_rate" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    strftime(CAST(min(o_orderdate) AS DATE), '%Y-%m') AS cohort
+        |  FROM orders GROUP BY 1)
+        |SELECT cohort, count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repeat,
+        |  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE) AS repeat_rate
+        |FROM pc GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "events_peak_hours" ->
+      """WITH cells AS (
+        |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |  arg_max(hour, c * 100 - hour) AS peak_hour,
+        |  max(c) AS peak_count,
+        |  arg_min(hour, c * 100 + hour) AS trough_hour,
+        |  min(c) AS trough_count,
+        |  CAST(max(c) * count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |    AS peak_to_mean
+        |FROM cells GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -534,6 +534,30 @@ class Round8OpsSpec extends SparkSpec {
     assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
   }
 
+  test("customer_repeat_rate: cohorts partition the customer base") {
+    val out = q("customer_repeat_rate").collect()
+    val nCust = Sources.orders(spark, sfDir).select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_customers")).sum == nCust)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_repeat") <= r.getAs[Long]("n_customers"))
+      val rate = r.getAs[Double]("repeat_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("events_peak_hours: peak/trough hours carry their counts' extremes") {
+    val out = q("events_peak_hours").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getAs[Long]("peak_count") >= r.getAs[Long]("trough_count"))
+      for (c <- Seq("peak_hour", "trough_hour")) {
+        val h = r.getAs[Long](c)
+        assert(h >= 0 && h <= 23)
+      }
+      assert(r.getAs[Double]("peak_to_mean") >= 1.0 - 1e-12)
+    }
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

@@ -6383,6 +6383,83 @@ object SparkEntry {
           "trough_hour", "trough_count", "peak_to_mean")
         .orderBy("event_type")
     }),
+
+    // INTER-ARRIVAL COEFFICIENT OF VARIATION — the arrival-process test
+    // complementing events_burstiness's count view: for a Poisson
+    // process CV = 1; CV ≫ 1 means clumped arrivals. Gaps come from one
+    // per-type lag over the (ts_us, event_id) total order; gap moments
+    // are exact BIGINT (micros ≤ ~1e13, squares ≤ 1e26? NO — gaps here
+    // are ≤ ~1e11 µs and n ≤ 1e4, so Σgap² ≤ 1e26 would overflow —
+    // gaps therefore quantize to SECONDS (÷1e6) before squaring, which
+    // keeps Σgap² ≤ ~1e14 with 1000× headroom); CV² is one IEEE tree
+    // per type.
+    "events_interarrival_cv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      val gaps = Sources.events(s, dir)
+        .select(col("event_type"), expr("ts DIV 1000").as("ts_us"), col("event_id"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        // Seconds-granularity gaps: integer-divide BEFORE the moments so
+        // the squares stay deep inside BIGINT at 1000× the fixture.
+        .withColumn("gap_s", expr("(ts_us - prev) div 1000000"))
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_s")).as("sg"),
+          sum(col("gap_s") * col("gap_s")).as("sgg"),
+          max(col("gap_s")).as("max_gap_s"))
+        .withColumn("mean_gap_s",
+          col("sg").cast("double") / col("n_gaps").cast("double"))
+        .withColumn("cv2",
+          ((col("n_gaps") * col("sgg") - col("sg") * col("sg")).cast("double") /
+            (col("n_gaps") * col("n_gaps")).cast("double")) /
+            nullif(col("mean_gap_s") * col("mean_gap_s"), lit(0.0)))
+        .select("event_type", "n_gaps", "mean_gap_s", "cv2", "max_gap_s")
+        .orderBy("event_type")
+    }),
+
+    // ONE-WAY ANOVA F — does account balance differ across market
+    // segments? Completes the classical-test family (z, χ², KS, U):
+    // between/within sums of squares assemble from per-segment exact
+    // cent sums and counts — SSB = Σ nⱼ(x̄ⱼ−x̄)² and SSW = SST−SSB both
+    // derive from the SAME three BIGINT moments via the identity
+    // SST = Σx²−(Σx)²/n, evaluated in one fixed IEEE tree; F divides
+    // once. One keyed aggregate + a 1-row rollup of the k-row cell
+    // table. At any scale the corpus is scanned exactly once.
+    "customer_anova_f" -> ((s, dir) => {
+      val cells = Sources.customer(s, dir)
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("xq"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("nj"), sum(col("xq")).as("sj"),
+          sum(col("xq") * col("xq")).as("ssj"))
+      val tot = cells.agg(
+        count(lit(1)).as("k"),
+        sum(col("nj")).as("n"), sum(col("sj")).as("s"),
+        sum(col("ssj")).as("ss"),
+        // Σ sj²/nj with each segment's term QUANTIZED to integer cents²
+        // before the sum (floor(x+0.5) of one IEEE tree over exact
+        // inputs) — a raw double sum would be partition-order-dependent;
+        // the ≤1 cent² per-term rounding is noise against SSB ~ 1e13.
+        sum(floor(col("sj").cast("double") * col("sj").cast("double") /
+          col("nj").cast("double") + 0.5).cast("long")).as("sum_sj2_over_nj_q"))
+      tot
+        .withColumn("sst",
+          col("ss").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n").cast("double"))
+        .withColumn("ssb",
+          col("sum_sj2_over_nj_q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n").cast("double"))
+        .withColumn("ssw", col("sst") - col("ssb"))
+        .withColumn("f_stat",
+          (col("ssb") / (col("k") - 1).cast("double")) /
+            nullif(col("ssw") / (col("n") - col("k")).cast("double"), lit(0.0)))
+        .select(col("k").as("n_segments"), col("n").as("n_customers"),
+          (col("ssb") / 1e4).as("ssb"), (col("ssw") / 1e4).as("ssw"),
+          col("f_stat"))
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -10120,5 +10197,62 @@ object SparkEntry {
         |  CAST(max(c) * count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
         |    AS peak_to_mean
         |FROM cells GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "events_interarrival_cv" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    (ts_us - lag(ts_us) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id)) // 1000000 AS gap_s
+        |  FROM ev),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_gaps,
+        |    CAST(sum(gap_s) AS BIGINT) AS sg,
+        |    CAST(sum(gap_s * gap_s) AS BIGINT) AS sgg,
+        |    max(gap_s) AS max_gap_s
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+        |  (CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+        |     / CAST(n_gaps * n_gaps AS DOUBLE))
+        |    / nullif((CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |             * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0)
+        |    AS cv2,
+        |  max_gap_s
+        |FROM m ORDER BY event_type""".stripMargin,
+    "customer_anova_f" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, count(*) AS nj,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sj,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |             * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS ssj
+        |  FROM customer GROUP BY 1),
+        |t AS (
+        |  SELECT count(*) AS k, CAST(sum(nj) AS BIGINT) AS n,
+        |    CAST(sum(sj) AS BIGINT) AS s, CAST(sum(ssj) AS BIGINT) AS ss,
+        |    CAST(sum(CAST(floor(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+        |      / CAST(nj AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM cells)
+        |SELECT k AS n_segments, n AS n_customers,
+        |  (CAST(sq AS DOUBLE)
+        |   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1e4
+        |    AS ssb,
+        |  ((CAST(ss AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |   - (CAST(sq AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    / 1e4 AS ssw,
+        |  ((CAST(sq AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / CAST(k - 1 AS DOUBLE))
+        |  / nullif((((CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |     - (CAST(sq AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    / CAST(n - k AS DOUBLE)), 0.0) AS f_stat
+        |FROM t""".stripMargin,
   )
 }

@@ -558,6 +558,29 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("events_interarrival_cv: gap accounting is consistent per type") {
+    val out = q("events_interarrival_cv").collect()
+    val typeCounts = Sources.events(spark, sfDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    for (r <- out) {
+      assert(r.getAs[Long]("n_gaps") == typeCounts(r.getAs[String]("event_type")) - 1)
+      assert(r.getAs[Double]("mean_gap_s") >= 0.0)
+      assert(r.getAs[Double]("cv2") >= 0.0)
+      assert(r.getAs[Double]("mean_gap_s") <= r.getAs[Long]("max_gap_s") + 1)
+    }
+  }
+
+  test("customer_anova_f: sums of squares decompose and F is non-negative") {
+    val r = q("customer_anova_f").head()
+    val (ssb, ssw) = (r.getAs[Double]("ssb"), r.getAs[Double]("ssw"))
+    assert(ssb >= -1e-6 && ssw >= 0.0)
+    assert(r.getAs[Long]("n_segments") >= 2)
+    assert(r.getAs[Long]("n_customers") ==
+      Sources.customer(spark, sfDir).count())
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+  }
+
   test("mm_dedup_exact: per-format accounting is conserved") {
     val out = q("mm_dedup_exact").collect()
     val total = Sources.documents(spark, sfDir).count()

@@ -6460,6 +6460,66 @@ object SparkEntry {
           (col("ssb") / 1e4).as("ssb"), (col("ssw") / 1e4).as("ssw"),
           col("f_stat"))
     }),
+
+    // ROLLUP-MV REWRITE (engine feature — plans/MvRewrite.scala +
+    // plans/Mv.scala): the query is written against the FACT table, and
+    // the injected optimizer rule re-plans it as a RE-aggregation of the
+    // (l_returnflag, l_linestatus) materialized view — associative state
+    // (sum/count/min/max) folds onto any grain subset, so the steady-
+    // state read touches |MV| rows (≤ ~6 here) instead of |lineitem|.
+    // The MV itself is a write-once stored artifact (built in warm-up,
+    // probed in timed reps — the `_stored` protocol); the ORACLE
+    // recomputes from the raw fact, so a rewrite that ever changed
+    // semantics would hash-mismatch, and MvRewriteSpec pins that the
+    // rewritten plan scans the MV path and not the fact. At 100 TB this
+    // is the warehouse dashboard shape: ingest maintains the rollup,
+    // queries never rescan history.
+    "mv_rollup_stored" -> ((s, dir) => {
+      plans.Mv.ensureLineitemMv(s, dir)
+      Sources.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(util.Stable.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(util.Stable.dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // The GRAIN-PREDICATE variant: a filter on an MV grain column
+    // selects whole MV groups, so it transplants onto the MV scan and
+    // the rewrite still fires (a non-grain predicate — l_shipdate, say —
+    // correctly blocks it; MvRewriteSpec pins both directions). Also
+    // exercises the min/max re-aggregation path (min of per-group
+    // minima) under an expression tree around the aggregate
+    // (unix_micros(min(...)) — the rewrite maps the AGGREGATE node and
+    // carries the surrounding tree verbatim).
+    "mv_rollup_filtered_stored" -> ((s, dir) => {
+      plans.Mv.ensureLineitemMv(s, dir)
+      Sources.lineitem(s, dir)
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          // l_shipdate is TIMESTAMP_NTZ in the testdata; the UTC-pinned
+          // session makes the NTZ→TZ cast a wall-clock no-op, so
+          // unix_micros is exact (the Sources.events discipline).
+          unix_micros(min(col("l_shipdate")).cast("timestamp")).as("min_ship_us"),
+          unix_micros(max(col("l_shipdate")).cast("timestamp")).as("max_ship_us"))
+        .orderBy("l_returnflag")
+    }),
+
+    // INCREMENTAL MV REFRESH (plans/Mv.scala): the day-grain events
+    // rollup is maintained warehouse-style — history partials live in a
+    // write-once store whose marker carries the refresh cutoff (a
+    // catalog watermark, read back driver-side with no corpus scan), and
+    // each invocation aggregates ONLY the `[cutoff, ∞)` delta through
+    // the footer-pruned `eventsTsRange` scan, then merges by
+    // re-aggregating the associative partials. The oracle recomputes the
+    // full-corpus aggregate from scratch — refresh-equals-recompute is
+    // exactly the incremental-view-maintenance contract. At 100 TB the
+    // delta scan reads a week of row groups, not two years.
+    "mv_refresh_incremental_stored" -> ((s, dir) =>
+      plans.Mv.refreshedEventsDay(s, dir).orderBy("day", "event_type")),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -10254,5 +10314,29 @@ object SparkEntry {
         |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
         |    / CAST(n - k AS DOUBLE)), 0.0) AS f_stat
         |FROM t""".stripMargin,
+
+    // The MV-rewrite oracles recompute from the RAW fact — the whole
+    // point: if the optimizer's MV fold ever diverged from first
+    // principles, the hash would catch it.
+    "mv_rollup_stored" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum(${util.Stable.dec2Sql("l_quantity")}) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(${util.Stable.dec2Sql("l_extendedprice")}) AS DOUBLE) AS sum_price,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "mv_rollup_filtered_stored" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  epoch_us(min(l_shipdate)) AS min_ship_us,
+        |  epoch_us(max(l_shipdate)) AS max_ship_us
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "mv_refresh_incremental_stored" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rewrite: row_number-window + rank filter → the bounded
     // per-key top-k operator, transparently (users keep the window form).
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    // Rollup-MV rewrite: aggregates over a registered fact table fold
+    // onto its pre-aggregated materialized view (re-aggregation of
+    // associative state), so steady-state analytics read |MV| rows, not
+    // |fact| rows.
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized-view lifecycle: write-once rollup builds (the marker
+  * discipline shared with the stored LSH/IVF artifacts — testdata is
+  * immutable per driver contract, so `(sfDir, grain, version)` identifies
+  * the content) and the incremental day-delta refresh that keeps a
+  * day-grain MV current without rescanning history.
+  *
+  * Scale shape: the MV build scans the fact ONCE per ingest batch and
+  * every steady-state aggregate query reads `|MV|` rows via
+  * [[MvRewrite]]; the refresh path aggregates ONLY the delta time-slice
+  * (a footer-pruned `eventsTsRange` scan) and merges it with the stored
+  * partials — associative state (sum/count/min/max) makes merge = union +
+  * re-aggregate, no history rescan. At 100 TB the fact scan happens once
+  * a day; dashboards hit kilobytes.
+  */
+object Mv {
+  private def warehouseDir(s: SparkSession, leaf: String): Path =
+    new Path(s.conf.get("spark.sql.warehouse.dir"), leaf)
+
+  private def sfTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Returns the marker's content if it matches `tag`'s prefix (the tail
+    * may carry build-time metadata like the refresh cutoff). */
+  private def readMarker(s: SparkSession, out: Path): Option[String] = {
+    val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new Path(out, "_GRAFT_MARKER")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
+  private def writeMarker(s: SparkSession, out: Path, content: String): Unit = {
+    val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val os = fs.create(new Path(out, "_GRAFT_MARKER"), true)
+    try os.write(content.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Lineitem rollup MV at (l_returnflag, l_linestatus) grain with
+    * exact-decimal partial sums, count, and shipdate min/max — the state
+    * set that lets [[MvRewrite]] answer any sum/count/min/max aggregate
+    * over any grain subset. Build is write-once per SF; every call
+    * (re)registers the definition (idempotent). */
+  def ensureLineitemMv(s: SparkSession, dir: String): MvDef = {
+    val out = warehouseDir(s, s"graft_mv_lineitem_${sfTag(dir)}")
+    val tag = s"$dir|lineitem|rf,ls|v1"
+    if (!readMarker(s, out).contains(tag)) {
+      graft.util.Artifacts.recordBuild(s"mv_lineitem $tag")
+      graft.Sources.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(graft.util.Stable.dec2(col("l_quantity"))).as("sum_qty"),
+          sum(graft.util.Stable.dec2(col("l_extendedprice"))).as("sum_price"),
+          count(lit(1)).as("cnt"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .write.mode("overwrite").parquet(out.toString)
+      writeMarker(s, out, tag)
+    }
+    val d = MvDef(
+      name = s"lineitem_rf_ls_${sfTag(dir)}",
+      factPath = s"$dir/lineitem.parquet",
+      mvPath = out.toString,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sums = Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
+      countCol = Some("cnt"),
+      mins = Map("l_shipdate" -> "min_ship"),
+      maxs = Map("l_shipdate" -> "max_ship"))
+    MvRegistry.register(d)
+    d
+  }
+
+  val DayNanos = 86400000000000L
+
+  private def dayAgg(events: DataFrame): DataFrame =
+    events
+      .select(expr("ts div 86400000000000").as("day"), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+
+  /** Day-grain events MV covering days `< cutoff` (cutoff = max day − 6:
+    * "history" in the store, "this week" arrives as deltas). The cutoff
+    * is BUILD-TIME state and lives in the marker — probes read it back
+    * driver-side (a metadata lookup, like a refresh watermark in any
+    * warehouse's catalog) instead of re-deriving it with a corpus scan.
+    * Returns (storePath, cutoffDay). */
+  def ensureEventsDayMv(s: SparkSession, dir: String): (String, Long) = {
+    val out = warehouseDir(s, s"graft_mv_events_day_${sfTag(dir)}")
+    val tagPrefix = s"$dir|events|day,type|v1|cutoff="
+    readMarker(s, out) match {
+      case Some(m) if m.startsWith(tagPrefix) =>
+        (out.toString, m.stripPrefix(tagPrefix).toLong)
+      case _ =>
+        graft.util.Artifacts.recordBuild(s"mv_events_day $dir")
+        val maxDay = graft.Sources.events(s, dir)
+          .agg(max(expr("ts div 86400000000000"))).head().getLong(0)
+        val cutoff = maxDay - 6
+        dayAgg(graft.Sources.eventsTsRange(s, dir, Long.MinValue, cutoff * DayNanos))
+          .write.mode("overwrite").parquet(out.toString)
+        writeMarker(s, out, s"$tagPrefix$cutoff")
+        (out.toString, cutoff)
+    }
+  }
+
+  /** Incremental refresh read path: stored history partials + a
+    * footer-pruned delta scan of `[cutoff, ∞)`, merged by re-aggregation
+    * of the associative state. Output equals the full-corpus aggregate
+    * (the oracle recomputes it from scratch) while the fact scan touched
+    * only the delta row groups. */
+  def refreshedEventsDay(s: SparkSession, dir: String): DataFrame = {
+    val (store, cutoff) = ensureEventsDayMv(s, dir)
+    val delta = dayAgg(graft.Sources.eventsTsRange(s, dir, cutoff * DayNanos, Long.MaxValue))
+    s.read.parquet(store).unionByName(delta)
+      .groupBy("day", "event_type")
+      .agg(sum(col("cnt")).as("n_events"), sum(col("sum_cents")).as("value_cents"))
+  }
+}

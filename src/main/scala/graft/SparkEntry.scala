@@ -6520,6 +6520,117 @@ object SparkEntry {
     // delta scan reads a week of row groups, not two years.
     "mv_refresh_incremental_stored" -> ((s, dir) =>
       plans.Mv.refreshedEventsDay(s, dir).orderBy("day", "event_type")),
+
+    // ROC-AUC of a scorer (score = value, positive = purchase events) via
+    // the RANK identity AUC = (2·R₁ − n₁(n₁+1)) / (2·n₁·n₀) — the
+    // classifier-eval capstone over the z/χ²/KS/U/F family, and the same
+    // DOUBLED-midrank discipline as events_mannwhitney_u (tie midpoints
+    // stay integral at 2×, so every accumulation is BIGINT; ONE division
+    // at the end). Scale shape: ranks come from a window over the
+    // DISTINCT-SCORE grain (cents-quantized — bounded by the value range,
+    // not the corpus), never a per-row global sort; the per-row pass is
+    // one keyed aggregate. Sweeping thresholds row-by-row (the textbook
+    // ROC construction) would be a per-row window over the corpus.
+    "events_roc_auc" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("sc")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Sources.events(s, dir)
+        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("sc"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        .groupBy("sc")
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+        .withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .agg(sum(col("cnt")).as("n"), sum(col("npos")).as("n1"),
+          sum(col("npos") * (lit(2L) * col("cb") + col("cnt") + lit(1L)))
+            .as("u2s"))
+        .select(col("n1").as("n_pos"), (col("n") - col("n1")).as("n_neg"),
+          ((col("u2s") - col("n1") * (col("n1") + lit(1L))).cast("double") /
+            (lit(2L) * col("n1") * (col("n") - col("n1"))).cast("double"))
+            .as("auc"))
+    }),
+
+    // Smoothed MEAN-TARGET ENCODING of a categorical feature — the
+    // leakage-safe replacement for one-hot at high cardinality in a
+    // training pipeline: each market segment encodes as
+    // (Σ target + m·global_mean) / (n + m), m=20 pseudo-observations
+    // shrinking small segments toward the prior. Target = order value in
+    // exact cents; the only IEEE steps are the one fixed tree per
+    // segment (global mean, one multiply, one add, two divides —
+    // identical order both engines). Scale shape: one fact⋈dimension
+    // key join, one keyed aggregate, one 1-row broadcast of the global
+    // moments; the encode table is |categories| rows, broadcast back to
+    // training rows at apply time.
+    "customer_target_encoding" -> ((s, dir) => {
+      val joined = Sources.orders(s, dir)
+        .select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        .join(Sources.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+      val seg = joined.groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      val glob = joined.agg(count(lit(1)).as("gn"), sum(col("cents")).as("gs"))
+      seg.crossJoin(broadcast(glob))
+        .select(col("seg"), col("n_orders"),
+          (col("sum_cents").cast("double") / col("n_orders").cast("double") /
+            lit(100.0)).as("raw_mean"),
+          ((col("sum_cents").cast("double") +
+            lit(20.0) * (col("gs").cast("double") / col("gn").cast("double"))) /
+            (col("n_orders") + lit(20L)).cast("double") / lit(100.0)).as("enc"))
+        .orderBy("seg")
+    }),
+
+    // Pairwise PEARSON CORRELATION MATRIX over the fact's numeric
+    // columns — the feature-redundancy screen run before any model
+    // training. ONE aggregate computes every moment (4 sums, 4 sums of
+    // squares, 6 cross-products) over per-column integer quantizations
+    // (qty/whole-dollar price/cents discount+tax — quantization IS the
+    // contract, and keeps n·Σxy exact); the final per-pair algebra runs
+    // in DECIMAL(38,0) — n·Σx² at 100× the fixture overflows BIGINT but
+    // sits comfortably in 38 digits ⇔ DuckDB's HUGEINT — and casts to
+    // double only for the closing sqrt/divide. The matrix unpivots via
+    // stack(); nothing after the single scan touches more than one row.
+    "lineitem_corr_matrix" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val m = Sources.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("q"),
+          expr("CAST(floor(l_extendedprice) AS BIGINT)").as("p"),
+          expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("d"),
+          expr("CAST(floor(l_tax * 100 + 0.5) AS BIGINT)").as("t"))
+        .agg(count(lit(1)).as("n"),
+          sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"), sum("t").as("st"),
+          sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
+          sum(col("d") * col("d")).as("sdd"), sum(col("t") * col("t")).as("stt"),
+          sum(col("q") * col("p")).as("sqp"), sum(col("q") * col("d")).as("sqd"),
+          sum(col("q") * col("t")).as("sqt"), sum(col("p") * col("d")).as("spd"),
+          sum(col("p") * col("t")).as("spt"), sum(col("d") * col("t")).as("sdt"))
+      def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String): Column = {
+        val n = col("n").cast(d38)
+        val num = (n * col(sxy).cast(d38) - col(sx).cast(d38) * col(sy).cast(d38))
+          .cast("double")
+        val vx = (n * col(sxx).cast(d38) - col(sx).cast(d38) * col(sx).cast(d38))
+          .cast("double")
+        val vy = (n * col(syy).cast(d38) - col(sy).cast(d38) * col(sy).cast(d38))
+          .cast("double")
+        num / sqrt(vx * vy)
+      }
+      m.select(col("n"),
+          corr("sq", "sp", "sqq", "spp", "sqp").as("c_qp"),
+          corr("sq", "sd", "sqq", "sdd", "sqd").as("c_qd"),
+          corr("sq", "st", "sqq", "stt", "sqt").as("c_qt"),
+          corr("sp", "sd", "spp", "sdd", "spd").as("c_pd"),
+          corr("sp", "st", "spp", "stt", "spt").as("c_pt"),
+          corr("sd", "st", "sdd", "stt", "sdt").as("c_dt"))
+        .select(col("n"), expr(
+          """stack(6,
+             |'quantity', 'price', c_qp,
+             |'quantity', 'discount', c_qd,
+             |'quantity', 'tax', c_qt,
+             |'price', 'discount', c_pd,
+             |'price', 'tax', c_pt,
+             |'discount', 'tax', c_dt) AS (x, y, corr)""".stripMargin))
+        .select("x", "y", "n", "corr")
+        .orderBy("x", "y")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -10338,5 +10449,74 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT)
         |    AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_roc_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS sc,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |g AS (SELECT sc, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS npos
+        |      FROM s GROUP BY 1),
+        |r AS (SELECT cnt, npos,
+        |        COALESCE(CAST(sum(cnt) OVER (ORDER BY sc
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |          0) AS cb
+        |      FROM g),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |        CAST(sum(npos) AS BIGINT) AS n1,
+        |        CAST(sum(npos * (2*cb + cnt + 1)) AS BIGINT) AS u2s
+        |      FROM r)
+        |SELECT n1 AS n_pos, n - n1 AS n_neg,
+        |  CAST(u2s - n1*(n1+1) AS DOUBLE) / CAST(2*n1*(n - n1) AS DOUBLE) AS auc
+        |FROM t""".stripMargin,
+
+    "customer_target_encoding" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |seg AS (SELECT seg, count(*) AS n_orders,
+        |          CAST(sum(cents) AS BIGINT) AS sum_cents
+        |        FROM j GROUP BY 1),
+        |g AS (SELECT count(*) AS gn, CAST(sum(cents) AS BIGINT) AS gs FROM j)
+        |SELECT seg, n_orders,
+        |  CAST(sum_cents AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100e0
+        |    AS raw_mean,
+        |  (CAST(sum_cents AS DOUBLE)
+        |     + 20e0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+        |    / CAST(n_orders + 20 AS DOUBLE) / 100e0 AS enc
+        |FROM seg, g ORDER BY seg""".stripMargin,
+
+    "lineitem_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    sum(q) AS sq, sum(p) AS sp, sum(d) AS sd, sum(t) AS st,
+        |    sum(q*q) AS sqq, sum(p*p) AS spp, sum(d*d) AS sdd,
+        |    sum(t*t) AS stt,
+        |    sum(q*p) AS sqp, sum(q*d) AS sqd, sum(q*t) AS sqt,
+        |    sum(p*d) AS spd, sum(p*t) AS spt, sum(d*t) AS sdt
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |               CAST(floor(l_extendedprice) AS BIGINT) AS p,
+        |               CAST(floor(l_discount * 100e0 + 0.5e0) AS BIGINT) AS d,
+        |               CAST(floor(l_tax * 100e0 + 0.5e0) AS BIGINT) AS t
+        |        FROM lineitem))
+        |SELECT x, y, CAST(n AS BIGINT) AS n,
+        |  CAST(num AS DOUBLE) / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+        |    AS corr
+        |FROM (
+        |  SELECT 'quantity' AS x, 'price' AS y, n,
+        |    n*sqp - sq*sp AS num, n*sqq - sq*sq AS vx, n*spp - sp*sp AS vy
+        |  FROM m
+        |  UNION ALL SELECT 'quantity', 'discount', n,
+        |    n*sqd - sq*sd, n*sqq - sq*sq, n*sdd - sd*sd FROM m
+        |  UNION ALL SELECT 'quantity', 'tax', n,
+        |    n*sqt - sq*st, n*sqq - sq*sq, n*stt - st*st FROM m
+        |  UNION ALL SELECT 'price', 'discount', n,
+        |    n*spd - sp*sd, n*spp - sp*sp, n*sdd - sd*sd FROM m
+        |  UNION ALL SELECT 'price', 'tax', n,
+        |    n*spt - sp*st, n*spp - sp*sp, n*stt - st*st FROM m
+        |  UNION ALL SELECT 'discount', 'tax', n,
+        |    n*sdt - sd*st, n*sdd - sd*sd, n*stt - st*st FROM m)
+        |ORDER BY x, y""".stripMargin,
   )
 }

@@ -6631,6 +6631,132 @@ object SparkEntry {
         .select("x", "y", "n", "corr")
         .orderBy("x", "y")
     }),
+
+    // Multinomial NAIVE BAYES language classifier — TRAINED AND EVALUATED
+    // in one distributed query: fit Laplace-smoothed per-(lang, word)
+    // token counts on the 90% doc_id-hash train split, score the 10%
+    // test split, report the truth×prediction confusion matrix. Every
+    // log-likelihood term follows the quantized-ln discipline (ln of
+    // INTEGER counts, floor(·1e4+0.5) per term BEFORE summing), so doc
+    // scores are exact BIGINTs and the argmax (score desc, lang asc) is
+    // bit-deterministic in both engines; unseen words contribute
+    // qln(0+1) = 0 via the left join's coalesce, which is exactly the
+    // smoothing's intent. Scale shape: the model IS a keyed aggregate
+    // (lang × vocab); scoring explodes test tokens by the |langs|-row
+    // broadcast lang table and joins the model co-keyed on (word, lang)
+    // — no per-doc loops, no driver round-trips, model size bounded by
+    // vocabulary, not corpus.
+    "text_naive_bayes" -> ((s, dir) => {
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val isTest = col("doc_id") % 10 === 0
+      def qln(c: Column): Column =
+        floor(log(c.cast("double")) * 1e4 + 0.5).cast("long")
+      val trainW = words.filter(!isTest)
+      val model = trainW.groupBy(col("lang").as("mlang"), col("word"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("mlang"), col("word"), qln(col("c") + 1).as("qc"))
+      val nTok = trainW.groupBy(col("lang").as("mlang"))
+        .agg(count(lit(1)).as("ntok"))
+      val nDocs = trainW.select("doc_id", "lang").distinct()
+        .groupBy(col("lang").as("mlang")).agg(count(lit(1)).as("ndocs"))
+      val vocab = trainW.agg(countDistinct(col("word")).as("v"))
+      val langTable = nTok.join(nDocs, "mlang").crossJoin(broadcast(vocab))
+        .select(col("mlang"), qln(col("ntok") + col("v")).as("qdenom"),
+          qln(col("ndocs")).as("qprior"))
+      val testW = words.filter(isTest)
+      val docLen = testW.groupBy("doc_id").agg(count(lit(1)).as("dn"))
+      val perLang = testW
+        .crossJoin(broadcast(langTable))
+        .join(model, Seq("word", "mlang"), "left")
+        .groupBy(col("doc_id"), col("lang").as("truth"), col("mlang"))
+        .agg(sum(coalesce(col("qc"), lit(0L))).as("sqc"),
+          max(col("qdenom")).as("qdenom"), max(col("qprior")).as("qprior"))
+        .join(docLen, "doc_id")
+        .select(col("doc_id"), col("truth"), col("mlang"),
+          (col("sqc") - col("dn") * col("qdenom") + col("qprior")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("mlang").asc)
+      perLang.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("truth"), col("mlang").as("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("truth", "pred")
+    }),
+
+    // TWO-FEATURE OLS via the closed-form NORMAL EQUATIONS — per symbol,
+    // regress the daily close on (trading-day index, thousand-share
+    // volume): the multi-feature extension of yf_trend_ols's single
+    // regressor. The 3×3 system solves by CRAMER'S RULE over the exact
+    // integer moment matrix; determinant products overflow BIGINT at
+    // 100× the fixture, so the det algebra runs in DECIMAL(38,0) ⇔
+    // DuckDB HUGEINT (≤ ~1e28 here against 38-digit headroom) and only
+    // the closing divisions are IEEE. Everything is ONE keyed aggregate
+    // — no matrix library, no gradient loop, no driver: the normal-
+    // equation moments are just ten sums, which is why closed-form OLS
+    // belongs in a distributed engine while iterative fits need epochs.
+    "yf_ols_multi" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val daily = Sources.ohlcv(s, dir)
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("close_sum"),
+          sum(floor(col("Volume")).cast("long")).as("vol_sum"),
+          count(lit(1)).as("n_bars"))
+        .select(col("symbol"),
+          datediff(col("Date"), lit("1992-01-01")).cast("long").as("x1"),
+          expr("(vol_sum div n_bars) div 1000").as("x2"),
+          expr("close_sum div n_bars").as("y"))
+      val m = daily.groupBy("symbol").agg(
+        count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      def D(c: Column) = c.cast(d38)
+      def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+          f: Column, g: Column, h: Column, i: Column): Column =
+        D(a) * (D(e) * D(i) - D(f) * D(h)) -
+          D(b) * (D(d) * D(i) - D(f) * D(g)) +
+          D(c) * (D(d) * D(h) - D(e) * D(g))
+      m
+        .withColumn("det", det3(col("n"), col("s1"), col("s2"),
+          col("s1"), col("s11"), col("s12"),
+          col("s2"), col("s12"), col("s22")))
+        .withColumn("det0", det3(col("sy"), col("s1"), col("s2"),
+          col("s1y"), col("s11"), col("s12"),
+          col("s2y"), col("s12"), col("s22")))
+        .withColumn("det1", det3(col("n"), col("sy"), col("s2"),
+          col("s1"), col("s1y"), col("s12"),
+          col("s2"), col("s2y"), col("s22")))
+        .withColumn("det2", det3(col("n"), col("s1"), col("sy"),
+          col("s1"), col("s11"), col("s1y"),
+          col("s2"), col("s12"), col("s2y")))
+        .withColumn("b0q",
+          col("det0").cast("double") / nullif(col("det").cast("double"), lit(0.0)))
+        .withColumn("b1q",
+          col("det1").cast("double") / nullif(col("det").cast("double"), lit(0.0)))
+        .withColumn("b2q",
+          col("det2").cast("double") / nullif(col("det").cast("double"), lit(0.0)))
+        .withColumn("sse",
+          col("syy").cast("double") -
+            (col("b0q") * col("sy").cast("double") +
+              col("b1q") * col("s1y").cast("double") +
+              col("b2q") * col("s2y").cast("double")))
+        .withColumn("sst",
+          col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double") /
+              col("n").cast("double"))
+        .select(col("symbol"), col("n"),
+          (col("b0q") / 1e6).as("intercept"),
+          (col("b1q") / 1e6).as("beta_day"),
+          (col("b2q") / 1e6).as("beta_vol"),
+          (lit(1.0) - col("sse") / nullif(col("sst"), lit(0.0))).as("r2"))
+        .orderBy("symbol")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -10501,7 +10627,12 @@ object SparkEntry {
         |               CAST(floor(l_tax * 100e0 + 0.5e0) AS BIGINT) AS t
         |        FROM lineitem))
         |SELECT x, y, CAST(n AS BIGINT) AS n,
-        |  CAST(num AS DOUBLE) / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+        |  -- HUGEINT→DOUBLE via VARCHAR: DuckDB's direct cast TRUNCATES
+        |  -- above 2^53 while Spark's Decimal→Double (and strtod) round to
+        |  -- nearest — the string round-trip restores the shared contract.
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    / sqrt(CAST(CAST(vx AS VARCHAR) AS DOUBLE)
+        |           * CAST(CAST(vy AS VARCHAR) AS DOUBLE))
         |    AS corr
         |FROM (
         |  SELECT 'quantity' AS x, 'price' AS y, n,
@@ -10518,5 +10649,98 @@ object SparkEntry {
         |  UNION ALL SELECT 'discount', 'tax', n,
         |    n*sdt - sd*st, n*sdd - sd*sd, n*stt - st*st FROM m)
         |ORDER BY x, y""".stripMargin,
+
+    "text_naive_bayes" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |tr AS (SELECT * FROM w2 WHERE doc_id % 10 <> 0),
+         |te AS (SELECT * FROM w2 WHERE doc_id % 10 = 0),
+         |model AS (
+         |  SELECT lang AS mlang, word,
+         |    CAST(floor(ln(count(*) + 1) * 1e4 + 0.5) AS BIGINT) AS qc
+         |  FROM tr GROUP BY 1, 2),
+         |lt AS (
+         |  SELECT t.mlang,
+         |    CAST(floor(ln(t.ntok + v.v) * 1e4 + 0.5) AS BIGINT) AS qdenom,
+         |    CAST(floor(ln(d.ndocs) * 1e4 + 0.5) AS BIGINT) AS qprior
+         |  FROM (SELECT lang AS mlang, count(*) AS ntok FROM tr GROUP BY 1) t
+         |  JOIN (SELECT lang AS mlang, count(DISTINCT doc_id) AS ndocs
+         |        FROM tr GROUP BY 1) d USING (mlang)
+         |  CROSS JOIN (SELECT count(DISTINCT word) AS v FROM tr) v),
+         |dl AS (SELECT doc_id, count(*) AS dn FROM te GROUP BY 1),
+         |sc AS (
+         |  SELECT te.doc_id, te.lang AS truth, lt.mlang,
+         |    CAST(sum(COALESCE(m.qc, 0)) AS BIGINT) AS sqc,
+         |    max(lt.qdenom) AS qdenom, max(lt.qprior) AS qprior
+         |  FROM te CROSS JOIN lt
+         |  LEFT JOIN model m ON m.word = te.word AND m.mlang = lt.mlang
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT sc.doc_id, truth, mlang, sqc - dl.dn * qdenom + qprior AS score
+         |  FROM sc JOIN dl USING (doc_id)),
+         |pred AS (
+         |  SELECT truth, mlang AS pred,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, mlang) AS rn
+         |  FROM scored)
+         |SELECT truth, pred, count(*) AS n_docs
+         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "yf_ols_multi" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol,
+         |    date_diff('day', DATE '1992-01-01', CAST("Date" AS DATE)) AS x1,
+         |    (CAST(sum(CAST(floor("Volume") AS BIGINT)) AS BIGINT) // count(*))
+         |      // 1000 AS x2,
+         |    CAST(sum(CAST(floor("Close" * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS y
+         |  FROM bars GROUP BY symbol, "Date"),
+         |m AS (
+         |  SELECT symbol, count(*) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         |    sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+         |    sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+         |  FROM daily GROUP BY 1),
+         |d AS (
+         |  SELECT *,
+         |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+         |      + s2*(s1*s12 - s11*s2) AS det,
+         |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+         |      + s2*(s1y*s12 - s11*s2y) AS det0,
+         |    n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+         |      + s2*(s1*s2y - s1y*s2) AS det1,
+         |    n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+         |      + sy*(s1*s12 - s11*s2) AS det2
+         |  FROM m),
+         |d2 AS (
+         |  -- HUGEINT→DOUBLE via VARCHAR: DuckDB's direct cast TRUNCATES
+         |  -- above 2^53; the string round-trip rounds to nearest like
+         |  -- Spark's Decimal→Double (measured 1-ulp intercept drift).
+         |  SELECT *,
+         |    CAST(CAST(det0 AS VARCHAR) AS DOUBLE)
+         |      / nullif(CAST(CAST(det AS VARCHAR) AS DOUBLE), 0e0) AS b0q,
+         |    CAST(CAST(det1 AS VARCHAR) AS DOUBLE)
+         |      / nullif(CAST(CAST(det AS VARCHAR) AS DOUBLE), 0e0) AS b1q,
+         |    CAST(CAST(det2 AS VARCHAR) AS DOUBLE)
+         |      / nullif(CAST(CAST(det AS VARCHAR) AS DOUBLE), 0e0) AS b2q
+         |  FROM d),
+         |d3 AS (
+         |  SELECT *,
+         |    CAST(syy AS DOUBLE)
+         |      - (b0q * CAST(sy AS DOUBLE) + b1q * CAST(s1y AS DOUBLE)
+         |         + b2q * CAST(s2y AS DOUBLE)) AS sse,
+         |    CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+         |      AS sst
+         |  FROM d2)
+         |SELECT symbol, CAST(n AS BIGINT) AS n,
+         |  b0q / 1e6 AS intercept, b1q / 1e6 AS beta_day,
+         |  b2q / 1e6 AS beta_vol,
+         |  1e0 - sse / nullif(sst, 0e0) AS r2
+         |FROM d3 ORDER BY symbol""".stripMargin,
   )
 }

@@ -77,4 +77,84 @@ class Round9OpsSpec extends SparkSpec {
       .getAs[Double]("corr")
     assert(math.abs(got - expected) < 1e-12, s"corr $got vs brute $expected")
   }
+
+  test("naive bayes: full brute-force confusion replay, coverage, and train-lang closure") {
+    val rows = SparkEntry.queries("text_naive_bayes")(spark, sfDir).collect()
+    val nScored = rows.map(_.getAs[Long]("n_docs")).sum
+    val nTestWithTokens = Sources.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .filter(util.Norm.normalize(col("text")) =!= "")
+      .count()
+    assert(nScored == nTestWithTokens,
+      s"confusion covers $nScored docs, expected $nTestWithTokens")
+    // Predictions must come from languages seen in training.
+    val trainLangs = Sources.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    rows.foreach(r => assert(trainLangs.contains(r.getAs[String]("pred"))))
+    // No accuracy assertion: the synthetic corpus draws every lang's text
+    // from ONE shared vocabulary, so the label carries (almost) no signal
+    // — the right invariant is the MECHANISM, replayed from first
+    // principles for one doc below.
+    val docs = Sources.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), util.Norm.normalize(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    val train = docs.filter(_._1 % 10 != 0)
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    train.foreach { case (_, l, ws) =>
+      ws.foreach(w => counts((l, w)) = counts.getOrElse((l, w), 0L) + 1) }
+    val nTokL = train.groupBy(_._2).view.mapValues(_.map(_._3.size.toLong).sum).toMap
+    val nDocsL = train.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val v = train.flatMap(_._3).distinct.size.toLong
+    def qln(k: Long) = math.floor(math.log(k.toDouble) * 1e4 + 0.5).toLong
+    val langsSorted = trainLangs.toSeq.sorted
+    val expectedConfusion = docs
+      .filter(d => d._1 % 10 == 0 && d._3.nonEmpty)
+      .map { case (_, truth, ws) =>
+        val pred = langsSorted.map { l =>
+          val s = ws.map(w => qln(counts.getOrElse((l, w), 0L) + 1)).sum -
+            ws.size * qln(nTokL(l) + v) + qln(nDocsL(l))
+          (l, s)
+        }.sortBy { case (l, s) => (-s, l) }.head._1
+        (truth, pred)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotConfusion = rows.map(r => (r.getAs[String]("truth"),
+      r.getAs[String]("pred")) -> r.getAs[Long]("n_docs")).toMap
+    assert(gotConfusion == expectedConfusion,
+      s"confusion $gotConfusion != brute replay $expectedConfusion")
+  }
+
+  test("multi-feature ols reproduces the normal equations: X'X beta = X'y within fp tolerance") {
+    val rows = SparkEntry.queries("yf_ols_multi")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // Brute replay for one symbol: rebuild the daily design matrix and
+    // check the fitted plane satisfies the normal equations.
+    val sym = rows.head.getAs[Long]("symbol")
+    val daily = Sources.ohlcv(spark, sfDir)
+      .filter(col("symbol") === sym)
+      .groupBy("symbol", "Date")
+      .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("cs"),
+        sum(floor(col("Volume")).cast("long")).as("vs"),
+        count(lit(1)).as("nb"))
+      .select(datediff(col("Date"), lit("1992-01-01")).cast("long").as("x1"),
+        expr("(vs div nb) div 1000").as("x2"), expr("cs div nb").as("y"))
+      .collect().map(r => (r.getLong(0).toDouble, r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val r0 = rows.head
+    val (b0, b1, b2) = (r0.getAs[Double]("intercept") * 1e6,
+      r0.getAs[Double]("beta_day") * 1e6, r0.getAs[Double]("beta_vol") * 1e6)
+    // Normal equations: sum of residuals and residual·x_j all ~ 0.
+    val res = daily.map { case (x1, x2, y) => (y - b0 - b1 * x1 - b2 * x2, x1, x2) }
+    val scale = daily.map(_._3).map(math.abs).max * daily.length
+    assert(math.abs(res.map(_._1).sum) / scale < 1e-9)
+    assert(math.abs(res.map(t => t._1 * t._2).sum) / (scale * 3000) < 1e-9)
+    assert(math.abs(res.map(t => t._1 * t._3).sum) / (scale * 3000) < 1e-9)
+    // R² within [0, 1] for every non-degenerate symbol.
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      if (!r.isNullAt(r.fieldIndex("r2")))
+        assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9, s"r2 $r2 out of range")
+    }
+  }
 }

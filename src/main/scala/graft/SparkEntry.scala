@@ -6757,6 +6757,109 @@ object SparkEntry {
           (lit(1.0) - col("sse") / nullif(col("sst"), lit(0.0))).as("r2"))
         .orderBy("symbol")
     }),
+
+    // DECISION-STUMP training (1-level CART): the best value threshold
+    // for predicting `purchase`, chosen by minimum weighted Gini
+    // impurity over EVERY candidate split — and the whole search is
+    // EXACT INTEGER arithmetic: weighted Gini 2·(pLnL·nR + pRnR·nL)
+    // compares as the quantized rational (2·num·1e6) DIV (nL·nR)
+    // (integer floor division — no IEEE anywhere in the argmin), with
+    // products in DECIMAL(38,0) ⇔ HUGEINT because pos·neg·n overflows
+    // BIGINT at 100× the fixture. Scale shape: candidates live on the
+    // DISTINCT-CENTS grain (bounded by the value range, not the corpus)
+    // with one cumulative window — the same trick that makes roc_auc
+    // scale; a per-row threshold scan would be quadratic.
+    "events_decision_stump" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("sc")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val g = Sources.events(s, dir)
+        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("sc"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        .groupBy("sc")
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+        .withColumn("nl", sum(col("cnt")).over(w))
+        .withColumn("pl", sum(col("npos")).over(w))
+      val tot = g.agg(max(col("nl")).as("n"), max(col("pl")).as("p"))
+      val scored = g.crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n")) // right side must be non-empty
+        .select(col("sc"), col("nl"), col("pl"),
+          (col("n") - col("nl")).as("nr"), (col("p") - col("pl")).as("pr"))
+        .withColumn("gini_q", expr(
+          """CAST((2 * (CAST(pl AS DECIMAL(38,0)) * (nl - pl) * nr
+             |          + CAST(pr AS DECIMAL(38,0)) * (nr - pr) * nl)
+             |        * 1000000) div (CAST(nl AS DECIMAL(38,0)) * nr)
+             |     AS BIGINT)""".stripMargin))
+      val best = org.apache.spark.sql.expressions.Window
+        .orderBy(col("gini_q").asc, col("sc").asc)
+      scored.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+        .select((col("sc").cast("double") / 100.0).as("threshold"),
+          (col("gini_q").cast("double") / 1e6).as("weighted_gini"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          (col("pl").cast("double") / col("nl").cast("double")).as("pos_rate_left"),
+          (col("pr").cast("double") / col("nr").cast("double")).as("pos_rate_right"))
+    }),
+
+    // CALIBRATION CURVE (reliability diagram) of the empirical-CDF
+    // scorer: predicted probability = value's doubled midrank over 2N
+    // (exact integers — the events_mannwhitney_u discipline), binned
+    // into deciles by INTEGER arithmetic (bin = (10·dm − 1) DIV 2N), and
+    // per bin the mean predicted probability vs the observed purchase
+    // rate — the gap IS the calibration error a probability-emitting
+    // model gets audited on before its scores feed a sampler or a
+    // filter threshold. Everything until the two closing divisions is
+    // BIGINT on the distinct-value grain.
+    "events_calibration" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("sc")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val g = Sources.events(s, dir)
+        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("sc"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        .groupBy("sc")
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+        .withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .withColumn("dm", lit(2L) * col("cb") + col("cnt") + lit(1L))
+      val tot = g.agg(sum(col("cnt")).as("n"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("bin",
+          expr("(10 * dm - 1) div (2 * n)"))
+        .groupBy("bin")
+        .agg(sum(col("cnt")).as("n_rows"), sum(col("npos")).as("n_pos"),
+          sum(col("cnt") * col("dm")).as("sum_dm"), max(col("n")).as("n"))
+        .select(col("bin"), col("n_rows"),
+          (col("sum_dm").cast("double") /
+            (lit(2.0) * col("n").cast("double") * col("n_rows").cast("double")))
+            .as("avg_pred"),
+          (col("n_pos").cast("double") / col("n_rows").cast("double"))
+            .as("obs_rate"))
+        .orderBy("bin")
+    }),
+
+    // FEATURE HASHING (the hashing trick) audit: words hash into 512
+    // buckets via the engine's md5 contract; the readout is the bucket
+    // OCCUPANCY HISTOGRAM (how many buckets hold k distinct words, with
+    // the k=0 empty-bucket row) plus each occupancy class's token mass —
+    // what you consult before freezing the hashed dimensionality of a
+    // text model: collisions are the accuracy tax, empties are wasted
+    // parameters. Vocabulary-grain throughout (the corpus pass is one
+    // keyed aggregate); the histogram is at most 512 rows.
+    "text_feature_hashing" -> ((s, dir) => {
+      val words = Sources.documents(s, dir)
+        .select(explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val byWord = words.groupBy("word").agg(count(lit(1)).as("tf"))
+        .withColumn("bucket",
+          conv(substring(md5(col("word").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 512)
+      val byBucket = byWord.groupBy("bucket")
+        .agg(count(lit(1)).as("n_words"), sum(col("tf")).as("tokens"))
+      val hist = byBucket.groupBy("n_words")
+        .agg(count(lit(1)).as("n_buckets"), sum(col("tokens")).as("tokens"))
+      val empty = byBucket.agg(
+        (lit(512L) - count(lit(1))).as("n_buckets")).filter(col("n_buckets") > 0)
+        .select(lit(0L).as("n_words"), col("n_buckets"), lit(0L).as("tokens"))
+      hist.unionByName(empty).orderBy("n_words")
+    }),
   )
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
@@ -10742,5 +10845,80 @@ object SparkEntry {
          |  b2q / 1e6 AS beta_vol,
          |  1e0 - sse / nullif(sst, 0e0) AS r2
          |FROM d3 ORDER BY symbol""".stripMargin,
+
+    "events_decision_stump" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS sc,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |g AS (SELECT sc, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS npos
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT sc,
+        |        CAST(sum(cnt) OVER (ORDER BY sc
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS nl,
+        |        CAST(sum(npos) OVER (ORDER BY sc
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS pl
+        |      FROM g),
+        |t AS (SELECT max(nl) AS n, max(pl) AS p FROM c),
+        |sc2 AS (SELECT sc, nl, pl, n - nl AS nr, p - pl AS pr
+        |        FROM c, t WHERE nl < n),
+        |q AS (SELECT *,
+        |        CAST((2 * (CAST(pl AS HUGEINT) * (nl - pl) * nr
+        |                   + CAST(pr AS HUGEINT) * (nr - pr) * nl) * 1000000)
+        |             // (CAST(nl AS HUGEINT) * nr) AS BIGINT) AS gini_q
+        |      FROM sc2),
+        |b AS (SELECT *, row_number() OVER (ORDER BY gini_q, sc) AS rn FROM q)
+        |SELECT CAST(sc AS DOUBLE) / 100e0 AS threshold,
+        |  CAST(gini_q AS DOUBLE) / 1e6 AS weighted_gini,
+        |  nl AS n_left, nr AS n_right,
+        |  CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE) AS pos_rate_left,
+        |  CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE) AS pos_rate_right
+        |FROM b WHERE rn = 1""".stripMargin,
+
+    "events_calibration" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS sc,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |g AS (SELECT sc, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS npos
+        |      FROM s GROUP BY 1),
+        |r AS (SELECT sc, cnt, npos,
+        |        COALESCE(CAST(sum(cnt) OVER (ORDER BY sc
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |          0) AS cb
+        |      FROM g),
+        |d AS (SELECT *, 2*cb + cnt + 1 AS dm FROM r),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g),
+        |bb AS (SELECT (10*dm - 1) // (2*n) AS bin, cnt, npos, dm, n
+        |       FROM d, t)
+        |SELECT bin, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(cnt*dm) AS BIGINT) AS DOUBLE)
+        |    / (2e0 * CAST(max(n) AS DOUBLE)
+        |       * CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE)) AS avg_pred,
+        |  CAST(CAST(sum(npos) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS obs_rate
+        |FROM bb GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "text_feature_hashing" ->
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(${util.Norm.normalizeSql("text")}, ' '))
+         |    AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |bw AS (SELECT word, count(*) AS tf FROM w2 GROUP BY 1),
+         |bk AS (
+         |  SELECT CAST(concat('0x', substring(md5(word), 1, 8)) AS BIGINT)
+         |           % 512 AS bucket,
+         |         count(*) AS n_words, CAST(sum(tf) AS BIGINT) AS tokens
+         |  FROM bw GROUP BY 1),
+         |hist AS (SELECT n_words, count(*) AS n_buckets,
+         |           CAST(sum(tokens) AS BIGINT) AS tokens
+         |         FROM bk GROUP BY 1),
+         |e AS (SELECT CAST(0 AS BIGINT) AS n_words,
+         |        512 - count(*) AS n_buckets, CAST(0 AS BIGINT) AS tokens
+         |      FROM bk HAVING 512 - count(*) > 0)
+         |SELECT * FROM hist UNION ALL SELECT * FROM e ORDER BY n_words""".stripMargin,
   )
 }

@@ -157,4 +157,56 @@ class Round9OpsSpec extends SparkSpec {
         assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9, s"r2 $r2 out of range")
     }
   }
+
+  private def labeledCents: Array[(Long, Boolean)] =
+    Sources.events(spark, sfDir)
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("sc"),
+        (col("event_type") === "purchase").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+
+  test("decision stump: exhaustive driver-side split search agrees on threshold and gini") {
+    val data = labeledCents
+    val n = data.length.toLong; val p = data.count(_._2).toLong
+    val thresholds = data.map(_._1).distinct.sorted
+    val best = thresholds.flatMap { t =>
+      val nl = data.count(_._1 <= t).toLong
+      if (nl == n) None else {
+        val pl = data.count(d => d._1 <= t && d._2).toLong
+        val (nr, pr) = (n - nl, p - pl)
+        val num = BigInt(2) * (BigInt(pl) * (nl - pl) * nr + BigInt(pr) * (nr - pr) * nl)
+        Some((t, (num * 1000000 / (BigInt(nl) * nr)).toLong))
+      }
+    }.minBy { case (t, q) => (q, t) }
+    val got = SparkEntry.queries("events_decision_stump")(spark, sfDir).collect()(0)
+    assert(math.abs(got.getAs[Double]("threshold") - best._1 / 100.0) < 1e-9)
+    assert(math.abs(got.getAs[Double]("weighted_gini") - best._2 / 1e6) < 1e-12)
+    assert(got.getAs[Long]("n_left") + got.getAs[Long]("n_right") == n)
+  }
+
+  test("calibration: bins partition the corpus and mean predicted prob is monotone in bin") {
+    val rows = SparkEntry.queries("events_calibration")(spark, sfDir).collect()
+    val n = labeledCents.length.toLong
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == n)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(b >= 0 && b <= 9)
+      assert(r.getAs[Double]("avg_pred") > 0.0 && r.getAs[Double]("avg_pred") <= 1.0)
+      val o = r.getAs[Double]("obs_rate"); assert(o >= 0.0 && o <= 1.0)
+    }
+    val preds = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("avg_pred"))
+    assert(preds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "avg_pred must increase with bin")
+  }
+
+  test("feature hashing: histogram accounts for every bucket, word, and token") {
+    val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)
+    val vocabAndTokens = Sources.documents(spark, sfDir)
+      .select(explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .agg(countDistinct(col("word")), count(lit(1))).collect()(0)
+    assert(rows.map(r => r.getAs[Long]("n_words") * r.getAs[Long]("n_buckets")).sum
+      == vocabAndTokens.getLong(0), "sum k·buckets_k must equal vocabulary size")
+    assert(rows.map(_.getAs[Long]("tokens")).sum == vocabAndTokens.getLong(1))
+  }
 }

@@ -6860,7 +6860,141 @@ object SparkEntry {
         .select(lit(0L).as("n_words"), col("n_buckets"), lit(0L).as("tokens"))
       hist.unionByName(empty).orderBy("n_words")
     }),
+
+    // ONE BPE MERGE STEP — the inner loop of byte-pair-encoding tokenizer
+    // TRAINING: over the deduplicated (word, frequency) vocabulary, count
+    // every adjacent symbol pair weighted by word frequency and rank the
+    // merge candidates. At 100 TB the corpus pass already happened (the
+    // vocab aggregate); each merge iteration then touches only the
+    // VOCABULARY grain — which is why BPE training is tractable on web-
+    // scale corpora at all, and why this is a distributed-aggregate
+    // problem, not a driver loop. The pair explode is bounded by word
+    // LENGTH (sequence over 1..len−1 — words shorter than 2 symbols are
+    // filtered BEFORE sequence(), whose descending-step behaviour on
+    // start>stop would otherwise fabricate pairs); top-20 adjudicates by
+    // (freq DESC, pair ASC) in TakeOrderedAndProject.
+    "text_bpe_merge_step" -> ((s, dir) => {
+      val vocab = Sources.documents(s, dir)
+        .select(explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("tf"))
+      vocab.filter(length(col("word")) >= 2)
+        .select(col("tf"),
+          explode(sequence(lit(1), length(col("word")) - 1)).as("i"),
+          col("word"))
+        .select(col("tf"), expr("substring(word, i, 2)").as("pair"))
+        .groupBy("pair").agg(sum(col("tf")).as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(20)
+    }),
+
+    // POISSON BOOTSTRAP confidence interval for the mean event value —
+    // THE distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+    // for Massive Data Streams"): instead of resampling n rows with
+    // replacement (which needs a global index), every row independently
+    // contributes K ~ Poisson(1) copies to each replica. K is DERIVED,
+    // not drawn: a 32-bit md5 hash of (event_id, replica) compared
+    // against the Poisson(1) CDF thresholds — BUILD-TIME Scala constants
+    // interpolated into BOTH plans (the Benford discipline), tail
+    // clamped at k=6 (P ≈ 1e-4, declared) — so replicas are exactly
+    // reproducible across engines, retries, and partitionings. One scan
+    // does all 32 replicas; the CI is rank-selected from the replica
+    // means (2nd smallest / 2nd largest of 32 ≈ a 94% interval).
+    "events_bootstrap_ci" -> ((s, dir) => {
+      val ks = (0 to 5).map(k => poissonCdfU32(k))
+      val u = conv(substring(md5(concat(col("event_id").cast("string"),
+        lit(":"), col("b").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      val k = when(u < ks(0), 0L).when(u < ks(1), 1L).when(u < ks(2), 2L)
+        .when(u < ks(3), 3L).when(u < ks(4), 4L).when(u < ks(5), 5L)
+        .otherwise(6L)
+      val reps = Sources.events(s, dir)
+        .select(col("event_id"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .select(col("event_id"), col("cents"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .select(col("b"), (k * col("cents")).as("kc"), k.as("k"))
+        .groupBy("b")
+        .agg(sum(col("kc")).as("skc"), sum(col("k")).as("sk"))
+        .select(col("b"),
+          (col("skc").cast("double") / col("sk").cast("double") / 100.0)
+            .as("mean_b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("mean_b").asc, col("b").asc)
+      val ranked = reps.withColumn("rn", row_number().over(w))
+      val full = Sources.events(s, dir)
+        .agg((sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .cast("double") / count(lit(1)).cast("double") / 100.0).as("mean"))
+      full
+        .crossJoin(broadcast(ranked.filter(col("rn") === 2)
+          .select(col("mean_b").as("ci_lo"))))
+        .crossJoin(broadcast(ranked.filter(col("rn") === 31)
+          .select(col("mean_b").as("ci_hi"))))
+        .select(col("mean"), col("ci_lo"), col("ci_hi"),
+          lit(32L).as("n_replicas"))
+    }),
+
+    // KAPLAN–MEIER survival curve for time-to-first-purchase — survival
+    // analysis with RIGHT CENSORING, the churn/conversion-modeling
+    // primitive plain retention counts can't express: users who never
+    // purchase are censored at their last observed day and still inform
+    // the risk set up to it. The product-limit estimator runs in LOG
+    // space under the quantized-ln discipline — each factor
+    // ln(nᵢ−dᵢ)−ln(nᵢ) of INTEGER risk-set counts quantizes to a 1e-6
+    // BIGINT before the cumulative sum, so the curve is exact integers;
+    // the survival probability itself is emitted %.4e-formatted (the
+    // stddev contract) since exp() is not cross-engine bit-stable. Day-
+    // grain windows only; per-user reduction is one keyed aggregate.
+    "events_survival_km" -> ((s, dir) => {
+      val perUser = Sources.events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+          (col("event_type") === "purchase").as("isp"))
+        .groupBy("user_id")
+        .agg(min(col("day")).as("d0"),
+          min(when(col("isp"), col("day"))).as("dp"),
+          max(col("day")).as("dl"))
+        .select(
+          when(col("dp").isNotNull, col("dp") - col("d0"))
+            .otherwise(col("dl") - col("d0")).as("dur"),
+          col("dp").isNotNull.cast("long").as("ev"))
+      val g = perUser.groupBy("dur")
+        .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+      val tot = g.agg(sum(col("d") + col("c")).as("nn"))
+      val wPrev = org.apache.spark.sql.expressions.Window.orderBy("dur")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("dur")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      def qln6(c: Column): Column =
+        floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+      g.crossJoin(broadcast(tot))
+        .withColumn("at_risk",
+          col("nn") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .withColumn("qterm",
+          when(col("d") === 0, lit(0L))
+            .when(col("at_risk") > col("d"),
+              qln6(col("at_risk") - col("d")) - qln6(col("at_risk")))
+            .otherwise(lit(0L)))
+        .withColumn("qlog_surv",
+          when(col("at_risk") === col("d") && col("d") > 0, lit(null))
+            .otherwise(sum(col("qterm")).over(wCum)))
+        .select(col("dur"), col("at_risk"), col("d").as("events"),
+          col("c").as("censored"), col("qlog_surv").cast("long").as("qlog_surv"),
+          when(col("qlog_surv").isNull, lit("0.0000e+00"))
+            .otherwise(util.Stable.sig(
+              exp(col("qlog_surv").cast("double") / 1e6))).as("surv"))
+        .orderBy("dur")
+    }),
   )
+
+  /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
+    * replica weights' inverse-CDF thresholds. BUILD-TIME constants
+    * interpolated into BOTH the Spark plan and the DuckDB oracle (the
+    * Benford discipline: one definition, two engines, zero drift). */
+  private[graft] def poissonCdfU32(k: Int): Long = {
+    var fact = 1.0; var cdf = 0.0
+    for (j <- 0 to k) { if (j > 0) fact *= j; cdf += 1.0 / fact }
+    math.floor(cdf * math.exp(-1.0) * 4294967296.0).toLong
+  }
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
     * managed table's files survive the in-memory catalog across JVMs). */
@@ -10920,5 +11054,91 @@ object SparkEntry {
          |        512 - count(*) AS n_buckets, CAST(0 AS BIGINT) AS tokens
          |      FROM bk HAVING 512 - count(*) > 0)
          |SELECT * FROM hist UNION ALL SELECT * FROM e ORDER BY n_words""".stripMargin,
+
+    "text_bpe_merge_step" ->
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(${util.Norm.normalizeSql("text")}, ' '))
+         |    AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |bw AS (SELECT word, count(*) AS tf FROM w2 GROUP BY 1),
+         |p AS (SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, tf
+         |      FROM (SELECT word, tf, unnest(range(1, length(word))) AS i
+         |            FROM bw WHERE length(word) >= 2))
+         |SELECT pair, CAST(sum(tf) AS BIGINT) AS freq
+         |FROM p GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    "events_bootstrap_ci" -> {
+      val t = (0 to 5).map(poissonCdfU32)
+      s"""WITH e AS (
+         |  SELECT event_id,
+         |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS cents
+         |  FROM events),
+         |x AS (SELECT event_id, cents, unnest(range(0, 32)) AS b FROM e),
+         |kk AS (
+         |  SELECT b, cents,
+         |    CASE WHEN u < ${t(0)} THEN 0 WHEN u < ${t(1)} THEN 1
+         |         WHEN u < ${t(2)} THEN 2 WHEN u < ${t(3)} THEN 3
+         |         WHEN u < ${t(4)} THEN 4 WHEN u < ${t(5)} THEN 5
+         |         ELSE 6 END AS k
+         |  FROM (SELECT b, cents,
+         |      CAST(concat('0x', substring(md5(concat(
+         |        CAST(event_id AS VARCHAR), ':', CAST(b AS VARCHAR))), 1, 8))
+         |        AS BIGINT) AS u
+         |    FROM x)),
+         |r AS (SELECT b, CAST(sum(k * cents) AS BIGINT) AS skc,
+         |        CAST(sum(k) AS BIGINT) AS sk
+         |      FROM kk GROUP BY 1),
+         |m AS (SELECT b,
+         |        CAST(skc AS DOUBLE) / CAST(sk AS DOUBLE) / 100e0 AS mean_b,
+         |        row_number() OVER (ORDER BY
+         |          CAST(skc AS DOUBLE) / CAST(sk AS DOUBLE) / 100e0, b) AS rn
+         |      FROM r),
+         |f AS (SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n FROM e)
+         |SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100e0 AS mean,
+         |  (SELECT mean_b FROM m WHERE rn = 2) AS ci_lo,
+         |  (SELECT mean_b FROM m WHERE rn = 31) AS ci_hi,
+         |  CAST(32 AS BIGINT) AS n_replicas
+         |FROM f""".stripMargin
+    },
+
+    "events_survival_km" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(day) AS d0,
+        |    min(CASE WHEN isp THEN day END) AS dp, max(day) AS dl
+        |  FROM (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |          event_type = 'purchase' AS isp FROM events)
+        |  GROUP BY 1),
+        |du AS (SELECT
+        |    CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS dur,
+        |    CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM pu),
+        |g AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+        |        CAST(sum(1 - ev) AS BIGINT) AS c
+        |      FROM du GROUP BY 1),
+        |t AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM g),
+        |a AS (SELECT g.*,
+        |        nn - COALESCE(CAST(sum(d + c) OVER (ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |          0) AS at_risk
+        |      FROM g, t),
+        |q AS (SELECT *,
+        |        CASE WHEN d = 0 THEN 0
+        |             WHEN at_risk > d THEN
+        |               CAST(floor(ln(at_risk - d) * 1e6 + 0.5) AS BIGINT)
+        |               - CAST(floor(ln(at_risk) * 1e6 + 0.5) AS BIGINT)
+        |             ELSE 0 END AS qterm
+        |      FROM a),
+        |q2 AS (SELECT *,
+        |        CASE WHEN at_risk = d AND d > 0 THEN NULL
+        |             ELSE CAST(sum(qterm) OVER (ORDER BY dur
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS BIGINT) END AS qlog_surv
+        |      FROM q)
+        |SELECT dur, at_risk, d AS events, c AS censored, qlog_surv,
+        |  CASE WHEN qlog_surv IS NULL THEN '0.0000e+00'
+        |       ELSE printf('%.4e', exp(CAST(qlog_surv AS DOUBLE) / 1e6))
+        |  END AS surv
+        |FROM q2 ORDER BY dur""".stripMargin,
   )
 }

@@ -198,6 +198,80 @@ class Round9OpsSpec extends SparkSpec {
       "avg_pred must increase with bin")
   }
 
+  test("bpe merge step: brute pair counting over the collected vocabulary agrees") {
+    val vocab = Sources.documents(spark, sfDir)
+      .select(explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "").groupBy("word").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val pairs = scala.collection.mutable.Map[String, Long]()
+    vocab.foreach { case (w, tf) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairs(p) = pairs.getOrElse(p, 0L) + tf
+      }
+    }
+    val expected = pairs.toSeq.sortBy { case (p, f) => (-f, p) }.take(20)
+    val got = SparkEntry.queries("text_bpe_merge_step")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected, s"top pairs $got != brute $expected")
+  }
+
+  test("poisson bootstrap: full driver-side replica replay reproduces the rank-selected CI") {
+    def u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val t = (0 to 5).map(k => SparkEntry.poissonCdfU32(k))
+    def kOf(u: Long): Long = t.indexWhere(u < _) match {
+      case -1 => 6L; case i => i.toLong
+    }
+    val rows = Sources.events(spark, sfDir)
+      .select(col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val means = (0 until 32).map { b =>
+      var skc = 0L; var sk = 0L
+      rows.foreach { case (id, cents) =>
+        val k = kOf(u32(s"$id:$b")); skc += k * cents; sk += k
+      }
+      (b, skc.toDouble / sk.toDouble / 100.0)
+    }.sortBy { case (b, m) => (m, b) }
+    val got = SparkEntry.queries("events_bootstrap_ci")(spark, sfDir).collect()(0)
+    assert(got.getAs[Long]("n_replicas") == 32L)
+    assert(got.getAs[Double]("ci_lo") == means(1)._2)
+    assert(got.getAs[Double]("ci_hi") == means(30)._2)
+    assert(got.getAs[Double]("ci_lo") <= got.getAs[Double]("ci_hi"))
+  }
+
+  test("kaplan-meier: risk set conserves users, survival is monotone non-increasing") {
+    val rows = SparkEntry.queries("events_survival_km")(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("dur"))
+    val nUsers = Sources.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("at_risk") == nUsers)
+    assert(rows.map(r => r.getAs[Long]("events") + r.getAs[Long]("censored")).sum
+      == nUsers)
+    // at_risk(t+1) = at_risk(t) − events(t) − censored(t).
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("at_risk") ==
+          a.getAs[Long]("at_risk") - a.getAs[Long]("events") - a.getAs[Long]("censored"))
+      case _ =>
+    }
+    // qlog_surv (log-space survival) is non-increasing until an absorbing
+    // null; the formatted survival stays in (0, 1].
+    val qs = rows.map(r =>
+      if (r.isNullAt(r.fieldIndex("qlog_surv"))) None
+      else Some(r.getAs[Long]("qlog_surv")))
+    qs.collect { case Some(v) => v }.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a); case _ =>
+    }
+    rows.foreach { r =>
+      val s = r.getAs[String]("surv").toDouble
+      assert(s >= 0.0 && s <= 1.0 + 1e-9)
+    }
+  }
+
   test("feature hashing: histogram accounts for every bucket, word, and token") {
     val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)

@@ -6984,6 +6984,103 @@ object SparkEntry {
               exp(col("qlog_surv").cast("double") / 1e6))).as("surv"))
         .orderBy("dur")
     }),
+
+    // TOP PRINCIPAL COMPONENT of the embedding corpus by POWER ITERATION
+    // — and the entire iteration is EXACT INTEGER arithmetic, which is
+    // what makes a cross-engine (and cross-retry) deterministic PCA
+    // possible at all: the centered covariance C = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ is
+    // built from 1e-4-quantized components in DECIMAL(38,0) ⇔ HUGEINT
+    // (n·Σxᵢxⱼ overflows BIGINT at 100×), and each of the three unrolled
+    // steps renormalizes v ← (C·v)·1e6 / max|C·v| with SIGN-SPLIT integer
+    // floor division (Spark `div` truncates toward zero, DuckDB `//`
+    // floors — identical on magnitudes, so divide |w| and reapply the
+    // sign). Scale shape: one corpus pass builds the d² = 4096-cell
+    // moment table (pair-exploded, keyed aggregate); the iteration then
+    // touches only d²-sized state — corpus size is out of the loop, the
+    // graph_kcore fixed-unroll discipline. Output: 64 loadings + the
+    // Rayleigh-quotient eigenvalue from one exact rational.
+    "emb_pca_power" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val comps = Sources.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          floor(col("x").cast("double") * 1e4 + 0.5).cast("long").as("xq"))
+      val sums = comps.groupBy("i").agg(sum(col("xq")).as("si"))
+      val cross = comps.as("a").join(comps.as("b"), "vec_id")
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.xq") * col("b.xq")).as("sij"))
+      val n = comps.agg((count(lit(1)) / lit(64)).cast("long").as("n"))
+      val cov = cross
+        .join(sums.select(col("i"), col("si")), "i")
+        .join(sums.select(col("i").as("j"), col("si").as("sj")), "j")
+        .crossJoin(broadcast(n))
+        .select(col("i"), col("j"),
+          (col("n").cast(d38) * col("sij").cast(d38) -
+            col("si").cast(d38) * col("sj").cast(d38)).as("c"))
+      // v₀ = all-ones; three unrolled C·v steps with integer rescale.
+      var v = sums.select(col("i").as("dim"), lit(1L).cast(d38).as("v"))
+      for (_ <- 1 to 3) {
+        val w = cov.join(v, cov("j") === v("dim"))
+          .groupBy(col("i").as("dim")).agg(sum(col("c") * col("v")).as("w"))
+        val m = w.agg(max(abs(col("w"))).as("m"))
+        v = w.crossJoin(broadcast(m))
+          .select(col("dim"),
+            (when(col("w") < 0, -lit(1)).otherwise(lit(1)).cast(d38) *
+              expr("CAST((abs(w) * 1000000) div m AS DECIMAL(38,0))")).as("v"))
+      }
+      val vc = util.Views.materialize(v)
+      // Rayleigh quotient λ = vᵀCv / vᵀv, exact until the one division.
+      val num = cov.join(vc.select(col("dim").as("i"), col("v").as("vi")), "i")
+        .join(vc.select(col("dim").as("j"), col("v").as("vj")), "j")
+        .agg(sum(col("vi") * col("c") * col("vj")).as("num"))
+      val den = vc.agg(sum(col("v") * col("v")).as("den"))
+      vc.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+        .select(col("dim"),
+          (col("v").cast("double") / 1e6).as("loading"),
+          (col("num").cast("double") / col("den").cast("double") /
+            lit(1e8)).as("eigenvalue_q8"))
+        .orderBy("dim")
+    }),
+
+    // LINEAR MULTI-TOUCH ATTRIBUTION: every purchase splits one unit of
+    // credit equally across the user's touchpoints (click/view/signup)
+    // in the 24h lookback window; purchases with no touches credit
+    // '(direct)'. Credit quantizes as 1e6 DIV k per touch (integer floor
+    // division — deterministic, remainder declared lost), so the rollup
+    // is exact BIGINTs and one closing division. Scale shape: the
+    // purchase⋈touch pairing is co-keyed on user_id with the time window
+    // as a join residual (the events_range_join discipline — never a
+    // time-unbounded self-join); per-purchase fan-in is bounded by the
+    // lookback window, not the corpus.
+    "events_attribution_linear" -> ((s, dir) => {
+      val dayNs = 86400000000000L
+      val ev = Sources.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("tp"),
+          col("event_id").as("pid"))
+      val t = ev.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id").as("tu"), col("ts").as("tt"),
+          col("event_type").as("touch"))
+      val pairs = p.join(t,
+        col("pu") === col("tu") && col("tt") < col("tp") &&
+          col("tt") >= col("tp") - lit(dayNs), "left")
+      val perType = pairs.filter(col("touch").isNotNull)
+        .groupBy("pid", "touch").agg(count(lit(1)).as("cnt"))
+      val k = perType.groupBy("pid").agg(sum(col("cnt")).as("k"))
+      val credited = perType.join(k, "pid")
+        .select(col("touch"), col("cnt"),
+          (col("cnt") * expr("1000000 div k")).as("cq"))
+        .groupBy("touch")
+        .agg(sum(col("cnt")).as("n_touches"), sum(col("cq")).as("cq"))
+      val direct = pairs.filter(col("touch").isNull)
+        .groupBy(lit("(direct)").as("touch"))
+        .agg(count(lit(1)).as("n_touches"),
+          (count(lit(1)) * lit(1000000L)).as("cq"))
+      credited.unionByName(direct)
+        .select(col("touch"), col("n_touches"),
+          (col("cq").cast("double") / 1e6).as("credit"))
+        .orderBy("touch")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -11140,5 +11237,77 @@ object SparkEntry {
         |       ELSE printf('%.4e', exp(CAST(qlog_surv AS DOUBLE) / 1e6))
         |  END AS surv
         |FROM q2 ORDER BY dur""".stripMargin,
+
+    "emb_pca_power" ->
+      """WITH comps AS MATERIALIZED (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |          unnest(range(0, len(embedding))) AS i
+        |        FROM embeddings)),
+        |sums AS (SELECT i, CAST(sum(xq) AS BIGINT) AS si
+        |         FROM comps GROUP BY 1),
+        |nn AS (SELECT count(*) // 64 AS n FROM comps),
+        |cx AS (SELECT a.i AS i, b.i AS j,
+        |         CAST(sum(a.xq * b.xq) AS BIGINT) AS sij
+        |       FROM comps a JOIN comps b USING (vec_id) GROUP BY 1, 2),
+        |cov AS MATERIALIZED (
+        |  SELECT c.i, c.j,
+        |    CAST(n.n AS HUGEINT) * sij
+        |      - CAST(si.si AS HUGEINT) * sj.si AS c
+        |  FROM cx c JOIN sums si ON si.i = c.i
+        |  JOIN sums sj ON sj.i = c.j CROSS JOIN nn n),
+        |v0 AS (SELECT i AS dim, CAST(1 AS HUGEINT) AS v FROM sums),
+        |w1 AS (SELECT cov.i AS dim, sum(cov.c * v.v) AS w
+        |       FROM cov JOIN v0 v ON cov.j = v.dim GROUP BY 1),
+        |m1 AS (SELECT max(abs(w)) AS m FROM w1),
+        |v1 AS MATERIALIZED (SELECT dim,
+        |        CASE WHEN w < 0 THEN -((abs(w) * 1000000) // m)
+        |             ELSE (abs(w) * 1000000) // m END AS v
+        |      FROM w1, m1),
+        |w2 AS (SELECT cov.i AS dim, sum(cov.c * v.v) AS w
+        |       FROM cov JOIN v1 v ON cov.j = v.dim GROUP BY 1),
+        |m2 AS (SELECT max(abs(w)) AS m FROM w2),
+        |v2 AS MATERIALIZED (SELECT dim,
+        |        CASE WHEN w < 0 THEN -((abs(w) * 1000000) // m)
+        |             ELSE (abs(w) * 1000000) // m END AS v
+        |      FROM w2, m2),
+        |w3 AS (SELECT cov.i AS dim, sum(cov.c * v.v) AS w
+        |       FROM cov JOIN v2 v ON cov.j = v.dim GROUP BY 1),
+        |m3 AS (SELECT max(abs(w)) AS m FROM w3),
+        |v3 AS MATERIALIZED (SELECT dim,
+        |        CASE WHEN w < 0 THEN -((abs(w) * 1000000) // m)
+        |             ELSE (abs(w) * 1000000) // m END AS v
+        |      FROM w3, m3),
+        |num AS (SELECT sum(vi.v * cov.c * vj.v) AS num
+        |        FROM cov JOIN v3 vi ON cov.i = vi.dim
+        |        JOIN v3 vj ON cov.j = vj.dim),
+        |den AS (SELECT sum(v * v) AS den FROM v3)
+        |SELECT dim, CAST(v AS DOUBLE) / 1e6 AS loading,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) / 1e8 AS eigenvalue_q8
+        |FROM v3, num, den ORDER BY dim""".stripMargin,
+
+    "events_attribution_linear" ->
+      """WITH p AS (SELECT user_id AS pu, epoch_ns(ts) AS tp, event_id AS pid
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS tu, epoch_ns(ts) AS tt, event_type AS touch
+        |      FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |pairs AS (
+        |  SELECT pid, touch
+        |  FROM p LEFT JOIN t ON pu = tu AND tt < tp
+        |    AND tt >= tp - 86400000000000),
+        |pt AS (SELECT pid, touch, count(*) AS cnt
+        |       FROM pairs WHERE touch IS NOT NULL GROUP BY 1, 2),
+        |k AS (SELECT pid, CAST(sum(cnt) AS BIGINT) AS k FROM pt GROUP BY 1),
+        |cr AS (SELECT touch, CAST(sum(cnt) AS BIGINT) AS n_touches,
+        |         CAST(sum(cnt * (1000000 // k)) AS BIGINT) AS cq
+        |       FROM pt JOIN k USING (pid) GROUP BY 1),
+        |di AS (SELECT '(direct)' AS touch, count(*) AS n_touches,
+        |         CAST(count(*) * 1000000 AS BIGINT) AS cq
+        |       FROM pairs WHERE touch IS NULL HAVING count(*) > 0)
+        |SELECT touch, n_touches, CAST(cq AS DOUBLE) / 1e6 AS credit
+        |FROM (SELECT * FROM cr UNION ALL SELECT * FROM di)
+        |ORDER BY touch""".stripMargin,
   )
 }

@@ -272,6 +272,79 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("pca power iteration: driver-side BigInt replay reproduces every loading exactly") {
+    val vecs = Sources.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(_.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1e4 + 0.5).toLong).toArray)
+    val d = 64; val n = vecs.length
+    val si = Array.tabulate(d)(i => vecs.map(v => BigInt(v(i))).sum)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      BigInt(n) * vecs.map(v => BigInt(v(i)) * v(j)).sum - si(i) * si(j)
+    }
+    var v = Array.fill(d)(BigInt(1))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(x => if (x < 0) -((x.abs * 1000000) / m) else (x.abs * 1000000) / m)
+    }
+    val got = SparkEntry.queries("emb_pca_power")(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("dim"))
+    assert(got.length == d)
+    got.foreach { r =>
+      val dim = r.getAs[Int]("dim")
+      assert(r.getAs[Double]("loading") == v(dim).toDouble / 1e6,
+        s"dim $dim loading mismatch")
+    }
+    // Rayleigh quotient of the iterate must dominate the start vector's —
+    // power iteration only climbs.
+    def rq(u: Array[BigInt]): Double = {
+      val num = (for (i <- 0 until d; j <- 0 until d) yield u(i) * cov(i)(j) * u(j)).sum
+      val den = u.map(x => x * x).sum
+      num.toDouble / den.toDouble
+    }
+    assert(rq(v) >= rq(Array.fill(d)(BigInt(1))))
+    val lambda = got.head.getAs[Double]("eigenvalue_q8")
+    assert(lambda > 0.0)
+  }
+
+  test("linear attribution conserves credit up to declared integer-division remainders") {
+    val rows = SparkEntry.queries("events_attribution_linear")(spark, sfDir).collect()
+    val ev = Sources.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val touches = ev.filter(e => Set("click", "view", "signup")(e._3))
+    val purchases = ev.filter(_._3 == "purchase")
+    val day = 86400000000000L
+    var expected = Map[String, (Long, Long)]() // touch -> (n, cq)
+    purchases.foreach { case (u, tp, _) =>
+      val w = touches.filter(t => t._1 == u && t._2 < tp && t._2 >= tp - day)
+      if (w.isEmpty)
+        expected = expected.updated("(direct)",
+          (expected.getOrElse("(direct)", (0L, 0L))._1 + 1,
+            expected.getOrElse("(direct)", (0L, 0L))._2 + 1000000L))
+      else {
+        val share = 1000000L / w.length
+        w.groupBy(_._3).foreach { case (ty, ts) =>
+          val (pn, pc) = expected.getOrElse(ty, (0L, 0L))
+          expected = expected.updated(ty, (pn + ts.length, pc + ts.length * share))
+        }
+      }
+    }
+    val got = rows.map(r => r.getAs[String]("touch") ->
+      (r.getAs[Long]("n_touches"), r.getAs[Double]("credit"))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (ty, (n, cq)) =>
+      assert(got(ty)._1 == n, s"$ty n_touches")
+      assert(math.abs(got(ty)._2 - cq / 1e6) < 1e-9, s"$ty credit")
+    }
+    // Total credit within n_purchases of the exact unit-per-purchase mass
+    // (each purchase loses < 1e-6·k ≤ 1 unit-millionth per touch).
+    val total = rows.map(_.getAs[Double]("credit")).sum
+    assert(total <= purchases.length + 1e-9)
+    assert(total > purchases.length * 0.99)
+  }
+
   test("feature hashing: histogram accounts for every bucket, word, and token") {
     val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)

@@ -7081,6 +7081,96 @@ object SparkEntry {
           (col("cq").cast("double") / 1e6).as("credit"))
         .orderBy("touch")
     }),
+
+    // Newman MODULARITY of the BRAND partition over the co-purchase
+    // graph — "do same-brand parts co-purchase more than a random graph
+    // with these degrees would?", the partition-quality score every
+    // community-detection pipeline optimizes, computed EXACTLY:
+    // Q = Σ_c(4m·e_c − d_c²)/(4m²) keeps the numerator in BIGINT (e_c =
+    // intra-community edges, d_c = community degree mass) with ONE
+    // closing division. Attribute-derived communities (label = p_brand,
+    // a broadcast dimension join) keep the whole thing two keyed
+    // aggregates over the edge list — evaluating a CANDIDATE partition
+    // is the cheap inner step that iterative community detection
+    // (Louvain et al.) repeats; this is that step, distributed, with the
+    // graph_triangles support-thresholded edge construction.
+    "graph_modularity" -> ((s, dir) => {
+      val op = Sources.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = util.Views.materialize(
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("u", "v"))
+      val nb = edges.select(col("u").as("n"), col("v").as("m"))
+        .unionAll(edges.select(col("v").as("n"), col("u").as("m")))
+      // Labels come ONLY from the part dimension (no edge lineage), so
+      // joining them against edges/degrees can never trip the
+      // ambiguous-self-join analyzer check.
+      val partLabels = Sources.part(s, dir)
+        .select(col("p_partkey").as("n"), col("p_brand").as("l"))
+      val m = edges.agg(count(lit(1)).as("m"))
+      val deg = nb.groupBy("n").agg(count(lit(1)).as("dg"))
+      val nodesL = deg.join(broadcast(partLabels), "n")
+      val ec = edges
+        .join(broadcast(partLabels.select(col("n").as("u"), col("l").as("lu"))), "u")
+        .join(broadcast(partLabels.select(col("n").as("v"), col("l").as("lv"))), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("c")).agg(count(lit(1)).as("e_c"))
+      val dc = nodesL.groupBy(col("l").as("c")).agg(sum(col("dg")).as("d_c"))
+      val perC = dc.join(ec, Seq("c"), "left")
+        .select(col("c"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+        .crossJoin(broadcast(m))
+        .select((lit(4L) * col("m") * col("e_c") -
+          col("d_c") * col("d_c")).as("term"))
+      val sizes = nodesL.groupBy("l").agg(count(lit(1)).as("sz"))
+      nodesL.agg(count(lit(1)).as("n_nodes"),
+          countDistinct(col("l")).as("n_communities"))
+        .crossJoin(broadcast(m.select(col("m").as("n_edges"))))
+        .crossJoin(broadcast(sizes.agg(max(col("sz")).as("largest"))))
+        .crossJoin(broadcast(perC.agg(sum(col("term")).as("qnum"))))
+        .select(col("n_nodes"), col("n_edges"), col("n_communities"),
+          col("largest"),
+          (col("qnum").cast("double") /
+            (lit(4.0) * col("n_edges").cast("double") *
+              col("n_edges").cast("double"))).as("modularity"))
+    }),
+
+    // IMPORTANCE SAMPLING with a HORVITZ–THOMPSON estimator — the
+    // unbiased-survey machinery for auditing a corpus you can't afford
+    // to scan in full: docs enter the sample with length-proportional
+    // probability p (per-mille grid, membership = md5 hash < p, so the
+    // sample is a pure function of the doc id — retries and re-runs
+    // agree), and each sampled doc reports its token count UPWEIGHTED by
+    // 1/p (quantized as (n·10⁶) DIV p_mille, exact integers). The query
+    // outputs the estimate NEXT TO the true total and the relative
+    // error — the audit that justifies trusting samples at 100 TB, where
+    // the full scan happens once and every later question hits the
+    // sample. All sums BIGINT; two closing divisions.
+    "docs_importance_sampling" -> ((s, dir) => {
+      val base = Sources.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(split(util.Norm.normalize(col("text")), " ")).cast("long")
+            .as("n_words"))
+        .withColumn("p_mille",
+          least(lit(1000L), lit(50L) + expr("n_chars div 20")))
+        .withColumn("u_mille",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10).cast("long") % 1000)
+      val sampled = base.filter(col("u_mille") < col("p_mille"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(expr("(n_words * 1000000) div p_mille")).as("ht_q"))
+      val truth = base.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("true_tokens"))
+      truth.crossJoin(broadcast(sampled))
+        .select(col("n_docs"), col("n_sampled"), col("true_tokens"),
+          (col("ht_q").cast("double") / 1000.0).as("est_tokens"),
+          ((col("ht_q").cast("double") / 1000.0 -
+            col("true_tokens").cast("double")) /
+            col("true_tokens").cast("double")).as("rel_error"))
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -11309,5 +11399,56 @@ object SparkEntry {
         |SELECT touch, n_touches, CAST(cq AS DOUBLE) / 1e6 AS credit
         |FROM (SELECT * FROM cr UNION ALL SELECT * FROM di)
         |ORDER BY touch""".stripMargin,
+
+    "graph_modularity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nb AS (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),
+        |pl AS (SELECT p_partkey AS n, p_brand AS l FROM part),
+        |deg AS (SELECT n, count(*) AS dg FROM nb GROUP BY 1),
+        |nl AS MATERIALIZED (
+        |  SELECT deg.n, deg.dg, pl.l FROM deg JOIN pl USING (n)),
+        |mm AS (SELECT count(*) AS m FROM e),
+        |ec AS (SELECT lu.l AS c, count(*) AS e_c
+        |       FROM e JOIN pl lu ON lu.n = e.u JOIN pl lv ON lv.n = e.v
+        |       WHERE lu.l = lv.l GROUP BY 1),
+        |dc AS (SELECT l AS c, CAST(sum(dg) AS BIGINT) AS d_c
+        |       FROM nl GROUP BY 1),
+        |terms AS (SELECT CAST(4 * mm.m * COALESCE(ec.e_c, 0)
+        |            - dc.d_c * dc.d_c AS BIGINT) AS term
+        |          FROM dc LEFT JOIN ec USING (c) CROSS JOIN mm),
+        |sz AS (SELECT l, count(*) AS sz FROM nl GROUP BY 1)
+        |SELECT (SELECT count(*) FROM nl) AS n_nodes,
+        |  (SELECT m FROM mm) AS n_edges,
+        |  (SELECT count(DISTINCT l) FROM nl) AS n_communities,
+        |  (SELECT max(sz) FROM sz) AS largest,
+        |  CAST((SELECT CAST(sum(term) AS BIGINT) FROM terms) AS DOUBLE)
+        |    / (4e0 * (SELECT m FROM mm) * (SELECT m FROM mm))
+        |    AS modularity""".stripMargin,
+
+    "docs_importance_sampling" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(string_split(${util.Norm.normalizeSql("text")}, ' '))
+         |      AS BIGINT) AS n_words,
+         |    least(1000, 50 + n_chars // 20) AS p_mille,
+         |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 1000 AS u_mille
+         |  FROM documents),
+         |s AS (SELECT count(*) AS n_sampled,
+         |        CAST(sum((n_words * 1000000) // p_mille) AS BIGINT) AS ht_q
+         |      FROM base WHERE u_mille < p_mille),
+         |t AS (SELECT count(*) AS n_docs,
+         |        CAST(sum(n_words) AS BIGINT) AS true_tokens
+         |      FROM base)
+         |SELECT n_docs, n_sampled, true_tokens,
+         |  CAST(ht_q AS DOUBLE) / 1000e0 AS est_tokens,
+         |  (CAST(ht_q AS DOUBLE) / 1000e0 - CAST(true_tokens AS DOUBLE))
+         |    / CAST(true_tokens AS DOUBLE) AS rel_error
+         |FROM t, s""".stripMargin,
   )
 }

@@ -345,6 +345,58 @@ class Round9OpsSpec extends SparkSpec {
     assert(total > purchases.length * 0.99)
   }
 
+  test("modularity: driver-side replay of the brand partition score; Q within [-0.5, 1]") {
+    val got = SparkEntry.queries("graph_modularity")(spark, sfDir).collect()(0)
+    val op = Sources.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val brand = Sources.part(spark, sfDir).select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = edges.size.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val ec: Map[String, Long] = edges.filter(e => brand(e._1) == brand(e._2))
+      .groupBy(e => brand(e._1)).map { case (k, v) => k -> v.size.toLong }
+    val dcM: Map[String, Long] = deg.toSeq.groupBy(e => brand(e._1))
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    val qnum = dcM.map { case (c, dc) =>
+      BigInt(4) * BigInt(m) * BigInt(ec.getOrElse(c, 0L)) -
+        BigInt(dc) * BigInt(dc)
+    }.sum
+    val expected = qnum.toDouble / (4.0 * m * m)
+    assert(got.getAs[Long]("n_edges") == m)
+    assert(got.getAs[Long]("n_nodes") == deg.size.toLong)
+    assert(math.abs(got.getAs[Double]("modularity") - expected) < 1e-12)
+    assert(got.getAs[Double]("modularity") >= -0.5 &&
+      got.getAs[Double]("modularity") <= 1.0)
+  }
+
+  test("importance sampling: inclusion and HT estimate replay exactly from the hash contract") {
+    val got = SparkEntry.queries("docs_importance_sampling")(spark, sfDir).collect()(0)
+    def u32(sIn: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sIn.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val docs = Sources.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(util.Norm.normalize(col("text")), " ")).cast("long").as("nw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var nSampled = 0L; var htQ = 0L; var trueTokens = 0L
+    docs.foreach { case (id, nc, nw) =>
+      trueTokens += nw
+      val p = math.min(1000L, 50L + nc / 20)
+      if (u32(id.toString) % 1000 < p) { nSampled += 1; htQ += nw * 1000000L / p }
+    }
+    assert(got.getAs[Long]("n_sampled") == nSampled)
+    assert(got.getAs[Long]("true_tokens") == trueTokens)
+    assert(got.getAs[Double]("est_tokens") == htQ.toDouble / 1000.0)
+  }
+
   test("feature hashing: histogram accounts for every bucket, word, and token") {
     val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)

@@ -7171,6 +7171,85 @@ object SparkEntry {
             col("true_tokens").cast("double")) /
             col("true_tokens").cast("double")).as("rel_error"))
     }),
+
+    // WELCH'S t-TEST (unequal variances) between the deterministic
+    // odd/even-user arms — the missing member of the classical-test
+    // family (z, χ², KS, U, F, and now t): sample variances come from
+    // the exact-BIGINT moment identity n·Σx²−(Σx)² computed in
+    // DECIMAL(38,0) ⇔ HUGEINT (overflows BIGINT at 100×) and enter ONE
+    // fixed IEEE tree for the t statistic and the Welch–Satterthwaite
+    // effective df. One conditional keyed aggregate over the corpus;
+    // the >2^53 exact integers cross to double through the VARCHAR
+    // round-trip contract on the DuckDB side.
+    "events_ttest_welch" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val m = Sources.events(s, dir)
+        .select((col("user_id") % 2 === 1).as("t"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("x"))
+        .agg(
+          sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("t"), col("x")).otherwise(0L)).as("s1"),
+          sum(when(col("t"), col("x") * col("x")).otherwise(0L)).as("ss1"),
+          sum(when(!col("t"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("t"), col("x")).otherwise(0L)).as("s2"),
+          sum(when(!col("t"), col("x") * col("x")).otherwise(0L)).as("ss2"))
+      def v(n: String, sx: String, ssx: String): Column =
+        (col(n).cast(d38) * col(ssx).cast(d38) -
+          col(sx).cast(d38) * col(sx).cast(d38)).cast("double") /
+          (col(n).cast("double") * (col(n) - 1).cast("double"))
+      m
+        .withColumn("m1", col("s1").cast("double") / col("n1").cast("double"))
+        .withColumn("m2", col("s2").cast("double") / col("n2").cast("double"))
+        .withColumn("v1", v("n1", "s1", "ss1") / col("n1").cast("double"))
+        .withColumn("v2", v("n2", "s2", "ss2") / col("n2").cast("double"))
+        .select(col("n1"), col("n2"),
+          ((col("m1") - col("m2")) / 100.0).as("mean_diff"),
+          ((col("m1") - col("m2")) / sqrt(col("v1") + col("v2"))).as("t_stat"),
+          ((col("v1") + col("v2")) * (col("v1") + col("v2")) /
+            (col("v1") * col("v1") / (col("n1") - 1).cast("double") +
+              col("v2") * col("v2") / (col("n2") - 1).cast("double")))
+            .as("df_welch"))
+    }),
+
+    // A/B SAMPLE-SIZE (power) CALCULATOR from measured variance: the
+    // n-per-arm needed to detect a 2% lift on the control mean at
+    // α=.05 / power=.80 — the experiment-design readout that consumes
+    // the engine's variance estimates. n = 2(z_{.975}+z_{.8})²σ²/δ²
+    // with the z quantiles as BUILD-TIME constants interpolated into
+    // both plans (the Benford discipline), pooled σ² from the exact
+    // DECIMAL(38,0) moment identity, and one ceil() at the end. The
+    // measurement is one conditional aggregate; everything after is
+    // 1-row algebra.
+    "events_power_analysis" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val z = PowerZSum // z_{.975} + z_{.8}, build-time constant
+      val m = Sources.events(s, dir)
+        .select((col("user_id") % 2 === 1).as("t"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("x"))
+        .agg(
+          sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("t"), col("x")).otherwise(0L)).as("s1"),
+          sum(when(col("t"), col("x") * col("x")).otherwise(0L)).as("ss1"),
+          sum(when(!col("t"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("t"), col("x")).otherwise(0L)).as("s2"),
+          sum(when(!col("t"), col("x") * col("x")).otherwise(0L)).as("ss2"))
+      def ssq(n: String, sx: String, ssx: String): Column =
+        (col(n).cast(d38) * col(ssx).cast(d38) -
+          col(sx).cast(d38) * col(sx).cast(d38)).cast("double") /
+          (col(n).cast("double") * (col(n) - 1).cast("double"))
+      m
+        .withColumn("sp2",
+          ((col("n1") - 1).cast("double") * ssq("n1", "s1", "ss1") +
+            (col("n2") - 1).cast("double") * ssq("n2", "s2", "ss2")) /
+            (col("n1") + col("n2") - 2).cast("double"))
+        .withColumn("mde",
+          lit(0.02) * (col("s2").cast("double") / col("n2").cast("double")))
+        .select(col("n1"), col("n2"),
+          (col("mde") / 100.0).as("mde_abs"),
+          (col("sp2") / 1e4).as("sigma2_pooled"),
+          ceil(lit(2.0) * lit(z * z) * col("sp2") /
+            (col("mde") * col("mde"))).cast("long").as("n_per_arm"))
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -7182,6 +7261,11 @@ object SparkEntry {
     for (j <- 0 to k) { if (j > 0) fact *= j; cdf += 1.0 / fact }
     math.floor(cdf * math.exp(-1.0) * 4294967296.0).toLong
   }
+
+  /** z₀.₉₇₅ + z₀.₈₀ (standard normal quantiles, two-sided α=.05 and
+    * power .80) — the textbook sample-size constants, build-time so both
+    * engines see the identical double. */
+  private[graft] val PowerZSum: Double = 1.959963984540054 + 0.8416212335729143
 
   /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
     * managed table's files survive the in-memory catalog across JVMs). */
@@ -11450,5 +11534,68 @@ object SparkEntry {
          |  (CAST(ht_q AS DOUBLE) / 1000e0 - CAST(true_tokens AS DOUBLE))
          |    / CAST(true_tokens AS DOUBLE) AS rel_error
          |FROM t, s""".stripMargin,
+
+    "events_ttest_welch" ->
+      """WITH e AS (
+        |  SELECT (user_id % 2 = 1) AS t,
+        |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS x
+        |  FROM events),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN t THEN x*x ELSE 0 END) AS BIGINT) AS ss1,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN NOT t THEN x ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN NOT t THEN x*x ELSE 0 END) AS BIGINT) AS ss2
+        |  FROM e),
+        |d AS (SELECT *,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    CAST(CAST(CAST(n1 AS HUGEINT)*ss1 - CAST(s1 AS HUGEINT)*s1
+        |        AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+        |      / CAST(n1 AS DOUBLE) AS v1,
+        |    CAST(CAST(CAST(n2 AS HUGEINT)*ss2 - CAST(s2 AS HUGEINT)*s2
+        |        AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))
+        |      / CAST(n2 AS DOUBLE) AS v2
+        |  FROM m)
+        |SELECT n1, n2, (m1 - m2) / 100e0 AS mean_diff,
+        |  (m1 - m2) / sqrt(v1 + v2) AS t_stat,
+        |  ((v1 + v2) * (v1 + v2))
+        |    / (v1*v1 / CAST(n1 - 1 AS DOUBLE)
+        |       + v2*v2 / CAST(n2 - 1 AS DOUBLE)) AS df_welch
+        |FROM d""".stripMargin,
+
+    "events_power_analysis" -> {
+      val zz = PowerZSum * PowerZSum
+      s"""WITH e AS (
+         |  SELECT (user_id % 2 = 1) AS t,
+         |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS x
+         |  FROM events),
+         |m AS (SELECT
+         |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN t THEN x*x ELSE 0 END) AS BIGINT) AS ss1,
+         |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN NOT t THEN x ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN NOT t THEN x*x ELSE 0 END) AS BIGINT) AS ss2
+         |  FROM e),
+         |d AS (SELECT *,
+         |    (CAST(n1 - 1 AS DOUBLE)
+         |       * (CAST(CAST(CAST(n1 AS HUGEINT)*ss1 - CAST(s1 AS HUGEINT)*s1
+         |            AS VARCHAR) AS DOUBLE)
+         |          / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)))
+         |     + CAST(n2 - 1 AS DOUBLE)
+         |       * (CAST(CAST(CAST(n2 AS HUGEINT)*ss2 - CAST(s2 AS HUGEINT)*s2
+         |            AS VARCHAR) AS DOUBLE)
+         |          / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))))
+         |    / CAST(n1 + n2 - 2 AS DOUBLE) AS sp2,
+         |    0.02e0 * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS mde
+         |  FROM m)
+         |SELECT n1, n2, mde / 100e0 AS mde_abs, sp2 / 1e4 AS sigma2_pooled,
+         |  CAST(ceil((2e0 * $zz * sp2) / (mde * mde)) AS BIGINT) AS n_per_arm
+         |FROM d""".stripMargin
+    },
   )
 }

@@ -397,6 +397,38 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.getAs[Double]("est_tokens") == htQ.toDouble / 1000.0)
   }
 
+  test("welch t-test and power analysis replay from driver-side moments") {
+    val xs = Sources.events(spark, sfDir)
+      .select((col("user_id") % 2 === 1).as("t"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("x"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val g1 = xs.filter(_._1).map(_._2); val g2 = xs.filterNot(_._1).map(_._2)
+    def mom(g: Array[Long]): (Long, BigInt, BigInt) =
+      (g.length.toLong, g.map(BigInt(_)).sum, g.map(x => BigInt(x) * x).sum)
+    val (n1, s1, ss1) = mom(g1); val (n2, s2, ss2) = mom(g2)
+    def variance(n: Long, s: BigInt, ss: BigInt): Double =
+      (BigInt(n) * ss - s * s).toDouble / (n.toDouble * (n - 1).toDouble)
+    val (m1, m2) = (s1.toDouble / n1, s2.toDouble / n2)
+    val (v1, v2) = (variance(n1, s1, ss1) / n1, variance(n2, s2, ss2) / n2)
+    val tGot = SparkEntry.queries("events_ttest_welch")(spark, sfDir).collect()(0)
+    assert(tGot.getAs[Long]("n1") == n1 && tGot.getAs[Long]("n2") == n2)
+    assert(math.abs(tGot.getAs[Double]("t_stat") -
+      (m1 - m2) / math.sqrt(v1 + v2)) < 1e-9)
+    val dfExp = (v1 + v2) * (v1 + v2) /
+      (v1 * v1 / (n1 - 1).toDouble + v2 * v2 / (n2 - 1).toDouble)
+    assert(math.abs(tGot.getAs[Double]("df_welch") - dfExp) < 1e-6)
+    // df_welch lies between min(n)−1 and n1+n2−2 — the Welch bounds.
+    assert(dfExp >= math.min(n1, n2) - 1 && dfExp <= (n1 + n2 - 2).toDouble)
+    val pGot = SparkEntry.queries("events_power_analysis")(spark, sfDir).collect()(0)
+    val sp2 = ((n1 - 1).toDouble * variance(n1, s1, ss1) +
+      (n2 - 1).toDouble * variance(n2, s2, ss2)) / (n1 + n2 - 2).toDouble
+    val mde = 0.02 * (s2.toDouble / n2)
+    val z = SparkEntry.PowerZSum
+    val nExp = math.ceil(2.0 * (z * z) * sp2 / (mde * mde)).toLong
+    assert(pGot.getAs[Long]("n_per_arm") == nExp,
+      s"n_per_arm ${pGot.getAs[Long]("n_per_arm")} vs $nExp")
+  }
+
   test("feature hashing: histogram accounts for every bucket, word, and token") {
     val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)

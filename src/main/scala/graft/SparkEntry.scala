@@ -7250,6 +7250,88 @@ object SparkEntry {
           ceil(lit(2.0) * lit(z * z) * col("sp2") /
             (col("mde") * col("mde"))).cast("long").as("n_per_arm"))
     }),
+
+    // k-NN CLASSIFIER over the embedding corpus — the non-parametric
+    // model you get for free once similarity search exists: each test
+    // vector (10% id-hash split) takes the MAJORITY LABEL of its 5
+    // nearest train vectors under the exact cosine tier
+    // (sim.Similarity.bruteTopK — broadcast queries, bounded-heap top-k,
+    // deterministic (sim DESC, vec_id) tie order), votes adjudicate by
+    // (count DESC, label ASC), and the readout is the truth×prediction
+    // confusion matrix. The all-pairs scoring is the DECLARED exact tier
+    // exactly as in sim_brute_topk; at corpus scale the same vote/argmax
+    // pipeline runs unchanged over the ANN candidates (sim_ann_rhp/_ivf)
+    // instead. One more distributed "trained" model whose inference is
+    // pure dataflow.
+    "emb_knn_classifier" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      val isTest = col("id") % 10 === 0
+      val topk = sim.Similarity.bruteTopK(
+        emb.filter(isTest).select("id", "vec"),
+        emb.filter(!isTest).select("id", "vec"), 5)
+      val votes = topk
+        .join(emb.filter(!isTest).select(col("id").as("vec_id"),
+          col("label").as("nlabel")), "vec_id")
+        .groupBy("query_id", "nlabel").agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("votes").desc, col("nlabel").asc)
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(emb.filter(isTest).select(col("id").as("query_id"),
+          col("label").as("truth")), "query_id")
+        .groupBy(col("truth"), col("nlabel").as("pred"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("truth", "pred")
+    }),
+
+    // SIMPLIFIED SILHOUETTE of the label partition over the embeddings —
+    // the cluster-quality score consulted before trusting any clustering
+    // (or, here, auditing how geometrically coherent the labels are):
+    // per vector, a = distance to its OWN label centroid, b = distance
+    // to the nearest OTHER centroid, s = (b−a)/max(a,b). Centroids are
+    // integer-exact (1e-4-quantized component sums, floor-divided by the
+    // class count), squared distances are pure BIGINT, and each row's s
+    // — the only IEEE steps are one sqrt pair and one division —
+    // QUANTIZES to a 1e-6 integer BEFORE the per-label mean (the
+    // summation-order discipline: raw double sums are partition-order-
+    // dependent). Scale shape: one broadcast of the |labels|×dims
+    // centroid table, explode bounded by dims×|labels| per row, two
+    // keyed aggregates. The centroid-simplified form EXISTS because the
+    // classic all-pairs silhouette is quadratic — this is the one that
+    // runs at 100 TB.
+    "emb_silhouette" -> ((s, dir) => {
+      val comps = Sources.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("label"), col("i"),
+          floor(col("x").cast("double") * 1e4 + 0.5).cast("long").as("xq"))
+      // Sign-split floor division for the centroid mean: component sums
+      // can be negative, where Spark `div` truncates toward zero but
+      // DuckDB `//` floors — divide magnitudes, reapply the sign.
+      val cents = comps.groupBy(col("label").as("cl"), col("i"))
+        .agg(sum(col("xq")).as("sx"), count(lit(1)).as("cn"))
+        .select(col("cl"), col("i"),
+          when(col("sx") < 0, -expr("(-sx) div cn"))
+            .otherwise(expr("sx div cn")).as("cq"))
+      val d2 = comps
+        .join(broadcast(cents), "i")
+        .groupBy(col("vec_id"), col("label"), col("cl"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      val perVec = d2.groupBy("vec_id", "label")
+        .agg(
+          sqrt(max(when(col("cl") === col("label"), col("d2"))).cast("double"))
+            .as("a"),
+          sqrt(min(when(col("cl") =!= col("label"), col("d2"))).cast("double"))
+            .as("b"))
+        .select(col("label"),
+          floor((col("b") - col("a")) /
+            greatest(col("a"), col("b")) * 1e6 + 0.5).cast("long").as("sq6"))
+      perVec.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("sq6")).cast("double") / lit(1e6) /
+            count(lit(1)).cast("double")).as("mean_silhouette"))
+        .orderBy("label")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -11597,5 +11679,53 @@ object SparkEntry {
          |  CAST(ceil((2e0 * $zz * sp2) / (mde * mde)) AS BIGINT) AS n_per_arm
          |FROM d""".stripMargin
     },
+
+    "emb_knn_classifier" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |${sim.Similarity.bruteTopKSql(
+              "(SELECT * FROM vecs WHERE id % 10 = 0)",
+              "(SELECT * FROM vecs WHERE id % 10 <> 0)", 5)},
+         |lab AS (SELECT vec_id AS id, label FROM embeddings),
+         |votes AS (SELECT t.query_id, l.label AS nlabel, count(*) AS votes
+         |          FROM topk t JOIN lab l ON l.id = t.vec_id GROUP BY 1, 2),
+         |pred AS (SELECT query_id, nlabel,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY votes DESC, nlabel) AS rn
+         |         FROM votes)
+         |SELECT lt.label AS truth, p.nlabel AS pred, count(*) AS n_vecs
+         |FROM pred p JOIN lab lt ON lt.id = p.query_id
+         |WHERE p.rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "emb_silhouette" ->
+      """WITH comps AS MATERIALIZED (
+        |  SELECT vec_id, label, i,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+        |          unnest(range(0, len(embedding))) AS i
+        |        FROM embeddings)),
+        |cs AS (SELECT label AS cl, i, CAST(sum(xq) AS BIGINT) AS sx,
+        |         count(*) AS cn
+        |       FROM comps GROUP BY 1, 2),
+        |cents AS (SELECT cl, i,
+        |            CASE WHEN sx < 0 THEN -((-sx) // cn) ELSE sx // cn END
+        |              AS cq
+        |          FROM cs),
+        |d2 AS (SELECT c.vec_id, c.label, ce.cl,
+        |         CAST(sum((c.xq - ce.cq) * (c.xq - ce.cq)) AS BIGINT) AS d2
+        |       FROM comps c JOIN cents ce USING (i) GROUP BY 1, 2, 3),
+        |pv AS (SELECT vec_id, label,
+        |         sqrt(CAST(max(CASE WHEN cl = label THEN d2 END) AS DOUBLE))
+        |           AS a,
+        |         sqrt(CAST(min(CASE WHEN cl <> label THEN d2 END) AS DOUBLE))
+        |           AS b
+        |       FROM d2 GROUP BY 1, 2),
+        |sq AS (SELECT label,
+        |         CAST(floor((b - a) / greatest(a, b) * 1e6 + 0.5) AS BIGINT)
+        |           AS sq6
+        |       FROM pv)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(CAST(sum(sq6) AS BIGINT) AS DOUBLE) / 1e6
+        |    / CAST(count(*) AS DOUBLE) AS mean_silhouette
+        |FROM sq GROUP BY label ORDER BY label""".stripMargin,
   )
 }

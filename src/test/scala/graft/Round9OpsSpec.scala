@@ -429,6 +429,67 @@ class Round9OpsSpec extends SparkSpec {
       s"n_per_arm ${pGot.getAs[Long]("n_per_arm")} vs $nExp")
   }
 
+  test("knn classifier: confusion covers the test split, preds from train labels, votes replay") {
+    val rows = SparkEntry.queries("emb_knn_classifier")(spark, sfDir).collect()
+    val emb = Sources.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val nTest = emb.count(_._1 % 10 == 0).toLong
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nTest)
+    val trainLabels = emb.filter(_._1 % 10 != 0).map(_._2).toSet
+    rows.foreach(r => assert(trainLabels.contains(r.getAs[Int]("pred"))))
+    // Vote/argmax replay from the top-k frame the query itself consumes.
+    val e = Sources.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val topk = sim.Similarity.bruteTopK(
+      e.filter(col("id") % 10 === 0), e.filter(col("id") % 10 =!= 0), 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labelOf = emb.toMap
+    val expected = topk.groupBy(_._1).toSeq.map { case (q, nbrs) =>
+      val votes = nbrs.map(n => labelOf(n._2)).groupBy(identity)
+        .map { case (l, v) => (l, v.size) }
+      val pred = votes.toSeq.sortBy { case (l, v) => (-v, l) }.head._1
+      (labelOf(q), pred)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = rows.map(r => (r.getAs[Int]("truth"), r.getAs[Int]("pred")) ->
+      r.getAs[Long]("n_vecs")).toMap
+    assert(got == expected)
+  }
+
+  test("silhouette: full integer replay per label; scores within [-1, 1]") {
+    val rows = SparkEntry.queries("emb_silhouette")(spark, sfDir).collect()
+    val vecs = Sources.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).map(x =>
+        math.floor(x.toDouble * 1e4 + 0.5).toLong).toArray))
+    val d = 64
+    val cents: Map[Int, Array[Long]] = vecs.groupBy(_._1).map { case (l, vs) =>
+      l -> Array.tabulate(d) { i =>
+        val sx = vs.map(_._2(i)).sum; val cn = vs.length
+        if (sx < 0) -((-sx) / cn) else sx / cn
+      }
+    }
+    val perLabel = vecs.map { case (l, v) =>
+      def dist(c: Array[Long]): Double =
+        math.sqrt(v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum.toDouble)
+      val a = dist(cents(l))
+      val b = cents.collect { case (cl, c) if cl != l => dist(c) }.min
+      (l, math.floor((b - a) / math.max(a, b) * 1e6 + 0.5).toLong)
+    }.groupBy(_._1).map { case (l, ss) =>
+      l -> (ss.length.toLong, ss.map(_._2).sum.toDouble / 1e6 / ss.length)
+    }
+    assert(rows.length == perLabel.size)
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      assert(r.getAs[Long]("n_vecs") == perLabel(l)._1)
+      assert(math.abs(r.getAs[Double]("mean_silhouette") - perLabel(l)._2) < 1e-12,
+        s"label $l silhouette")
+      assert(r.getAs[Double]("mean_silhouette") >= -1.0 - 1e-9 &&
+        r.getAs[Double]("mean_silhouette") <= 1.0 + 1e-9)
+    }
+  }
+
   test("feature hashing: histogram accounts for every bucket, word, and token") {
     val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)

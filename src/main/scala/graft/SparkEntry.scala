@@ -7332,6 +7332,134 @@ object SparkEntry {
             count(lit(1)).cast("double")).as("mean_silhouette"))
         .orderBy("label")
     }),
+
+    // TEXTRANK keyword extraction — PageRank over the word co-occurrence
+    // graph, reusing the engine's ALL-INTEGER power iteration
+    // (graph/PageRank.scala): adjacent-word pairs become the undirected
+    // edge set, words get DENSE integer ids via one vocabulary-grain
+    // window (deterministic: row_number over the sorted vocab — never a
+    // hash, whose collisions would silently merge words), and six damped
+    // rounds rank the graph in exact 1e-9 units. The corpus pass is one
+    // lead() window per doc; every iteration thereafter costs |word
+    // graph|, not |corpus| — same property that makes text_bpe_merge_step
+    // feasible. Top-20 by (pr DESC, word).
+    "text_textrank_keywords" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(util.Norm.normalize(col("text")), " "))
+            .as(Seq("pos", "word")))
+        .filter(col("word") =!= "")
+      val pairs = words
+        .withColumn("nxt", lead(col("word"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("word") =!= col("nxt"))
+        .select(col("word").as("wa"), col("nxt").as("wb"))
+      val ids = words.select("word").distinct()
+        .withColumn("wid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("word")).cast("long"))
+      val und = pairs
+        .join(broadcast(ids.select(col("word").as("wa"), col("wid").as("ia"))), "wa")
+        .join(broadcast(ids.select(col("word").as("wb"), col("wid").as("ib"))), "wb")
+        .select(least(col("ia"), col("ib")).as("u"),
+          greatest(col("ia"), col("ib")).as("v"))
+        .distinct()
+      val edges = und.select(col("u").as("src"), col("v").as("dst"))
+        .union(und.select(col("v").as("src"), col("u").as("dst")))
+      graph.PageRank.ranks(edges, iters = 6)
+        .join(broadcast(ids.select(col("wid").as("node"), col("word"))), "node")
+        .select(col("word"), col("pr"))
+        .orderBy(col("pr").desc, col("word"))
+        .limit(20)
+    }),
+
+    // UPPER-TAIL DEPENDENCE for symbol pairs — the risk question linear
+    // correlation can't answer: do two series CRASH (here: spike)
+    // TOGETHER? λ̂ = |days both in their own top-20% daily-move rank| /
+    // min(k_a, k_b), fully RANK-BASED (row_number on exact 1e-8-quantized
+    // close diffs, date tiebreak), so the statistic is integer counts +
+    // one division — no distributional assumption, no FP in the
+    // selection. Scale shape: only the top-k day sets enter the co-keyed
+    // Date self-join (≈ 20% of days per symbol, bounded by the
+    // calendar); top-20 pairs via TakeOrderedAndProject.
+    "yf_tail_dependence" -> ((s, dir) => {
+      val wSym = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("Date")
+      val daily = Sources.ohlcv(s, dir)
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .select(col("symbol"), col("Date"), expr("cs div nb").as("c"))
+        .withColumn("ret", col("c") - lag(col("c"), 1).over(wSym))
+        .filter(col("ret").isNotNull)
+      val ranked = daily
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("symbol").orderBy(col("ret"), col("Date"))))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("symbol")))
+        .withColumn("k", expr("n div 5"))
+        .filter(col("rk") > col("n") - col("k"))
+        .select(col("symbol"), col("Date"), col("k"))
+      val joint = ranked.as("a").join(ranked.as("b"),
+          col("a.Date") === col("b.Date") && col("a.symbol") < col("b.symbol"))
+        .groupBy(col("a.symbol").as("sym_a"), col("b.symbol").as("sym_b"))
+        .agg(count(lit(1)).as("joint"),
+          max(col("a.k")).as("ka"), max(col("b.k")).as("kb"))
+      joint
+        .select(col("sym_a"), col("sym_b"), col("joint"),
+          least(col("ka"), col("kb")).as("k_min"),
+          (col("joint").cast("double") /
+            least(col("ka"), col("kb")).cast("double")).as("lambda_u"))
+        .orderBy(col("lambda_u").desc, col("sym_a"), col("sym_b"))
+        .limit(20)
+    }),
+
+    // MINIMUM-VARIANCE two-asset PORTFOLIO (Markowitz closed form) for
+    // symbols 1 and 2 over their SHARED trading days: w* = (σ₂²−σ₁₂) /
+    // (σ₁²+σ₂²−2σ₁₂) from exact-BIGINT centered moments of
+    // 1e-8-quantized daily moves (n·Σxy − ΣxΣy — day counts are
+    // calendar-bounded, so these fit BIGINT at ANY corpus scale), then
+    // the portfolio variance identity w²σ₁²+(1−w)²σ₂²+2w(1−w)σ₁₂ as one
+    // fixed IEEE tree. The optimization is CLOSED-FORM for the same
+    // reason OLS is — which is why it belongs in a distributed engine.
+    "yf_markowitz_minvar" -> ((s, dir) => {
+      val wSym = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("Date")
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("symbol").isin(1, 2))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .select(col("symbol"), col("Date"), expr("cs div nb").as("c"))
+        .withColumn("ret", col("c") - lag(col("c"), 1).over(wSym))
+        .filter(col("ret").isNotNull)
+      val m = daily.filter(col("symbol") === 1)
+        .select(col("Date"), col("ret").as("ra"))
+        .join(daily.filter(col("symbol") === 2)
+          .select(col("Date"), col("ret").as("rb")), "Date")
+        .agg(count(lit(1)).as("n"),
+          sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+          sum(col("ra") * col("ra")).as("saa"),
+          sum(col("rb") * col("rb")).as("sbb"),
+          sum(col("ra") * col("rb")).as("sab"))
+      m
+        .withColumn("va", (col("n") * col("saa") - col("sa") * col("sa"))
+          .cast("double"))
+        .withColumn("vb", (col("n") * col("sbb") - col("sb") * col("sb"))
+          .cast("double"))
+        .withColumn("cab", (col("n") * col("sab") - col("sa") * col("sb"))
+          .cast("double"))
+        .withColumn("w",
+          (col("vb") - col("cab")) /
+            (col("va") + col("vb") - lit(2.0) * col("cab")))
+        .select(col("n").as("n_days"), col("w").as("w_sym1"),
+          (lit(1.0) - col("w")).as("w_sym2"),
+          ((col("w") * col("w") * col("va") +
+            (lit(1.0) - col("w")) * (lit(1.0) - col("w")) * col("vb") +
+            lit(2.0) * col("w") * (lit(1.0) - col("w")) * col("cab")) /
+            lit(1e16)).as("port_var_q"))
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -11727,5 +11855,103 @@ object SparkEntry {
         |  CAST(CAST(sum(sq6) AS BIGINT) AS DOUBLE) / 1e6
         |    / CAST(count(*) AS DOUBLE) AS mean_silhouette
         |FROM sq GROUP BY label ORDER BY label""".stripMargin,
+
+    "text_textrank_keywords" -> {
+      val edgesSql =
+        s"""WITH w AS (
+           |  SELECT doc_id, word, pos FROM (
+           |    SELECT doc_id,
+           |      unnest(string_split(${util.Norm.normalizeSql("text")}, ' '))
+           |        AS word,
+           |      unnest(range(1,
+           |        len(string_split(${util.Norm.normalizeSql("text")}, ' '))
+           |          + 1)) AS pos
+           |    FROM documents)
+           |  WHERE word <> ''),
+           |p AS (SELECT word AS wa,
+           |        lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS wb
+           |      FROM w),
+           |p2 AS (SELECT wa, wb FROM p WHERE wb IS NOT NULL AND wa <> wb),
+           |ids AS (SELECT word,
+           |          CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
+           |        FROM (SELECT DISTINCT word FROM w)),
+           |und AS (SELECT DISTINCT least(ia.wid, ib.wid) AS u,
+           |          greatest(ia.wid, ib.wid) AS v
+           |        FROM p2 JOIN ids ia ON ia.word = p2.wa
+           |        JOIN ids ib ON ib.word = p2.wb)
+           |SELECT u AS src, v AS dst FROM und
+           |UNION ALL SELECT v, u FROM und""".stripMargin
+      s"""${graph.PageRank.ranksSql(edgesSql, 6)},
+         |idmap AS (
+         |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT)
+         |    AS wid
+         |  FROM (SELECT DISTINCT word FROM (
+         |    SELECT unnest(string_split(${util.Norm.normalizeSql("text")}, ' '))
+         |      AS word
+         |    FROM documents) WHERE word <> ''))
+         |SELECT i.word, r.pr FROM r6 r JOIN idmap i ON i.wid = r.node
+         |ORDER BY r.pr DESC, i.word LIMIT 20""".stripMargin
+    },
+
+    "yf_tail_dependence" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS c
+         |  FROM bars GROUP BY symbol, "Date"),
+         |rr AS (SELECT symbol, "Date",
+         |         c - lag(c) OVER (PARTITION BY symbol ORDER BY "Date")
+         |           AS ret
+         |       FROM daily),
+         |rk AS (SELECT symbol, "Date", k FROM (
+         |         SELECT symbol, "Date", ret,
+         |           row_number() OVER (PARTITION BY symbol
+         |             ORDER BY ret, "Date") AS rk,
+         |           count(*) OVER (PARTITION BY symbol) AS n,
+         |           count(*) OVER (PARTITION BY symbol) // 5 AS k
+         |         FROM rr WHERE ret IS NOT NULL)
+         |       WHERE rk > n - k),
+         |j AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+         |        count(*) AS joint, max(a.k) AS ka, max(b.k) AS kb
+         |      FROM rk a JOIN rk b
+         |        ON a."Date" = b."Date" AND a.symbol < b.symbol
+         |      GROUP BY 1, 2)
+         |SELECT sym_a, sym_b, joint, least(ka, kb) AS k_min,
+         |  CAST(joint AS DOUBLE) / CAST(least(ka, kb) AS DOUBLE) AS lambda_u
+         |FROM j ORDER BY lambda_u DESC, sym_a, sym_b LIMIT 20""".stripMargin,
+
+    "yf_markowitz_minvar" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS c
+         |  FROM bars WHERE symbol IN (1, 2) GROUP BY symbol, "Date"),
+         |rr AS (SELECT symbol, "Date",
+         |         c - lag(c) OVER (PARTITION BY symbol ORDER BY "Date")
+         |           AS ret
+         |       FROM daily),
+         |aa AS (SELECT "Date", ret AS ra FROM rr
+         |       WHERE symbol = 1 AND ret IS NOT NULL),
+         |bb AS (SELECT "Date", ret AS rb FROM rr
+         |       WHERE symbol = 2 AND ret IS NOT NULL),
+         |m AS (SELECT count(*) AS n,
+         |        sum(ra) AS sa, sum(rb) AS sb,
+         |        sum(ra*ra) AS saa, sum(rb*rb) AS sbb, sum(ra*rb) AS sab
+         |      FROM aa JOIN bb USING ("Date")),
+         |d AS (SELECT *,
+         |        CAST(CAST(n*saa - sa*sa AS VARCHAR) AS DOUBLE) AS va,
+         |        CAST(CAST(n*sbb - sb*sb AS VARCHAR) AS DOUBLE) AS vb,
+         |        CAST(CAST(n*sab - sa*sb AS VARCHAR) AS DOUBLE) AS cab
+         |      FROM m),
+         |d2 AS (SELECT *,
+         |         (vb - cab) / (va + vb - 2e0 * cab) AS w
+         |       FROM d)
+         |SELECT CAST(n AS BIGINT) AS n_days, w AS w_sym1,
+         |  1e0 - w AS w_sym2,
+         |  (w * w * va + (1e0 - w) * (1e0 - w) * vb
+         |   + 2e0 * w * (1e0 - w) * cab) / 1e16 AS port_var_q
+         |FROM d2""".stripMargin,
   )
 }

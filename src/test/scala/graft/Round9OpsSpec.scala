@@ -490,6 +490,77 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("textrank: integer pagerank replay over the driver-built word graph matches top-20") {
+    val docs = Sources.documents(spark, sfDir)
+      .select(util.Norm.normalize(col("text"))).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+    val vocab = docs.flatten.distinct.sorted
+    val wid = vocab.zipWithIndex.map { case (w, i) => w -> (i + 1).toLong }.toMap
+    val und = docs.flatMap(ws => ws.zip(ws.drop(1))).filter(p => p._1 != p._2)
+      .map { case (a, b) =>
+        (math.min(wid(a), wid(b)), math.max(wid(a), wid(b))) }.distinct
+    val edges = und ++ und.map(e => (e._2, e._1))
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var pr: Map[Long, Long] = edges.map(_._1).distinct.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 6) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => pr(e._1) / outdeg(e._1)).sum
+      }
+      pr = pr.keys.map(n => n -> (150000000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val idOf = wid.map(_.swap)
+    val expected = pr.toSeq.map { case (n, p) => (idOf(n), p) }
+      .sortBy { case (w, p) => (-p, w) }.take(20)
+    val got = SparkEntry.queries("text_textrank_keywords")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected, s"textrank top-20 mismatch: $got vs $expected")
+  }
+
+  test("tail dependence: lambda in (0,1], joint bounded by k_min") {
+    val rows = SparkEntry.queries("yf_tail_dependence")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getAs[Double]("lambda_u")
+      assert(l > 0.0 && l <= 1.0 + 1e-12)
+      assert(r.getAs[Long]("joint") <= r.getAs[Long]("k_min"))
+      assert(r.getAs[Long]("sym_a") < r.getAs[Long]("sym_b"))
+    }
+    // Descending order by lambda with deterministic tiebreaks.
+    val ls = rows.map(_.getAs[Double]("lambda_u"))
+    assert(ls.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("markowitz: weights sum to one and the min-variance portfolio beats both assets") {
+    val r = SparkEntry.queries("yf_markowitz_minvar")(spark, sfDir).collect()(0)
+    val (w1, w2) = (r.getAs[Double]("w_sym1"), r.getAs[Double]("w_sym2"))
+    assert(math.abs(w1 + w2 - 1.0) < 1e-12)
+    val pv = r.getAs[Double]("port_var_q")
+    assert(pv >= 0.0)
+    // Min-variance property: portfolio variance ≤ either asset alone
+    // (w=1 and w=0 are feasible points of the minimized quadratic).
+    val daily = Sources.ohlcv(spark, sfDir).filter(col("symbol").isin(1, 2))
+      .groupBy("symbol", "Date")
+      .agg(sum(floor(col("Close") * 1e8 + 0.5).cast("long")).as("cs"),
+        count(lit(1)).as("nb"))
+      .select(col("symbol"), col("Date"), expr("cs div nb").as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val rets = daily.withColumn("ret",
+        col("c") - lag(col("c"), 1).over(
+          Window.partitionBy("symbol").orderBy("Date")))
+      .filter(col("ret").isNotNull)
+      .collect().map(x => (x.getAs[Long]("symbol"),
+        x.getAs[java.time.LocalDateTime]("Date"), x.getAs[Long]("ret")))
+    val m1 = rets.filter(_._1 == 1).map(x => x._2 -> x._3).toMap
+    val m2 = rets.filter(_._1 == 2).map(x => x._2 -> x._3).toMap
+    val shared = m1.keySet.intersect(m2.keySet).toSeq
+    val n = shared.size
+    def varOf(m: Map[java.time.LocalDateTime, Long]): Double = {
+      val xs = shared.map(m); val s = xs.map(BigInt(_)).sum
+      (BigInt(n) * xs.map(x => BigInt(x) * x).sum - s * s).toDouble / 1e16
+    }
+    assert(pv <= varOf(m1) + 1e-6 && pv <= varOf(m2) + 1e-6)
+  }
+
   test("feature hashing: histogram accounts for every bucket, word, and token") {
     val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)

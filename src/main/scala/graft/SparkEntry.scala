@@ -7460,6 +7460,45 @@ object SparkEntry {
             lit(2.0) * col("w") * (lit(1.0) - col("w")) * col("cab")) /
             lit(1e16)).as("port_var_q"))
     }),
+
+    // HELD-OUT language-model evaluation — the honest LM quality number
+    // (text_unigram_logprob scores the corpus under ITSELF, which
+    // rewards memorization): an add-1-smoothed unigram model fits on the
+    // 90% split and the 10% held-out split reports per-language token
+    // count, average negative log-likelihood, and perplexity — OOV
+    // words cost the full smoothing penalty through the left join's
+    // coalesce, exactly as the estimator defines. NLL terms follow the
+    // quantized-ln discipline (integers end to end, one division);
+    // perplexity = exp(nll) is emitted %.4e-formatted (the stddev
+    // contract — exp is not cross-engine bit-stable). Model size is
+    // vocabulary-bounded; scoring is one co-keyed join.
+    "docs_perplexity_heldout" -> ((s, dir) => {
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val isTest = col("doc_id") % 10 === 0
+      def qln(c: Column): Column =
+        floor(log(c.cast("double")) * 1e4 + 0.5).cast("long")
+      val trainW = words.filter(!isTest)
+      val model = trainW.groupBy("word").agg(count(lit(1)).as("c"))
+        .select(col("word"), qln(col("c") + 1).as("qc"))
+      val denom = trainW.agg(
+        qln(count(lit(1)) + countDistinct(col("word"))).as("qd"))
+      words.filter(isTest)
+        .join(model, Seq("word"), "left")
+        .crossJoin(broadcast(denom))
+        .select(col("lang"),
+          (col("qd") - coalesce(col("qc"), lit(0L))).as("nll_q"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("nll_q")).as("snll"))
+        .select(col("lang"), col("n_tokens"),
+          (col("snll").cast("double") / 1e4 / col("n_tokens").cast("double"))
+            .as("avg_nll"),
+          util.Stable.sig(exp(col("snll").cast("double") / 1e4 /
+            col("n_tokens").cast("double"))).as("perplexity"))
+        .orderBy("lang")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -11953,5 +11992,30 @@ object SparkEntry {
          |  (w * w * va + (1e0 - w) * (1e0 - w) * vb
          |   + 2e0 * w * (1e0 - w) * cab) / 1e16 AS port_var_q
          |FROM d2""".stripMargin,
+
+    "docs_perplexity_heldout" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    unnest(string_split(${util.Norm.normalizeSql("text")}, ' '))
+         |      AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |tr AS (SELECT * FROM w2 WHERE doc_id % 10 <> 0),
+         |model AS (SELECT word,
+         |            CAST(floor(ln(count(*) + 1) * 1e4 + 0.5) AS BIGINT)
+         |              AS qc
+         |          FROM tr GROUP BY 1),
+         |denom AS (SELECT CAST(floor(ln(count(*) + count(DISTINCT word))
+         |            * 1e4 + 0.5) AS BIGINT) AS qd
+         |          FROM tr),
+         |te AS (SELECT t.lang, d.qd - COALESCE(m.qc, 0) AS nll_q
+         |       FROM w2 t LEFT JOIN model m USING (word) CROSS JOIN denom d
+         |       WHERE t.doc_id % 10 = 0)
+         |SELECT lang, count(*) AS n_tokens,
+         |  CAST(CAST(sum(nll_q) AS BIGINT) AS DOUBLE) / 1e4
+         |    / CAST(count(*) AS DOUBLE) AS avg_nll,
+         |  printf('%.4e', exp(CAST(CAST(sum(nll_q) AS BIGINT) AS DOUBLE)
+         |    / 1e4 / CAST(count(*) AS DOUBLE))) AS perplexity
+         |FROM te GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -561,6 +561,32 @@ class Round9OpsSpec extends SparkSpec {
     assert(pv <= varOf(m1) + 1e-6 && pv <= varOf(m2) + 1e-6)
   }
 
+  test("held-out perplexity: token coverage, smoothing floor, brute nll replay for one lang") {
+    val rows = SparkEntry.queries("docs_perplexity_heldout")(spark, sfDir).collect()
+    val docs = Sources.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), util.Norm.normalize(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    val train = docs.filter(_._1 % 10 != 0).flatMap(_._3)
+    val counts = train.groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val nv = train.size.toLong + counts.size
+    def qln(k: Long) = math.floor(math.log(k.toDouble) * 1e4 + 0.5).toLong
+    val testTok = docs.filter(_._1 % 10 == 0)
+      .flatMap { case (_, l, ws) => ws.map(l -> _) }
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == testTok.size.toLong)
+    val byLang = testTok.groupBy(_._1)
+    rows.foreach { r =>
+      val l = r.getAs[String]("lang")
+      val nll = byLang(l).map { case (_, w) =>
+        qln(nv) - qln(counts.getOrElse(w, 0L) + 1) }.sum
+      val expected = nll.toDouble / 1e4 / byLang(l).size
+      assert(math.abs(r.getAs[Double]("avg_nll") - expected) < 1e-12, s"lang $l")
+      // NLL can never beat the model's own floor ln(N+V) − ln(1+max c).
+      assert(r.getAs[Double]("avg_nll") > 0.0)
+      assert(r.getAs[String]("perplexity").toDouble > 1.0)
+    }
+  }
+
   test("feature hashing: histogram accounts for every bucket, word, and token") {
     val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)

@@ -7499,6 +7499,56 @@ object SparkEntry {
             col("n_tokens").cast("double"))).as("perplexity"))
         .orderBy("lang")
     }),
+
+    // SKYLINE (Pareto front) — the preference-query operator class: the
+    // parts no other part dominates on (price LOW, size HIGH). The naive
+    // definition is an all-pairs dominance test; the distributed form
+    // reduces to the PRICE GRAIN + two cumulative-max windows: a part is
+    // dominated iff the best size at a STRICTLY lower price ≥ its size,
+    // or the best size at price ≤ its own is STRICTLY greater — both
+    // read off one price-ordered running max (ROWS frames over the
+    // distinct-price table, bounded by the price domain, never the
+    // corpus). Equal (price, size) twins co-exist on the frontier, the
+    // standard skyline tie rule. All arithmetic on exact cents/integers.
+    "part_skyline" -> ((s, dir) => {
+      val parts = Sources.part(s, dir)
+        .select(col("p_partkey"),
+          expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("cents"),
+          col("p_size").cast("long").as("size"))
+      val wPrev = org.apache.spark.sql.expressions.Window.orderBy("cents")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wIncl = org.apache.spark.sql.expressions.Window.orderBy("cents")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val grain = parts.groupBy("cents").agg(max(col("size")).as("bs"))
+        .withColumn("cm_prev", max(col("bs")).over(wPrev))
+        .withColumn("cm_incl", max(col("bs")).over(wIncl))
+      parts.join(grain.select("cents", "cm_prev", "cm_incl"), "cents")
+        .filter(!(coalesce(col("cm_prev"), lit(Long.MinValue)) >= col("size") ||
+          col("cm_incl") > col("size")))
+        .select(col("p_partkey"), (col("cents").cast("double") / 100.0).as("price"),
+          col("size"))
+        .orderBy("price", "size", "p_partkey")
+    }),
+
+    // SAMPLE-RATIO-MISMATCH check — the first guardrail any experiment
+    // platform runs before reading an A/B result: is the observed arm
+    // split consistent with the intended 50/50? χ² = (n₁−n₂)²/(n₁+n₂)
+    // over exact DISTINCT-USER counts (assignment is per user, so the
+    // unit of the test is the user, never the event), flagged at the
+    // 3.84 (α=.05, df=1) critical value. One distinct + one aggregate.
+    "events_srm_check" -> ((s, dir) => {
+      val arms = Sources.events(s, dir)
+        .select(col("user_id")).distinct()
+        .select((col("user_id") % 2 === 1).as("t"))
+        .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("t"), 1L).otherwise(0L)).as("n2"))
+      arms.select(col("n1"), col("n2"),
+        (((col("n1") - col("n2")) * (col("n1") - col("n2"))).cast("double") /
+          (col("n1") + col("n2")).cast("double")).as("chi2"),
+        ((((col("n1") - col("n2")) * (col("n1") - col("n2"))).cast("double") /
+          (col("n1") + col("n2")).cast("double")) > 3.84).cast("int")
+          .as("srm_flag"))
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -12017,5 +12067,41 @@ object SparkEntry {
          |  printf('%.4e', exp(CAST(CAST(sum(nll_q) AS BIGINT) AS DOUBLE)
          |    / 1e4 / CAST(count(*) AS DOUBLE))) AS perplexity
          |FROM te GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "part_skyline" ->
+      """WITH parts AS (
+        |  SELECT p_partkey,
+        |    CAST(floor(p_retailprice * 100e0 + 0.5e0) AS BIGINT) AS cents,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part),
+        |grain AS (
+        |  SELECT cents,
+        |    max(bs) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm_prev,
+        |    max(bs) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm_incl
+        |  FROM (SELECT cents, max(size) AS bs FROM parts GROUP BY 1)),
+        |j AS (SELECT p.p_partkey, p.cents, p.size, g.cm_prev, g.cm_incl
+        |      FROM parts p JOIN grain g USING (cents))
+        |SELECT p_partkey, CAST(cents AS DOUBLE) / 100e0 AS price, size
+        |FROM j
+        |WHERE NOT (COALESCE(cm_prev, -9223372036854775808) >= size
+        |           OR cm_incl > size)
+        |ORDER BY price, size, p_partkey""".stripMargin,
+
+    "events_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2
+        |  FROM u)
+        |SELECT n1, n2,
+        |  CAST((n1 - n2) * (n1 - n2) AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |    AS chi2,
+        |  CAST(CAST((n1 - n2) * (n1 - n2) AS DOUBLE)
+        |    / CAST(n1 + n2 AS DOUBLE) > 3.84 AS INTEGER) AS srm_flag
+        |FROM m""".stripMargin,
   )
 }

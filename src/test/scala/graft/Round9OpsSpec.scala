@@ -587,6 +587,41 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("skyline: brute-force all-pairs dominance agrees; more price buys more size on the frontier") {
+    val got = SparkEntry.queries("part_skyline")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("price"),
+        r.getAs[Long]("size")))
+    val parts = Sources.part(spark, sfDir)
+      .select(col("p_partkey"),
+        expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("c"),
+        col("p_size").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = parts.filter { case (_, c, s) =>
+      !parts.exists { case (_, c2, s2) =>
+        (c2 < c && s2 >= s) || (c2 <= c && s2 > s) }
+    }.map(p => (p._1, p._2.toDouble / 100.0, p._3))
+      .sortBy(p => (p._2, p._3, p._1)).toSeq
+    assert(got.toSeq == expected, s"skyline ${got.toSeq} != brute $expected")
+    // Frontier shape: paying strictly more must buy strictly more size —
+    // otherwise the cheaper point would dominate (ties co-exist).
+    got.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        if (b._2 > a._2) assert(b._3 > a._3)
+      case _ =>
+    }
+  }
+
+  test("srm check: arm counts partition the user set and chi2 replays") {
+    val r = SparkEntry.queries("events_srm_check")(spark, sfDir).collect()(0)
+    val users = Sources.events(spark, sfDir).select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    val n1 = users.count(_ % 2 == 1).toLong; val n2 = users.length - n1
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    val chi2 = ((n1 - n2) * (n1 - n2)).toDouble / (n1 + n2).toDouble
+    assert(r.getAs[Double]("chi2") == chi2)
+    assert(r.getAs[Int]("srm_flag") == (if (chi2 > 3.84) 1 else 0))
+  }
+
   test("feature hashing: histogram accounts for every bucket, word, and token") {
     val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)

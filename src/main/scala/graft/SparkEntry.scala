@@ -7549,6 +7549,89 @@ object SparkEntry {
           (col("n1") + col("n2")).cast("double")) > 3.84).cast("int")
           .as("srm_flag"))
     }),
+
+    // FIFO COST ALLOCATION — the inventory-ledger computation (match
+    // issues against receipt lots in arrival order) WITHOUT the
+    // sequential loop every naive implementation uses: both streams
+    // become CUMULATIVE-UNIT intervals (receipt lot r covers units
+    // [Σqty_before, Σqty_incl); issue i likewise), and FIFO matching IS
+    // the interval overlap — matched units = least(ends) − greatest
+    // (starts). Per part the match count is bounded by nR + nI − 1 (each
+    // match closes a lot or an issue), so the co-keyed range join can
+    // never blow up — the sweep-line discipline of orders_backlog
+    // applied to two streams. Lot cost allocates proportionally as
+    // (lot_price_cents · matched) DIV lot_qty — integer floor division,
+    // deterministic. Receipts = even-orderkey lineitems, issues = odd
+    // (the declared fixture split); all windows per-part.
+    "part_fifo_allocation" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p").orderBy("d", "ok", "ln")
+      def stream(parity: Int) = Sources.lineitem(s, dir)
+        .filter(col("l_orderkey") % 2 === parity)
+        .select(col("l_partkey").as("p"), col("l_shipdate").as("d"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("q"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("pc"))
+        .withColumn("hi", sum(col("q")).over(w))
+        .withColumn("lo", col("hi") - col("q"))
+      val receipts = stream(0)
+        .select(col("p"), col("lo").as("rb"), col("hi").as("re"),
+          col("q").as("rq"), col("pc"))
+      val issues = stream(1)
+        .select(col("p"), col("lo").as("ib"), col("hi").as("ie"))
+      val matches = issues.join(receipts, Seq("p"))
+        .filter(col("rb") < col("ie") && col("ib") < col("re"))
+        .select(col("p"),
+          (least(col("re"), col("ie")) - greatest(col("rb"), col("ib")))
+            .as("m"),
+          col("rq"), col("pc"))
+        .groupBy("p")
+        .agg(sum(col("m")).as("matched"),
+          sum(expr("(pc * m) div rq")).as("cogs_cents"))
+      val issued = issues.groupBy("p").agg(max(col("ie")).as("issued"))
+      issued.join(matches, Seq("p"), "left")
+        .select(col("p").as("p_partkey"), col("issued"),
+          coalesce(col("matched"), lit(0L)).as("matched"),
+          coalesce(col("cogs_cents"), lit(0L)).as("cogs_cents"))
+        .orderBy("p_partkey")
+    }),
+
+    // Fact-to-SCD2-dimension TEMPORAL JOIN — the warehouse pattern the
+    // events_scd2 table exists FOR: each purchase joins the user's state
+    // version valid AT ITS TIMESTAMP (valid_from ≤ ts < valid_to, open
+    // tail null-guarded). The state intervals partition each user's
+    // observed timeline, so every purchase matches exactly one version
+    // — a co-keyed join with a range residual (the events_range_join
+    // class), never a per-fact subquery. Readout: purchase count and
+    // exact cents by the state the user was in when buying.
+    "events_scd2_lookup" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      // The dimension tracks the NON-purchase activity state (browsing
+      // context) — built from purchases too, every purchase would
+      // trivially sit in its own 'purchase' run and the lookup would be
+      // degenerate. Purchases before any non-purchase activity map to
+      // '(none)' via the left join, so counts conserve.
+      val dim = Sources.events(s, dir)
+        .filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("state"),
+          expr("ts DIV 1000").as("ts_us"), col("event_id"))
+        .withColumn("prev_state", lag(col("state"), 1).over(w))
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+        .withColumn("vt", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id").as("du"), col("state"),
+          col("ts_us").as("vf"), col("vt"))
+      val facts = Sources.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts DIV 1000").as("fts"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      facts.join(dim,
+          col("user_id") === col("du") && col("fts") >= col("vf") &&
+            (col("vt").isNull || col("fts") < col("vt")), "left")
+        .groupBy(coalesce(col("state"), lit("(none)")).as("state_at_purchase"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+        .orderBy("state_at_purchase")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -12103,5 +12186,64 @@ object SparkEntry {
         |  CAST(CAST((n1 - n2) * (n1 - n2) AS DOUBLE)
         |    / CAST(n1 + n2 AS DOUBLE) > 3.84 AS INTEGER) AS srm_flag
         |FROM m""".stripMargin,
+
+    "part_fifo_allocation" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS p, l_shipdate AS d, l_orderkey AS ok,
+        |    l_linenumber AS ln,
+        |    CAST(floor(l_quantity) AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100e0 + 0.5e0) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |r0 AS (SELECT *, CAST(sum(q) OVER (PARTITION BY p
+        |         ORDER BY d, ok, ln
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS hi
+        |       FROM li WHERE ok % 2 = 0),
+        |rc AS (SELECT p, hi - q AS rb, hi AS re, q AS rq, pc FROM r0),
+        |i0 AS (SELECT *, CAST(sum(q) OVER (PARTITION BY p
+        |         ORDER BY d, ok, ln
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS hi
+        |       FROM li WHERE ok % 2 = 1),
+        |iss AS (SELECT p, hi - q AS ib, hi AS ie FROM i0),
+        |m AS (SELECT iss.p,
+        |        least(rc.re, iss.ie) - greatest(rc.rb, iss.ib) AS mm,
+        |        rc.rq, rc.pc
+        |      FROM iss JOIN rc ON iss.p = rc.p
+        |        AND rc.rb < iss.ie AND iss.ib < rc.re),
+        |ma AS (SELECT p, CAST(sum(mm) AS BIGINT) AS matched,
+        |         CAST(sum((pc * mm) // rq) AS BIGINT) AS cogs_cents
+        |       FROM m GROUP BY 1),
+        |it AS (SELECT p, max(ie) AS issued FROM iss GROUP BY 1)
+        |SELECT it.p AS p_partkey, it.issued,
+        |  COALESCE(ma.matched, 0) AS matched,
+        |  COALESCE(ma.cogs_cents, 0) AS cogs_cents
+        |FROM it LEFT JOIN ma USING (p) ORDER BY p_partkey""".stripMargin,
+
+    "events_scd2_lookup" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us,
+        |    event_id
+        |  FROM events WHERE event_type <> 'purchase'),
+        |runs AS (
+        |  SELECT user_id, state, ts_us, event_id
+        |  FROM (SELECT *, lag(state) OVER (
+        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_state
+        |        FROM ev)
+        |  WHERE prev_state IS NULL OR prev_state <> state),
+        |dim AS (
+        |  SELECT user_id AS du, state, ts_us AS vf,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS vt
+        |  FROM runs),
+        |f AS (SELECT user_id, epoch_us(ts) AS fts,
+        |        CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT COALESCE(d.state, '(none)') AS state_at_purchase,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(f.cents) AS BIGINT) AS cents
+        |FROM f LEFT JOIN dim d ON d.du = f.user_id AND f.fts >= d.vf
+        |  AND (d.vt IS NULL OR f.fts < d.vt)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

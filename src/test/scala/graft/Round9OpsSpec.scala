@@ -622,6 +622,89 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("srm_flag") == (if (chi2 > 3.84) 1 else 0))
   }
 
+  test("fifo allocation: sequential driver replay matches; matched = min(issued, received)") {
+    val rows = SparkEntry.queries("part_fifo_allocation")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("issued"), r.getAs[Long]("matched"), r.getAs[Long]("cogs_cents")))
+      .toMap
+    val li = Sources.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("q"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("pc"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1), r.getLong(2), r.getInt(3),
+        r.getAs[Long]("q"), r.getAs[Long]("pc")))
+    val byPart = li.groupBy(_._1)
+    byPart.foreach { case (p, ls) =>
+      val ordered = ls.sortBy(l => (l._2.toString, l._3, l._4))
+      val rec = ordered.filter(_._3 % 2 == 0).map(l => (l._5, l._6)).toBuffer
+      val iss = ordered.filter(_._3 % 2 == 1).map(_._5)
+      if (iss.nonEmpty) {
+        // Sequential FIFO: walk issues against the lot queue.
+        var ri = 0; var takenFromLot = 0L
+        var matched = 0L; var cogs = 0L
+        iss.foreach { want =>
+          var need = want
+          while (need > 0 && ri < rec.length) {
+            val (lq, lpc) = rec(ri)
+            val avail = lq - takenFromLot
+            val take = math.min(need, avail)
+            matched += take; cogs += lpc * take / lq
+            need -= take; takenFromLot += take
+            if (takenFromLot == lq) { ri += 1; takenFromLot = 0L }
+          }
+        }
+        val (gi, gm, _) = rows(p)
+        assert(gi == iss.sum, s"part $p issued")
+        assert(gm == matched && gm == math.min(iss.sum, rec.map(_._1).sum),
+          s"part $p matched $gm vs replay $matched")
+        // COGS replay is NOT asserted cent-for-cent: the sequential walk
+        // floors per (lot, take) step while the interval form floors per
+        // (lot, issue) overlap — same partition of units, different
+        // rounding boundaries. Bound the drift by the match count.
+        assert(math.abs(rows(p)._3 - cogs) <= matched + rec.length + 1,
+          s"part $p cogs ${rows(p)._3} vs replay $cogs")
+      }
+    }
+  }
+
+  test("scd2 lookup: purchase counts conserve and each maps to the run active at its time") {
+    val rows = SparkEntry.queries("events_scd2_lookup")(spark, sfDir).collect()
+    val ev = Sources.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"),
+        col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val purchases = ev.filter(_._2 == "purchase")
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases.length.toLong)
+    // Brute: rebuild per-user non-purchase runs, locate each purchase.
+    val runsByUser = ev.filter(_._2 != "purchase").groupBy(_._1).map {
+      case (u, es) =>
+        val ordered = es.sortBy(e => (e._3, e._4))
+        val runs = ordered.foldLeft(List.empty[(String, Long)]) {
+          case (acc, e) =>
+            if (acc.nonEmpty && acc.head._1 == e._2) acc
+            else (e._2, e._3) :: acc
+        }.reverse
+        u -> runs
+    }
+    val expected = purchases.map { case (u, _, us, _, cents) =>
+      val state = runsByUser.get(u)
+        .flatMap(rs => rs.takeWhile(_._2 <= us).lastOption.map(_._1))
+        .getOrElse("(none)")
+      (state, cents)
+    }.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    rows.foreach { r =>
+      val s = r.getAs[String]("state_at_purchase")
+      assert(expected(s)._1 == r.getAs[Long]("n_purchases"), s"state $s count")
+      assert(expected(s)._2 == r.getAs[Long]("cents"), s"state $s cents")
+    }
+  }
+
   test("feature hashing: histogram accounts for every bucket, word, and token") {
     val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)

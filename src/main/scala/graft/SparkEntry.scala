@@ -7632,6 +7632,88 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
         .orderBy("state_at_purchase")
     }),
+
+    // DUPLICATE-INVOICE detection — the accounts-payable fraud/error
+    // audit: same customer, near-identical amount (≤ $100), close dates
+    // (≤ 90 days), different orders. The all-pairs-per-customer form is
+    // quadratic on big accounts; the scale shape is the LSH-style
+    // BANDED self-join — each order sits in its $100 amount band, the
+    // probe side explodes to the ±1 neighborhood, so every true pair
+    // meets in EXACTLY one (customer, band) bucket (probe band =
+    // candidate's own band, no dedup pass) and bucket width bounds the
+    // fan-out. Residuals (exact cent diff, day gap, key order) evaluate
+    // post-join. Exact integers throughout.
+    "orders_dupe_invoice_detect" -> ((s, dir) => {
+      val base = Sources.orders(s, dir)
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("okey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+          expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)")
+            .as("day"))
+      val left = base.withColumn("band", expr("cents div 10000"))
+      val right = base
+        .select(col("cust").as("cust_b"), col("okey").as("okey_b"),
+          col("cents").as("cents_b"), col("day").as("day_b"),
+          explode(array(expr("cents div 10000 - 1"), expr("cents div 10000"),
+            expr("cents div 10000 + 1"))).as("band"))
+      left.join(right,
+          col("cust") === col("cust_b") && left("band") === right("band") &&
+            col("okey") < col("okey_b") &&
+            abs(col("cents") - col("cents_b")) <= 10000 &&
+            abs(col("day") - col("day_b")) <= 90)
+        .select(col("cust"), col("okey").as("okey_a"), col("okey_b"),
+          abs(col("cents") - col("cents_b")).as("diff_cents"),
+          abs(col("day") - col("day_b")).as("day_gap"))
+        .orderBy("cust", "okey_a", "okey_b")
+    }),
+
+    // MAXIMAL MARGINAL RELEVANCE re-rank — retrieval DIVERSIFICATION:
+    // from the query's top-20 exact-cosine candidates, greedily select 5
+    // maximizing λ·sim(query) − (1−λ)·max-sim-to-already-selected
+    // (λ=0.7) — the standard fix for near-duplicate result lists, run as
+    // a FIXED 5-step unroll (each step: candidates × the ≤4-row selected
+    // set, one argmax with vec_id tiebreak — bounded work however large
+    // the corpus, because only the top-20 candidate set enters).
+    // Cosine doubles are the engine's in-order fold (bit-identical in
+    // DuckDB via list_reduce), so the greedy trajectory is reproducible.
+    "emb_mmr_rerank" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // Candidates materialize ONCE: the greedy unroll references them in
+      // every step, and without the cache each step's plan would embed —
+      // and re-execute — the whole top-k scan.
+      val cands = util.Views.materialize(
+        sim.Similarity.bruteTopK(emb.filter(col("id") === 0), emb, 20)
+          .join(emb.select(col("id").as("vec_id"), col("vec")), "vec_id")
+          .select(col("vec_id"), col("vec"), col("sim")))
+      var selected = cands
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("vec"), col("sim"), lit(1).as("rank"),
+          col("sim").as("mmr_score"))
+      for (step <- 2 to 5) {
+        selected = util.Views.materialize(selected)
+        val selVecs = broadcast(selected
+          .select(col("vec_id").as("sid"), col("vec").as("svec")))
+        val next = cands
+          .join(selected.select(col("vec_id").as("done")),
+            col("vec_id") === col("done"), "left_anti")
+          .crossJoin(selVecs)
+          .groupBy(col("vec_id"), col("sim"))
+          .agg(max(sim.Similarity.cosine(
+              sim.Similarity.vec(col("vec")),
+              sim.Similarity.vec(col("svec")))).as("maxsel"),
+            first(col("vec")).as("vec"))
+          .select(col("vec_id"), col("vec"), col("sim"),
+            (lit(0.7) * col("sim") - lit(0.3) * col("maxsel")).as("mmr_score"))
+          .orderBy(col("mmr_score").desc, col("vec_id"))
+          .limit(1)
+          .select(col("vec_id"), col("vec"), col("sim"),
+            lit(step).as("rank"), col("mmr_score"))
+        selected = selected.unionByName(next)
+      }
+      selected.select(col("rank"), col("vec_id"), col("sim"), col("mmr_score"))
+        .orderBy("rank")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -12245,5 +12327,52 @@ object SparkEntry {
         |FROM f LEFT JOIN dim d ON d.du = f.user_id AND f.fts >= d.vf
         |  AND (d.vt IS NULL OR f.fts < d.vt)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "orders_dupe_invoice_detect" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS okey,
+        |    CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT) AS cents,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |  FROM orders),
+        |lhs AS (SELECT *, cents // 10000 AS band FROM base),
+        |rhs AS (SELECT cust AS cust_b, okey AS okey_b, cents AS cents_b,
+        |          day AS day_b, cents // 10000 + d.i AS band
+        |        FROM base CROSS JOIN (SELECT unnest(range(-1, 2)) AS i) d)
+        |SELECT l.cust, l.okey AS okey_a, r.okey_b,
+        |  abs(l.cents - r.cents_b) AS diff_cents,
+        |  abs(l.day - r.day_b) AS day_gap
+        |FROM lhs l JOIN rhs r
+        |  ON l.cust = r.cust_b AND l.band = r.band AND l.okey < r.okey_b
+        |  AND abs(l.cents - r.cents_b) <= 10000 AND abs(l.day - r.day_b) <= 90
+        |ORDER BY cust, okey_a, okey_b""".stripMargin,
+
+    "emb_mmr_rerank" -> {
+      def cos(a: String, b: String) = sim.Similarity.cosineSql(a, b)
+      val steps = (2 to 5).map { k =>
+        s"""cand$k AS (
+           |  SELECT c.vec_id, any_value(c.vec) AS vec, c.sim,
+           |    max(${cos("c.vec", "s.vec")}) AS maxsel
+           |  FROM cands c CROSS JOIN acc${k - 1} s
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${k - 1})
+           |  GROUP BY c.vec_id, c.sim),
+           |sel$k AS (
+           |  SELECT vec_id, vec, sim, $k AS rank,
+           |    0.7e0 * sim - 0.3e0 * maxsel AS mmr_score
+           |  FROM cand$k ORDER BY mmr_score DESC, vec_id LIMIT 1),
+           |acc$k AS (SELECT * FROM acc${k - 1}
+           |          UNION ALL SELECT * FROM sel$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |${sim.Similarity.bruteTopKSql("(SELECT * FROM vecs WHERE id = 0)", "vecs", 20)},
+         |cands AS (
+         |  SELECT t.vec_id, v.vec, t.sim
+         |  FROM topk t JOIN vecs v ON v.id = t.vec_id),
+         |sel1 AS (SELECT vec_id, vec, sim, 1 AS rank, sim AS mmr_score
+         |         FROM cands ORDER BY sim DESC, vec_id LIMIT 1),
+         |acc1 AS (SELECT * FROM sel1),
+         |$steps
+         |SELECT rank, vec_id, sim, mmr_score FROM acc5 ORDER BY rank""".stripMargin
+    },
   )
 }

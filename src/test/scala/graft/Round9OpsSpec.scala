@@ -705,6 +705,55 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("dupe invoices: banded join finds exactly the brute-force all-pairs matches") {
+    val got = SparkEntry.queries("orders_dupe_invoice_detect")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cust"), r.getAs[Long]("okey_a"),
+        r.getAs[Long]("okey_b"))).toSet
+    val orders = Sources.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"),
+        expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (for {
+      a <- orders; b <- orders
+      if a._1 == b._1 && a._2 < b._2 &&
+        math.abs(a._3 - b._3) <= 10000 && math.abs(a._4 - b._4) <= 90
+    } yield (a._1, a._2, b._2)).toSet
+    assert(got == expected, s"banded ${got.size} pairs != brute ${expected.size}")
+  }
+
+  test("mmr rerank: greedy driver replay over in-order-fold cosines matches the trajectory") {
+    val vecs = Sources.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val q = vecs(0L)
+    val top20 = vecs.toSeq.map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    var selected = List(top20.head)
+    for (_ <- 2 to 5) {
+      val next = top20.filterNot(c => selected.exists(_._1 == c._1))
+        .map { case (id, s) =>
+          val maxSel = selected.map(sel => cos(vecs(id), vecs(sel._1))).max
+          (id, 0.7 * s - 0.3 * maxSel)
+        }.sortBy { case (id, sc) => (-sc, id) }.head
+      selected = selected :+ next
+    }
+    val got = SparkEntry.queries("emb_mmr_rerank")(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(got.length == 5)
+    got.zip(selected).foreach { case (r, (id, score)) =>
+      assert(r.getAs[Long]("vec_id") == id,
+        s"rank ${r.getAs[Int]("rank")}: ${r.getAs[Long]("vec_id")} vs $id")
+      assert(math.abs(r.getAs[Double]("mmr_score") - score) < 1e-12)
+    }
+  }
+
   test("feature hashing: histogram accounts for every bucket, word, and token") {
     val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)

@@ -7714,6 +7714,49 @@ object SparkEntry {
       selected.select(col("rank"), col("vec_id"), col("sim"), col("mmr_score"))
         .orderBy("rank")
     }),
+
+    // METRIC DECOMPOSITION (driver analysis) — the root-cause readout a
+    // BI layer runs when a topline moves: week-over-week purchase
+    // revenue change split into the USER-COUNT contribution
+    // (ΔU·ARPU_prev) and the ARPU contribution (U_curr·ΔARPU), an exact
+    // algebraic partition of ΔR = R_c − R_p. Periods anchor on the
+    // corpus max day (derived in-plan, 1-row broadcast — no driver
+    // round-trip); revenue is exact cents, distinct purchasers exact
+    // counts, and the decomposition is one fixed IEEE tree mirrored in
+    // the oracle. One conditional aggregate over the purchase slice.
+    "events_revenue_decomp" -> ((s, dir) => {
+      val p = Sources.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      val maxd = p.agg(max(col("day")).as("maxd"))
+      val m = p.crossJoin(broadcast(maxd))
+        .withColumn("period",
+          when(col("day") > col("maxd") - 7, lit("curr"))
+            .when(col("day") > col("maxd") - 14, lit("prev")))
+        .filter(col("period").isNotNull)
+        .groupBy("period")
+        .agg(countDistinct(col("user_id")).as("u"), sum(col("cents")).as("r"))
+      val wide = m.groupBy()
+        .agg(max(when(col("period") === "prev", col("u"))).as("u_prev"),
+          max(when(col("period") === "curr", col("u"))).as("u_curr"),
+          max(when(col("period") === "prev", col("r"))).as("r_prev"),
+          max(when(col("period") === "curr", col("r"))).as("r_curr"))
+      wide
+        .withColumn("rpu_prev",
+          col("r_prev").cast("double") / col("u_prev").cast("double"))
+        .withColumn("rpu_curr",
+          col("r_curr").cast("double") / col("u_curr").cast("double"))
+        .select(col("u_prev"), col("u_curr"),
+          (col("r_prev").cast("double") / 100.0).as("rev_prev"),
+          (col("r_curr").cast("double") / 100.0).as("rev_curr"),
+          ((col("r_curr") - col("r_prev")).cast("double") / 100.0)
+            .as("delta_total"),
+          ((col("u_curr") - col("u_prev")).cast("double") * col("rpu_prev") /
+            100.0).as("contrib_users"),
+          (col("u_curr").cast("double") *
+            (col("rpu_curr") - col("rpu_prev")) / 100.0).as("contrib_arpu"))
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -12374,5 +12417,37 @@ object SparkEntry {
          |$steps
          |SELECT rank, vec_id, sim, mmr_score FROM acc5 ORDER BY rank""".stripMargin
     },
+
+    "events_revenue_decomp" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT max(day) AS maxd FROM p),
+        |m AS (
+        |  SELECT CASE WHEN day > maxd - 7 THEN 'curr'
+        |              WHEN day > maxd - 14 THEN 'prev' END AS period,
+        |    count(DISTINCT user_id) AS u, CAST(sum(cents) AS BIGINT) AS r
+        |  FROM p, t
+        |  WHERE day > maxd - 14
+        |  GROUP BY 1),
+        |wide AS (
+        |  SELECT max(CASE WHEN period = 'prev' THEN u END) AS u_prev,
+        |    max(CASE WHEN period = 'curr' THEN u END) AS u_curr,
+        |    max(CASE WHEN period = 'prev' THEN r END) AS r_prev,
+        |    max(CASE WHEN period = 'curr' THEN r END) AS r_curr
+        |  FROM m),
+        |d AS (SELECT *,
+        |    CAST(r_prev AS DOUBLE) / CAST(u_prev AS DOUBLE) AS rpu_prev,
+        |    CAST(r_curr AS DOUBLE) / CAST(u_curr AS DOUBLE) AS rpu_curr
+        |  FROM wide)
+        |SELECT u_prev, u_curr,
+        |  CAST(r_prev AS DOUBLE) / 100e0 AS rev_prev,
+        |  CAST(r_curr AS DOUBLE) / 100e0 AS rev_curr,
+        |  CAST(r_curr - r_prev AS DOUBLE) / 100e0 AS delta_total,
+        |  CAST(u_curr - u_prev AS DOUBLE) * rpu_prev / 100e0 AS contrib_users,
+        |  CAST(u_curr AS DOUBLE) * (rpu_curr - rpu_prev) / 100e0
+        |    AS contrib_arpu
+        |FROM d""".stripMargin,
   )
 }

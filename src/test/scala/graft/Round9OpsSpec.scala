@@ -754,6 +754,26 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("revenue decomposition: contributions partition the delta; driver replay of the moments") {
+    val r = SparkEntry.queries("events_revenue_decomp")(spark, sfDir).collect()(0)
+    // The two contributions are an algebraic partition of the total
+    // change (identical up to double rounding of the shared terms).
+    assert(math.abs(r.getAs[Double]("contrib_users") +
+      r.getAs[Double]("contrib_arpu") - r.getAs[Double]("delta_total")) < 1e-6)
+    val p = Sources.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val maxd = p.map(_._2).max
+    val curr = p.filter(_._2 > maxd - 7)
+    val prev = p.filter(x => x._2 > maxd - 14 && x._2 <= maxd - 7)
+    assert(r.getAs[Long]("u_curr") == curr.map(_._1).distinct.length.toLong)
+    assert(r.getAs[Long]("u_prev") == prev.map(_._1).distinct.length.toLong)
+    assert(r.getAs[Double]("rev_curr") == curr.map(_._3).sum.toDouble / 100.0)
+    assert(r.getAs[Double]("rev_prev") == prev.map(_._3).sum.toDouble / 100.0)
+  }
+
   test("feature hashing: histogram accounts for every bucket, word, and token") {
     val rows = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_buckets")).sum == 512L)

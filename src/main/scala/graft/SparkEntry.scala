@@ -7757,6 +7757,164 @@ object SparkEntry {
           (col("u_curr").cast("double") *
             (col("rpu_curr") - col("rpu_prev")) / 100.0).as("contrib_arpu"))
     }),
+
+    // HOPPING (sliding) event-time windows — the third member of the
+    // window-shape family (tumbling = events_hourly_window, session =
+    // events_session_window_native): Spark's native window(ts, 2h, 1h)
+    // assigns each event to duration/hop = 2 overlapping windows, the
+    // smoothing shape dashboards ask for ("2-hour trailing volume, updated
+    // hourly"). Plans as ONE Expand (factor 2, bounded by the window
+    // ratio, never per-row state) + a keyed aggregate — map-side
+    // combinable, scales like any groupBy. The oracle replays the window
+    // assignment arithmetically: starts (us DIV 3600e6 − i)·3600e6 for
+    // i ∈ {0,1}, exactly Spark's assignment rule.
+    "events_hopping_window" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(window(col("tsm"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(expr("CAST(floor(value * 1e8 + 0.5) AS BIGINT)"))
+            .as("sum_value_q8"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          col("event_type"), col("n_events"), col("n_users"),
+          col("sum_value_q8"))
+        .orderBy("w_start_us", "event_type")
+    }),
+
+    // MANN–KENDALL trend test — the NONPARAMETRIC member of the trend
+    // family (yf_trend_ols is the parametric twin): S = Σ_{i<j}
+    // sign(y_j − y_i) over each symbol's first 60 trading days of 1995,
+    // tau-a = 2S/(n(n−1)). Rank-based ⇒ PURE INTEGERS end-to-end (the
+    // sign comparisons never leave BIGINT; the only IEEE op is the final
+    // tau division) — immune to the summation-order hazards a parametric
+    // slope carries. The pairwise self-join is CO-KEYED on symbol and the
+    // 60-day rank cut bounds it at C(60,2)=1770 pairs per symbol however
+    // long the history — the same bounded-window discipline as
+    // yf_pairs_correlation's tier blocking.
+    "yf_mann_kendall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("y", expr("cs div nb"))
+        .withColumn("x", datediff(col("Date"), lit("1995-01-01")).cast("long"))
+      val d60 = daily
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("symbol").orderBy("Date")))
+        .filter(col("rn") <= 60)
+        .select("symbol", "x", "y")
+      val pairs = d60.as("a").join(d60.as("b"),
+          col("a.symbol") === col("b.symbol") && col("a.x") < col("b.x"))
+        .select(col("a.symbol").as("symbol"),
+          when(col("b.y") > col("a.y"), 1L)
+            .when(col("b.y") < col("a.y"), -1L).otherwise(0L).as("sgn"))
+      val nn = d60.groupBy("symbol").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      pairs.groupBy("symbol").agg(sum(col("sgn")).as("s_stat"))
+        .join(nn, "symbol")
+        .withColumn("tau",
+          (col("s_stat") * 2L).cast("double") /
+            (col("n") * (col("n") - 1L)).cast("double"))
+        .select("symbol", "n", "s_stat", "tau")
+        .orderBy("symbol")
+    }),
+
+    // POPULATION STABILITY INDEX — the banded drift monitor model-risk
+    // teams run between a reference window and live traffic (the third
+    // drift lens beside events_entropy_drift's mix entropy and
+    // docs_js_divergence's vocabulary JS): per event type, PSI =
+    // Σ_b (p_b − q_b)·ln(p_b/q_b) over 1e-2-quantized value bands, with
+    // add-one smoothing so empty bands stay finite. Periods split on the
+    // corpus midpoint day (1-row broadcast, no driver round-trip). The
+    // quantized-ln discipline makes the sum order-free: every ln argument
+    // is an exact integer count, each lnQ quantizes to 1e-4 longs, the
+    // per-band term (two exact-integer IEEE divisions × the integer ln
+    // combination) quantizes to 1e-9 longs BEFORE the cross-partition
+    // sum. Two keyed aggregates over the tiny band table — scale-free.
+    "events_psi_drift" -> ((s, dir) => {
+      def lnQ(c: Column) = floor(log(c.cast("double")) * 1e4 + 0.5).cast("long")
+      val ev = Sources.events(s, dir)
+        .select(col("event_type"), expr("ts DIV 86400000000000").as("day"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 2500").as("vband"))
+      val cut = ev.agg(((min(col("day")) + max(col("day")) + 1L) / 2L)
+        .cast("long").as("cutd"))
+      val cells = ev.crossJoin(broadcast(cut))
+        .groupBy("event_type", "vband")
+        .agg(sum(when(col("day") < col("cutd"), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("day") >= col("cutd"), 1L).otherwise(0L)).as("c_cur"))
+      val totals = cells.groupBy("event_type")
+        .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"),
+          count(lit(1)).as("n_bands"))
+      cells.join(totals, "event_type")
+        .withColumn("p", (col("c_ref") + 1L).cast("double") /
+          (col("n_ref") + col("n_bands")).cast("double"))
+        .withColumn("q", (col("c_cur") + 1L).cast("double") /
+          (col("n_cur") + col("n_bands")).cast("double"))
+        .withColumn("lnr_q4",
+          lnQ(col("c_ref") + 1L) - lnQ(col("n_ref") + col("n_bands")) -
+            lnQ(col("c_cur") + 1L) + lnQ(col("n_cur") + col("n_bands")))
+        .withColumn("term_q9", floor((col("p") - col("q")) *
+          col("lnr_q4").cast("double") / 1e4 * 1e9 + 0.5).cast("long"))
+        .groupBy("event_type")
+        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+          max(col("n_bands")).as("n_bands"),
+          (sum(col("term_q9")).cast("double") / 1e9).as("psi"))
+        .orderBy("event_type")
+    }),
+
+    // THEIL–SEN robust slope — the rank family's regression member
+    // (yf_trend_ols = parametric, yf_mann_kendall = trend direction, this
+    // = trend MAGNITUDE robust to outliers): median of all pairwise
+    // slopes over each symbol's first 25 trading days (C(25,2)=300 pairs
+    // per symbol — the bounded-window cap). Each slope quantizes exactly:
+    // sign-split truncating division (|Δy|·1e6 DIV Δx, sign reapplied —
+    // Spark div truncates, DuckDB // floors; magnitudes divide so both
+    // truncate identically) and the median adjudicates on the DOUBLED
+    // order statistic (odd → 2·mid, even → mid₁+mid₂ — always integral,
+    // the Mann–Whitney midrank discipline). Only the final unit
+    // conversion is IEEE.
+    "yf_theilsen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("y", expr("cs div nb"))
+        .withColumn("x", datediff(col("Date"), lit("1995-01-01")).cast("long"))
+      val d25 = daily
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("symbol").orderBy("Date")))
+        .filter(col("rn") <= 25)
+        .select("symbol", "x", "y")
+      val slopes = d25.as("a").join(d25.as("b"),
+          col("a.symbol") === col("b.symbol") && col("a.x") < col("b.x"))
+        .select(col("a.symbol").as("symbol"),
+          (when(col("b.y") >= col("a.y"), 1L).otherwise(-1L) *
+            expr("(abs(b.y - a.y) * 1000000) div (b.x - a.x)")).as("sq"))
+      val nn = slopes.groupBy("symbol").agg(count(lit(1)).as("n_pairs"))
+      val ranked = slopes
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("symbol").orderBy("sq")))
+      // The k-th order statistic is deterministic under ties (equal
+      // values permute among equal values), so row_number's tie order
+      // never changes the selected VALUE.
+      ranked.join(nn, "symbol")
+        .groupBy("symbol")
+        .agg(max(col("n_pairs")).as("n_pairs"),
+          (sum(when(col("rn") === expr("(n_pairs + 1) div 2"), col("sq"))
+            .otherwise(0L)) +
+           sum(when(col("rn") === expr("(n_pairs + 2) div 2"), col("sq"))
+            .otherwise(0L))).as("slope_med2_q12"))
+        .withColumn("slope",
+          col("slope_med2_q12").cast("double") / 2e12)
+        .select("symbol", "n_pairs", "slope_med2_q12", "slope")
+        .orderBy("symbol")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -12449,5 +12607,121 @@ object SparkEntry {
         |  CAST(u_curr AS DOUBLE) * (rpu_curr - rpu_prev) / 100e0
         |    AS contrib_arpu
         |FROM d""".stripMargin,
+
+    // Spark's window(ts, 2h, 1h) assigns each event to the two hourly
+    // starts h and h−1 (start ≤ t < start+2h ⇔ start ∈ {⌊t/1h⌋, ⌊t/1h⌋−1}
+    // hours) — replayed here as the explicit ×2 fan-out.
+    "events_hopping_window" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS us, event_type, user_id,
+        |    CAST(floor(value * 1e8 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |w AS (
+        |  SELECT ((us // 3600000000) - i.i) * 3600000000 AS w_start_us,
+        |    event_type, user_id, vq
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS i) i)
+        |SELECT w_start_us, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(vq) AS BIGINT) AS sum_value_q8
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "yf_mann_kendall" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol,
+         |    CAST(sum(CAST(floor("Close" * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS y,
+         |    date_diff('day', DATE '1995-01-01', CAST("Date" AS DATE)) AS x,
+         |    "Date" AS d
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY symbol, "Date"),
+         |d60 AS (
+         |  SELECT symbol, x, y FROM (
+         |    SELECT symbol, x, y,
+         |      row_number() OVER (PARTITION BY symbol ORDER BY d) AS rn
+         |    FROM daily) WHERE rn <= 60),
+         |s AS (
+         |  SELECT a.symbol,
+         |    CAST(sum(CASE WHEN b.y > a.y THEN 1
+         |                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+         |      AS s_stat
+         |  FROM d60 a JOIN d60 b ON a.symbol = b.symbol AND a.x < b.x
+         |  GROUP BY 1),
+         |nn AS (SELECT symbol, count(*) AS n FROM d60
+         |       GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT s.symbol, n, s_stat,
+         |  CAST(s_stat * 2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS tau
+         |FROM s JOIN nn ON s.symbol = nn.symbol
+         |ORDER BY s.symbol""".stripMargin,
+
+    "events_psi_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) // 2500 AS vband
+        |  FROM events),
+        |t AS (SELECT (min(day) + max(day) + 1) // 2 AS cutd FROM e),
+        |cells AS (
+        |  SELECT event_type, vband,
+        |    CAST(sum(CASE WHEN day < cutd THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_ref,
+        |    CAST(sum(CASE WHEN day >= cutd THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_cur
+        |  FROM e, t GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+        |    CAST(sum(c_cur) AS BIGINT) AS n_cur, count(*) AS n_bands
+        |  FROM cells GROUP BY 1),
+        |terms AS (
+        |  SELECT c.event_type, n_ref, n_cur, n_bands,
+        |    CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_bands AS DOUBLE) AS p,
+        |    CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_bands AS DOUBLE) AS q,
+        |    CAST(floor(ln(CAST(c_ref + 1 AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(CAST(n_ref + n_bands AS DOUBLE)) * 1e4 + 0.5)
+        |          AS BIGINT)
+        |      - CAST(floor(ln(CAST(c_cur + 1 AS DOUBLE)) * 1e4 + 0.5)
+        |          AS BIGINT)
+        |      + CAST(floor(ln(CAST(n_cur + n_bands AS DOUBLE)) * 1e4 + 0.5)
+        |          AS BIGINT) AS lnr_q4
+        |  FROM cells c JOIN tot USING (event_type))
+        |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+        |  max(n_bands) AS n_bands,
+        |  CAST(sum(CAST(floor((p - q) * CAST(lnr_q4 AS DOUBLE) / 1e4 * 1e9
+        |    + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS psi
+        |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "yf_theilsen" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol,
+         |    CAST(sum(CAST(floor("Close" * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS y,
+         |    date_diff('day', DATE '1995-01-01', CAST("Date" AS DATE)) AS x,
+         |    "Date" AS d
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY symbol, "Date"),
+         |d25 AS (
+         |  SELECT symbol, x, y FROM (
+         |    SELECT symbol, x, y,
+         |      row_number() OVER (PARTITION BY symbol ORDER BY d) AS rn
+         |    FROM daily) WHERE rn <= 25),
+         |slopes AS (
+         |  SELECT a.symbol,
+         |    (CASE WHEN b.y >= a.y THEN 1 ELSE -1 END) *
+         |      ((abs(b.y - a.y) * 1000000) // (b.x - a.x)) AS sq
+         |  FROM d25 a JOIN d25 b ON a.symbol = b.symbol AND a.x < b.x),
+         |nn AS (SELECT symbol, count(*) AS n_pairs FROM slopes GROUP BY 1),
+         |ranked AS (
+         |  SELECT symbol, sq,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY sq) AS rn
+         |  FROM slopes)
+         |SELECT r.symbol, max(n_pairs) AS n_pairs,
+         |  CAST(sum(CASE WHEN rn = (n_pairs + 1) // 2 THEN sq ELSE 0 END)
+         |     + sum(CASE WHEN rn = (n_pairs + 2) // 2 THEN sq ELSE 0 END)
+         |    AS BIGINT) AS slope_med2_q12,
+         |  CAST(CAST(sum(CASE WHEN rn = (n_pairs + 1) // 2 THEN sq ELSE 0 END)
+         |     + sum(CASE WHEN rn = (n_pairs + 2) // 2 THEN sq ELSE 0 END)
+         |    AS BIGINT) AS DOUBLE) / 2e12 AS slope
+         |FROM ranked r JOIN nn USING (symbol)
+         |GROUP BY r.symbol ORDER BY r.symbol""".stripMargin,
   )
 }

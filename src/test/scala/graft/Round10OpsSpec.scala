@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force replays of the round-10 contracts over sf0.001 — each test
+  * recomputes the query's claim from first principles (collected rows,
+  * driver-side arithmetic) and pins the distributed result to it. */
+class Round10OpsSpec extends SparkSpec {
+
+  test("hopping window: every event lands in exactly 2 windows, counts replay") {
+    val evs = Sources.events(spark, sfDir)
+      .select(expr("ts div 1000").as("us"), col("event_type"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = SparkEntry.queries("events_hopping_window")(spark, sfDir).collect()
+    // Fan-out conservation: duration/hop = 2 windows per event.
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 2L * evs.length)
+    // Brute replay of the assignment rule for every (window, type) cell.
+    val h = 3600000000L
+    val brute = evs.flatMap { case (us, tpe, uid) =>
+      Seq(((us / h) * h, tpe, uid), ((us / h - 1) * h, tpe, uid))
+    }
+    val bruteCells = brute.groupBy(x => (x._1, x._2))
+      .map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._3).distinct.length.toLong) }
+    assert(rows.length == bruteCells.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("w_start_us"), r.getAs[String]("event_type"))
+      val (n, u) = bruteCells(k)
+      assert(r.getAs[Long]("n_events") == n, s"cell $k count")
+      assert(r.getAs[Long]("n_users") == u, s"cell $k users")
+    }
+  }
+
+  test("mann-kendall: S, n, tau replay from brute pair enumeration") {
+    val daily = Sources.ohlcv(spark, sfDir)
+      .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+      .groupBy("symbol", "Date")
+      .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("cs"),
+        count(lit(1)).as("nb"))
+      .select(col("symbol"), col("Date").cast("string").as("d"),
+        expr("cs div nb").as("y"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySym = daily.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.sortBy(_._2).take(60).map(_._3)
+    }
+    val rows = SparkEntry.queries("yf_mann_kendall")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ys = bySym(r.getAs[Long]("symbol"))
+      val n = ys.length
+      var s = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        s += (if (ys(j) > ys(i)) 1L else if (ys(j) < ys(i)) -1L else 0L)
+      assert(r.getAs[Long]("n") == n.toLong)
+      assert(r.getAs[Long]("s_stat") == s, s"symbol ${r.getAs[Long]("symbol")}")
+      val tau = (s * 2L).toDouble / (n.toLong * (n - 1L)).toDouble
+      assert(r.getAs[Double]("tau") == tau)
+      assert(math.abs(r.getAs[Double]("tau")) <= 1.0)
+    }
+    // Symbols with >= 2 trading days all appear.
+    assert(rows.length == bySym.count(_._2.length >= 2))
+  }
+
+  test("psi drift: nonnegative up to quantization, exact driver replay") {
+    val evs = Sources.events(spark, sfDir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 2500").as("vband"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cutd = (evs.map(_._2).min + evs.map(_._2).max + 1) / 2
+    def lnQ(c: Long): Long = math.floor(math.log(c.toDouble) * 1e4 + 0.5).toLong
+    val rows = SparkEntry.queries("events_psi_drift")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val cells = evs.filter(_._1 == tpe).groupBy(_._3).toSeq.map { case (_, xs) =>
+        (xs.count(_._2 < cutd).toLong, xs.count(_._2 >= cutd).toLong)
+      }
+      val nRef = cells.map(_._1).sum; val nCur = cells.map(_._2).sum
+      val nB = cells.length.toLong
+      assert(r.getAs[Long]("n_ref") == nRef)
+      assert(r.getAs[Long]("n_cur") == nCur)
+      assert(r.getAs[Long]("n_bands") == nB)
+      val psiQ = cells.map { case (cr, cc) =>
+        val p = (cr + 1).toDouble / (nRef + nB).toDouble
+        val q = (cc + 1).toDouble / (nCur + nB).toDouble
+        val lnr = lnQ(cr + 1) - lnQ(nRef + nB) - lnQ(cc + 1) + lnQ(nCur + nB)
+        math.floor((p - q) * lnr.toDouble / 1e4 * 1e9 + 0.5).toLong
+      }.sum
+      assert(r.getAs[Double]("psi") == psiQ.toDouble / 1e9, s"type $tpe")
+      // Analytic PSI terms are each >= 0; quantization can only dent that
+      // by the ln-rounding epsilon per band.
+      assert(r.getAs[Double]("psi") >= -1e-4 * nB)
+    }
+  }
+
+  test("theil-sen: doubled median of brute pairwise slopes, exact") {
+    val daily = Sources.ohlcv(spark, sfDir)
+      .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+      .groupBy("symbol", "Date")
+      .agg(sum(floor(col("Close") * 1e6 + 0.5).cast("long")).as("cs"),
+        count(lit(1)).as("nb"))
+      .select(col("symbol"), col("Date").cast("string").as("d"),
+        expr("cs div nb").as("y"),
+        datediff(col("Date"), lit("1995-01-01")).cast("long").as("x"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val rows = SparkEntry.queries("yf_theilsen")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sym = r.getAs[Long]("symbol")
+      val pts = daily.filter(_._1 == sym).sortBy(_._2).take(25)
+        .map(p => (p._4, p._3))
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield {
+        val num = pts(j)._2 - pts(i)._2; val den = pts(j)._1 - pts(i)._1
+        val sgn = if (num >= 0) 1L else -1L
+        sgn * ((math.abs(num) * 1000000L) / den)
+      }).sorted
+      val n = slopes.length
+      assert(r.getAs[Long]("n_pairs") == n.toLong)
+      val med2 = slopes((n + 1) / 2 - 1) + slopes((n + 2) / 2 - 1)
+      assert(r.getAs[Long]("slope_med2_q12") == med2, s"symbol $sym")
+      assert(r.getAs[Double]("slope") == med2.toDouble / 2e12)
+    }
+  }
+}

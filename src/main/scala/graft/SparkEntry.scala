@@ -7915,6 +7915,120 @@ object SparkEntry {
         .select("symbol", "n_pairs", "slope_med2_q12", "slope")
         .orderBy("symbol")
     }),
+
+    // TIME-CONSTRAINED funnel — events_funnel counts unordered-deadline
+    // stage reach; real activation funnels bound the INTER-STEP gap
+    // ("clicked within 1h of signing up, purchased within 24h of that
+    // click"). Three stages chain as per-user keyed min-aggregates with
+    // the previous stage's timestamp joined back co-keyed on user —
+    // every join is user-keyed (the sessionize shuffle shape), the
+    // deadline residual is exact BIGINT-nanos arithmetic, and the final
+    // rollup is three 1-row broadcasts. Conversion rates are single IEEE
+    // divisions of exact counts.
+    "events_funnel_windowed" -> ((s, dir) => {
+      val hourNs = 3600L * 1000000000L
+      val ev = Sources.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("su_ts"))
+      val ck = ev.filter(col("event_type") === "click").join(su, "user_id")
+        .filter(col("ts") > col("su_ts") &&
+          col("ts") <= col("su_ts") + lit(hourNs))
+        .groupBy("user_id").agg(min("ts").as("ck_ts"))
+      val pu = ev.filter(col("event_type") === "purchase").join(ck, "user_id")
+        .filter(col("ts") > col("ck_ts") &&
+          col("ts") <= col("ck_ts") + lit(24L * hourNs))
+        .groupBy("user_id").agg(min("ts").as("pu_ts"))
+      su.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(broadcast(ck.agg(count(lit(1)).as("n_click_1h"))))
+        .crossJoin(broadcast(pu.agg(count(lit(1)).as("n_purchase_24h"))))
+        .withColumn("cvr_click",
+          col("n_click_1h").cast("double") / col("n_signup").cast("double"))
+        .withColumn("cvr_purchase", col("n_purchase_24h").cast("double") /
+          nullif(col("n_click_1h"), lit(0L)).cast("double"))
+    }),
+
+    // SKEWNESS + EXCESS KURTOSIS of daily close changes per symbol — the
+    // higher-moment completion of the moment family (mean/variance =
+    // trend/bollinger, correlation = corr_matrix; tail asymmetry and
+    // fatness are what a risk desk reads next). The central-moment sums
+    // expand to pure integer algebra on the raw power sums: A = nΣx²−S²,
+    // B = n²Σx³−3nSΣx²+2S³, C = n³Σx⁴−4n²SΣx³+6nS²Σx²−3S⁴, with
+    // g1 = B/A^1.5 and g2 = C/A²−3 — closes are 1e-4-quantized so x⁴
+    // stays in BIGINT per row, and the cross-row sums ride in
+    // DECIMAL(38,0) ⇔ HUGEINT (crossing to IEEE via the VARCHAR
+    // round-trip, the corr_matrix contract). One keyed aggregate after a
+    // per-symbol lag window; the only FP steps are one sqrt and two
+    // divisions per symbol.
+    "yf_kurtosis_skew" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d38 = DecimalType(38, 0)
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("xq", expr("cs div nb"))
+      val wo = Window.partitionBy("symbol").orderBy("Date")
+      val d = daily.withColumn("x", col("xq") - lag(col("xq"), 1).over(wo))
+        .filter(col("x").isNotNull)
+      val m = d.groupBy("symbol").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .filter(col("n") >= 3)
+      val n = col("n").cast(d38)
+      val (s1, s2, s3, s4) = (col("s1").cast(d38), col("s2").cast(d38),
+        col("s3").cast(d38), col("s4").cast(d38))
+      m.withColumn("a", (n * s2 - s1 * s1).cast("double"))
+        .withColumn("b", (n * n * s3 - lit(3).cast(d38) * n * s1 * s2 +
+          lit(2).cast(d38) * s1 * s1 * s1).cast("double"))
+        .withColumn("c", (n * n * n * s4 -
+          lit(4).cast(d38) * n * n * s1 * s3 +
+          lit(6).cast(d38) * n * s1 * s1 * s2 -
+          lit(3).cast(d38) * s1 * s1 * s1 * s1).cast("double"))
+        .withColumn("skew",
+          col("b") / nullif(col("a") * sqrt(col("a")), lit(0.0)))
+        .withColumn("kurtosis_excess",
+          col("c") / nullif(col("a") * col("a"), lit(0.0)) - lit(3.0))
+        .select("symbol", "n", "skew", "kurtosis_excess")
+        .orderBy("symbol")
+    }),
+
+    // ABC (80/95) INVENTORY CLASSIFICATION — the thresholded sibling of
+    // customer_pareto's deciles: parts ranked by exact-decimal revenue,
+    // class A = the head up to 80% of cumulative revenue, B to 95%, C
+    // the tail. The running sum is a window over the AGGREGATED part
+    // grain (bounded by catalog size, not fact volume — the pareto
+    // scale note applies), the class cut adjudicates as exact decimal
+    // comparisons (cum·100 ≤ total·80 — no share division before the
+    // cut), and revenue itself is the house dec2·rate2 exact product.
+    "orders_abc_class" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Sources.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(sum(util.Stable.dec2(col("l_extendedprice")) *
+          (util.Stable.rate2(lit(1.0)) - util.Stable.rate2(col("l_discount"))))
+          .as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("total"))
+      val cum = rev
+        .withColumn("cum", sum(col("rev")).over(
+          Window.orderBy(col("rev").desc, col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+      cum.groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("double").as("revenue"),
+          (sum(col("rev")).cast("double") /
+            max(col("total")).cast("double")).as("share"))
+        .orderBy("abc_class")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -12723,5 +12837,88 @@ object SparkEntry {
          |    AS BIGINT) AS DOUBLE) / 2e12 AS slope
          |FROM ranked r JOIN nn USING (symbol)
          |GROUP BY r.symbol ORDER BY r.symbol""".stripMargin,
+
+    "events_funnel_windowed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |su AS (SELECT user_id, min(tns) AS su_ts FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |ck AS (SELECT e.user_id, min(tns) AS ck_ts
+        |       FROM ev e JOIN su USING (user_id)
+        |       WHERE event_type = 'click' AND tns > su_ts
+        |         AND tns <= su_ts + 3600000000000
+        |       GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(tns) AS pu_ts
+        |       FROM ev e JOIN ck USING (user_id)
+        |       WHERE event_type = 'purchase' AND tns > ck_ts
+        |         AND tns <= ck_ts + 86400000000000
+        |       GROUP BY 1)
+        |SELECT (SELECT count(*) FROM su) AS n_signup,
+        |  (SELECT count(*) FROM ck) AS n_click_1h,
+        |  (SELECT count(*) FROM pu) AS n_purchase_24h,
+        |  CAST((SELECT count(*) FROM ck) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM su) AS DOUBLE) AS cvr_click,
+        |  CAST((SELECT count(*) FROM pu) AS DOUBLE)
+        |    / CAST(nullif((SELECT count(*) FROM ck), 0) AS DOUBLE)
+        |    AS cvr_purchase""".stripMargin,
+
+    "yf_kurtosis_skew" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  SELECT symbol,
+         |    xq - lag(xq) OVER (PARTITION BY symbol ORDER BY "Date") AS x
+         |  FROM daily),
+         |m AS (
+         |  SELECT symbol, count(*) AS n,
+         |    sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3,
+         |    sum(x*x*x*x) AS s4
+         |  FROM d WHERE x IS NOT NULL GROUP BY 1 HAVING count(*) >= 3),
+         |abc AS (
+         |  SELECT symbol, n,
+         |    n*s2 - s1*s1 AS a,
+         |    n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS b,
+         |    n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS c
+         |  FROM m),
+         |-- HUGEINT→DOUBLE via VARCHAR: DuckDB's direct cast TRUNCATES
+         |-- above 2^53 while Spark's Decimal→Double rounds to nearest.
+         |dd AS (
+         |  SELECT symbol, n,
+         |    CAST(CAST(a AS VARCHAR) AS DOUBLE) AS ad,
+         |    CAST(CAST(b AS VARCHAR) AS DOUBLE) AS bd,
+         |    CAST(CAST(c AS VARCHAR) AS DOUBLE) AS cd
+         |  FROM abc)
+         |SELECT symbol, CAST(n AS BIGINT) AS n,
+         |  bd / nullif(ad * sqrt(ad), 0.0) AS skew,
+         |  cd / nullif(ad * ad, 0.0) - 3.0 AS kurtosis_excess
+         |FROM dd ORDER BY symbol""".stripMargin,
+
+    "orders_abc_class" ->
+      s"""WITH rev AS (
+         |  SELECT l_partkey,
+         |    sum(${util.Stable.dec2Sql("l_extendedprice")} *
+         |        (${util.Stable.rate2Sql("1.0")} -
+         |         ${util.Stable.rate2Sql("l_discount")})) AS rev
+         |  FROM lineitem GROUP BY 1),
+         |tot AS (SELECT sum(rev) AS total FROM rev),
+         |cum AS (
+         |  SELECT l_partkey, rev,
+         |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM rev),
+         |cls AS (
+         |  SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+         |              WHEN cum * 100 <= total * 95 THEN 'B'
+         |              ELSE 'C' END AS abc_class, rev, total
+         |  FROM cum, tot)
+         |SELECT abc_class, count(*) AS n_parts,
+         |  CAST(sum(rev) AS DOUBLE) AS revenue,
+         |  CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS share
+         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

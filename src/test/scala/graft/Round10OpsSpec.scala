@@ -121,4 +121,79 @@ class Round10OpsSpec extends SparkSpec {
       assert(r.getAs[Double]("slope") == med2.toDouble / 2e12)
     }
   }
+
+  test("windowed funnel: stage counts replay the chained deadline rule") {
+    val evs = Sources.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hourNs = 3600L * 1000000000L
+    val su = evs.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val ck = evs.filter(_._2 == "click").flatMap { case (u, _, t) =>
+      su.get(u).filter(s => t > s && t <= s + hourNs).map(_ => (u, t))
+    }.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val pu = evs.filter(_._2 == "purchase").flatMap { case (u, _, t) =>
+      ck.get(u).filter(c => t > c && t <= c + 24L * hourNs).map(_ => (u, t))
+    }.groupBy(_._1).keySet
+    val r = SparkEntry.queries("events_funnel_windowed")(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_signup") == su.size.toLong)
+    assert(r.getAs[Long]("n_click_1h") == ck.size.toLong)
+    assert(r.getAs[Long]("n_purchase_24h") == pu.size.toLong)
+    // The funnel narrows monotonically.
+    assert(su.size >= ck.size && ck.size >= pu.size)
+  }
+
+  test("skew/kurtosis: BigInt central-moment replay, exact") {
+    val daily = Sources.ohlcv(spark, sfDir)
+      .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+      .groupBy("symbol", "Date")
+      .agg(sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("cs"),
+        count(lit(1)).as("nb"))
+      .select(col("symbol"), col("Date").cast("string").as("d"),
+        expr("cs div nb").as("xq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = SparkEntry.queries("yf_kurtosis_skew")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sym = r.getAs[Long]("symbol")
+      val xs = daily.filter(_._1 == sym).sortBy(_._2).map(_._3)
+      val diffs = xs.sliding(2).map(p => BigInt(p(1) - p(0))).toSeq
+      val n = BigInt(diffs.length)
+      assert(r.getAs[Long]("n") == diffs.length.toLong)
+      val s1 = diffs.sum
+      val s2 = diffs.map(x => x * x).sum
+      val s3 = diffs.map(x => x * x * x).sum
+      val s4 = diffs.map(x => x * x * x * x).sum
+      val a = (n * s2 - s1 * s1).toDouble
+      val b = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1).toDouble
+      val c = (n * n * n * s4 - 4 * n * n * s1 * s3 +
+        6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1).toDouble
+      if (a != 0.0) {
+        assert(r.getAs[Double]("skew") == b / (a * math.sqrt(a)), s"symbol $sym")
+        assert(r.getAs[Double]("kurtosis_excess") == c / (a * a) - 3.0)
+        // Sample excess kurtosis is bounded below by the constraint
+        // kurtosis >= skew^2 + 1 (in the n-scaled sample form, >= -2... -3).
+        assert(r.getAs[Double]("kurtosis_excess") >= -3.0)
+      }
+    }
+  }
+
+  test("abc classes partition parts, conserve revenue, respect the 80/95 cuts") {
+    val rows = SparkEntry.queries("orders_abc_class")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("abc_class"), r.getAs[Long]("n_parts"),
+        r.getAs[Double]("revenue"), r.getAs[Double]("share")))
+    val byCls = rows.map(x => x._1 -> x).toMap
+    assert(rows.map(_._1).sorted.sameElements(rows.map(_._1)))
+    val nParts = Sources.lineitem(spark, sfDir)
+      .select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    assert(rows.map(_._2).sum == nParts, "classes partition the parts")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, "shares sum to 1")
+    // A's cumulative share can overshoot 80% only by its boundary part;
+    // A+B likewise for 95%. With a class present, its share is positive.
+    byCls.get("A").foreach { a => assert(a._4 > 0 && a._4 <= 1.0) }
+    if (byCls.contains("B"))
+      assert(byCls("A")._4 <= 0.8 + 1e-9 ||
+        byCls("A")._2 >= 1, "A stops at the first part crossing 80%")
+    rows.foreach(x => assert(x._3 > 0.0))
+  }
 }

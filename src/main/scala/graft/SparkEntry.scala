@@ -8029,6 +8029,117 @@ object SparkEntry {
             max(col("total")).cast("double")).as("share"))
         .orderBy("abc_class")
     }),
+
+    // DEGREE ASSORTATIVITY of the part co-purchase graph — "do hubs
+    // link to hubs?": the Pearson correlation of endpoint degrees over
+    // the edge list (each undirected edge contributes both
+    // orientations, the standard convention). Completes the graph-
+    // analytics suite's structural readouts (triangles = clustering,
+    // modularity = partition quality, this = degree mixing). Degrees
+    // are one keyed aggregate broadcast-joined back to the edges; the
+    // moments are PURE BIGINT (the corr_matrix discipline) with one
+    // final sqrt+divide tree. Edge derivation = the thresholded
+    // distinct-pair graph shared with graph_triangles/common_neighbors.
+    "graph_assortativity" -> ((s, dir) => {
+      val op = Sources.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("u", "v")
+      val dir2 = edges.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(edges.select(col("v").as("x"), col("u").as("y")))
+      val deg = dir2.groupBy("x").agg(count(lit(1)).as("d"))
+      val ed = dir2
+        .join(deg.select(col("x"), col("d").as("dx")), "x")
+        .join(deg.select(col("x").as("y"), col("d").as("dy")), "y")
+      ed.agg(count(lit(1)).as("m2"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .withColumn("num",
+          (col("m2") * col("sxy") - col("sx") * col("sy")).cast("double"))
+        .withColumn("vx",
+          (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("vy",
+          (col("m2") * col("syy") - col("sy") * col("sy")).cast("double"))
+        .select(col("m2"),
+          (col("num") / nullif(sqrt(col("vx") * col("vy")), lit(0.0)))
+            .as("assortativity"))
+    }),
+
+    // SOURCE-PAIR VOCABULARY SIMILARITY MATRIX — "which corpus sources
+    // speak the same language": per-source KMV sketches over the
+    // normalized vocabulary, pairwise Jaccard ESTIMATED from pure
+    // sketch algebra (est(A∩B) = estA+estB−est(A∪B), union sketch =
+    // the k smallest of the merged top-k sets — KmvSpec's proven merge)
+    // beside the EXACT Jaccard audit (word-grain co-keyed self-join).
+    // The sketch path is the 100 TB shape: one corpus pass builds
+    // O(sources·k) state, every pairwise question answers from sketches
+    // alone; the exact twin is fixture-feasible and bounded by
+    // |vocab|·C(sources-per-word, 2). C(20,2)=190 output rows.
+    "docs_source_similarity" -> ((s, dir) => {
+      val k = 256
+      val kc = lit((k - 1).toDouble * functions.KmvUtil.HashSpan)
+      def estOf(kmv: Column) =
+        when(size(kmv) < k, size(kmv).cast("double"))
+          .otherwise(kc / element_at(kmv, k).cast("double"))
+      val ws = Sources.documents(s, dir)
+        .select(col("source"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+      val sk = ws.groupBy("source")
+        .agg(expr(s"kmv_agg(w, $k)").as("kmv"),
+          count(lit(1)).as("n_vocab"))
+      val pairs = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.n_vocab").as("n_vocab_a"), col("b.n_vocab").as("n_vocab_b"),
+          col("a.kmv").as("kmv_a"), col("b.kmv").as("kmv_b"))
+        .withColumn("kmv_u",
+          slice(array_sort(array_distinct(concat(col("kmv_a"), col("kmv_b")))),
+            1, k))
+      val inter = ws.as("x").join(ws.as("y"),
+          col("x.w") === col("y.w") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      pairs.join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("j_exact", col("n_inter").cast("double") /
+          (col("n_vocab_a") + col("n_vocab_b") - col("n_inter")).cast("double"))
+        .withColumn("est_union", estOf(col("kmv_u")))
+        .withColumn("j_est",
+          greatest(lit(0.0), estOf(col("kmv_a")) + estOf(col("kmv_b"))
+            - col("est_union")) / col("est_union"))
+        .select("src_a", "src_b", "n_vocab_a", "n_vocab_b", "n_inter",
+          "j_exact", "est_union", "j_est")
+        .orderBy("src_a", "src_b")
+    }),
+
+    // TYPED Dataset aggregation (graft.typed.TypedOps): the compile-
+    // time-checked API tier — case-class rows through
+    // KeyValueGroupedDataset.agg with a typed Aggregator whose state is
+    // exact integer sums, so the typed and untyped faces of the engine
+    // provably agree (same oracle an untyped twin would hash against).
+    // The close is 1e-4-quantized BEFORE entering the aggregate; the
+    // only IEEE op is the final average division.
+    "yf_typed_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ds = Sources.ohlcv(s, dir)
+        .select(col("symbol"),
+          floor(col("Close") * 1e4 + 0.5).cast("long").as("closeQ4"))
+        .as[typed.TypedOps.BarQ]
+      ds.groupByKey(_.symbol)
+        .agg(typed.TypedOps.ExactCloseStats.toColumn.name("st"))
+        .toDF("symbol", "st")
+        .select(col("symbol"), col("st.n").as("n_bars"),
+          col("st.sumQ4").as("sum_close_q4"),
+          (col("st.sumQ4").cast("double") / col("st.n").cast("double") / 1e4)
+            .as("avg_close"))
+        .orderBy("symbol")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -12920,5 +13031,101 @@ object SparkEntry {
          |  CAST(sum(rev) AS DOUBLE) AS revenue,
          |  CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS share
          |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d2 AS (SELECT u AS x, v AS y FROM edges
+        |       UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT x, count(*) AS d FROM d2 GROUP BY 1),
+        |ed AS (
+        |  SELECT gx.d AS dx, gy.d AS dy
+        |  FROM d2 JOIN deg gx ON d2.x = gx.x JOIN deg gy ON d2.y = gy.x),
+        |m AS (
+        |  SELECT count(*) AS m2,
+        |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(dx*dx) AS BIGINT) AS sxx,
+        |    CAST(sum(dy*dy) AS BIGINT) AS syy,
+        |    CAST(sum(dx*dy) AS BIGINT) AS sxy
+        |  FROM ed)
+        |SELECT CAST(m2 AS BIGINT) AS m2,
+        |  CAST(m2*sxy - sx*sy AS DOUBLE)
+        |    / nullif(sqrt(CAST(m2*sxx - sx*sx AS DOUBLE)
+        |                  * CAST(m2*syy - sy*sy AS DOUBLE)), 0.0)
+        |    AS assortativity
+        |FROM m""".stripMargin,
+
+    "docs_source_similarity" ->
+      s"""WITH ws AS (
+         |  SELECT DISTINCT source, word FROM (
+         |    SELECT source,
+         |      unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |    FROM documents) WHERE word <> ''),
+         |vocab AS (SELECT source, count(*) AS n_vocab FROM ws GROUP BY 1),
+         |hh AS (SELECT DISTINCT source,
+         |         CAST(concat('0x', substring(md5(concat('kmv:', word)), 1, 8))
+         |           AS BIGINT) AS h
+         |       FROM ws),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY source) AS nd
+         |      FROM hh),
+         |kt AS (SELECT source, max(CASE WHEN rn = 256 THEN h END) AS h_k,
+         |         CAST(least(max(nd), 256) AS BIGINT) AS ks
+         |       FROM r WHERE rn <= 256 GROUP BY 1),
+         |est AS (SELECT source,
+         |          CASE WHEN ks < 256 THEN CAST(ks AS DOUBLE)
+         |               ELSE (255 * 4294967296.0) / h_k END AS e
+         |        FROM kt),
+         |pairs AS (SELECT a.source AS sa, b.source AS sb
+         |          FROM vocab a JOIN vocab b ON a.source < b.source),
+         |-- Union sketch ≡ top-k of the full distinct hash union (any
+         |-- hash outside its source's top-k has ≥k smaller hashes in the
+         |-- union, so it can never enter the union's top-k).
+         |ph AS (SELECT DISTINCT p.sa, p.sb, hh.h
+         |       FROM pairs p JOIN hh ON hh.source = p.sa OR hh.source = p.sb),
+         |pr AS (SELECT sa, sb, h,
+         |         row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY sa, sb) AS nd
+         |       FROM ph),
+         |pu AS (SELECT sa, sb, max(CASE WHEN rn = 256 THEN h END) AS h_k,
+         |         CAST(least(max(nd), 256) AS BIGINT) AS ks
+         |       FROM pr WHERE rn <= 256 GROUP BY 1, 2),
+         |eu AS (SELECT sa, sb,
+         |         CASE WHEN ks < 256 THEN CAST(ks AS DOUBLE)
+         |              ELSE (255 * 4294967296.0) / h_k END AS e_u
+         |       FROM pu),
+         |it AS (SELECT x.source AS sa, y.source AS sb, count(*) AS n_inter
+         |       FROM ws x JOIN ws y ON x.word = y.word AND x.source < y.source
+         |       GROUP BY 1, 2)
+         |SELECT p.sa AS src_a, p.sb AS src_b,
+         |  va.n_vocab AS n_vocab_a, vb.n_vocab AS n_vocab_b,
+         |  CAST(coalesce(it.n_inter, 0) AS BIGINT) AS n_inter,
+         |  CAST(coalesce(it.n_inter, 0) AS DOUBLE)
+         |    / CAST(va.n_vocab + vb.n_vocab - coalesce(it.n_inter, 0) AS DOUBLE)
+         |    AS j_exact,
+         |  eu.e_u AS est_union,
+         |  greatest(0.0, ea.e + eb.e - eu.e_u) / eu.e_u AS j_est
+         |FROM pairs p
+         |JOIN vocab va ON va.source = p.sa
+         |JOIN vocab vb ON vb.source = p.sb
+         |JOIN est ea ON ea.source = p.sa
+         |JOIN est eb ON eb.source = p.sb
+         |JOIN eu ON eu.sa = p.sa AND eu.sb = p.sb
+         |LEFT JOIN it ON it.sa = p.sa AND it.sb = p.sb
+         |ORDER BY 1, 2""".stripMargin,
+
+    "yf_typed_agg" ->
+      s"""WITH $barsCte
+         |SELECT symbol, count(*) AS n_bars,
+         |  CAST(sum(CAST(floor("Close" * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS sum_close_q4,
+         |  CAST(CAST(sum(CAST(floor("Close" * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 1e4 AS avg_close
+         |FROM bars GROUP BY 1 ORDER BY symbol""".stripMargin,
   )
 }

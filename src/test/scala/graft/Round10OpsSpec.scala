@@ -196,4 +196,71 @@ class Round10OpsSpec extends SparkSpec {
         byCls("A")._2 >= 1, "A stops at the first part crossing 80%")
     rows.foreach(x => assert(x._3 > 0.0))
   }
+
+  test("assortativity: brute-force degree Pearson over the oriented edge list") {
+    val op = Sources.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet.toSeq
+    val dir2 = edges ++ edges.map(e => (e._2, e._1))
+    val deg = dir2.groupBy(_._1).map { case (k, xs) => k -> xs.size.toLong }
+    val ds = dir2.map { case (x, y) => (deg(x), deg(y)) }
+    val m2 = ds.size.toLong
+    val sx = ds.map(_._1).sum; val sy = ds.map(_._2).sum
+    val sxx = ds.map(d => d._1 * d._1).sum
+    val syy = ds.map(d => d._2 * d._2).sum
+    val sxy = ds.map(d => d._1 * d._2).sum
+    val expected = (m2 * sxy - sx * sy).toDouble /
+      math.sqrt((m2 * sxx - sx * sx).toDouble * (m2 * syy - sy * sy).toDouble)
+    val r = SparkEntry.queries("graph_assortativity")(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("m2") == m2)
+    assert(r.getAs[Double]("assortativity") == expected)
+    assert(math.abs(expected) <= 1.0)
+  }
+
+  test("source similarity: exact jaccard replays, estimates well-formed") {
+    val ws = Sources.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(util.Norm.normalize(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val vocab = ws.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val rows = SparkEntry.queries("docs_source_similarity")(spark, sfDir).collect()
+    val nSrc = vocab.size
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "one row per unordered pair")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(a < b)
+      val (va, vb) = (vocab(a), vocab(b))
+      assert(r.getAs[Long]("n_vocab_a") == va.size.toLong)
+      assert(r.getAs[Long]("n_vocab_b") == vb.size.toLong)
+      val inter = (va & vb).size.toLong
+      assert(r.getAs[Long]("n_inter") == inter)
+      val jx = inter.toDouble / (va.size + vb.size - inter).toDouble
+      assert(r.getAs[Double]("j_exact") == jx)
+      val je = r.getAs[Double]("j_est")
+      assert(je >= 0.0 && je <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("est_union") > 0.0)
+    }
+  }
+
+  test("typed aggregator agrees exactly with the untyped codegen'd twin") {
+    val typedRows = SparkEntry.queries("yf_typed_agg")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("symbol"), r.getAs[Long]("n_bars"),
+        r.getAs[Long]("sum_close_q4"), r.getAs[Double]("avg_close")))
+    val untyped = Sources.ohlcv(spark, sfDir)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("s"))
+      .orderBy("symbol")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(typedRows.length == untyped.length)
+    typedRows.zip(untyped).foreach { case ((ts, tn, tsum, tavg), (us, un, usum)) =>
+      assert(ts == us && tn == un && tsum == usum)
+      assert(tavg == tsum.toDouble / tn.toDouble / 1e4)
+    }
+  }
 }

@@ -8140,6 +8140,96 @@ object SparkEntry {
             .as("avg_close"))
         .orderBy("symbol")
     }),
+
+    // DONCHIAN CHANNEL — the trailing-extremum indicator member (the
+    // min/max window frame beside bollinger's variance frame and sma's
+    // mean frame): 20-day rolling high/low of the daily close per
+    // symbol, channel position = (c−lo)/(hi−lo). All channel math is
+    // exact integers on the 1e-4-quantized daily close (rolling min/max
+    // of integers — no FP at all until the final position division);
+    // rows before a full 20-day window emit NULL channels, exactly like
+    // the SMA warm-up convention. Per-symbol ROWS frames only.
+    "yf_donchian" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("cq", expr("cs div nb"))
+      val w20 = Window.partitionBy("symbol").orderBy("Date")
+        .rowsBetween(-19, Window.currentRow)
+      val wn = Window.partitionBy("symbol").orderBy("Date")
+      daily
+        .withColumn("rn", row_number().over(wn))
+        .withColumn("ch_hi_q4",
+          when(col("rn") >= 20, max(col("cq")).over(w20)))
+        .withColumn("ch_lo_q4",
+          when(col("rn") >= 20, min(col("cq")).over(w20)))
+        .withColumn("pos", (col("cq") - col("ch_lo_q4")).cast("double") /
+          nullif((col("ch_hi_q4") - col("ch_lo_q4")).cast("double"), lit(0.0)))
+        .select(col("symbol"), col("Date").cast("date").cast("string").as("d"),
+          col("cq"), col("ch_hi_q4"), col("ch_lo_q4"), col("pos"))
+        .orderBy("symbol", "d")
+    }),
+
+    // READABILITY (Flesch reading ease, vowel-group syllable proxy) —
+    // the fourth text-quality lens beside length/repetition/entropy:
+    // per-language 206.835 − 1.015·(W/S) − 84.6·(Y/W) computed at the
+    // LANGUAGE grain from exact per-doc integer counts (words from the
+    // normalized text, sentences from raw-punctuation [.!?]+ splits,
+    // "syllables" = vowel groups — declared proxy, no per-word floor).
+    // Every per-doc signal is row-local (shuffle-free until the one
+    // keyed aggregate); the formula is one fixed IEEE tree over exact
+    // sums with the classic constants as build-time literals.
+    "text_readability" -> ((s, dir) => {
+      val norm = util.Norm.normalize(col("text"))
+      val d = Sources.documents(s, dir).select(col("lang"),
+        size(filter(split(norm, " "), x => x =!= "")).cast("long").as("w"),
+        size(filter(split(col("text"), "[.!?]+"), x => trim(x) =!= ""))
+          .cast("long").as("sen"),
+        length(regexp_replace(regexp_replace(norm, "[aeiou]+", "V"),
+          "[^V]", "")).cast("long").as("y"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("words"), sum(col("sen")).as("sentences"),
+          sum(col("y")).as("syllables"))
+        .withColumn("wps",
+          col("words").cast("double") / col("sentences").cast("double"))
+        .withColumn("spw",
+          col("syllables").cast("double") / col("words").cast("double"))
+        .withColumn("flesch",
+          lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+        .orderBy("lang")
+    }),
+
+    // DAU/MAU STICKINESS — the engagement-depth ratio product teams
+    // track: per 30-epoch-day window, monthly active users (distinct),
+    // average daily actives, and stickiness = avgDAU/MAU. Integer
+    // window keys (epoch-day DIV 30 — the Monday-aligned-week-key
+    // discipline: never engine-specific calendar functions), exact
+    // distinct counts at both grains, one IEEE division chain at the
+    // end. Two keyed aggregates over the (window, day, user) distinct
+    // — both map-side combinable; the 30-day rolling twin of this
+    // readout is events_rolling_active's bounded explode.
+    "events_stickiness" -> ((s, dir) => {
+      val d1 = Sources.events(s, dir)
+        .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
+        .withColumn("w30", expr("day DIV 30"))
+        .distinct()
+      val dau = d1.groupBy("w30", "day")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = d1.groupBy("w30")
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.groupBy("w30")
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+        .join(mau, "w30")
+        .withColumn("avg_dau",
+          col("sum_dau").cast("double") / col("n_days").cast("double"))
+        .withColumn("stickiness", col("avg_dau") / col("mau").cast("double"))
+        .select("w30", "n_days", "mau", "sum_dau", "avg_dau", "stickiness")
+        .orderBy("w30")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -13127,5 +13217,71 @@ object SparkEntry {
          |      AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) / 1e4 AS avg_close
          |FROM bars GROUP BY 1 ORDER BY symbol""".stripMargin,
+
+    "yf_donchian" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS cq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT symbol, "Date", cq,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY "Date") AS rn,
+         |    max(cq) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mx,
+         |    min(cq) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mn
+         |  FROM daily)
+         |SELECT symbol, CAST(CAST("Date" AS DATE) AS VARCHAR) AS d, cq,
+         |  CASE WHEN rn >= 20 THEN mx END AS ch_hi_q4,
+         |  CASE WHEN rn >= 20 THEN mn END AS ch_lo_q4,
+         |  CAST(cq - CASE WHEN rn >= 20 THEN mn END AS DOUBLE)
+         |    / nullif(CAST(CASE WHEN rn >= 20 THEN mx END
+         |             - CASE WHEN rn >= 20 THEN mn END AS DOUBLE), 0.0) AS pos
+         |FROM r ORDER BY symbol, d""".stripMargin,
+
+    "text_readability" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    len(list_filter(string_split(${util.Norm.normalizeSql("text")}, ' '),
+         |      x -> x <> '')) AS w,
+         |    len(list_filter(string_split_regex(text, '[.!?]+'),
+         |      x -> trim(x) <> '')) AS sen,
+         |    length(regexp_replace(regexp_replace(
+         |      ${util.Norm.normalizeSql("text")}, '[aeiou]+', 'V', 'g'),
+         |      '[^V]', '', 'g')) AS y
+         |  FROM documents),
+         |agg AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS words,
+         |    CAST(sum(sen) AS BIGINT) AS sentences,
+         |    CAST(sum(y) AS BIGINT) AS syllables
+         |  FROM d GROUP BY 1)
+         |SELECT lang, n_docs, words, sentences, syllables,
+         |  CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE) AS wps,
+         |  CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE) AS spw,
+         |  206.835e0 - 1.015e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+         |    - 84.6e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+         |    AS flesch
+         |FROM agg ORDER BY lang""".stripMargin,
+
+    "events_stickiness" ->
+      """WITH d1 AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+        |  FROM events),
+        |d2 AS (SELECT day // 30 AS w30, day, user_id FROM d1),
+        |dau AS (SELECT w30, day, count(DISTINCT user_id) AS dau
+        |        FROM d2 GROUP BY 1, 2),
+        |mau AS (SELECT w30, count(DISTINCT user_id) AS mau FROM d2 GROUP BY 1),
+        |agg AS (SELECT w30, count(*) AS n_days,
+        |          CAST(sum(dau) AS BIGINT) AS sum_dau
+        |        FROM dau GROUP BY 1)
+        |SELECT a.w30, n_days, mau, sum_dau,
+        |  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_dau,
+        |  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) / CAST(mau AS DOUBLE)
+        |    AS stickiness
+        |FROM agg a JOIN mau USING (w30) ORDER BY w30""".stripMargin,
   )
 }

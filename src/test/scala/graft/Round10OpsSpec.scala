@@ -263,4 +263,72 @@ class Round10OpsSpec extends SparkSpec {
       assert(tavg == tsum.toDouble / tn.toDouble / 1e4)
     }
   }
+
+  test("donchian: channel bounds contain the close; warm-up rows are null") {
+    val rows = SparkEntry.queries("yf_donchian")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySym = rows.groupBy(_.getAs[Long]("symbol"))
+    bySym.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[String]("d"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (i < 19) {
+          assert(r.isNullAt(r.fieldIndex("ch_hi_q4")))
+          assert(r.isNullAt(r.fieldIndex("ch_lo_q4")))
+        } else {
+          val win = sorted.slice(i - 19, i + 1).map(_.getAs[Long]("cq"))
+          assert(r.getAs[Long]("ch_hi_q4") == win.max)
+          assert(r.getAs[Long]("ch_lo_q4") == win.min)
+          val cq = r.getAs[Long]("cq")
+          assert(win.min <= cq && cq <= win.max)
+          if (!r.isNullAt(r.fieldIndex("pos"))) {
+            val pos = r.getAs[Double]("pos")
+            assert(pos >= 0.0 && pos <= 1.0)
+          }
+        }
+      }
+    }
+  }
+
+  test("readability: per-language counts replay the three regex signals") {
+    val docs = Sources.documents(spark, sfDir)
+      .select(col("lang"), col("text"), util.Norm.normalize(col("text")).as("norm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val rows = SparkEntry.queries("text_readability")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val ds = docs.filter(_._1 == lang)
+      val words = ds.map(_._3.split(" ").count(_.nonEmpty).toLong).sum
+      val sents = ds.map(_._2.split("[.!?]+").count(_.trim.nonEmpty).toLong).sum
+      val sylls = ds.map(d =>
+        "[aeiou]+".r.findAllIn(d._3).length.toLong).sum
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("words") == words)
+      assert(r.getAs[Long]("sentences") == sents)
+      assert(r.getAs[Long]("syllables") == sylls, s"lang $lang")
+      val wps = words.toDouble / sents.toDouble
+      val spw = sylls.toDouble / words.toDouble
+      assert(r.getAs[Double]("flesch") == 206.835 - 1.015 * wps - 84.6 * spw)
+    }
+  }
+
+  test("stickiness: avgDAU never exceeds MAU, counts replay") {
+    val evs = Sources.events(spark, sfDir)
+      .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = SparkEntry.queries("events_stickiness")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val w = r.getAs[Long]("w30")
+      val in = evs.filter(_._1 / 30 == w)
+      val mau = in.map(_._2).distinct.length.toLong
+      val byDay = in.groupBy(_._1).map { case (_, xs) => xs.map(_._2).distinct.length.toLong }
+      assert(r.getAs[Long]("mau") == mau)
+      assert(r.getAs[Long]("n_days") == byDay.size.toLong)
+      assert(r.getAs[Long]("sum_dau") == byDay.sum)
+      assert(r.getAs[Double]("avg_dau") <= mau.toDouble + 1e-9)
+      assert(r.getAs[Double]("stickiness") > 0.0 &&
+        r.getAs[Double]("stickiness") <= 1.0 + 1e-9)
+    }
+    assert(rows.map(_.getAs[Long]("n_days")).sum ==
+      evs.map(_._1).distinct.length.toLong, "windows partition the days")
+  }
 }

@@ -8230,6 +8230,122 @@ object SparkEntry {
         .select("w30", "n_days", "mau", "sum_dau", "avg_dau", "stickiness")
         .orderBy("w30")
     }),
+
+    // PRECISION–RECALL CURVE at decile thresholds — the threshold-sweep
+    // companion to events_roc_auc's single rank number: cumulative
+    // TP/FP from the DISTINCT-SCORE grain (never a per-row sort — the
+    // roc_auc discipline), ntile(10) over the score grain picks ten
+    // thresholds, each reporting P/R/F1 from exact cumulative counts.
+    // Windows run over the score-grain table only (bounded by distinct
+    // values, the value_deciles scale note); all ratios are final IEEE
+    // divisions of exact BIGINTs.
+    "events_pr_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grain = Sources.events(s, dir)
+        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("sc"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        .groupBy("sc")
+        .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+      val wd = Window.orderBy(col("sc").desc)
+      val ranked = grain
+        .withColumn("rn", row_number().over(wd))
+        .withColumn("cum_tp", sum(col("np")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum_fp", sum(col("nn")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tile", ntile(10).over(wd))
+        .withColumn("tot_p", sum(col("np")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val bounds = ranked.groupBy("tile")
+        .agg(max(col("rn")).as("brn"))
+        .select(col("tile").as("btile"), col("brn"))
+      ranked.join(bounds,
+          col("tile") === col("btile") && col("rn") === col("brn"))
+        .select(col("tile"), col("sc").as("threshold_cents"),
+          col("cum_tp"), col("cum_fp"),
+          (col("cum_tp").cast("double") /
+            (col("cum_tp") + col("cum_fp")).cast("double")).as("precision"),
+          (col("cum_tp").cast("double") / col("tot_p").cast("double"))
+            .as("recall"))
+        .withColumn("f1", lit(2.0) * col("precision") * col("recall") /
+          nullif(col("precision") + col("recall"), lit(0.0)))
+        .orderBy("tile")
+    }),
+
+    // CUMULATIVE GAINS / LIFT chart — the campaign-targeting readout
+    // ("contact the top 30% most engaged; what share of buyers do we
+    // capture, and how much better than random?"): users ranked by
+    // click count into deciles (user_id tiebreak — total order), per
+    // decile exact user/buyer counts, cumulative gain = captured buyer
+    // share, lift = gain over the random baseline. The per-user
+    // aggregate is one keyed pass; every window after it runs on the
+    // 10-row decile table.
+    "events_lift_gain" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = Sources.events(s, dir)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("clicks"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("buyer"))
+      val tiled = users.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("clicks").desc, col("user_id"))))
+      val dec = tiled.groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum(col("buyer")).as("n_buyers"))
+      val wd = Window.orderBy("decile")
+      dec
+        .withColumn("cum_users", sum(col("n_users")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum_buyers", sum(col("n_buyers")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot_users", sum(col("n_users")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("tot_buyers", sum(col("n_buyers")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("gain",
+          col("cum_buyers").cast("double") / col("tot_buyers").cast("double"))
+        .withColumn("lift", col("gain") /
+          (col("cum_users").cast("double") / col("tot_users").cast("double")))
+        .select("decile", "n_users", "n_buyers", "cum_buyers", "gain", "lift")
+        .orderBy("decile")
+    }),
+
+    // NEAREST as-of (either direction, bounded horizon) — completes the
+    // as-of family's third member beside backward (events_asof_join)
+    // and forward (events_asof_forward): for each error event, the
+    // nearest click by the same user within ±1h, backward winning ties
+    // (the conventional "state at the time" preference). Composed from
+    // BOTH direction primitives — two per-key running-scalar windows
+    // joined co-keyed on the probe — so the oracle's two native DuckDB
+    // ASOF JOINs check the same composition independently.
+    "events_asof_nearest" -> ((s, dir) => {
+      val hUs = 3600000000L
+      val ev = Sources.events(s, dir)
+      val b = events.AsofJoin.lastEventBefore(ev, "error", "click")
+      val f = events.AsofJoin.nextEventAfter(ev, "error", "click")
+        .select(col("event_id"), col("next_match_ts_us"))
+      b.join(f, "event_id")
+        .withColumn("bgap", when(col("last_match_ts_us").isNotNull &&
+          col("ts_us") - col("last_match_ts_us") <= hUs,
+          col("ts_us") - col("last_match_ts_us")))
+        .withColumn("fgap", when(col("next_match_ts_us").isNotNull &&
+          col("next_match_ts_us") - col("ts_us") <= hUs,
+          col("next_match_ts_us") - col("ts_us")))
+        .withColumn("dir",
+          when(col("bgap").isNotNull &&
+            (col("fgap").isNull || col("bgap") <= col("fgap")), "back")
+            .when(col("fgap").isNotNull, "fwd")
+            .otherwise("none"))
+        .withColumn("gap_us",
+          when(col("dir") === "back", col("bgap"))
+            .when(col("dir") === "fwd", col("fgap")))
+        .withColumn("nearest_match_ts_us",
+          when(col("dir") === "back", col("last_match_ts_us"))
+            .when(col("dir") === "fwd", col("next_match_ts_us")))
+        .select("event_id", "user_id", "ts_us", "nearest_match_ts_us",
+          "gap_us", "dir")
+        .orderBy("event_id")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -13283,5 +13399,99 @@ object SparkEntry {
         |  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) / CAST(mau AS DOUBLE)
         |    AS stickiness
         |FROM agg a JOIN mau USING (w30) ORDER BY w30""".stripMargin,
+
+    "events_pr_curve" ->
+      """WITH grain AS (
+        |  SELECT CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS sc,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nn
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT sc, row_number() OVER (ORDER BY sc DESC) AS rn,
+        |    CAST(sum(np) OVER (ORDER BY sc DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tp,
+        |    CAST(sum(nn) OVER (ORDER BY sc DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_fp,
+        |    ntile(10) OVER (ORDER BY sc DESC) AS tile,
+        |    CAST(sum(np) OVER () AS BIGINT) AS tot_p
+        |  FROM grain),
+        |b AS (SELECT tile, max(rn) AS brn FROM r GROUP BY 1)
+        |SELECT r.tile, r.sc AS threshold_cents, cum_tp, cum_fp,
+        |  CAST(cum_tp AS DOUBLE) / CAST(cum_tp + cum_fp AS DOUBLE)
+        |    AS "precision",
+        |  CAST(cum_tp AS DOUBLE) / CAST(tot_p AS DOUBLE) AS recall,
+        |  2.0e0 * (CAST(cum_tp AS DOUBLE) / CAST(cum_tp + cum_fp AS DOUBLE))
+        |    * (CAST(cum_tp AS DOUBLE) / CAST(tot_p AS DOUBLE))
+        |    / nullif((CAST(cum_tp AS DOUBLE) / CAST(cum_tp + cum_fp AS DOUBLE))
+        |             + (CAST(cum_tp AS DOUBLE) / CAST(tot_p AS DOUBLE)), 0.0)
+        |    AS f1
+        |FROM r JOIN b ON r.tile = b.tile AND r.rn = b.brn
+        |ORDER BY r.tile""".stripMargin,
+
+    "events_lift_gain" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS clicks,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS buyer
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT *, ntile(10) OVER (ORDER BY clicks DESC, user_id)
+        |        AS decile FROM u),
+        |d AS (SELECT decile, count(*) AS n_users,
+        |        CAST(sum(buyer) AS BIGINT) AS n_buyers
+        |      FROM t GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sum(n_users) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_users,
+        |    CAST(sum(n_buyers) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_buyers,
+        |    CAST(sum(n_users) OVER () AS BIGINT) AS tot_users,
+        |    CAST(sum(n_buyers) OVER () AS BIGINT) AS tot_buyers
+        |  FROM d)
+        |SELECT decile, n_users, n_buyers, cum_buyers,
+        |  CAST(cum_buyers AS DOUBLE) / CAST(tot_buyers AS DOUBLE) AS gain,
+        |  (CAST(cum_buyers AS DOUBLE) / CAST(tot_buyers AS DOUBLE))
+        |    / (CAST(cum_users AS DOUBLE) / CAST(tot_users AS DOUBLE)) AS lift
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "events_asof_nearest" ->
+      """WITH us AS (SELECT * REPLACE (epoch_us(ts) AS ts) FROM events),
+        |probe AS (SELECT * FROM us WHERE event_type = 'error'),
+        |matches AS (SELECT * FROM us WHERE event_type = 'click'),
+        |bk AS (SELECT p.event_id, p.user_id, p.ts AS ts_us, m.ts AS bts
+        |       FROM probe p ASOF LEFT JOIN matches m
+        |         ON p.user_id = m.user_id AND p.ts >= m.ts),
+        |fw AS (SELECT p.event_id, m.ts AS fts
+        |       FROM probe p ASOF LEFT JOIN matches m
+        |         ON p.user_id = m.user_id AND p.ts <= m.ts),
+        |g AS (
+        |  SELECT bk.event_id, bk.user_id, bk.ts_us,
+        |    CASE WHEN bts IS NOT NULL AND ts_us - bts <= 3600000000
+        |         THEN ts_us - bts END AS bgap,
+        |    CASE WHEN fts IS NOT NULL AND fts - ts_us <= 3600000000
+        |         THEN fts - ts_us END AS fgap,
+        |    bts, fts
+        |  FROM bk JOIN fw USING (event_id)),
+        |dd AS (
+        |  SELECT *,
+        |    CASE WHEN bgap IS NOT NULL AND (fgap IS NULL OR bgap <= fgap)
+        |           THEN 'back'
+        |         WHEN fgap IS NOT NULL THEN 'fwd'
+        |         ELSE 'none' END AS dir
+        |  FROM g)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN dir = 'back' THEN bts
+        |       WHEN dir = 'fwd' THEN fts END AS nearest_match_ts_us,
+        |  CASE WHEN dir = 'back' THEN bgap
+        |       WHEN dir = 'fwd' THEN fgap END AS gap_us,
+        |  dir
+        |FROM dd ORDER BY event_id""".stripMargin,
   )
 }

@@ -331,4 +331,101 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_days")).sum ==
       evs.map(_._1).distinct.length.toLong, "windows partition the days")
   }
+
+  /** Standard ntile: with n rows and k tiles, the first (n mod k) tiles
+    * hold ceil(n/k) rows, the rest floor(n/k). */
+  private def ntileSizes(n: Int, k: Int): Seq[Int] = {
+    val base = n / k; val extra = n % k
+    (1 to k).map(t => if (t <= extra) base + 1 else base)
+  }
+
+  test("pr curve: decile thresholds replay cumulative TP/FP on the score grain") {
+    val evs = Sources.events(spark, sfDir)
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("sc"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val grain = evs.groupBy(_._1).toSeq.map { case (sc, xs) =>
+      (sc, xs.map(_._2).sum, xs.length.toLong - xs.map(_._2).sum)
+    }.sortBy(-_._1)
+    val totP = grain.map(_._2).sum
+    val cums = grain.scanLeft((0L, 0L)) { case ((tp, fp), (_, np, nn)) =>
+      (tp + np, fp + nn)
+    }.tail
+    val sizes = ntileSizes(grain.length, 10)
+    val boundaries = sizes.scanLeft(0)(_ + _).tail // last rn of each tile
+    val rows = SparkEntry.queries("events_pr_curve")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val brn = boundaries(i)
+      assert(r.getAs[Long]("threshold_cents") == grain(brn - 1)._1)
+      val (tp, fp) = cums(brn - 1)
+      assert(r.getAs[Long]("cum_tp") == tp && r.getAs[Long]("cum_fp") == fp)
+      assert(r.getAs[Double]("precision") == tp.toDouble / (tp + fp).toDouble)
+      assert(r.getAs[Double]("recall") == tp.toDouble / totP.toDouble)
+    }
+    // Recall is monotone in the threshold sweep; the last tile covers all.
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    assert(recalls.last == 1.0)
+  }
+
+  test("lift/gain: decile table replays; the full book has gain = lift = 1") {
+    val users = Sources.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ranked = users.sortBy(u => (-u._2, u._1))
+    val sizes = ntileSizes(ranked.length, 10)
+    val rows = SparkEntry.queries("events_lift_gain")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    var off = 0
+    val totB = users.map(_._3).sum
+    var cumB = 0L
+    var cumU = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val tile = ranked.slice(off, off + sizes(i)); off += sizes(i)
+      cumU += tile.length; cumB += tile.map(_._3).sum
+      assert(r.getAs[Long]("n_users") == tile.length.toLong)
+      assert(r.getAs[Long]("n_buyers") == tile.map(_._3).sum)
+      assert(r.getAs[Long]("cum_buyers") == cumB)
+      assert(r.getAs[Double]("gain") == cumB.toDouble / totB.toDouble)
+    }
+    assert(rows.last.getAs[Double]("gain") == 1.0)
+    assert(rows.last.getAs[Double]("lift") == 1.0)
+  }
+
+  test("asof nearest: brute per-probe scan, backward wins ties, horizon binds") {
+    val evs = Sources.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicksByUser: Map[Long, Seq[Long]] =
+      evs.filter(_._3 == "click").groupBy(_._2)
+        .map { case (u, xs) => u -> xs.map(_._4).toSeq.sorted }
+    val h = 3600000000L
+    val rows = SparkEntry.queries("events_asof_nearest")(spark, sfDir).collect()
+    val probes = evs.filter(_._3 == "error")
+    assert(rows.length == probes.length)
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    probes.foreach { case (id, u, _, t) =>
+      val cs = clicksByUser.getOrElse(u, Seq.empty)
+      val bgap = cs.filter(_ <= t).lastOption.map(t - _).filter(_ <= h)
+      val fgap = cs.find(_ >= t).map(_ - t).filter(_ <= h)
+      val r = byId(id)
+      (bgap, fgap) match {
+        case (Some(bg), fg) if fg.forall(bg <= _) =>
+          assert(r.getAs[String]("dir") == "back", s"event $id")
+          assert(r.getAs[Long]("gap_us") == bg)
+          assert(r.getAs[Long]("nearest_match_ts_us") == t - bg)
+        case (_, Some(fg)) =>
+          assert(r.getAs[String]("dir") == "fwd", s"event $id")
+          assert(r.getAs[Long]("gap_us") == fg)
+          assert(r.getAs[Long]("nearest_match_ts_us") == t + fg)
+        case _ =>
+          assert(r.getAs[String]("dir") == "none", s"event $id")
+          assert(r.isNullAt(r.fieldIndex("gap_us")))
+      }
+    }
+  }
 }

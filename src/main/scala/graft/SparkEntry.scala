@@ -8346,6 +8346,92 @@ object SparkEntry {
           "gap_us", "dir")
         .orderBy("event_id")
     }),
+
+    // ROLLING 7-DAY DISTINCT USERS FROM DAILY KMV SKETCHES — the
+    // approximate sibling of events_rolling_active's exact bounded
+    // explode and events_bitmap_rollup's exact bitmaps, for the scale
+    // where per-day user bitmaps are too big: one corpus pass builds a
+    // 256-hash sketch per day, every trailing window answers by the
+    // plain-SQL KMV merge algebra (slice∘sort∘distinct∘flatten — the
+    // KmvSpec-proven union), so the rolling question costs O(days·k)
+    // however many users exist. The exact count rides beside the
+    // estimate as the in-query audit with the 2× sanity band enforced;
+    // the oracle re-derives the merged sketch as top-k of the full
+    // distinct hash union (provably identical).
+    "events_kmv_rolling" -> ((s, dir) => {
+      val k = 256
+      val kc = lit((k - 1).toDouble * functions.KmvUtil.HashSpan)
+      def estOf(kmv: Column) =
+        when(size(kmv) < k, size(kmv).cast("double"))
+          .otherwise(kc / element_at(kmv, k).cast("double"))
+      val ev = Sources.events(s, dir)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          col("user_id").cast("string").as("u"))
+      val maxd = ev.agg(max(col("day")).as("maxd"))
+      val daily = ev.groupBy("day").agg(expr(s"kmv_agg(u, $k)").as("kmv"))
+      val est = daily
+        .select(explode(sequence(col("day"), col("day") + 6)).as("t"),
+          col("kmv"))
+        .crossJoin(broadcast(maxd)).filter(col("t") <= col("maxd"))
+        .groupBy("t")
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, k).as("kmv"))
+      val exact = ev.distinct()
+        .select(explode(sequence(col("day"), col("day") + 6)).as("t"), col("u"))
+        .crossJoin(broadcast(maxd)).filter(col("t") <= col("maxd"))
+        .groupBy("t").agg(countDistinct(col("u")).as("n_exact"))
+      est.join(exact, "t")
+        .select(col("t").as("day"), col("n_exact"),
+          size(col("kmv")).cast("long").as("kmv_size"),
+          estOf(col("kmv")).as("n_est"))
+        .withColumn("n_est", when(assert_true(
+          col("n_est") >= col("n_exact") * 0.5 &&
+            col("n_est") <= col("n_exact") * 2.0,
+          lit("KMV rolling estimate outside the 2x sanity band")).isNull,
+          col("n_est")))
+        .orderBy("day")
+    }),
+
+    // QUALITY-GATE ABLATION — which signal does the work: per gate
+    // signal, how many docs violate it at all vs violate ONLY it (=
+    // exactly the docs waiving that signal would rescue). The signal
+    // definitions and thresholds are the SAME TextAnalysis constants
+    // the gate itself runs on (interpolated into both engines — the
+    // qualityGateSql lesson), so this audit can never drift from the
+    // gate it audits. One shuffle-free signal pass + one conditional
+    // aggregate + stack() — the corpus is scanned once.
+    "docs_quality_ablation" -> ((s, dir) => {
+      import text.TextAnalysis.{GateMinWords, GateMaxTopWordRatio, GateMinQuality}
+      val g = qualityGate(Sources.documents(s, dir))
+        .withColumn("f_short", (col("n_words") < GateMinWords).cast("long"))
+        .withColumn("f_lang", (col("lang_id") === "und").cast("long"))
+        .withColumn("f_rep",
+          (col("top_word_ratio") > GateMaxTopWordRatio).cast("long"))
+        .withColumn("f_qual",
+          (col("quality_score") < GateMinQuality).cast("long"))
+        .withColumn("nf",
+          col("f_short") + col("f_lang") + col("f_rep") + col("f_qual"))
+      g.agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_keep"),
+          sum(col("f_short")).as("a1"),
+          sum(when(col("f_short") === 1 && col("nf") === 1, 1L).otherwise(0L))
+            .as("s1"),
+          sum(col("f_lang")).as("a2"),
+          sum(when(col("f_lang") === 1 && col("nf") === 1, 1L).otherwise(0L))
+            .as("s2"),
+          sum(col("f_rep")).as("a3"),
+          sum(when(col("f_rep") === 1 && col("nf") === 1, 1L).otherwise(0L))
+            .as("s3"),
+          sum(col("f_qual")).as("a4"),
+          sum(when(col("f_qual") === 1 && col("nf") === 1, 1L).otherwise(0L))
+            .as("s4"))
+        .selectExpr("n_docs", "n_keep",
+          "stack(4, 'too_short', a1, s1, 'lang_unknown', a2, s2, " +
+            "'repetitive', a3, s3, 'low_quality', a4, s4) " +
+            "AS (signal, n_fail, n_sole_fail)")
+        .select("signal", "n_fail", "n_sole_fail", "n_docs", "n_keep")
+        .orderBy("signal")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -13493,5 +13579,69 @@ object SparkEntry {
         |       WHEN dir = 'fwd' THEN fgap END AS gap_us,
         |  dir
         |FROM dd ORDER BY event_id""".stripMargin,
+
+    "events_kmv_rolling" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(user_id AS VARCHAR) AS u
+        |  FROM events),
+        |mx AS (SELECT max(day) AS maxd FROM e),
+        |hh AS (SELECT DISTINCT day,
+        |         CAST(concat('0x', substring(md5(concat('kmv:', u)), 1, 8))
+        |           AS BIGINT) AS h
+        |       FROM e),
+        |tg AS (SELECT day + i.i AS t, h
+        |       FROM hh CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i),
+        |tgd AS (SELECT DISTINCT t, h FROM tg CROSS JOIN mx WHERE t <= maxd),
+        |r AS (SELECT t, h,
+        |        row_number() OVER (PARTITION BY t ORDER BY h) AS rn,
+        |        count(*) OVER (PARTITION BY t) AS nd
+        |      FROM tgd),
+        |kt AS (SELECT t, max(CASE WHEN rn = 256 THEN h END) AS h_k,
+        |         CAST(least(max(nd), 256) AS BIGINT) AS ks
+        |       FROM r WHERE rn <= 256 GROUP BY 1),
+        |uex AS (SELECT t, count(DISTINCT u) AS n_exact
+        |        FROM (SELECT day + i.i AS t, u
+        |              FROM e CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i) s
+        |        CROSS JOIN mx WHERE t <= maxd GROUP BY 1)
+        |SELECT kt.t AS day, n_exact, ks AS kmv_size,
+        |  CASE WHEN ks < 256 THEN CAST(ks AS DOUBLE)
+        |       ELSE (255 * 4294967296.0) / h_k END AS n_est
+        |FROM kt JOIN uex ON kt.t = uex.t
+        |ORDER BY 1""".stripMargin,
+
+    "docs_quality_ablation" -> {
+      import text.TextAnalysis.{GateMinWords, GateMaxTopWordRatio, GateMinQuality}
+      s"""WITH ${qualityGateSql("documents")},
+         |f AS (
+         |  SELECT *,
+         |    CAST(n_words < $GateMinWords AS BIGINT) AS f1,
+         |    CAST(lang_id = 'und' AS BIGINT) AS f2,
+         |    CAST(top_word_ratio > $GateMaxTopWordRatio AS BIGINT) AS f3,
+         |    CAST(quality_score < $GateMinQuality AS BIGINT) AS f4
+         |  FROM gate),
+         |a AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_keep,
+         |    CAST(sum(f1) AS BIGINT) AS a1,
+         |    CAST(sum(CASE WHEN f1 = 1 AND f1+f2+f3+f4 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s1,
+         |    CAST(sum(f2) AS BIGINT) AS a2,
+         |    CAST(sum(CASE WHEN f2 = 1 AND f1+f2+f3+f4 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s2,
+         |    CAST(sum(f3) AS BIGINT) AS a3,
+         |    CAST(sum(CASE WHEN f3 = 1 AND f1+f2+f3+f4 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s3,
+         |    CAST(sum(f4) AS BIGINT) AS a4,
+         |    CAST(sum(CASE WHEN f4 = 1 AND f1+f2+f3+f4 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s4
+         |  FROM f)
+         |SELECT signal, n_fail, n_sole_fail, n_docs, n_keep FROM (
+         |  SELECT 'too_short' AS signal, a1 AS n_fail, s1 AS n_sole_fail,
+         |    n_docs, n_keep FROM a
+         |  UNION ALL SELECT 'lang_unknown', a2, s2, n_docs, n_keep FROM a
+         |  UNION ALL SELECT 'repetitive', a3, s3, n_docs, n_keep FROM a
+         |  UNION ALL SELECT 'low_quality', a4, s4, n_docs, n_keep FROM a)
+         |ORDER BY signal""".stripMargin
+    },
   )
 }

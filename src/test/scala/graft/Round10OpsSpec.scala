@@ -428,4 +428,69 @@ class Round10OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("kmv rolling: merged daily sketches estimate == directly-built window sketch") {
+    import org.apache.spark.sql.functions.{col, expr, explode, sequence, max => smax}
+    val ev = Sources.events(spark, sfDir)
+      .select(expr("ts DIV 86400000000000").as("day"),
+        col("user_id").cast("string").as("u"))
+    val maxd = ev.agg(smax(col("day"))).collect()(0).getLong(0)
+    // Direct per-window sketch: one kmv_agg over the exploded window rows.
+    val direct = ev
+      .select(explode(sequence(col("day"), col("day") + 6)).as("t"), col("u"))
+      .filter(col("t") <= maxd)
+      .groupBy("t").agg(expr("kmv_agg(u, 256)").as("kmv"))
+      .select(col("t"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.size(col("kmv")) < 256,
+          org.apache.spark.sql.functions.size(col("kmv")).cast("double"))
+          .otherwise(org.apache.spark.sql.functions.lit(
+            255.0 * graft.functions.KmvUtil.HashSpan) /
+            org.apache.spark.sql.functions.element_at(col("kmv"), 256)
+              .cast("double")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = SparkEntry.queries("events_kmv_rolling")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day")
+      assert(r.getAs[Double]("n_est") == direct(d), s"day $d")
+      assert(r.getAs[Long]("n_exact") > 0)
+    }
+  }
+
+  test("quality ablation: sole-fails bound fails; keep + any-fail partitions docs") {
+    val rows = SparkEntry.queries("docs_quality_ablation")(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val nDocs = rows.head.getAs[Long]("n_docs")
+    val nKeep = rows.head.getAs[Long]("n_keep")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sole_fail") <= r.getAs[Long]("n_fail"))
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("n_keep") == nKeep)
+    }
+    // Driver replay of the signal booleans over the public gate signals.
+    import text.TextAnalysis.{GateMinWords, GateMaxTopWordRatio, GateMinQuality}
+    val g = text.TextAnalysis
+      .withGateSignals(Sources.documents(spark, sfDir).select("doc_id", "text"), "text")
+      .withColumn("twr", text.TextAnalysis.topWordRatio(col("text")))
+      .select(col("n_words").cast("long"), col("lang_id"),
+        col("twr").cast("double"), col("quality_score").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(nDocs == g.length.toLong)
+    val fails = g.map { case (w, l, t, q) =>
+      (w < GateMinWords, l == "und", t > GateMaxTopWordRatio, q < GateMinQuality)
+    }
+    def cnt(pick: ((Boolean, Boolean, Boolean, Boolean)) => Boolean): Long =
+      fails.count(pick).toLong
+    def sole(pick: ((Boolean, Boolean, Boolean, Boolean)) => Boolean): Long =
+      fails.count(f => pick(f) &&
+        Seq(f._1, f._2, f._3, f._4).count(identity) == 1).toLong
+    val byName = rows.map(r => r.getAs[String]("signal") ->
+      (r.getAs[Long]("n_fail"), r.getAs[Long]("n_sole_fail"))).toMap
+    assert(byName("too_short") == ((cnt(_._1), sole(_._1))))
+    assert(byName("lang_unknown") == ((cnt(_._2), sole(_._2))))
+    assert(byName("repetitive") == ((cnt(_._3), sole(_._3))))
+    assert(byName("low_quality") == ((cnt(_._4), sole(_._4))))
+    assert(nKeep == fails.count(f => !f._1 && !f._2 && !f._3 && !f._4).toLong)
+  }
 }

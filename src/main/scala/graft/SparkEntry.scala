@@ -8432,6 +8432,102 @@ object SparkEntry {
         .select("signal", "n_fail", "n_sole_fail", "n_docs", "n_keep")
         .orderBy("signal")
     }),
+
+    // MULTIMODAL NEAR-DUP (perceptual-hash shape) — the near-duplicate
+    // tier for binary assets beside mm_dedup_exact's content addressing:
+    // a 60-bit chunk-hash signature (15 payload chunks × 4 md5 bits —
+    // where a real pipeline computes pHash/aHash from decoded pixels,
+    // the banding/verify plumbing is identical and the chunk hash is the
+    // deterministic offline stand-in), banded 4×15 bits so near-equal
+    // signatures meet in ≥2 buckets, verified by bit_count(xor) ≤ 8.
+    // Near-copies are injected in-query (one mutated middle chunk,
+    // disjoint id space — the docs_cross_source_dup discipline) since
+    // the fixture has no natural near-dups. Never all-pairs: candidates
+    // come only from band buckets.
+    "mm_phash_near_dup" -> ((s, dir) => {
+      val base = Sources.documents(s, dir)
+        .select(col("doc_id").as("media_id"), col("text").as("txt"))
+      val copies = base.filter(col("media_id") % 37 === 5)
+        .select((col("media_id") + 1000000L).as("media_id"),
+          concat(expr("substring(txt, 1, length(txt) div 2)"), lit("XX"),
+            expr("substring(txt, length(txt) div 2 + 3, length(txt))"))
+            .as("txt"))
+      val assets = base.unionByName(copies)
+      val clen = "((length(txt) + 14) div 15)"
+      val phashExpr = (0 until 15).map { i =>
+        s"(conv(substring(md5(cast(concat('ph:', substring(txt, $i * $clen + 1, $clen)) as binary)), 1, 1), 16, 10) * cast(${1L << (4 * i)} as bigint))"
+      }.mkString("(", " + ", ")")
+      val ph = util.Views.materialize(
+        assets.select(col("media_id"), expr(phashExpr).cast("long").as("phash")))
+      val bands = ph.select(col("media_id"), col("phash"),
+          explode(expr("array(0, 1, 2, 3)")).as("b"))
+        .withColumn("bv", expr("shiftright(phash, b * 15) % 32768"))
+      bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+          expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // PER-DIMENSION EMBEDDING VARIANCE — the feature-selection audit
+    // beside emb_norm_audit's per-vector hygiene: which dimensions
+    // carry signal (variance) and which are near-constant (candidates
+    // for pruning before an index build). One posexplode + one keyed
+    // aggregate on 1e-4-quantized components (q² sums stay BIGINT at
+    // 100× data); mean and variance close with two IEEE divisions;
+    // variance rank over the |dims|-row aggregate only.
+    "emb_dim_variance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ex = Sources.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("pos").cast("long").as("dim_idx"),
+          floor(col("x").cast("double") * 1e4 + 0.5).cast("long").as("q"))
+      ex.groupBy("dim_idx")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+          sum(col("q") * col("q")).as("s2"))
+        .withColumn("mean",
+          col("s1").cast("double") / col("n").cast("double") / 1e4)
+        .withColumn("variance",
+          (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n").cast("double") * col("n").cast("double")) / 1e8)
+        .withColumn("var_rank", row_number().over(
+          Window.orderBy(col("variance").desc, col("dim_idx"))))
+        .select("dim_idx", "n", "mean", "variance", "var_rank")
+        .orderBy("dim_idx")
+    }),
+
+    // GOLDEN/DEATH CROSS detection — the crossover-event member of the
+    // indicator family (sma gives the level, this the state CHANGE):
+    // SMA(5) vs SMA(20) adjudicated as the PURE-INTEGER comparison
+    // 4·sum5 > sum20 (scale both sides by 20 — no division before the
+    // comparison), crossings = days where the state flips vs lag. Emits
+    // only the crossing days; per-symbol ROWS frames throughout.
+    "yf_golden_cross" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("cq", expr("cs div nb"))
+      val wo = Window.partitionBy("symbol").orderBy("Date")
+      val st = daily
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("sum5", sum(col("cq")).over(wo.rowsBetween(-4, 0)))
+        .withColumn("sum20", sum(col("cq")).over(wo.rowsBetween(-19, 0)))
+        .withColumn("fast_above",
+          when(col("rn") >= 20, (col("sum5") * 4L > col("sum20")).cast("int")))
+        .withColumn("prev_above", lag(col("fast_above"), 1).over(wo))
+      st.filter(col("fast_above").isNotNull && col("prev_above").isNotNull &&
+          col("fast_above") =!= col("prev_above"))
+        .select(col("symbol"), col("Date").cast("date").cast("string").as("d"),
+          when(col("fast_above") === 1, "golden").otherwise("death")
+            .as("direction"))
+        .orderBy("symbol", "d")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -13643,5 +13739,86 @@ object SparkEntry {
          |  UNION ALL SELECT 'low_quality', a4, s4, n_docs, n_keep FROM a)
          |ORDER BY signal""".stripMargin
     },
+
+    "mm_phash_near_dup" -> {
+      val clen = "((length(txt) + 14) // 15)"
+      val phash = (0 until 15).map { i =>
+        s"(CAST(concat('0x', substr(md5(concat('ph:', substring(txt, $i * $clen + 1, $clen))), 1, 1)) AS BIGINT) * ${1L << (4 * i)})"
+      }.mkString("(", " + ", ")")
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id, text AS txt FROM documents),
+         |copies AS (
+         |  SELECT media_id + 1000000 AS media_id,
+         |    substring(txt, 1, length(txt) // 2) || 'XX' ||
+         |      substring(txt, length(txt) // 2 + 3, length(txt)) AS txt
+         |  FROM base WHERE media_id % 37 = 5),
+         |assets AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+         |ph AS (SELECT media_id, $phash AS phash FROM assets),
+         |bands AS (
+         |  SELECT media_id, phash, b.b AS b,
+         |    (phash >> (b.b * 15)) % 32768 AS bv
+         |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+         |pairs AS (
+         |  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+         |    CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bv = y.bv AND x.media_id < y.media_id)
+         |SELECT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "emb_dim_variance" ->
+      """WITH ex AS (
+        |  SELECT CAST(i AS BIGINT) - 1 AS dim_idx,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+        |      AS q
+        |  FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |m AS (
+        |  SELECT dim_idx, count(*) AS n, CAST(sum(q) AS BIGINT) AS s1,
+        |    CAST(sum(q * q) AS BIGINT) AS s2
+        |  FROM ex GROUP BY 1)
+        |SELECT dim_idx, n,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e4 AS mean,
+        |  CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e8 AS variance,
+        |  row_number() OVER (ORDER BY
+        |    CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e8 DESC, dim_idx)
+        |    AS var_rank
+        |FROM m ORDER BY dim_idx""".stripMargin,
+
+    "yf_golden_cross" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS cq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |st AS (
+         |  SELECT symbol, "Date", cq,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY "Date") AS rn,
+         |    CAST(sum(cq) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum5,
+         |    CAST(sum(cq) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum20
+         |  FROM daily),
+         |fa AS (
+         |  SELECT symbol, "Date",
+         |    CASE WHEN rn >= 20 THEN
+         |      CAST(sum5 * 4 > sum20 AS INTEGER) END AS fast_above
+         |  FROM st),
+         |lg AS (
+         |  SELECT symbol, "Date", fast_above,
+         |    lag(fast_above) OVER (PARTITION BY symbol ORDER BY "Date")
+         |      AS prev_above
+         |  FROM fa)
+         |SELECT symbol, CAST(CAST("Date" AS DATE) AS VARCHAR) AS d,
+         |  CASE WHEN fast_above = 1 THEN 'golden' ELSE 'death' END AS direction
+         |FROM lg
+         |WHERE fast_above IS NOT NULL AND prev_above IS NOT NULL
+         |  AND fast_above <> prev_above
+         |ORDER BY symbol, d""".stripMargin,
   )
 }

@@ -493,4 +493,81 @@ class Round10OpsSpec extends SparkSpec {
     assert(byName("low_quality") == ((cnt(_._4), sole(_._4))))
     assert(nKeep == fails.count(f => !f._1 && !f._2 && !f._3 && !f._4).toLong)
   }
+
+  test("phash near-dup: every injected near-copy pair is found") {
+    val injected = Sources.documents(spark, sfDir)
+      .filter(col("doc_id") % 37 === 5 && length(col("text")) >= 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("mm_phash_near_dup")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming")))
+    rows.foreach { case (a, b, h) =>
+      assert(a < b && h >= 0 && h <= 8)
+    }
+    // The injected (id, id+1e6) pair must survive banding + the hamming
+    // cut: only 1-2 chunk nibbles differ (<= 8 bits) and at least one
+    // of the four 15-bit bands is untouched.
+    injected.foreach { id =>
+      assert(rows.exists(p => p._1 == id && p._2 == id + 1000000L),
+        s"injected near-copy pair for doc $id missing")
+    }
+  }
+
+  test("dim variance: brute per-dimension moments, rank consistent") {
+    val vecs = Sources.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1e4 + 0.5).toLong))
+    val rows = SparkEntry.queries("emb_dim_variance")(spark, sfDir).collect()
+    assert(rows.length == vecs.head.length)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dim_idx").toInt
+      val qs = vecs.map(_(d))
+      val n = qs.length.toLong
+      val s1 = qs.sum; val s2 = qs.map(q => q * q).sum
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("mean") == s1.toDouble / n.toDouble / 1e4)
+      assert(r.getAs[Double]("variance") ==
+        (n * s2 - s1 * s1).toDouble / (n.toDouble * n.toDouble) / 1e8)
+      assert(r.getAs[Double]("variance") >= 0.0)
+    }
+    val ranks = rows.sortBy(_.getAs[Int]("var_rank"))
+      .map(_.getAs[Double]("variance"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b },
+      "rank order matches descending variance")
+  }
+
+  test("golden cross: every emitted day is a genuine state flip") {
+    val daily = Sources.ohlcv(spark, sfDir)
+      .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+      .groupBy("symbol", "Date")
+      .agg(sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("cs"),
+        count(lit(1)).as("nb"))
+      .select(col("symbol"), col("Date").cast("date").cast("string").as("d"),
+        expr("cs div nb").as("cq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = SparkEntry.queries("yf_golden_cross")(spark, sfDir).collect()
+    val bySym = daily.groupBy(_._1)
+    // Brute state series per symbol; collect expected flips.
+    val expected = bySym.flatMap { case (sym, xs) =>
+      val cq = xs.sortBy(_._2).map(x => (x._2, x._3))
+      val states = cq.indices.map { i =>
+        if (i < 19) None
+        else {
+          val s5 = cq.slice(i - 4, i + 1).map(_._2).sum
+          val s20 = cq.slice(i - 19, i + 1).map(_._2).sum
+          Some(s5 * 4 > s20)
+        }
+      }
+      cq.indices.flatMap { i =>
+        (states(i), if (i > 0) states(i - 1) else None) match {
+          case (Some(cur), Some(prev)) if cur != prev =>
+            Some((sym, cq(i)._1, if (cur) "golden" else "death"))
+          case _ => None
+        }
+      }
+    }.toSet
+    assert(rows.map(r => (r.getAs[Long]("symbol"), r.getAs[String]("d"),
+      r.getAs[String]("direction"))).toSet == expected)
+    assert(rows.nonEmpty)
+  }
 }

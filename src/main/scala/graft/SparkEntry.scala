@@ -8528,6 +8528,118 @@ object SparkEntry {
             .as("direction"))
         .orderBy("symbol", "d")
     }),
+
+    // JARQUE–BERA normality test — closes the classical-test family's
+    // normality gap (z, χ², KS, U, F, t so far): JB = n·(g1²/6 + g2²/24)
+    // from the SAME pure-integer central-moment expansions as
+    // yf_kurtosis_skew (A/B/C in DECIMAL(38,0) ⇔ HUGEINT, VARCHAR
+    // crossing), verdict against the build-time χ²₂ 95% critical value
+    // 5.991. Per-symbol daily q4 changes; one keyed aggregate.
+    "yf_jarque_bera" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d38 = DecimalType(38, 0)
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("xq", expr("cs div nb"))
+      val wo = Window.partitionBy("symbol").orderBy("Date")
+      val d = daily.withColumn("x", col("xq") - lag(col("xq"), 1).over(wo))
+        .filter(col("x").isNotNull)
+      val m = d.groupBy("symbol").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .filter(col("n") >= 3)
+      val n = col("n").cast(d38)
+      val (s1, s2, s3, s4) = (col("s1").cast(d38), col("s2").cast(d38),
+        col("s3").cast(d38), col("s4").cast(d38))
+      m.withColumn("a", (n * s2 - s1 * s1).cast("double"))
+        .withColumn("b", (n * n * s3 - lit(3).cast(d38) * n * s1 * s2 +
+          lit(2).cast(d38) * s1 * s1 * s1).cast("double"))
+        .withColumn("c", (n * n * n * s4 -
+          lit(4).cast(d38) * n * n * s1 * s3 +
+          lit(6).cast(d38) * n * s1 * s1 * s2 -
+          lit(3).cast(d38) * s1 * s1 * s1 * s1).cast("double"))
+        .withColumn("g1", col("b") / nullif(col("a") * sqrt(col("a")), lit(0.0)))
+        .withColumn("g2",
+          col("c") / nullif(col("a") * col("a"), lit(0.0)) - lit(3.0))
+        .withColumn("jb", col("n").cast("double") *
+          (col("g1") * col("g1") / lit(6.0) +
+            col("g2") * col("g2") / lit(24.0)))
+        .withColumn("reject_normal", (col("jb") > lit(5.991)).cast("int"))
+        .select("symbol", "n", "jb", "reject_normal")
+        .orderBy("symbol")
+    }),
+
+    // HAPAX RATIO — vocabulary-richness profile per language: the share
+    // of the vocabulary seen exactly once (hapax legomena) and its
+    // token-mass share, the lexical-diversity readout beside
+    // word-entropy and Zipf slope (a high hapax share predicts a long
+    // vocabulary tail — tokenizer-budget planning input). Two keyed
+    // aggregates on the (lang, word) grain; ratios are final IEEE
+    // divisions of exact counts.
+    "text_hapax_ratio" -> ((s, dir) => {
+      val wc = Sources.documents(s, dir)
+        .select(col("lang"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("lang")
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("c")).as("tokens"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+        .withColumn("hapax_vocab_share",
+          col("hapax").cast("double") / col("vocab").cast("double"))
+        .withColumn("hapax_token_share",
+          col("hapax").cast("double") / col("tokens").cast("double"))
+        .orderBy("lang")
+    }),
+
+    // GLOBAL CLUSTERING COEFFICIENT — 3·triangles / open-wedge count
+    // Σ C(d,2): the transitivity number completing the structural
+    // readouts (triangles = count, assortativity = degree mixing, this
+    // = closure probability). Reuses the degree-ordered orientation
+    // (wedges enumerated over out-neighbors only — the √(2m) hub
+    // guard); the denominator needs no join at all, it re-aggregates
+    // the degree table. One row out.
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val op = Sources.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = util.Views.materialize(
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("u", "v"))
+      val deg = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val pi = deg.select(col("n"),
+        (col("dg") * lit(10000000000L) + col("n")).as("pi"))
+      val oriented = util.Views.materialize(edges
+        .join(pi.select(col("n").as("u"), col("pi").as("pi_u")), "u")
+        .join(pi.select(col("n").as("v"), col("pi").as("pi_v")), "v")
+        .select(
+          when(col("pi_u") < col("pi_v"), col("u")).otherwise(col("v")).as("src"),
+          when(col("pi_u") < col("pi_v"), col("v")).otherwise(col("u")).as("dst"),
+          greatest(col("pi_u"), col("pi_v")).as("pi_dst")))
+      val owedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.pi_dst") < col("e2.pi_dst"))
+        .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
+      val triangles = owedges.join(oriented,
+        col("b") === col("src") && col("c") === col("dst"))
+      deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+        .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+        .crossJoin(broadcast(triangles.agg(count(lit(1)).as("n_triangles"))))
+        .withColumn("global_cc", (col("n_triangles") * 3L).cast("double") /
+          nullif(col("n_wedges").cast("double"), lit(0.0)))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "global_cc")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -13820,5 +13932,90 @@ object SparkEntry {
          |WHERE fast_above IS NOT NULL AND prev_above IS NOT NULL
          |  AND fast_above <> prev_above
          |ORDER BY symbol, d""".stripMargin,
+
+    "yf_jarque_bera" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS xq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  SELECT symbol,
+         |    xq - lag(xq) OVER (PARTITION BY symbol ORDER BY "Date") AS x
+         |  FROM daily),
+         |m AS (
+         |  SELECT symbol, count(*) AS n,
+         |    sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3,
+         |    sum(x*x*x*x) AS s4
+         |  FROM d WHERE x IS NOT NULL GROUP BY 1 HAVING count(*) >= 3),
+         |abc AS (
+         |  SELECT symbol, n,
+         |    n*s2 - s1*s1 AS a,
+         |    n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS b,
+         |    n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS c
+         |  FROM m),
+         |dd AS (
+         |  SELECT symbol, n,
+         |    CAST(CAST(a AS VARCHAR) AS DOUBLE) AS ad,
+         |    CAST(CAST(b AS VARCHAR) AS DOUBLE) AS bd,
+         |    CAST(CAST(c AS VARCHAR) AS DOUBLE) AS cd
+         |  FROM abc),
+         |g AS (
+         |  SELECT symbol, n,
+         |    bd / nullif(ad * sqrt(ad), 0.0) AS g1,
+         |    cd / nullif(ad * ad, 0.0) - 3.0 AS g2
+         |  FROM dd)
+         |SELECT symbol, CAST(n AS BIGINT) AS n,
+         |  CAST(n AS DOUBLE) * (g1 * g1 / 6.0e0 + g2 * g2 / 24.0e0) AS jb,
+         |  CAST(CAST(n AS DOUBLE) * (g1 * g1 / 6.0e0 + g2 * g2 / 24.0e0)
+         |    > 5.991e0 AS INTEGER) AS reject_normal
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    "text_hapax_ratio" ->
+      s"""WITH wc AS (
+         |  SELECT lang, word, count(*) AS c FROM (
+         |    SELECT lang,
+         |      unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |    FROM documents) WHERE word <> '' GROUP BY 1, 2)
+         |SELECT lang, count(*) AS vocab,
+         |  CAST(sum(c) AS BIGINT) AS tokens,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS hapax_vocab_share,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS hapax_token_share
+         |FROM wc GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*) AS dg
+        |  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY 1),
+        |pi AS (SELECT n, dg * 10000000000 + n AS pi FROM deg),
+        |o AS (
+        |  SELECT CASE WHEN pu.pi < pv.pi THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN pu.pi < pv.pi THEN e.v ELSE e.u END AS dst,
+        |         greatest(pu.pi, pv.pi) AS pi_dst
+        |  FROM edges e JOIN pi pu ON pu.n = e.u JOIN pi pv ON pv.n = e.v),
+        |w AS (
+        |  SELECT e1.dst AS b, e2.dst AS c
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.pi_dst < e2.pi_dst),
+        |t AS (SELECT count(*) AS n_triangles
+        |      FROM w JOIN o ON o.src = w.b AND o.dst = w.c)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM edges) AS n_edges,
+        |  (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  (SELECT n_triangles FROM t) AS n_triangles,
+        |  CAST((SELECT n_triangles FROM t) * 3 AS DOUBLE)
+        |    / nullif(CAST((SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT)
+        |                   FROM deg) AS DOUBLE), 0.0) AS global_cc""".stripMargin,
   )
 }

@@ -570,4 +570,56 @@ class Round10OpsSpec extends SparkSpec {
       r.getAs[String]("direction"))).toSet == expected)
     assert(rows.nonEmpty)
   }
+
+  test("jarque-bera: agrees with the skew/kurtosis query's own moments") {
+    val ks = SparkEntry.queries("yf_kurtosis_skew")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("symbol") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("skew"),
+          r.getAs[Double]("kurtosis_excess"))).toMap
+    val rows = SparkEntry.queries("yf_jarque_bera")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sym = r.getAs[Long]("symbol")
+      val (n, g1, g2) = ks(sym)
+      assert(r.getAs[Long]("n") == n)
+      val jb = n.toDouble * (g1 * g1 / 6.0 + g2 * g2 / 24.0)
+      assert(r.getAs[Double]("jb") == jb, s"symbol $sym")
+      assert(jb >= 0.0)
+      assert(r.getAs[Int]("reject_normal") == (if (jb > 5.991) 1 else 0))
+    }
+  }
+
+  test("hapax ratio: brute word-count replay per language") {
+    val words = Sources.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(split(util.Norm.normalize(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val rows = SparkEntry.queries("text_hapax_ratio")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val wc = words.filter(_._1 == lang).groupBy(_._2)
+        .map { case (_, xs) => xs.length.toLong }
+      assert(r.getAs[Long]("vocab") == wc.size.toLong)
+      assert(r.getAs[Long]("tokens") == wc.sum)
+      val hapax = wc.count(_ == 1L).toLong
+      assert(r.getAs[Long]("hapax") == hapax)
+      assert(r.getAs[Double]("hapax_vocab_share") ==
+        hapax.toDouble / wc.size.toDouble)
+    }
+  }
+
+  test("clustering coefficient: consistent with graph_triangles' counts") {
+    val t = SparkEntry.queries("graph_triangles")(spark, sfDir).collect()(0)
+    val r = SparkEntry.queries("graph_clustering_coeff")(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == t.getAs[Long]("n_nodes"))
+    assert(r.getAs[Long]("n_edges") == t.getAs[Long]("n_edges"))
+    assert(r.getAs[Long]("n_triangles") == t.getAs[Long]("n_triangles"))
+    // Unoriented wedges >= oriented wedges (orientation only drops).
+    assert(r.getAs[Long]("n_wedges") >= t.getAs[Long]("n_wedges"))
+    val cc = r.getAs[Double]("global_cc")
+    assert(cc >= 0.0 && cc <= 1.0)
+    assert(cc == r.getAs[Long]("n_triangles").toDouble * 3.0 /
+      r.getAs[Long]("n_wedges").toDouble)
+  }
 }

@@ -8640,6 +8640,104 @@ object SparkEntry {
           nullif(col("n_wedges").cast("double"), lit(0.0)))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "global_cc")
     }),
+
+    // CUSTOMER VALUE-MIGRATION MATRIX — the period-over-period BI
+    // readout ("which value tier did last period's top customers land
+    // in"): revenue quintiles per half (midpoint-day split, 1-row
+    // broadcast cut — the PSI discipline), full-outer join per
+    // customer, transition matrix including the churn/new 'none'
+    // states. Quintiles use ntile(5) with custkey tiebreak over the
+    // POST-AGGREGATE customer grain (the customer_rfm scale note);
+    // revenue is exact cents; the matrix is ≤36 rows at any scale.
+    "customer_value_migration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Sources.orders(s, dir)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("day"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val cut = o.agg(((min(col("day")) + max(col("day")) + 1L) / 2L)
+        .cast("long").as("cutd"))
+      val halves = o.crossJoin(broadcast(cut))
+        .withColumn("half", when(col("day") < col("cutd"), "h1").otherwise("h2"))
+        .groupBy("half", "o_custkey").agg(sum(col("cents")).as("rev"))
+      def tier(h: String) = halves.filter(col("half") === h)
+        .withColumn("q", ntile(5).over(
+          Window.orderBy(col("rev").desc, col("o_custkey"))))
+        .select(col("o_custkey"), concat(lit("q"), col("q")).as(s"tier_$h"))
+      tier("h1").join(tier("h2"), Seq("o_custkey"), "full_outer")
+        .select(coalesce(col("tier_h1"), lit("none")).as("from_tier"),
+          coalesce(col("tier_h2"), lit("none")).as("to_tier"))
+        .groupBy("from_tier", "to_tier")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("from_tier", "to_tier")
+    }),
+
+    // MUTUAL INFORMATION between the value band and the event type —
+    // the feature-relevance number a feature-selection pass ranks
+    // columns by (correlation only sees linear signal; MI sees any):
+    // MI = Σ (n_xy/N)·ln(N·n_xy/(n_x·n_y)) over the banded contingency
+    // table, with every ln an integer-count lnQ (1e-4) and every term
+    // quantized to 1e-9 BEFORE the cross-partition sum — the PSI/
+    // entropy summation-order discipline. One cell aggregate; the
+    // marginals re-aggregate the tiny cell table and broadcast back.
+    "events_mutual_info" -> ((s, dir) => {
+      def lnQ(c: Column) = floor(log(c.cast("double")) * 1e4 + 0.5).cast("long")
+      val ev = Sources.events(s, dir)
+        .select(col("event_type").as("y"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 2500").as("x"))
+      val cells = ev.groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+      val mx = cells.groupBy("x").agg(sum(col("nxy")).as("nx"))
+      val my = cells.groupBy("y").agg(sum(col("nxy")).as("ny"))
+      val tot = cells.agg(sum(col("nxy")).as("nn"),
+        count(lit(1)).as("n_cells"))
+      cells.join(mx, "x").join(broadcast(my), "y")
+        .crossJoin(broadcast(tot))
+        .withColumn("lnr_q4",
+          lnQ(col("nxy")) + lnQ(col("nn")) - lnQ(col("nx")) - lnQ(col("ny")))
+        .withColumn("term_q9",
+          floor(col("nxy").cast("double") / col("nn").cast("double") *
+            (col("lnr_q4").cast("double") / 1e4) * 1e9 + 0.5).cast("long"))
+        .groupBy()
+        .agg(max(col("nn")).as("n"), max(col("n_cells")).as("n_cells"),
+          (sum(col("term_q9")).cast("double") / 1e9).as("mi_nats"))
+    }),
+
+    // NEGATIVE SAMPLING for recommender training data — every
+    // implicit-feedback trainer needs (user, item) pairs the user did
+    // NOT interact with: 6 deterministic hash-derived candidate parts
+    // per customer (md5 contract — reproducible across runs and
+    // engines), actual purchases removed by a co-keyed anti-join,
+    // first 3 survivors kept per customer. O(|customers|·6) candidate
+    // rows — never a customers×parts cross join; the part index is a
+    // one-time window over the bounded catalog.
+    "orders_negative_samples" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Sources.part(s, dir)
+        .select(col("p_partkey"),
+          row_number().over(Window.orderBy("p_partkey")).cast("long").as("pidx"))
+      val np = parts.agg(count(lit(1)).as("np"))
+      val custs = Sources.orders(s, dir).select("o_custkey").distinct()
+      val cands = custs
+        .select(col("o_custkey"), explode(expr("array(0,1,2,3,4,5)")).as("i"))
+        .crossJoin(broadcast(np))
+        .withColumn("pidx",
+          expr("CAST(conv(substring(md5(cast(concat('neg:', o_custkey, ':', i) " +
+            "as binary)), 1, 8), 16, 10) AS BIGINT) % np + 1").cast("long"))
+        .join(broadcast(parts), "pidx")
+      val purchased = Sources.lineitem(s, dir)
+        .join(Sources.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey").as("p_partkey")).distinct()
+      cands
+        .join(purchased, Seq("o_custkey", "p_partkey"), "left_anti")
+        .groupBy("o_custkey", "p_partkey").agg(min(col("i")).as("i"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("o_custkey").orderBy("i")))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank").cast("long").as("rank"),
+          col("p_partkey"))
+        .orderBy("o_custkey", "rank")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -14017,5 +14115,89 @@ object SparkEntry {
         |  CAST((SELECT n_triangles FROM t) * 3 AS DOUBLE)
         |    / nullif(CAST((SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT)
         |                   FROM deg) AS DOUBLE), 0.0) AS global_cc""".stripMargin,
+
+    "customer_value_migration" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |      AS day,
+        |    CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT) AS cents
+        |  FROM orders),
+        |t AS (SELECT (min(day) + max(day) + 1) // 2 AS cutd FROM o),
+        |halves AS (
+        |  SELECT CASE WHEN day < cutd THEN 'h1' ELSE 'h2' END AS half,
+        |    o_custkey, CAST(sum(cents) AS BIGINT) AS rev
+        |  FROM o CROSS JOIN t GROUP BY 1, 2),
+        |t1 AS (SELECT o_custkey,
+        |         concat('q', ntile(5) OVER (ORDER BY rev DESC, o_custkey))
+        |           AS tier_h1
+        |       FROM halves WHERE half = 'h1'),
+        |t2 AS (SELECT o_custkey,
+        |         concat('q', ntile(5) OVER (ORDER BY rev DESC, o_custkey))
+        |           AS tier_h2
+        |       FROM halves WHERE half = 'h2')
+        |SELECT coalesce(tier_h1, 'none') AS from_tier,
+        |  coalesce(tier_h2, 'none') AS to_tier,
+        |  count(*) AS n_customers
+        |FROM t1 FULL JOIN t2 USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_mutual_info" ->
+      """WITH ev AS (
+        |  SELECT event_type AS y,
+        |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) // 2500 AS x
+        |  FROM events),
+        |cells AS (SELECT x, y, count(*) AS nxy FROM ev GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS nn, count(*) AS n_cells
+        |        FROM cells),
+        |terms AS (
+        |  SELECT nxy, nn, n_cells,
+        |    CAST(floor(ln(CAST(nxy AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)
+        |      + CAST(floor(ln(CAST(nn AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(CAST(nx AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(CAST(ny AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)
+        |      AS lnr_q4
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot)
+        |SELECT max(nn) AS n, max(n_cells) AS n_cells,
+        |  CAST(sum(CAST(floor(CAST(nxy AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * (CAST(lnr_q4 AS DOUBLE) / 1e4) * 1e9 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 1e9 AS mi_nats
+        |FROM terms""".stripMargin,
+
+    "orders_negative_samples" ->
+      """WITH parts AS (
+        |  SELECT p_partkey,
+        |    row_number() OVER (ORDER BY p_partkey) AS pidx
+        |  FROM part),
+        |np AS (SELECT count(*) AS np FROM parts),
+        |custs AS (SELECT DISTINCT o_custkey FROM orders),
+        |cands AS (
+        |  SELECT c.o_custkey, i.i,
+        |    CAST(concat('0x', substring(
+        |      md5(concat('neg:', CAST(c.o_custkey AS VARCHAR), ':',
+        |                 CAST(i.i AS VARCHAR))), 1, 8)) AS BIGINT)
+        |      % np.np + 1 AS pidx
+        |  FROM custs c CROSS JOIN (SELECT unnest(range(0, 6)) AS i) i
+        |  CROSS JOIN np),
+        |cp AS (SELECT cands.o_custkey, cands.i, parts.p_partkey
+        |       FROM cands JOIN parts USING (pidx)),
+        |purchased AS (
+        |  SELECT DISTINCT o.o_custkey, l.l_partkey AS p_partkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |surv AS (
+        |  SELECT cp.o_custkey, cp.p_partkey, min(cp.i) AS i
+        |  FROM cp LEFT JOIN purchased pu
+        |    ON cp.o_custkey = pu.o_custkey AND cp.p_partkey = pu.p_partkey
+        |  WHERE pu.o_custkey IS NULL
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT o_custkey, p_partkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY i) AS rank
+        |  FROM surv)
+        |SELECT o_custkey, CAST(rank AS BIGINT) AS rank, p_partkey
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
   )
 }

@@ -622,4 +622,72 @@ class Round10OpsSpec extends SparkSpec {
     assert(cc == r.getAs[Long]("n_triangles").toDouble * 3.0 /
       r.getAs[Long]("n_wedges").toDouble)
   }
+
+  test("value migration: matrix conserves customers; tier sizes are ntile sizes") {
+    val o = Sources.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cutd = (o.map(_._2).min + o.map(_._2).max + 1) / 2
+    val h1 = o.filter(_._2 < cutd).map(_._1).distinct.toSet
+    val h2 = o.filter(_._2 >= cutd).map(_._1).distinct.toSet
+    val rows = SparkEntry.queries("customer_value_migration")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("from_tier"), r.getAs[String]("to_tier"),
+        r.getAs[Long]("n_customers")))
+    assert(rows.map(_._3).sum == (h1 ++ h2).size.toLong,
+      "matrix covers every customer exactly once")
+    // Row marginals: each h1 tier's size matches the ntile partition.
+    val h1Sizes = ntileSizes(h1.size, 5)
+    (1 to 5).foreach { q =>
+      assert(rows.filter(_._1 == s"q$q").map(_._3).sum == h1Sizes(q - 1).toLong)
+    }
+    assert(rows.filter(_._1 == "none").map(_._3).sum ==
+      (h2 -- h1).size.toLong, "'none' row = customers new in h2")
+    assert(rows.filter(_._2 == "none").map(_._3).sum ==
+      (h1 -- h2).size.toLong, "'none' column = churned customers")
+  }
+
+  test("mutual info: nonnegative up to quantization, exact driver replay") {
+    val evs = Sources.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 2500").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def lnQ(c: Long): Long = math.floor(math.log(c.toDouble) * 1e4 + 0.5).toLong
+    val cells = evs.groupBy(identity).map { case ((y, x), xs) =>
+      (x, y, xs.length.toLong)
+    }.toSeq
+    val nn = cells.map(_._3).sum
+    val nx = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val ny = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val miQ = cells.map { case (x, y, nxy) =>
+      val lnr = lnQ(nxy) + lnQ(nn) - lnQ(nx(x)) - lnQ(ny(y))
+      math.floor(nxy.toDouble / nn.toDouble * (lnr.toDouble / 1e4) * 1e9 + 0.5)
+        .toLong
+    }.sum
+    val r = SparkEntry.queries("events_mutual_info")(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n") == nn)
+    assert(r.getAs[Long]("n_cells") == cells.length.toLong)
+    assert(r.getAs[Double]("mi_nats") == miQ.toDouble / 1e9)
+    assert(r.getAs[Double]("mi_nats") >= -1e-4)
+  }
+
+  test("negative samples: never purchased, at most 3 per customer, rank dense") {
+    val purchased = Sources.lineitem(spark, sfDir)
+      .join(Sources.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SparkEntry.queries("orders_negative_samples")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("rank"),
+        r.getAs[Long]("p_partkey")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, _, p) =>
+      assert(!purchased.contains((c, p)), s"sampled a purchased pair ($c,$p)")
+    }
+    rows.groupBy(_._1).values.foreach { xs =>
+      assert(xs.length <= 3)
+      assert(xs.map(_._2).sorted.sameElements(1L to xs.length.toLong),
+        "ranks are dense from 1")
+      assert(xs.map(_._3).distinct.length == xs.length, "parts distinct")
+    }
+  }
 }

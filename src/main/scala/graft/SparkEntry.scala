@@ -8738,6 +8738,85 @@ object SparkEntry {
           col("p_partkey"))
         .orderBy("o_custkey", "rank")
     }),
+
+    // TRIPLET MINING for metric learning — the training-data op behind
+    // every contrastive/triplet-loss embedding run: per anchor (a
+    // deterministic id sample, broadcast), the HARDEST NEGATIVE (most
+    // similar vector with a different label) and the HARDEST POSITIVE
+    // (least similar with the same label), margin = pos_sim − neg_sim
+    // (negative margin ⇒ the triplet violates and carries gradient).
+    // Argmax/argmin adjudicate on a single-BIGINT-encoded
+    // (q6-sim, id) total order (the events_peak_hours discipline — no
+    // cross-engine double-tie ambiguity); cosine is the engine's
+    // in-order VecDot fold ⇔ DuckDB list_reduce. Corpus scanned once
+    // against the broadcast anchor set; swap the exact scan for the
+    // ANN candidate tier at scale (the emb_knn_classifier note).
+    "emb_triplet_mining" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      val anchors = broadcast(emb.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("a_id"),
+          sim.Similarity.vec(col("embedding")).as("av"),
+          col("label").as("a_label")))
+      val scored = emb
+        .select(col("vec_id").as("c_id"),
+          sim.Similarity.vec(col("embedding")).as("cv"),
+          col("label").as("c_label"))
+        .crossJoin(anchors)
+        .filter(col("c_id") =!= col("a_id"))
+        .withColumn("simq",
+          floor(sim.Similarity.cosine(col("av"), col("cv")) * 1e6 + 0.5)
+            .cast("long") + 2000000L)
+      scored.groupBy("a_id", "a_label")
+        .agg(
+          max(when(col("c_label") =!= col("a_label"),
+            col("simq") * 10000000000L + (lit(9999999999L) - col("c_id"))))
+            .as("nk"),
+          min(when(col("c_label") === col("a_label"),
+            col("simq") * 10000000000L + col("c_id"))).as("pk"))
+        .filter(col("nk").isNotNull && col("pk").isNotNull)
+        .select(col("a_id"), col("a_label"),
+          (col("pk") % 10000000000L).as("pos_id"),
+          ((expr("pk div 10000000000") - 2000000L).cast("double") / 1e6)
+            .as("pos_sim"),
+          (lit(9999999999L) - col("nk") % 10000000000L).as("neg_id"),
+          ((expr("nk div 10000000000") - 2000000L).cast("double") / 1e6)
+            .as("neg_sim"))
+        .withColumn("margin", col("pos_sim") - col("neg_sim"))
+        .orderBy("a_id")
+    }),
+
+    // DATA-CONTRACT VALIDATION — the expectations audit every ingest
+    // runs before publishing a table: per declared constraint
+    // (uniqueness, null rate, enum membership, range, parseability),
+    // exact violation counts and a pass verdict, in ONE shuffle-free
+    // corpus pass (a single conditional aggregate + stack — never one
+    // scan per rule). Constraint thresholds are build-time literals
+    // shared with the oracle.
+    "data_contract_check" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+      ev.agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) - countDistinct(col("event_id"))).as("v_unique"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_null_user"),
+          sum(when(!col("event_type").isin(
+            "click", "purchase", "signup", "view", "error"), 1L)
+            .otherwise(0L)).as("v_enum"),
+          sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("v_negval"),
+          sum(when(expr("ts DIV 86400000000000") < 19000L ||
+            expr("ts DIV 86400000000000") > 20500L, 1L).otherwise(0L))
+            .as("v_tsrange"),
+          sum(when(expr("try_parse_json(props)").isNull, 1L).otherwise(0L))
+            .as("v_json"))
+        .selectExpr("n",
+          "stack(6, 'event_id_unique', v_unique, 'user_id_not_null', " +
+            "v_null_user, 'event_type_in_enum', v_enum, " +
+            "'value_non_negative', v_negval, 'ts_in_range', v_tsrange, " +
+            "'props_valid_json', v_json) AS (constraint, n_violations)")
+        .select(col("constraint"), col("n").as("n_checked"),
+          col("n_violations"),
+          (col("n_violations") === 0L).cast("int").as("pass"))
+        .orderBy("constraint")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -14199,5 +14278,63 @@ object SparkEntry {
         |SELECT o_custkey, CAST(rank AS BIGINT) AS rank, p_partkey
         |FROM ranked WHERE rank <= 3
         |ORDER BY o_custkey, rank""".stripMargin,
+
+    "emb_triplet_mining" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |    AS v, label
+         |  FROM embeddings),
+         |anchors AS (SELECT vec_id AS a_id, v AS av, label AS a_label
+         |            FROM emb WHERE vec_id % 29 = 0),
+         |scored AS (
+         |  SELECT a.a_id, a.a_label, c.vec_id AS c_id, c.label AS c_label,
+         |    CAST(floor(${sim.Similarity.cosineSql("a.av", "c.v")} * 1e6 + 0.5)
+         |      AS BIGINT) + 2000000 AS simq
+         |  FROM emb c CROSS JOIN anchors a WHERE c.vec_id <> a.a_id),
+         |agg AS (
+         |  SELECT a_id, a_label,
+         |    max(CASE WHEN c_label <> a_label
+         |        THEN simq * 10000000000 + (9999999999 - c_id) END) AS nk,
+         |    min(CASE WHEN c_label = a_label
+         |        THEN simq * 10000000000 + c_id END) AS pk
+         |  FROM scored GROUP BY 1, 2)
+         |SELECT a_id, a_label,
+         |  pk % 10000000000 AS pos_id,
+         |  CAST(pk // 10000000000 - 2000000 AS DOUBLE) / 1e6 AS pos_sim,
+         |  9999999999 - (nk % 10000000000) AS neg_id,
+         |  CAST(nk // 10000000000 - 2000000 AS DOUBLE) / 1e6 AS neg_sim,
+         |  CAST(pk // 10000000000 - 2000000 AS DOUBLE) / 1e6
+         |    - CAST(nk // 10000000000 - 2000000 AS DOUBLE) / 1e6 AS margin
+         |FROM agg WHERE nk IS NOT NULL AND pk IS NOT NULL
+         |ORDER BY a_id""".stripMargin,
+
+    "data_contract_check" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    count(*) - count(DISTINCT event_id) AS v_unique,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_null_user,
+        |    CAST(sum(CASE WHEN event_type NOT IN
+        |      ('click', 'purchase', 'signup', 'view', 'error')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_enum,
+        |    CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_negval,
+        |    CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000 < 19000
+        |      OR epoch_ns(ts) // 86400000000000 > 20500
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_tsrange,
+        |    CAST(sum(CASE WHEN NOT json_valid(props) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_json
+        |  FROM events)
+        |SELECT "constraint", n AS n_checked, n_violations,
+        |  CAST(n_violations = 0 AS INTEGER) AS pass
+        |FROM (
+        |  SELECT 'event_id_unique' AS "constraint", n,
+        |    v_unique AS n_violations FROM a
+        |  UNION ALL SELECT 'user_id_not_null', n, v_null_user FROM a
+        |  UNION ALL SELECT 'event_type_in_enum', n, v_enum FROM a
+        |  UNION ALL SELECT 'value_non_negative', n, v_negval FROM a
+        |  UNION ALL SELECT 'ts_in_range', n, v_tsrange FROM a
+        |  UNION ALL SELECT 'props_valid_json', n, v_json FROM a)
+        |ORDER BY "constraint"""".stripMargin,
   )
 }

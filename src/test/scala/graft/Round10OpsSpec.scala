@@ -690,4 +690,59 @@ class Round10OpsSpec extends SparkSpec {
       assert(xs.map(_._3).distinct.length == xs.length, "parts distinct")
     }
   }
+
+  test("triplet mining: brute argmax/argmin replay with the in-order fold") {
+    val emb = Sources.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }
+        s
+      }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val rows = SparkEntry.queries("emb_triplet_mining")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byId = emb.map(e => e._1 -> e).toMap
+    rows.foreach { r =>
+      val aId = r.getAs[Long]("a_id")
+      val (_, av, aLabel) = byId(aId)
+      assert(aId % 29 == 0 && r.getAs[Int]("a_label") == aLabel)
+      val scored = emb.filter(_._1 != aId).map { case (id, v, l) =>
+        (id, l, math.floor(cos(av, v) * 1e6 + 0.5).toLong + 2000000L)
+      }
+      val nk = scored.filter(_._2 != aLabel)
+        .map(x => x._3 * 10000000000L + (9999999999L - x._1)).max
+      val pk = scored.filter(_._2 == aLabel)
+        .map(x => x._3 * 10000000000L + x._1).min
+      assert(r.getAs[Long]("neg_id") == 9999999999L - nk % 10000000000L)
+      assert(r.getAs[Long]("pos_id") == pk % 10000000000L)
+      assert(r.getAs[Double]("margin") ==
+        r.getAs[Double]("pos_sim") - r.getAs[Double]("neg_sim"))
+      // The mined ids carry the promised labels.
+      assert(byId(r.getAs[Long]("neg_id"))._3 != aLabel)
+      assert(byId(r.getAs[Long]("pos_id"))._3 == aLabel)
+    }
+  }
+
+  test("data contract: clean fixture passes every constraint, counts replay") {
+    val rows = SparkEntry.queries("data_contract_check")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val n = rows.head.getAs[Long]("n_checked")
+    val evN = Sources.events(spark, sfDir).count()
+    assert(n == evN)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_checked") == evN)
+      assert(r.getAs[Long]("n_violations") >= 0)
+      assert(r.getAs[Int]("pass") ==
+        (if (r.getAs[Long]("n_violations") == 0) 1 else 0))
+    }
+    // The driver-generated fixture is clean: every contract holds.
+    assert(rows.forall(_.getAs[Int]("pass") == 1),
+      "driver testdata violates a declared contract")
+  }
 }

@@ -8817,6 +8817,99 @@ object SparkEntry {
           (col("n_violations") === 0L).cast("int").as("pass"))
         .orderBy("constraint")
     }),
+
+    // CODE-VS-PROSE DETECTION — the corpus-curation signal behind
+    // "route code to the code pipeline, prose to the text pipeline"
+    // (every LLM data mix needs it): symbol density ({}()[];=<>) per
+    // doc, verdict adjudicated as the INTEGER comparison
+    // sym·100 > chars·3 (3% threshold — a build-time constant shared
+    // with the oracle, never a pre-comparison ratio). Entirely
+    // row-local until the per-source rollup; the mean density closes
+    // with one IEEE division of exact sums.
+    "docs_code_detect" -> ((s, dir) => {
+      val d = Sources.documents(s, dir)
+        .select(col("source"), length(col("text")).cast("long").as("n_chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[{}()\\[\\];=<>]", "")))
+            .cast("long").as("sym"))
+        .withColumn("code_like",
+          (col("sym") * 100L > col("n_chars") * 3L).cast("long"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("code_like")).as("n_code_like"),
+          sum(col("sym")).as("sym_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .withColumn("sym_density",
+          col("sym_chars").cast("double") / col("total_chars").cast("double"))
+        .orderBy("source")
+    }),
+
+    // BOILERPLATE-LINE DETECTION — the header/footer removal pass every
+    // web-corpus pipeline runs (docs_chunk_dedup strips repeated SPANS
+    // within a doc; this strips sentences repeated ACROSS docs): split
+    // to sentence grain, document frequency per sentence, df ≥ 20 ⇒
+    // boilerplate, reporting affected docs and reclaimable characters.
+    // The fixture has no natural boilerplate, so two footer sentences
+    // are injected in-query on doc_id%3==0 (deterministic, mirrored in
+    // the oracle — the cross_source_dup discipline). Sentence-grain
+    // keyed aggregate; never a doc×doc comparison.
+    "docs_boilerplate_lines" -> ((s, dir) => {
+      val withFooter = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(". FOOTER ALPHA. ALL RIGHTS RESERVED")))
+            .otherwise(col("text")).as("text"))
+      val sentences = withFooter
+        .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
+        .select(col("doc_id"), trim(col("sent")).as("sent"))
+        .filter(col("sent") =!= "")
+      sentences.groupBy("sent")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("n_occurrences"),
+          sum(length(col("sent")).cast("long")).as("reclaim_chars"))
+        .filter(col("df") >= 20)
+        .orderBy("sent")
+    }),
+
+    // TIME-DECAY ATTRIBUTION — the recency-weighted sibling of
+    // events_attribution_linear (same 24h-lookback co-keyed pairing,
+    // different credit model): touch weight halves every 6h, kept
+    // EXACT by integer weights 16 >> (gap DIV 6h) ∈ {16,8,4,2} and
+    // credit = w·1e6 DIV Σw truncating division (both engines truncate
+    // on positives). '(direct)' conversions keep their full unit.
+    "events_attribution_timedecay" -> ((s, dir) => {
+      val dayNs = 86400000000000L
+      val ev = Sources.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("tp"),
+          col("event_id").as("pid"))
+      val t = ev.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id").as("tu"), col("ts").as("tt"),
+          col("event_type").as("touch"))
+      val pairs = p.join(t,
+        col("pu") === col("tu") && col("tt") < col("tp") &&
+          col("tt") >= col("tp") - lit(dayNs), "left")
+      val weighted = pairs.filter(col("touch").isNotNull)
+        .withColumn("w",
+          expr("shiftright(16, cast((tp - tt) div 21600000000000 as int))")
+            .cast("long"))
+      val perType = weighted.groupBy("pid", "touch")
+        .agg(count(lit(1)).as("cnt"), sum(col("w")).as("sw"))
+      val tw = perType.groupBy("pid").agg(sum(col("sw")).as("tw"))
+      val credited = perType.join(tw, "pid")
+        .select(col("touch"), col("cnt"),
+          expr("(sw * 1000000) div tw").as("cq"))
+        .groupBy("touch")
+        .agg(sum(col("cnt")).as("n_touches"), sum(col("cq")).as("cq"))
+      val direct = pairs.filter(col("touch").isNull)
+        .groupBy(lit("(direct)").as("touch"))
+        .agg(count(lit(1)).as("n_touches"),
+          (count(lit(1)) * lit(1000000L)).as("cq"))
+      credited.unionByName(direct)
+        .select(col("touch"), col("n_touches"),
+          (col("cq").cast("double") / 1e6).as("credit"))
+        .orderBy("touch")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -14336,5 +14429,66 @@ object SparkEntry {
         |  UNION ALL SELECT 'ts_in_range', n, v_tsrange FROM a
         |  UNION ALL SELECT 'props_valid_json', n, v_json FROM a)
         |ORDER BY "constraint"""".stripMargin,
+
+    "docs_code_detect" ->
+      """WITH d AS (
+        |  SELECT source, length(text) AS n_chars,
+        |    length(text)
+        |      - length(regexp_replace(text, '[{}()\[\];=<>]', '', 'g')) AS sym
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN sym * 100 > n_chars * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_code_like,
+        |  CAST(sum(sym) AS BIGINT) AS sym_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(CAST(sum(sym) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS sym_density
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "docs_boilerplate_lines" ->
+      """WITH wf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN text || '. FOOTER ALPHA. ALL RIGHTS RESERVED'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, trim(sent) AS sent FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\. ')) AS sent
+        |    FROM wf)
+        |  WHERE trim(sent) <> '')
+        |SELECT sent, count(DISTINCT doc_id) AS df, count(*) AS n_occurrences,
+        |  CAST(sum(length(sent)) AS BIGINT) AS reclaim_chars
+        |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 20
+        |ORDER BY sent""".stripMargin,
+
+    "events_attribution_timedecay" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id
+        |  FROM events),
+        |p AS (SELECT user_id AS pu, tns AS tp, event_id AS pid
+        |      FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS tu, tns AS tt, event_type AS touch
+        |      FROM ev WHERE event_type IN ('click', 'view', 'signup')),
+        |pairs AS (
+        |  SELECT p.pid, p.tp, t.tt, t.touch
+        |  FROM p LEFT JOIN t ON pu = tu AND tt < tp
+        |    AND tt >= tp - 86400000000000),
+        |w AS (SELECT pid, touch,
+        |        16 >> CAST((tp - tt) // 21600000000000 AS INTEGER) AS w
+        |      FROM pairs WHERE touch IS NOT NULL),
+        |pt AS (SELECT pid, touch, count(*) AS cnt,
+        |         CAST(sum(w) AS BIGINT) AS sw
+        |       FROM w GROUP BY 1, 2),
+        |tws AS (SELECT pid, CAST(sum(sw) AS BIGINT) AS twv FROM pt GROUP BY 1),
+        |cr AS (SELECT touch, CAST(sum(cnt) AS BIGINT) AS n_touches,
+        |         CAST(sum((sw * 1000000) // twv) AS BIGINT) AS cq
+        |       FROM pt JOIN tws USING (pid) GROUP BY 1),
+        |dr AS (SELECT '(direct)' AS touch, count(*) AS n_touches,
+        |         CAST(count(*) * 1000000 AS BIGINT) AS cq
+        |       FROM pairs WHERE touch IS NULL)
+        |SELECT touch, n_touches, CAST(cq AS DOUBLE) / 1e6 AS credit
+        |FROM (SELECT * FROM cr UNION ALL SELECT * FROM dr)
+        |ORDER BY touch""".stripMargin,
   )
 }

@@ -745,4 +745,56 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("pass") == 1),
       "driver testdata violates a declared contract")
   }
+
+  test("code detect: symbol counts replay via the same regex") {
+    val docs = Sources.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = SparkEntry.queries("docs_code_detect")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ds = docs.filter(_._1 == src)
+      val stats = ds.map { case (_, t) =>
+        val sym = t.length - t.replaceAll("[{}()\\[\\];=<>]", "").length
+        (t.length.toLong, sym.toLong, if (sym * 100L > t.length * 3L) 1L else 0L)
+      }
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("sym_chars") == stats.map(_._2).sum)
+      assert(r.getAs[Long]("total_chars") == stats.map(_._1).sum)
+      assert(r.getAs[Long]("n_code_like") == stats.map(_._3).sum)
+    }
+  }
+
+  test("boilerplate lines: both injected footers detected with exact df") {
+    val nFooterDocs = Sources.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0).count()
+    val rows = SparkEntry.queries("docs_boilerplate_lines")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("sent") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("n_occurrences"))).toMap
+    assert(rows.contains("FOOTER ALPHA"))
+    assert(rows.contains("ALL RIGHTS RESERVED"))
+    assert(rows("FOOTER ALPHA")._1 == nFooterDocs)
+    assert(rows("ALL RIGHTS RESERVED")._1 == nFooterDocs)
+    rows.values.foreach { case (df, occ) => assert(df >= 20 && occ >= df) }
+  }
+
+  test("time-decay attribution: same pairing as linear, credit conserved") {
+    val lin = SparkEntry.queries("events_attribution_linear")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("touch") -> r.getAs[Long]("n_touches"))
+      .toMap
+    val rows = SparkEntry.queries("events_attribution_timedecay")(spark, sfDir)
+      .collect()
+    // n_touches per channel must match the linear twin exactly — the
+    // pairing is shared, only the credit model differs.
+    rows.foreach { r =>
+      assert(lin(r.getAs[String]("touch")) == r.getAs[Long]("n_touches"))
+    }
+    val nPurch = Sources.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    val total = rows.map(_.getAs[Double]("credit")).sum
+    // Each conversion hands out at most 1 unit; truncating division can
+    // only lose < (touch types per conversion) millionths.
+    assert(total <= nPurch.toDouble + 1e-9)
+    assert(total >= nPurch.toDouble - nPurch * 3e-6 - 1e-9)
+  }
 }

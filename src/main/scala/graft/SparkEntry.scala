@@ -8910,6 +8910,92 @@ object SparkEntry {
           (col("cq").cast("double") / 1e6).as("credit"))
         .orderBy("touch")
     }),
+
+    // AVERAGE TRUE RANGE — the volatility indicator that sees gaps
+    // (bollinger's σ only sees closes): TR = max(H−L, |H−C₋₁|, |L−C₋₁|)
+    // per day in PURE q4 integers (greatest/abs of exact longs), ATR =
+    // the trailing-14 exact sum DIV 14 (truncating division, identical
+    // both engines; null until a full window). Daily OHLC consolidation
+    // + per-symbol lag + one trailing-sum frame.
+    "yf_atr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(max(floor(col("High") * 1e4 + 0.5).cast("long")).as("hq"),
+          min(floor(col("Low") * 1e4 + 0.5).cast("long")).as("lq"),
+          sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("cq", expr("cs div nb"))
+      val wo = Window.partitionBy("symbol").orderBy("Date")
+      val tr = daily
+        .withColumn("cprev", lag(col("cq"), 1).over(wo))
+        .withColumn("tr",
+          when(col("cprev").isNull, col("hq") - col("lq"))
+            .otherwise(greatest(col("hq") - col("lq"),
+              abs(col("hq") - col("cprev")), abs(col("lq") - col("cprev")))))
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("tr14", sum(col("tr")).over(wo.rowsBetween(-13, 0)))
+        .withColumn("atr_q4",
+          when(col("rn") >= 14, expr("tr14 div 14")))
+      tr.select(col("symbol"), col("Date").cast("date").cast("string").as("d"),
+          col("tr"), col("atr_q4"),
+          (col("atr_q4").cast("double") / 1e4).as("atr"))
+        .orderBy("symbol", "d")
+    }),
+
+    // ENTITY-EXTRACTION PROFILE — the regexp_extract_all surface as a
+    // curation signal: per source, how many number tokens, capitalized
+    // words, URL-like and email-like spans the raw text carries (the
+    // inputs to PII budgeting and structured-content routing). All
+    // counts are row-local exact integers; one keyed rollup.
+    "text_entity_extract" -> ((s, dir) => {
+      val d = Sources.documents(s, dir).select(col("source"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long")
+          .as("n_numbers"),
+        size(expr("regexp_extract_all(text, '[A-Z][a-z]+', 0)")).cast("long")
+          .as("n_capitalized"),
+        size(expr("regexp_extract_all(text, 'https?://[^ ]+', 0)")).cast("long")
+          .as("n_urls"),
+        size(expr(
+          "regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', 0)"))
+          .cast("long").as("n_emails"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_numbers")).as("n_numbers"),
+          sum(col("n_capitalized")).as("n_capitalized"),
+          sum(col("n_urls")).as("n_urls"),
+          sum(col("n_emails")).as("n_emails"))
+        .orderBy("source")
+    }),
+
+    // DEGREE DISTRIBUTION of the co-purchase graph — the first plot any
+    // graph analysis draws (is this power-law?): power-of-two degree
+    // buckets via the binary-rendering length (the docs_length_histogram
+    // discipline — no float log2 boundary), node/edge-mass per bucket.
+    // Degree table re-aggregate only; no join.
+    "graph_degree_histogram" -> ((s, dir) => {
+      val op = Sources.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("u", "v")
+      val deg = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      deg.withColumn("bucket", length(bin(col("dg"))) - 1)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("degree_mass"),
+          min(col("dg")).as("min_degree"), max(col("dg")).as("max_degree"))
+        .withColumn("bucket_lo", expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+        .select(col("bucket").cast("long").as("bucket"), col("bucket_lo"),
+          col("n_nodes"), col("degree_mass"), col("min_degree"),
+          col("max_degree"))
+        .orderBy("bucket")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -14490,5 +14576,69 @@ object SparkEntry {
         |SELECT touch, n_touches, CAST(cq AS DOUBLE) / 1e6 AS credit
         |FROM (SELECT * FROM cr UNION ALL SELECT * FROM dr)
         |ORDER BY touch""".stripMargin,
+
+    "yf_atr" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    max(CAST(floor("High" * 1e4 + 0.5) AS BIGINT)) AS hq,
+         |    min(CAST(floor("Low" * 1e4 + 0.5) AS BIGINT)) AS lq,
+         |    CAST(sum(CAST(floor("Close" * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS cq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |t1 AS (
+         |  SELECT symbol, "Date", hq, lq, cq,
+         |    lag(cq) OVER (PARTITION BY symbol ORDER BY "Date") AS cprev,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY "Date") AS rn
+         |  FROM daily),
+         |t2 AS (
+         |  SELECT symbol, "Date", rn,
+         |    CASE WHEN cprev IS NULL THEN hq - lq
+         |         ELSE greatest(hq - lq, abs(hq - cprev), abs(lq - cprev))
+         |    END AS tr
+         |  FROM t1),
+         |w AS (
+         |  SELECT symbol, "Date", tr, rn,
+         |    CAST(sum(tr) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS tr14
+         |  FROM t2)
+         |SELECT symbol, CAST(CAST("Date" AS DATE) AS VARCHAR) AS d, tr,
+         |  CASE WHEN rn >= 14 THEN tr14 // 14 END AS atr_q4,
+         |  CAST(CASE WHEN rn >= 14 THEN tr14 // 14 END AS DOUBLE) / 1e4 AS atr
+         |FROM w ORDER BY symbol, d""".stripMargin,
+
+    "text_entity_extract" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+        |    len(regexp_extract_all(text, '[A-Z][a-z]+')) AS n_capitalized,
+        |    len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+        |    len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+'))
+        |      AS n_emails
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_numbers) AS BIGINT) AS n_numbers,
+        |  CAST(sum(n_capitalized) AS BIGINT) AS n_capitalized,
+        |  CAST(sum(n_urls) AS BIGINT) AS n_urls,
+        |  CAST(sum(n_emails) AS BIGINT) AS n_emails
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "graph_degree_histogram" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*) AS dg
+        |  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY 1),
+        |b AS (SELECT dg, length(bin(dg)) - 1 AS bucket FROM deg)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(1 AS BIGINT) << bucket AS bucket_lo,
+        |  count(*) AS n_nodes, CAST(sum(dg) AS BIGINT) AS degree_mass,
+        |  min(dg) AS min_degree, max(dg) AS max_degree
+        |FROM b GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
   )
 }

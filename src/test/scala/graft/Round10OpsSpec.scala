@@ -797,4 +797,54 @@ class Round10OpsSpec extends SparkSpec {
     assert(total <= nPurch.toDouble + 1e-9)
     assert(total >= nPurch.toDouble - nPurch * 3e-6 - 1e-9)
   }
+
+  test("atr: true range replays; atr is the trailing-14 integer mean") {
+    val rows = SparkEntry.queries("yf_atr")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySym = rows.groupBy(_.getAs[Long]("symbol"))
+    bySym.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[String]("d"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("tr") >= 0)
+        if (i < 13) assert(r.isNullAt(r.fieldIndex("atr_q4")))
+        else {
+          val win = sorted.slice(i - 13, i + 1).map(_.getAs[Long]("tr"))
+          assert(r.getAs[Long]("atr_q4") == win.sum / 14)
+          assert(r.getAs[Double]("atr") ==
+            r.getAs[Long]("atr_q4").toDouble / 1e4)
+        }
+      }
+    }
+  }
+
+  test("entity extract: counts replay via the same java regexes") {
+    val docs = Sources.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = SparkEntry.queries("text_entity_extract")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ds = docs.filter(_._1 == src)
+      def cnt(pat: String): Long =
+        ds.map(d => pat.r.findAllIn(d._2).length.toLong).sum
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("n_numbers") == cnt("[0-9]+"))
+      assert(r.getAs[Long]("n_capitalized") == cnt("[A-Z][a-z]+"))
+      assert(r.getAs[Long]("n_urls") == cnt("https?://[^ ]+"))
+      assert(r.getAs[Long]("n_emails") == cnt("[a-z0-9._%+-]+@[a-z0-9.-]+"))
+    }
+  }
+
+  test("degree histogram: buckets partition nodes, mass is twice the edges") {
+    val rows = SparkEntry.queries("graph_degree_histogram")(spark, sfDir).collect()
+    val cc = SparkEntry.queries("graph_clustering_coeff")(spark, sfDir).collect()(0)
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == cc.getAs[Long]("n_nodes"))
+    assert(rows.map(_.getAs[Long]("degree_mass")).sum ==
+      2L * cc.getAs[Long]("n_edges"))
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("bucket_lo")
+      assert(r.getAs[Long]("min_degree") >= lo)
+      assert(r.getAs[Long]("max_degree") < 2 * lo)
+    }
+  }
 }

@@ -8996,6 +8996,90 @@ object SparkEntry {
           col("max_degree"))
         .orderBy("bucket")
     }),
+
+    // ULCER INDEX — drawdown-depth risk (sharpe's σ penalizes upside;
+    // the ulcer index penalizes only being underwater): per-row
+    // drawdown in INTEGER basis points ((peak−c)·1e4 DIV peak —
+    // truncating division, positive operands), squared and exact-sum'd;
+    // UI = sqrt(Σdd²/n)/100. Per-symbol running-max window + one keyed
+    // aggregate; the only FP is the closing sqrt + divisions.
+    "yf_ulcer_index" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("cq", expr("cs div nb"))
+        .filter(col("cq") > 0)
+      val wo = Window.partitionBy("symbol").orderBy("Date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("peak", max(col("cq")).over(wo))
+        .withColumn("dd_bp", expr("((peak - cq) * 10000) div peak"))
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n"), max(col("dd_bp")).as("max_dd_bp"),
+          sum(col("dd_bp") * col("dd_bp")).as("sdd2"))
+        .withColumn("ulcer",
+          sqrt(col("sdd2").cast("double") / col("n").cast("double")) / 100.0)
+        .select("symbol", "n", "max_dd_bp", "ulcer")
+        .orderBy("symbol")
+    }),
+
+    // EMBEDDING CENTROID DRIFT — the model-monitoring readout for a
+    // vector store ("did this class's embedding distribution move
+    // between snapshots"): per label, the cosine between the two
+    // halves' INTEGER-EXACT centroids (sign-split floor division of q8
+    // component sums — the emb_silhouette discipline; Spark div
+    // truncates, DuckDB // floors, so magnitudes divide and signs
+    // reapply). Dim-grain moment products stay in BIGINT (64 dims ×
+    // (2e8)² per term); cosine closes with one sqrt·sqrt division.
+    "emb_centroid_drift" -> ((s, dir) => {
+      val ex = Sources.embeddings(s, dir)
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("half"), col("dim"),
+          floor(col("x").cast("double") * 1e8 + 0.5).cast("long").as("q"))
+      val cent = ex.groupBy("label", "half", "dim")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("cq",
+          expr("CASE WHEN sq >= 0 THEN sq div n ELSE -((-sq) div n) END"))
+      val c1 = cent.filter(col("half") === 0)
+        .select(col("label"), col("dim"), col("cq").as("c1"), col("n").as("n1"))
+      val c2 = cent.filter(col("half") === 1)
+        .select(col("label"), col("dim"), col("cq").as("c2"), col("n").as("n2"))
+      c1.join(c2, Seq("label", "dim"))
+        .groupBy("label")
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(col("c1") * col("c2")).as("sxy"),
+          sum(col("c1") * col("c1")).as("sxx"),
+          sum(col("c2") * col("c2")).as("syy"))
+        .withColumn("cos_drift", col("sxy").cast("double") /
+          (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))))
+        .select("label", "n1", "n2", "cos_drift")
+        .orderBy("label")
+    }),
+
+    // CALENDAR HEATMAP — the month × day-of-week revenue matrix (the
+    // 2D seasonal profile BI dashboards open with): calendar month from
+    // the date (identical extraction both engines), day-of-week as
+    // epoch-day % 7 (NEVER engine-specific dayofweek numbering — the
+    // yf_seasonality rule), exact-decimal revenue per cell. ≤84 rows
+    // at any scale; one map-side-combinable aggregate.
+    "orders_calendar_heatmap" -> ((s, dir) => {
+      val o = Sources.orders(s, dir)
+        .select(month(col("o_orderdate")).cast("long").as("mth"),
+          expr("datediff(o_orderdate, DATE '1970-01-01') % 7").cast("long")
+            .as("dow"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      o.groupBy("mth", "dow")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+        .withColumn("revenue", col("cents").cast("double") / 100.0)
+        .withColumn("avg_order",
+          col("cents").cast("double") / col("n_orders").cast("double") / 100.0)
+        .select("mth", "dow", "n_orders", "revenue", "avg_order")
+        .orderBy("mth", "dow")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -14640,5 +14724,67 @@ object SparkEntry {
         |  count(*) AS n_nodes, CAST(sum(dg) AS BIGINT) AS degree_mass,
         |  min(dg) AS min_degree, max(dg) AS max_degree
         |FROM b GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    "yf_ulcer_index" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS cq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |d2 AS (SELECT * FROM daily WHERE cq > 0),
+         |p AS (
+         |  SELECT symbol, cq,
+         |    max(cq) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM d2),
+         |dd AS (SELECT symbol, ((peak - cq) * 10000) // peak AS dd_bp FROM p)
+         |SELECT symbol, count(*) AS n, max(dd_bp) AS max_dd_bp,
+         |  sqrt(CAST(CAST(sum(dd_bp * dd_bp) AS BIGINT) AS DOUBLE)
+         |       / CAST(count(*) AS DOUBLE)) / 100.0e0 AS ulcer
+         |FROM dd GROUP BY 1 ORDER BY symbol""".stripMargin,
+
+    "emb_centroid_drift" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id % 2 AS half, CAST(i AS BIGINT) - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)
+        |      AS q
+        |  FROM (SELECT label, vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |cent AS (
+        |  SELECT label, half, dim, CAST(sum(q) AS BIGINT) AS sq,
+        |    count(*) AS n
+        |  FROM ex GROUP BY 1, 2, 3),
+        |cq AS (
+        |  SELECT label, half, dim, n,
+        |    CASE WHEN sq >= 0 THEN sq // n ELSE -((-sq) // n) END AS cq
+        |  FROM cent),
+        |j AS (
+        |  SELECT a.label, a.cq AS c1, b.cq AS c2, a.n AS n1, b.n AS n2
+        |  FROM cq a JOIN cq b
+        |    ON a.label = b.label AND a.dim = b.dim
+        |   AND a.half = 0 AND b.half = 1)
+        |SELECT label, max(n1) AS n1, max(n2) AS n2,
+        |  CAST(CAST(sum(c1 * c2) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(CAST(sum(c1 * c1) AS BIGINT) AS DOUBLE))
+        |       * sqrt(CAST(CAST(sum(c2 * c2) AS BIGINT) AS DOUBLE)))
+        |    AS cos_drift
+        |FROM j GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "orders_calendar_heatmap" ->
+      """WITH o AS (
+        |  SELECT month(CAST(o_orderdate AS DATE)) AS mth,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7
+        |      AS dow,
+        |    CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(mth AS BIGINT) AS mth, CAST(dow AS BIGINT) AS dow,
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0e0 AS revenue,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 100.0e0 AS avg_order
+        |FROM o GROUP BY 1, 2 ORDER BY mth, dow""".stripMargin,
   )
 }

@@ -847,4 +847,71 @@ class Round10OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("max_degree") < 2 * lo)
     }
   }
+
+  test("ulcer index: brute running-peak drawdown replay") {
+    val daily = Sources.ohlcv(spark, sfDir)
+      .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+      .groupBy("symbol", "Date")
+      .agg(sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("cs"),
+        count(lit(1)).as("nb"))
+      .select(col("symbol"), col("Date").cast("string").as("d"),
+        expr("cs div nb").as("cq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    val rows = SparkEntry.queries("yf_ulcer_index")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val sym = r.getAs[Long]("symbol")
+      val cq = daily.filter(_._1 == sym).sortBy(_._2).map(_._3)
+      var peak = Long.MinValue
+      val dds = cq.map { c => peak = math.max(peak, c); ((peak - c) * 10000L) / peak }
+      assert(r.getAs[Long]("n") == cq.length.toLong)
+      assert(r.getAs[Long]("max_dd_bp") == dds.max)
+      assert(r.getAs[Double]("ulcer") ==
+        math.sqrt(dds.map(d => d * d).sum.toDouble / cq.length.toDouble) / 100.0)
+    }
+  }
+
+  test("centroid drift: cosine near 1 for split halves, exact centroid replay") {
+    val rows = SparkEntry.queries("emb_centroid_drift")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val emb = Sources.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1e8 + 0.5).toLong).toArray, r.getInt(2)))
+    rows.foreach { r =>
+      val label = r.getAs[Int]("label")
+      def centroid(half: Long): Array[Long] = {
+        val vs = emb.filter(e => e._3 == label && e._1 % 2 == half).map(_._2)
+        val n = vs.length.toLong
+        (0 until vs.head.length).map { d =>
+          val s = vs.map(_(d)).sum
+          if (s >= 0) s / n else -((-s) / n)
+        }.toArray
+      }
+      val (a, b) = (centroid(0), centroid(1))
+      val sxy = a.zip(b).map { case (x, y) => x * y }.sum
+      val sxx = a.map(x => x * x).sum
+      val syy = b.map(y => y * y).sum
+      val expected = sxy.toDouble / (math.sqrt(sxx.toDouble) * math.sqrt(syy.toDouble))
+      assert(r.getAs[Double]("cos_drift") == expected, s"label $label")
+      // Cosine is bounded (the fixture's embeddings are near-zero-mean,
+      // so half-centroids are noise-dominated — no alignment promise).
+      assert(math.abs(r.getAs[Double]("cos_drift")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("calendar heatmap: cells conserve orders and revenue") {
+    val rows = SparkEntry.queries("orders_calendar_heatmap")(spark, sfDir).collect()
+    val o = Sources.orders(spark, sfDir)
+      .agg(count(lit(1)),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")))
+      .collect()(0)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == o.getLong(0))
+    assert(math.abs(rows.map(_.getAs[Double]("revenue")).sum -
+      o.getLong(1).toDouble / 100.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mth") >= 1 && r.getAs[Long]("mth") <= 12)
+      assert(r.getAs[Long]("dow") >= 0 && r.getAs[Long]("dow") <= 6)
+    }
+  }
 }

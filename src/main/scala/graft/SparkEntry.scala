@@ -9080,6 +9080,97 @@ object SparkEntry {
         .select("mth", "dow", "n_orders", "revenue", "avg_order")
         .orderBy("mth", "dow")
     }),
+
+    // OUT-OF-DISTRIBUTION FLAGS — the embedding-hygiene gate before
+    // vectors enter an index ("is this embedding even from the right
+    // distribution"): per-label squared distance to the INTEGER-EXACT
+    // label centroid (q6 components keep Σdiff² in BIGINT across 64
+    // dims), p99 cut by the exact-rank rule (⌈0.99n⌉-th order statistic
+    // — the winsorize integer adjudication, zero interpolation), flags
+    // = rows strictly beyond it. Centroids broadcast back; the rank
+    // window partitions by label.
+    "emb_ood_flags" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ex = Sources.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("q"))
+      val cent = ex.groupBy("label", "dim")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("cq",
+          expr("CASE WHEN sq >= 0 THEN sq div n ELSE -((-sq) div n) END"))
+        .select("label", "dim", "cq")
+      val dist = ex.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy("label", "vec_id")
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist2"))
+      val ranked = dist
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy("dist2", "vec_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("label")))
+      val cuts = ranked
+        .filter(col("rn") === expr("(n * 99 + 99) div 100"))
+        .select(col("label"), col("dist2").as("p99_dist2"))
+      dist.join(broadcast(cuts), "label")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), max(col("p99_dist2")).as("p99_dist2"),
+          sum(when(col("dist2") > col("p99_dist2"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          max(col("dist2")).as("max_dist2"))
+        .orderBy("label")
+    }),
+
+    // OVERNIGHT GAP DETECTION — the discontinuity event the close-only
+    // indicators can't see: |day open − previous close| ≥ 5% of the
+    // previous close, adjudicated ENTIRELY in integers (gap_bp =
+    // |Δ|·1e4 DIV cprev on q4 quanta — no ratio before the cut). Emits
+    // only the gap days with direction; per-symbol lag window.
+    "yf_gap_days" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Open") * 1e4 + 0.5).cast("long")).as("os"),
+          sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("oq", expr("os div nb"))
+        .withColumn("cq", expr("cs div nb"))
+      val wo = Window.partitionBy("symbol").orderBy("Date")
+      daily
+        .withColumn("cprev", lag(col("cq"), 1).over(wo))
+        .filter(col("cprev").isNotNull && col("cprev") > 0)
+        .withColumn("gap_bp",
+          expr("(abs(oq - cprev) * 10000) div cprev"))
+        .filter(col("gap_bp") >= 500)
+        .select(col("symbol"), col("Date").cast("date").cast("string").as("d"),
+          col("oq"), col("cprev"), col("gap_bp"),
+          when(col("oq") > col("cprev"), "up").otherwise("down").as("direction"))
+        .orderBy("symbol", "d")
+    }),
+
+    // FRESHNESS AUDIT — the data-ops staleness readout every pipeline
+    // dashboard carries ("when did each stream last deliver"): per
+    // event type, last-seen day, staleness vs the corpus as-of (the
+    // max day — derived in-plan, deterministic; never wall-clock),
+    // trailing-7-day volume, and a stale verdict. One keyed aggregate
+    // + a 1-row broadcast.
+    "events_freshness_audit" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .select(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+      val asOf = ev.agg(max(col("day")).as("as_of_day"))
+      ev.crossJoin(broadcast(asOf))
+        .groupBy("event_type")
+        .agg(max(col("as_of_day")).as("as_of_day"),
+          max(col("day")).as("last_day"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("day") > col("as_of_day") - 7L, 1L).otherwise(0L))
+            .as("n_last_7d"))
+        .withColumn("staleness_days", col("as_of_day") - col("last_day"))
+        .withColumn("stale", (col("staleness_days") > 1L).cast("int"))
+        .select("event_type", "as_of_day", "last_day", "staleness_days",
+          "n_events", "n_last_7d", "stale")
+        .orderBy("event_type")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -14786,5 +14877,79 @@ object SparkEntry {
         |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) / 100.0e0 AS avg_order
         |FROM o GROUP BY 1, 2 ORDER BY mth, dow""".stripMargin,
+
+    "emb_ood_flags" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(i AS BIGINT) - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |      AS q
+        |  FROM (SELECT label, vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |cent AS (
+        |  SELECT label, dim,
+        |    CASE WHEN CAST(sum(q) AS BIGINT) >= 0
+        |         THEN CAST(sum(q) AS BIGINT) // count(*)
+        |         ELSE -((-CAST(sum(q) AS BIGINT)) // count(*)) END AS cq
+        |  FROM ex GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT ex.label, vec_id,
+        |    CAST(sum((q - cq) * (q - cq)) AS BIGINT) AS dist2
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT label, dist2,
+        |    row_number() OVER (PARTITION BY label ORDER BY dist2, vec_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY label) AS n
+        |  FROM dist),
+        |cuts AS (
+        |  SELECT label, dist2 AS p99_dist2 FROM ranked
+        |  WHERE rn = (n * 99 + 99) // 100)
+        |SELECT d.label, count(*) AS n, max(p99_dist2) AS p99_dist2,
+        |  CAST(sum(CASE WHEN d.dist2 > c.p99_dist2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged,
+        |  max(d.dist2) AS max_dist2
+        |FROM dist d JOIN cuts c ON d.label = c.label
+        |GROUP BY 1 ORDER BY d.label""".stripMargin,
+
+    "yf_gap_days" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Open" * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS oq,
+         |    CAST(sum(CAST(floor("Close" * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS cq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |lg AS (
+         |  SELECT symbol, "Date", oq,
+         |    lag(cq) OVER (PARTITION BY symbol ORDER BY "Date") AS cprev
+         |  FROM daily),
+         |g AS (
+         |  SELECT symbol, "Date", oq, cprev,
+         |    (abs(oq - cprev) * 10000) // cprev AS gap_bp
+         |  FROM lg WHERE cprev IS NOT NULL AND cprev > 0)
+         |SELECT symbol, CAST(CAST("Date" AS DATE) AS VARCHAR) AS d,
+         |  oq, cprev, gap_bp,
+         |  CASE WHEN oq > cprev THEN 'up' ELSE 'down' END AS direction
+         |FROM g WHERE gap_bp >= 500
+         |ORDER BY symbol, d""".stripMargin,
+
+    "events_freshness_audit" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |t AS (SELECT max(day) AS as_of_day FROM ev)
+        |SELECT event_type, max(as_of_day) AS as_of_day,
+        |  max(day) AS last_day,
+        |  max(as_of_day) - max(day) AS staleness_days,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN day > as_of_day - 7 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_last_7d,
+        |  CAST(max(as_of_day) - max(day) > 1 AS INTEGER) AS stale
+        |FROM ev CROSS JOIN t
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -914,4 +914,46 @@ class Round10OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("dow") >= 0 && r.getAs[Long]("dow") <= 6)
     }
   }
+
+  test("ood flags: flags are the strict-beyond-p99 tail, cut is the rank rule") {
+    val rows = SparkEntry.queries("emb_ood_flags")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val flagged = r.getAs[Long]("n_flagged")
+      // At most 1% can lie strictly beyond the ceil(0.99 n) order statistic.
+      assert(flagged <= n - (n * 99 + 99) / 100)
+      assert(r.getAs[Long]("max_dist2") >= r.getAs[Long]("p99_dist2"))
+      assert(r.getAs[Long]("p99_dist2") >= 0)
+    }
+  }
+
+  test("gap days: every emitted day clears the 5% integer cut; direction correct") {
+    val rows = SparkEntry.queries("yf_gap_days")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val oq = r.getAs[Long]("oq"); val cp = r.getAs[Long]("cprev")
+      val bp = (math.abs(oq - cp) * 10000L) / cp
+      assert(r.getAs[Long]("gap_bp") == bp && bp >= 500)
+      assert(r.getAs[String]("direction") == (if (oq > cp) "up" else "down"))
+    }
+  }
+
+  test("freshness audit: as-of is the corpus max day; counts conserve") {
+    val rows = SparkEntry.queries("events_freshness_audit")(spark, sfDir).collect()
+    val evs = Sources.events(spark, sfDir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val asOf = evs.map(_._2).max
+    assert(rows.map(_.getAs[Long]("n_events")).sum == evs.length.toLong)
+    rows.foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val ds = evs.filter(_._1 == tpe).map(_._2)
+      assert(r.getAs[Long]("as_of_day") == asOf)
+      assert(r.getAs[Long]("last_day") == ds.max)
+      assert(r.getAs[Long]("staleness_days") == asOf - ds.max)
+      assert(r.getAs[Long]("n_last_7d") == ds.count(_ > asOf - 7).toLong)
+      assert(r.getAs[Int]("stale") == (if (asOf - ds.max > 1) 1 else 0))
+    }
+  }
 }

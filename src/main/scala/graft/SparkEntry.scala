@@ -9171,6 +9171,79 @@ object SparkEntry {
           "n_events", "n_last_7d", "stale")
         .orderBy("event_type")
     }),
+
+    // REORDER-INTERVAL MEDIAN — the purchase-cycle readout ("how often
+    // does this segment come back") replenishment planning runs on:
+    // per-customer consecutive-order gaps in exact integer days, the
+    // per-segment median on the DOUBLED order statistic (odd → 2·mid,
+    // even → mid₁+mid₂ — the Mann–Whitney/Theil–Sen integral-median
+    // discipline). Per-customer lag windows + one segment-partitioned
+    // rank window; the dim join is broadcast.
+    "orders_reorder_interval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Sources.orders(s, dir)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("day"))
+      val gaps = o
+        .withColumn("prev", lag(col("day"), 1).over(
+          Window.partitionBy("o_custkey").orderBy("day", "o_custkey")))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap", col("day") - col("prev"))
+        .join(broadcast(Sources.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      val nn = gaps.groupBy("c_mktsegment").agg(count(lit(1)).as("n_gaps"))
+      val ranked = gaps
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("c_mktsegment")
+            .orderBy("gap", "o_custkey", "day")))
+      ranked.join(nn, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(max(col("n_gaps")).as("n_gaps"),
+          (sum(when(col("rn") === expr("(n_gaps + 1) div 2"), col("gap"))
+            .otherwise(0L)) +
+           sum(when(col("rn") === expr("(n_gaps + 2) div 2"), col("gap"))
+            .otherwise(0L))).as("med2_days"))
+        .withColumn("median_days", col("med2_days").cast("double") / 2.0)
+        .select("c_mktsegment", "n_gaps", "med2_days", "median_days")
+        .orderBy("c_mktsegment")
+    }),
+
+    // TYPE-TOKEN RATIO CURVE — vocabulary growth at increasing corpus
+    // budgets (the Heaps'-law companion to text_zipf_slope and
+    // text_hapax_ratio; the tokenizer-sizing question "how fast does
+    // the vocabulary still grow"): doc-granular prefixes by doc_id
+    // order (the prefix cut runs on the DOC-grain cumulative-token
+    // table — bounded by document count, never a token-grain global
+    // window), distinct types counted per budget via one words⋈kept
+    // join. Four budgets in one pass.
+    "text_ttr_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val norm = util.Norm.normalize(col("text"))
+      val docs = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          size(filter(split(norm, " "), x => x =!= "")).cast("long").as("ntok"))
+      val cum = docs.withColumn("cum",
+        sum(col("ntok")).over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val kept = cum
+        .select(col("doc_id"), col("ntok"), col("cum"),
+          explode(expr("array(1000, 4000, 16000, 64000)")).as("budget"))
+        .filter(col("cum") <= col("budget"))
+      val stats = kept.groupBy("budget")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+        .filter(col("w") =!= "")
+      val types = words.join(kept.select("budget", "doc_id"), "doc_id")
+        .groupBy("budget").agg(countDistinct(col("w")).as("n_types"))
+      stats.join(types, "budget")
+        .withColumn("ttr",
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
+        .select(col("budget").cast("long").as("budget"), col("n_docs"),
+          col("n_tokens"), col("n_types"), col("ttr"))
+        .orderBy("budget")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -14951,5 +15024,71 @@ object SparkEntry {
         |  CAST(max(as_of_day) - max(day) > 1 AS INTEGER) AS stale
         |FROM ev CROSS JOIN t
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "orders_reorder_interval" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |      AS day
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey, day,
+        |    day - lag(day) OVER (PARTITION BY o_custkey
+        |      ORDER BY day, o_custkey) AS gap
+        |  FROM o),
+        |gs AS (
+        |  SELECT c_mktsegment, o_custkey, day, gap
+        |  FROM g JOIN customer ON o_custkey = c_custkey
+        |  WHERE gap IS NOT NULL),
+        |nn AS (SELECT c_mktsegment, count(*) AS n_gaps FROM gs GROUP BY 1),
+        |ranked AS (
+        |  SELECT c_mktsegment, gap,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY gap, o_custkey, day) AS rn
+        |  FROM gs)
+        |SELECT r.c_mktsegment, max(n_gaps) AS n_gaps,
+        |  CAST(sum(CASE WHEN rn = (n_gaps + 1) // 2 THEN gap ELSE 0 END)
+        |     + sum(CASE WHEN rn = (n_gaps + 2) // 2 THEN gap ELSE 0 END)
+        |    AS BIGINT) AS med2_days,
+        |  CAST(CAST(sum(CASE WHEN rn = (n_gaps + 1) // 2 THEN gap ELSE 0 END)
+        |     + sum(CASE WHEN rn = (n_gaps + 2) // 2 THEN gap ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) / 2.0e0 AS median_days
+        |FROM ranked r JOIN nn USING (c_mktsegment)
+        |GROUP BY r.c_mktsegment ORDER BY r.c_mktsegment""".stripMargin,
+
+    "text_ttr_curve" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(${util.Norm.normalizeSql("text")},
+         |      ' '), x -> x <> '')) AS BIGINT) AS ntok
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, ntok,
+         |    CAST(sum(ntok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM docs),
+         |kept AS (
+         |  SELECT doc_id, ntok, b.budget
+         |  FROM cum CROSS JOIN (SELECT unnest([1000, 4000, 16000, 64000])
+         |                       AS budget) b
+         |  WHERE cum <= b.budget),
+         |stats AS (
+         |  SELECT budget, count(*) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |  FROM kept GROUP BY 1),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS w
+         |  FROM documents),
+         |types AS (
+         |  SELECT budget, count(DISTINCT w.w) AS n_types
+         |  FROM w JOIN kept USING (doc_id) WHERE w.w <> ''
+         |  GROUP BY 1)
+         |SELECT CAST(s.budget AS BIGINT) AS budget, n_docs, n_tokens,
+         |  n_types,
+         |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+         |FROM stats s JOIN types USING (budget)
+         |ORDER BY budget""".stripMargin,
   )
 }

@@ -956,4 +956,52 @@ class Round10OpsSpec extends SparkSpec {
       assert(r.getAs[Int]("stale") == (if (asOf - ds.max > 1) 1 else 0))
     }
   }
+
+  test("reorder interval: doubled median of brute per-customer gaps") {
+    val o = Sources.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val seg = Sources.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val gaps = o.groupBy(_._1).toSeq.flatMap { case (c, xs) =>
+      val ds = xs.map(_._2).sorted
+      ds.zip(ds.tail).map { case (a, b) => (seg(c), b - a) }
+    }
+    val rows = SparkEntry.queries("orders_reorder_interval")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val sg = r.getAs[String]("c_mktsegment")
+      val gs = gaps.filter(_._1 == sg).map(_._2).sorted
+      val n = gs.length
+      assert(r.getAs[Long]("n_gaps") == n.toLong)
+      val med2 = gs((n + 1) / 2 - 1) + gs((n + 2) / 2 - 1)
+      assert(r.getAs[Long]("med2_days") == med2, s"segment $sg")
+      assert(r.getAs[Double]("median_days") == med2.toDouble / 2.0)
+    }
+  }
+
+  test("ttr curve: prefix cut and type counts replay; budgets nest") {
+    val docs = Sources.documents(spark, sfDir)
+      .select(col("doc_id"), util.Norm.normalize(col("text")).as("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val toks = docs.map { case (id, n) => (id, n.split(" ").filter(_.nonEmpty)) }
+    val cums = toks.scanLeft(0L)((acc, d) => acc + d._2.length).tail
+    val rows = SparkEntry.queries("text_ttr_curve")(spark, sfDir).collect()
+    var prevDocs = -1L
+    rows.foreach { r =>
+      val budget = r.getAs[Long]("budget")
+      val kept = toks.zip(cums).takeWhile(_._2 <= budget).map(_._1)
+      assert(r.getAs[Long]("n_docs") == kept.length.toLong)
+      assert(r.getAs[Long]("n_tokens") == kept.map(_._2.length.toLong).sum)
+      val types = kept.flatMap(_._2).distinct.length.toLong
+      assert(r.getAs[Long]("n_types") == types)
+      assert(r.getAs[Double]("ttr") ==
+        types.toDouble / kept.map(_._2.length.toLong).sum.toDouble)
+      // Larger budgets keep supersets of smaller budgets' docs.
+      assert(kept.length.toLong >= prevDocs)
+      prevDocs = kept.length.toLong
+    }
+  }
 }

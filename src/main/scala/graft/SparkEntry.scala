@@ -9244,6 +9244,72 @@ object SparkEntry {
           col("n_tokens"), col("n_types"), col("ttr"))
         .orderBy("budget")
     }),
+
+    // CALMAR RATIO — return per unit of worst drawdown (the risk lens
+    // completing sharpe/sortino/ulcer: σ, downside-σ, drawdown depth,
+    // and now drawdown-NORMALIZED return): period return and max
+    // drawdown both in INTEGER basis points (sign-split truncating
+    // division for the possibly-negative return — magnitudes divide,
+    // signs reapply), endpoints via min_by/max_by on the tie-free
+    // per-symbol date order (the yf_weekly_ohlc argmin discipline).
+    // One keyed aggregate after the running-peak window.
+    "yf_calmar" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Sources.ohlcv(s, dir)
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .groupBy("symbol", "Date")
+        .agg(sum(floor(col("Close") * 1e4 + 0.5).cast("long")).as("cs"),
+          count(lit(1)).as("nb"))
+        .withColumn("cq", expr("cs div nb"))
+        .filter(col("cq") > 0)
+      val wo = Window.partitionBy("symbol").orderBy("Date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("peak", max(col("cq")).over(wo))
+        .withColumn("dd_bp", expr("((peak - cq) * 10000) div peak"))
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n"),
+          min_by(col("cq"), col("Date")).as("first_cq"),
+          max_by(col("cq"), col("Date")).as("last_cq"),
+          max(col("dd_bp")).as("max_dd_bp"))
+        .withColumn("ret_bp",
+          expr("CASE WHEN last_cq >= first_cq " +
+            "THEN ((last_cq - first_cq) * 10000) div first_cq " +
+            "ELSE -(((first_cq - last_cq) * 10000) div first_cq) END"))
+        .withColumn("calmar", col("ret_bp").cast("double") /
+          nullif(col("max_dd_bp").cast("double"), lit(0.0)))
+        .select("symbol", "n", "ret_bp", "max_dd_bp", "calmar")
+        .orderBy("symbol")
+    }),
+
+    // LABEL GEOMETRY MATRIX — the class-separation readout before
+    // training on labeled embeddings ("which classes are entangled"):
+    // pairwise cosine between INTEGER-EXACT label centroids (q6
+    // sign-split floor division — the ood/silhouette discipline),
+    // C(labels,2) rows from dim-grain BIGINT moments. Centroid table
+    // is O(labels·dims); the pair join never touches raw vectors.
+    "emb_label_geometry" -> ((s, dir) => {
+      val ex = Sources.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("q"))
+      val cent = ex.groupBy("label", "dim")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("cq",
+          expr("CASE WHEN sq >= 0 THEN sq div n ELSE -((-sq) div n) END"))
+        .select(col("label"), col("dim"), col("cq"), col("n"))
+      cent.as("a").join(cent.as("b"),
+          col("a.label") < col("b.label") && col("a.dim") === col("b.dim"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"),
+          sum(col("a.cq") * col("b.cq")).as("sxy"),
+          sum(col("a.cq") * col("a.cq")).as("sxx"),
+          sum(col("b.cq") * col("b.cq")).as("syy"))
+        .withColumn("cos_centroid", col("sxy").cast("double") /
+          (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))))
+        .select("label_a", "label_b", "n_a", "n_b", "cos_centroid")
+        .orderBy("label_a", "label_b")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -15090,5 +15156,61 @@ object SparkEntry {
          |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
          |FROM stats s JOIN types USING (budget)
          |ORDER BY budget""".stripMargin,
+
+    "yf_calmar" ->
+      s"""WITH $barsCte,
+         |daily AS (
+         |  SELECT symbol, "Date",
+         |    CAST(sum(CAST(floor("Close" * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS cq
+         |  FROM bars WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |  GROUP BY 1, 2),
+         |d2 AS (SELECT * FROM daily WHERE cq > 0),
+         |p AS (
+         |  SELECT symbol, "Date", cq,
+         |    max(cq) OVER (PARTITION BY symbol ORDER BY "Date"
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM d2),
+         |m AS (
+         |  SELECT symbol, count(*) AS n,
+         |    arg_min(cq, "Date") AS first_cq,
+         |    arg_max(cq, "Date") AS last_cq,
+         |    max(((peak - cq) * 10000) // peak) AS max_dd_bp
+         |  FROM p GROUP BY 1),
+         |r AS (
+         |  SELECT symbol, n, max_dd_bp,
+         |    CASE WHEN last_cq >= first_cq
+         |         THEN ((last_cq - first_cq) * 10000) // first_cq
+         |         ELSE -(((first_cq - last_cq) * 10000) // first_cq)
+         |    END AS ret_bp
+         |  FROM m)
+         |SELECT symbol, n, ret_bp, max_dd_bp,
+         |  CAST(ret_bp AS DOUBLE) / nullif(CAST(max_dd_bp AS DOUBLE), 0.0)
+         |    AS calmar
+         |FROM r ORDER BY symbol""".stripMargin,
+
+    "emb_label_geometry" ->
+      """WITH ex AS (
+        |  SELECT label, CAST(i AS BIGINT) - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |      AS q
+        |  FROM (SELECT label, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |cent AS (
+        |  SELECT label, dim, count(*) AS n,
+        |    CASE WHEN CAST(sum(q) AS BIGINT) >= 0
+        |         THEN CAST(sum(q) AS BIGINT) // count(*)
+        |         ELSE -((-CAST(sum(q) AS BIGINT)) // count(*)) END AS cq
+        |  FROM ex GROUP BY 1, 2)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  max(a.n) AS n_a, max(b.n) AS n_b,
+        |  CAST(CAST(sum(a.cq * b.cq) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(CAST(sum(a.cq * a.cq) AS BIGINT) AS DOUBLE))
+        |       * sqrt(CAST(CAST(sum(b.cq * b.cq) AS BIGINT) AS DOUBLE)))
+        |    AS cos_centroid
+        |FROM cent a JOIN cent b
+        |  ON a.label < b.label AND a.dim = b.dim
+        |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin,
   )
 }

@@ -1004,4 +1004,41 @@ class Round10OpsSpec extends SparkSpec {
       prevDocs = kept.length.toLong
     }
   }
+
+  test("calmar: consistent with the ulcer query's drawdowns and endpoints") {
+    val ulcer = SparkEntry.queries("yf_ulcer_index")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("symbol") -> r.getAs[Long]("max_dd_bp")).toMap
+    val rows = SparkEntry.queries("yf_calmar")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sym = r.getAs[Long]("symbol")
+      assert(r.getAs[Long]("max_dd_bp") == ulcer(sym),
+        s"max drawdown disagrees with ulcer for $sym")
+      val ret = r.getAs[Long]("ret_bp")
+      if (r.getAs[Long]("max_dd_bp") > 0)
+        assert(r.getAs[Double]("calmar") ==
+          ret.toDouble / r.getAs[Long]("max_dd_bp").toDouble)
+      // A positive return cannot coexist with a 100% drawdown floor.
+      assert(r.getAs[Long]("max_dd_bp") <= 10000)
+    }
+  }
+
+  test("label geometry: symmetric-pair matrix over exact centroids") {
+    val rows = SparkEntry.queries("emb_label_geometry")(spark, sfDir).collect()
+    val labels = Sources.embeddings(spark, sfDir)
+      .select("label").distinct().collect().map(_.getInt(0)).sorted
+    assert(rows.length == labels.length * (labels.length - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label_a") < r.getAs[Int]("label_b"))
+      assert(math.abs(r.getAs[Double]("cos_centroid")) <= 1.0 + 1e-9)
+    }
+    // n_a for a given label is the same in every pair it appears in.
+    val nByLabel = rows.flatMap(r => Seq(
+      r.getAs[Int]("label_a") -> r.getAs[Long]("n_a"),
+      r.getAs[Int]("label_b") -> r.getAs[Long]("n_b"))).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") == nByLabel(r.getAs[Int]("label_a")))
+      assert(r.getAs[Long]("n_b") == nByLabel(r.getAs[Int]("label_b")))
+    }
+  }
 }

@@ -9310,6 +9310,42 @@ object SparkEntry {
         .select("label_a", "label_b", "n_a", "n_b", "cos_centroid")
         .orderBy("label_a", "label_b")
     }),
+
+    // CSV WIRE round-trip — the QUOTING half of the interchange matrix
+    // (JSONL covers nesting, this covers delimiter collisions): events
+    // written as header-CSV INCLUDING the props JSON column — whose
+    // embedded commas, quotes and braces force the writer through
+    // quoted-field + escape handling — then read back with an explicit
+    // schema (schema-on-read, no inference pass) and aggregated with a
+    // 40-bit-md5 content checksum over props. The oracle computes the
+    // same checksum straight from parquet, so a hash match proves the
+    // quote/escape round-trip preserved every byte of every field.
+    "events_csv_roundtrip" -> ((s, dir) => {
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_events_csv")
+      Sources.events(s, dir)
+        .select(col("event_id"), col("ts").cast("long").as("ts"),
+          col("user_id"), col("event_type"),
+          floor(col("value") * 1e8 + 0.5).cast("long").as("value_q8"),
+          col("props"))
+        .coalesce(8)
+        .write.mode("overwrite").option("header", "true").csv(out.toString)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value_q8", LongType), StructField("props", StringType)))
+      s.read.schema(schema).option("header", "true").csv(out.toString)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_q8")).as("sum_value_q8"),
+          sum(col("user_id")).as("user_id_sum"),
+          min(expr("ts DIV 1000")).as("min_ts_us"),
+          max(expr("ts DIV 1000")).as("max_ts_us"),
+          sum(expr("CAST(conv(substring(md5(cast(props as binary)), 1, 10), " +
+            "16, 10) AS BIGINT)")).as("props_sum40"))
+        .orderBy("event_type")
+    }),
   )
 
   /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
@@ -15212,5 +15248,15 @@ object SparkEntry {
         |FROM cent a JOIN cent b
         |  ON a.label < b.label AND a.dim = b.dim
         |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin,
+
+    "events_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_q8,
+        |  CAST(sum(user_id) AS BIGINT) AS user_id_sum,
+        |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+        |  CAST(sum(CAST(concat('0x', substring(md5(props), 1, 10)) AS BIGINT))
+        |    AS BIGINT) AS props_sum40
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -930,14 +930,19 @@ object SparkEntry {
     }),
 
     // IQPLUS pipeline (U1-U3 + W2): deterministic extractive split-merge
-    // summarizer UDF + pinned 1-based index. Not SQL-expressible → no
-    // oracle entry (rows-only check), but deterministic across re-runs.
+    // summarizer UDF + pinned 1-based index. The summary STRING itself is
+    // oracle-checked: the DuckDB mirror replays sentence scoring, greedy
+    // pick and original-order reassembly as recursive CTEs
+    // (Summarize.summarizeLongTextCtes) — an independent implementation
+    // of the same state machines.
     "news_summarize" -> ((s, dir) =>
       news.Summarize.transform(Sources.news(s, dir)).orderBy("index")),
 
     // Chunking surface (U1) on synthesized long sentence-structured text
     // (testdata docs are short and dot-free): ~20x repetition pushes docs
-    // past the 1024-token budget so the split-merge path really runs.
+    // past the 1024-token budget so the split-merge path really runs —
+    // and the oracle replays the FULL long path (chunk assignment,
+    // per-chunk 512/30 summaries, merge, 250/50 re-summarize) in DuckDB.
     "news_chunking" -> ((s, dir) => {
       val docs = Sources.documents(s, dir)
         .withColumn("long_text",
@@ -7954,10 +7959,10 @@ object SparkEntry {
     // fatness are what a risk desk reads next). The central-moment sums
     // expand to pure integer algebra on the raw power sums: A = nΣx²−S²,
     // B = n²Σx³−3nSΣx²+2S³, C = n³Σx⁴−4n²SΣx³+6nS²Σx²−3S⁴, with
-    // g1 = B/A^1.5 and g2 = C/A²−3 — closes are 1e-4-quantized so x⁴
-    // stays in BIGINT per row, and the cross-row sums ride in
-    // DECIMAL(38,0) ⇔ HUGEINT (crossing to IEEE via the VARCHAR
-    // round-trip, the corr_matrix contract). One keyed aggregate after a
+    // g1 = B/A^1.5 and g2 = C/A²−3 — closes are 1e-4-quantized and the
+    // powers AND their cross-row sums ride in DECIMAL(38,0) ⇔ HUGEINT
+    // end-to-end (a BIGINT x⁴ accumulation would wrap on realistic
+    // moves). One keyed aggregate after a
     // per-symbol lag window; the only FP steps are one sqrt and two
     // divisions per symbol.
     "yf_kurtosis_skew" -> ((s, dir) => {
@@ -7972,12 +7977,18 @@ object SparkEntry {
       val wo = Window.partitionBy("symbol").orderBy("Date")
       val d = daily.withColumn("x", col("xq") - lag(col("xq"), 1).over(wo))
         .filter(col("x").isNotNull)
-      val m = d.groupBy("symbol").agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("s1"),
-        sum(col("x") * col("x")).as("s2"),
-        sum(col("x") * col("x") * col("x")).as("s3"),
-        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      // Widen x to DECIMAL(38,0) BEFORE the power products so the per-row
+      // x³/x⁴ and the cross-row sums are exact decimal — a LongType
+      // accumulation wraps silently (non-ANSI) for ~1.5-unit daily moves
+      // (15000⁴·250 rows ≈ 1.3e19 > Int64) while the DuckDB oracle sums
+      // into HUGEINT exactly.
+      val m = d.select(col("symbol"), col("x").cast(d38).as("xd"))
+        .groupBy("symbol").agg(
+          count(lit(1)).as("n"),
+          sum(col("xd")).as("s1"),
+          sum(col("xd") * col("xd")).as("s2"),
+          sum(col("xd") * col("xd") * col("xd")).as("s3"),
+          sum(col("xd") * col("xd") * col("xd") * col("xd")).as("s4"))
         .filter(col("n") >= 3)
       val n = col("n").cast(d38)
       val (s1, s2, s3, s4) = (col("s1").cast(d38), col("s2").cast(d38),
@@ -8194,10 +8205,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("w")).as("words"), sum(col("sen")).as("sentences"),
           sum(col("y")).as("syllables"))
+        // nullif-guarded divisors (the house convention): a language with
+        // 0 sentences/words would yield NULL here but ±inf/NaN under
+        // DuckDB's IEEE double division — guard BOTH sides identically.
         .withColumn("wps",
-          col("words").cast("double") / col("sentences").cast("double"))
+          col("words").cast("double") /
+            nullif(col("sentences"), lit(0L)).cast("double"))
         .withColumn("spw",
-          col("syllables").cast("double") / col("words").cast("double"))
+          col("syllables").cast("double") /
+            nullif(col("words"), lit(0L)).cast("double"))
         .withColumn("flesch",
           lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
         .orderBy("lang")
@@ -8438,8 +8454,12 @@ object SparkEntry {
     // a 60-bit chunk-hash signature (15 payload chunks × 4 md5 bits —
     // where a real pipeline computes pHash/aHash from decoded pixels,
     // the banding/verify plumbing is identical and the chunk hash is the
-    // deterministic offline stand-in), banded 4×15 bits so near-equal
-    // signatures meet in ≥2 buckets, verified by bit_count(xor) ≤ 8.
+    // deterministic offline stand-in), banded 4×15 bits — banding
+    // guarantees a shared bucket only for pairs whose differing bits
+    // miss at least one band entirely (hamming ≤ 8 spread as ≤2 bits
+    // per band across all 4 bands yields zero shared buckets and is
+    // missed — an accepted-recall trade, mirrored exactly by the
+    // oracle), candidates verified by bit_count(xor) ≤ 8.
     // Near-copies are injected in-query (one mutated middle chunk,
     // disjoint id space — the docs_cross_source_dup discipline) since
     // the fixture has no natural near-dups. Never all-pairs: candidates
@@ -8547,11 +8567,16 @@ object SparkEntry {
       val wo = Window.partitionBy("symbol").orderBy("Date")
       val d = daily.withColumn("x", col("xq") - lag(col("xq"), 1).over(wo))
         .filter(col("x").isNotNull)
-      val m = d.groupBy("symbol").agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
-        sum(col("x") * col("x") * col("x")).as("s3"),
-        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      // Decimal-wide accumulation — same rationale as yf_kurtosis_skew:
+      // the x³/x⁴ powers and their sums must ride in DECIMAL(38,0), not
+      // LongType, to match the oracle's exact HUGEINT sums on realistic
+      // price moves.
+      val m = d.select(col("symbol"), col("x").cast(d38).as("xd"))
+        .groupBy("symbol").agg(
+          count(lit(1)).as("n"),
+          sum(col("xd")).as("s1"), sum(col("xd") * col("xd")).as("s2"),
+          sum(col("xd") * col("xd") * col("xd")).as("s3"),
+          sum(col("xd") * col("xd") * col("xd") * col("xd")).as("s4"))
         .filter(col("n") >= 3)
       val n = col("n").cast(d38)
       val (s1, s2, s3, s4) = (col("s1").cast(d38), col("s2").cast(d38),
@@ -8805,7 +8830,11 @@ object SparkEntry {
           sum(when(expr("ts DIV 86400000000000") < 19000L ||
             expr("ts DIV 86400000000000") > 20500L, 1L).otherwise(0L))
             .as("v_tsrange"),
-          sum(when(expr("try_parse_json(props)").isNull, 1L).otherwise(0L))
+          // NULL props is an explicit violation on BOTH sides (a bare
+          // try_parse_json(NULL) IS NULL counts it here but DuckDB's
+          // NOT json_valid(NULL) yields NULL → 0 — silent divergence).
+          sum(when(col("props").isNull ||
+            expr("try_parse_json(props)").isNull, 1L).otherwise(0L))
             .as("v_json"))
         .selectExpr("n",
           "stack(6, 'event_id_unique', v_unique, 'user_id_not_null', " +
@@ -9335,7 +9364,13 @@ object SparkEntry {
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value_q8", LongType), StructField("props", StringType)))
-      s.read.schema(schema).option("header", "true").csv(out.toString)
+      // multiLine + explicit escape/quote: a props JSON value with an
+      // embedded newline is written quoted — without multiLine the read
+      // would split that record mid-field and silently corrupt rows.
+      s.read.schema(schema).option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", "\"").option("escape", "\\")
+        .csv(out.toString)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum(col("value_q8")).as("sum_value_q8"),
@@ -10065,6 +10100,47 @@ object SparkEntry {
     "news_summary_stats" ->
       s"""${news.Summarize.summaryStatsSql("documents", "replace(text, ' the ', '. ')")}
          |ORDER BY doc_id""".stripMargin,
+    // The summary STRING itself, reconstructed: trim(text) through the
+    // full summarizeLongText dispatch (one-shot here — news konten is
+    // short — but the long path is generated too and exercised by
+    // news_chunking below), then the reference's output field set with
+    // the pinned 1-based index.
+    "news_summarize" ->
+      s"""WITH RECURSIVE
+         |base AS (SELECT doc_id, trim(text) AS t FROM documents),
+         |${news.Summarize.summarizeLongTextCtes("sm", "base", Seq("doc_id"))
+             .stripSuffix(",")}
+         |SELECT CAST(row_number() OVER (ORDER BY d.doc_id) AS INTEGER)
+         |    AS "index",
+         |  d.source AS judul, d.text AS konten,
+         |  coalesce(f.summary, '') AS rangkuman,
+         |  CAST(d.doc_id AS VARCHAR) AS waktu, d.lang AS tanggal_artikel
+         |FROM documents d LEFT JOIN sm_final f USING (doc_id)
+         |ORDER BY "index"""".stripMargin,
+    // Full split-merge replay on the synthesized >1024-token texts:
+    // n_chunks from the greedy-fold state machine (chunkCountsSql as a
+    // derived table), n_summary_tokens by re-tokenizing the reconstructed
+    // summary string.
+    "news_chunking" -> {
+      val longText = "regexp_replace(" +
+        (0 until 20).map(_ => "text").mkString("concat_ws('. ', ", ", ", ")") +
+        ", ' the ', '. ', 'g')"
+      s"""WITH RECURSIVE
+         |base AS (SELECT doc_id, $longText AS t FROM documents),
+         |${news.Summarize.summarizeLongTextCtes("sm", "base", Seq("doc_id"))
+             .stripSuffix(",")}
+         |SELECT b.doc_id,
+         |  CAST(len(regexp_extract_all(b.t, '${news.Summarize.tokenReSql}'))
+         |    AS INTEGER) AS n_tokens,
+         |  CAST(c.n_chunks AS INTEGER) AS n_chunks,
+         |  CAST(len(regexp_extract_all(coalesce(f.summary, ''),
+         |    '${news.Summarize.tokenReSql}')) AS INTEGER) AS n_summary_tokens
+         |FROM base b
+         |JOIN (${news.Summarize.chunkCountsSql("documents", longText)}) c
+         |  USING (doc_id)
+         |LEFT JOIN sm_final f USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
+    },
     "news_text_stats" ->
       """WITH d AS (SELECT *, replace(text, ' the ', '. ') AS dotted FROM documents)
         |SELECT doc_id,
@@ -14376,10 +14452,11 @@ object SparkEntry {
          |    CAST(sum(y) AS BIGINT) AS syllables
          |  FROM d GROUP BY 1)
          |SELECT lang, n_docs, words, sentences, syllables,
-         |  CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE) AS wps,
-         |  CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE) AS spw,
-         |  206.835e0 - 1.015e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
-         |    - 84.6e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+         |  CAST(words AS DOUBLE) / CAST(nullif(sentences, 0) AS DOUBLE) AS wps,
+         |  CAST(syllables AS DOUBLE) / CAST(nullif(words, 0) AS DOUBLE) AS spw,
+         |  206.835e0
+         |    - 1.015e0 * (CAST(words AS DOUBLE) / CAST(nullif(sentences, 0) AS DOUBLE))
+         |    - 84.6e0 * (CAST(syllables AS DOUBLE) / CAST(nullif(words, 0) AS DOUBLE))
          |    AS flesch
          |FROM agg ORDER BY lang""".stripMargin,
 
@@ -14851,8 +14928,8 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000 < 19000
         |      OR epoch_ns(ts) // 86400000000000 > 20500
         |      THEN 1 ELSE 0 END) AS BIGINT) AS v_tsrange,
-        |    CAST(sum(CASE WHEN NOT json_valid(props) THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS v_json
+        |    CAST(sum(CASE WHEN props IS NULL OR NOT json_valid(props)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_json
         |  FROM events)
         |SELECT "constraint", n AS n_checked, n_violations,
         |  CAST(n_violations = 0 AS INTEGER) AS pass

@@ -183,17 +183,17 @@ object Summarize {
   def chunkCountsSql(docsRel: String, textExpr: String,
                      maxTokens: Int = MaxTokens): String =
     s"""WITH RECURSIVE
-       |base AS (SELECT doc_id, $textExpr AS t FROM $docsRel),
-       |toks AS (
+       |base AS MATERIALIZED (SELECT doc_id, $textExpr AS t FROM $docsRel),
+       |toks AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(t, '$tokenReSql')) AS BIGINT) AS n_tokens
        |  FROM base),
-       |sl AS (
+       |sl AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_filter(list_transform(string_split(t, '.'), x -> trim(x)),
        |                x -> x <> '') AS ss
        |  FROM base),
-       |sents AS (
+       |sents AS MATERIALIZED (
        |  SELECT doc_id, generate_subscripts(ss, 1) AS i,
        |    len(regexp_extract_all(unnest(ss) || '.', '$tokenReSql')) AS ntok
        |  FROM sl),
@@ -216,6 +216,152 @@ object Summarize {
        |SELECT t.doc_id, t.n_tokens, c.n_chunks
        |FROM toks t JOIN chunks c USING (doc_id)""".stripMargin
 
+  // ---- generic CTE generators: the summary STRING itself, per key group
+
+  /** CTE block reconstructing [[extractiveSummarize]]'s output STRING per
+    * key group — the full pipeline (sentence split, doc-frequency scoring,
+    * (score desc, index) ranking, recursive-CTE greedy pick, original-order
+    * reassembly joined by ' ') as DuckDB SQL. `inRel` must be a prior CTE
+    * with columns `keyCols :+ t`; emits CTE definitions (comma-terminated
+    * fragment for embedding in one outer WITH RECURSIVE) culminating in
+    * `${p}_sum(keyCols..., summary)` — one row per `inRel` row, summary ''
+    * when the text has no sentences (exactly [[extractiveSummarize]] on
+    * empty ranked). */
+  def extractiveSummaryCtes(p: String, inRel: String, keyCols: Seq[String],
+                            maxLength: Int, minLength: Int): String = {
+    val keys = keyCols.mkString(", ")
+    def on(a: String, b: String) =
+      keyCols.map(k => s"$a.$k = $b.$k").mkString(" AND ")
+    def q(a: String) = keyCols.map(k => s"$a.$k").mkString(", ")
+    val take = s"(p.npicked = 0 OR p.used + r.ntok <= $maxLength OR p.used < $minLength)"
+    s"""${p}_sl AS MATERIALIZED (
+       |  SELECT $keys,
+       |    list_filter(list_transform(string_split(t, '.'), x -> trim(x)),
+       |                x -> x <> '') AS ss
+       |  FROM $inRel),
+       |${p}_sents AS MATERIALIZED (
+       |  SELECT $keys, generate_subscripts(ss, 1) AS i, unnest(ss) || '.' AS s
+       |  FROM ${p}_sl),
+       |${p}_stok AS MATERIALIZED (
+       |  SELECT $keys, i, s,
+       |    CAST(len(regexp_extract_all(s, '$tokenReSql')) AS INTEGER) AS ntok,
+       |    list_filter(regexp_extract_all(lower(s), '$tokenReSql'),
+       |                x -> regexp_matches(x, '\\p{L}')) AS words
+       |  FROM ${p}_sents),
+       |${p}_dw AS MATERIALIZED (
+       |  SELECT $keys,
+       |    unnest(list_filter(regexp_extract_all(lower(t), '$tokenReSql'),
+       |                       x -> regexp_matches(x, '\\p{L}'))) AS w
+       |  FROM $inRel),
+       |${p}_freq AS MATERIALIZED (SELECT $keys, w, count(*) AS f FROM ${p}_dw GROUP BY ALL),
+       |${p}_sw AS MATERIALIZED (SELECT $keys, i, unnest(words) AS w FROM ${p}_stok),
+       |${p}_sscore AS MATERIALIZED (
+       |  SELECT ${q("sw")}, sw.i, count(*) AS nw,
+       |    CAST(sum(coalesce(f.f, 0)) AS BIGINT) AS sf
+       |  FROM ${p}_sw sw LEFT JOIN ${p}_freq f
+       |    ON ${on("f", "sw")} AND f.w = sw.w
+       |  GROUP BY ALL),
+       |${p}_ranked AS MATERIALIZED (
+       |  SELECT ${q("st")}, st.i, st.s, st.ntok,
+       |    row_number() OVER (PARTITION BY ${q("st")}
+       |      ORDER BY coalesce(CAST(sc.sf AS DOUBLE) / (sc.nw + 1), 0.0) DESC,
+       |               st.i) AS rn
+       |  FROM ${p}_stok st LEFT JOIN ${p}_sscore sc
+       |    ON ${on("sc", "st")} AND sc.i = st.i),
+       |${p}_pick AS (
+       |  SELECT $keys, 0 AS rn, 0 AS used, 0 AS npicked, FALSE AS took
+       |  FROM $inRel
+       |  UNION ALL
+       |  SELECT ${q("p")}, p.rn + 1,
+       |    p.used + CASE WHEN $take THEN r.ntok ELSE 0 END,
+       |    p.npicked + CASE WHEN $take THEN 1 ELSE 0 END,
+       |    $take
+       |  FROM ${p}_pick p JOIN ${p}_ranked r
+       |    ON ${on("r", "p")} AND r.rn = p.rn + 1),
+       |${p}_sum AS (
+       |  SELECT ${q("b")}, coalesce(sel.summary, '') AS summary
+       |  FROM $inRel b LEFT JOIN (
+       |    SELECT $keys, string_agg(s, ' ' ORDER BY i) AS summary
+       |    FROM (SELECT ${q("p")}, r.s, r.i
+       |          FROM ${p}_pick p JOIN ${p}_ranked r
+       |            ON ${on("r", "p")} AND r.rn = p.rn
+       |          WHERE p.took)
+       |    GROUP BY ALL) sel
+       |  ON ${on("sel", "b")}),""".stripMargin
+  }
+
+  /** CTE block reconstructing [[summarizeLongText]]'s output STRING per
+    * key group: token-budget dispatch (≤ maxTokens → one-shot 250/50;
+    * longer → greedy chunking via the [[splitText]] state machine, chunk
+    * summaries at 512/30, ' '-join — empty chunks included, the mkString
+    * contract — then a re-summarize of the merge at 250/50). `inRel`:
+    * CTE with `keyCols :+ t`; emits a fragment culminating in
+    * `${p}_final(keyCols..., summary)`. */
+  def summarizeLongTextCtes(p: String, inRel: String, keyCols: Seq[String],
+                            maxTokens: Int = MaxTokens,
+                            maxLength: Int = 250, minLength: Int = 50): String = {
+    val keys = keyCols.mkString(", ")
+    def on(a: String, b: String) =
+      keyCols.map(k => s"$a.$k = $b.$k").mkString(" AND ")
+    def q(a: String) = keyCols.map(k => s"$a.$k").mkString(", ")
+    s"""${p}_tok AS MATERIALIZED (
+       |  SELECT $keys, t,
+       |    CAST(len(regexp_extract_all(t, '$tokenReSql')) AS BIGINT) AS n_tokens
+       |  FROM $inRel),
+       |${p}_one AS MATERIALIZED (SELECT $keys, t FROM ${p}_tok WHERE n_tokens <= $maxTokens),
+       |${extractiveSummaryCtes(s"${p}_os", s"${p}_one", keyCols, maxLength, minLength)}
+       |${p}_long AS MATERIALIZED (SELECT $keys, t FROM ${p}_tok WHERE n_tokens > $maxTokens),
+       |${p}_lsl AS MATERIALIZED (
+       |  SELECT $keys,
+       |    list_filter(list_transform(string_split(t, '.'), x -> trim(x)),
+       |                x -> x <> '') AS ss
+       |  FROM ${p}_long),
+       |${p}_lsents AS MATERIALIZED (
+       |  SELECT $keys, generate_subscripts(ss, 1) AS i, unnest(ss) || '.' AS s
+       |  FROM ${p}_lsl),
+       |${p}_lntok AS MATERIALIZED (
+       |  SELECT $keys, i, s,
+       |    CAST(len(regexp_extract_all(s, '$tokenReSql')) AS INTEGER) AS ntok
+       |  FROM ${p}_lsents),
+       |${p}_cstate AS (
+       |  SELECT $keys, 0 AS idx, 0 AS cnt, 0 AS flushed FROM ${p}_long
+       |  UNION ALL
+       |  SELECT ${q("st")}, st.idx + 1,
+       |    CASE WHEN st.cnt + s.ntok > $maxTokens THEN s.ntok
+       |         ELSE st.cnt + s.ntok END,
+       |    st.flushed + CASE WHEN st.cnt + s.ntok > $maxTokens THEN 1 ELSE 0 END
+       |  FROM ${p}_cstate st JOIN ${p}_lntok s
+       |    ON ${on("s", "st")} AND s.i = st.idx + 1),
+       |${p}_assign AS (
+       |  SELECT $keys, idx AS i, flushed + 1 AS cid
+       |  FROM ${p}_cstate WHERE idx > 0),
+       |${p}_nchunks AS MATERIALIZED (
+       |  SELECT $keys, flushed + CASE WHEN idx > 0 THEN 1 ELSE 0 END AS n_chunks
+       |  FROM (SELECT $keys, idx, flushed,
+       |          row_number() OVER (PARTITION BY $keys ORDER BY idx DESC) AS rr
+       |        FROM ${p}_cstate)
+       |  WHERE rr = 1),
+       |${p}_ctext AS MATERIALIZED (
+       |  SELECT ${q("ci")}, ci.cid, coalesce(tx.t, '') AS t
+       |  FROM (SELECT $keys,
+       |          unnest(generate_series(1, CAST(n_chunks AS INTEGER))) AS cid
+       |        FROM ${p}_nchunks) ci
+       |  LEFT JOIN (SELECT ${q("a")}, a.cid, string_agg(se.s, ' ' ORDER BY se.i) AS t
+       |             FROM ${p}_assign a JOIN ${p}_lsents se
+       |               ON ${on("se", "a")} AND se.i = a.i
+       |             GROUP BY ALL) tx
+       |    ON ${on("tx", "ci")} AND tx.cid = ci.cid),
+       |${extractiveSummaryCtes(s"${p}_cs", s"${p}_ctext", keyCols :+ "cid", 512, 30)}
+       |${p}_merged AS MATERIALIZED (
+       |  SELECT $keys, string_agg(summary, ' ' ORDER BY cid) AS t
+       |  FROM ${p}_cs_sum GROUP BY ALL),
+       |${extractiveSummaryCtes(s"${p}_rs", s"${p}_merged", keyCols, maxLength, minLength)}
+       |${p}_final AS (
+       |  SELECT $keys, summary FROM ${p}_os_sum
+       |  UNION ALL
+       |  SELECT $keys, summary FROM ${p}_rs_sum),""".stripMargin
+  }
+
   /** DuckDB mirror of [[summaryStats]]: the term-frequency sentence
     * scoring rebuilt from scratch (doc-level letter-token frequencies
     * joined back onto each sentence's tokens), the (score desc, index)
@@ -229,34 +375,34 @@ object Summarize {
   def summaryStatsSql(docsRel: String, textExpr: String,
                       maxLength: Int = 250, minLength: Int = 50): String =
     s"""WITH RECURSIVE
-       |base AS (SELECT doc_id, $textExpr AS t FROM $docsRel),
-       |sl AS (
+       |base AS MATERIALIZED (SELECT doc_id, $textExpr AS t FROM $docsRel),
+       |sl AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_filter(list_transform(string_split(t, '.'), x -> trim(x)),
        |                x -> x <> '') AS ss
        |  FROM base),
-       |sents AS (
+       |sents AS MATERIALIZED (
        |  SELECT doc_id, generate_subscripts(ss, 1) AS i, unnest(ss) AS s
        |  FROM sl),
-       |stok AS (
+       |stok AS MATERIALIZED (
        |  SELECT doc_id, i,
        |    CAST(len(regexp_extract_all(s || '.', '$tokenReSql')) AS INTEGER) AS ntok,
        |    list_filter(regexp_extract_all(lower(s) || '.', '$tokenReSql'),
        |                x -> regexp_matches(x, '\\p{L}')) AS words
        |  FROM sents),
-       |dw AS (
+       |dw AS MATERIALIZED (
        |  SELECT doc_id,
        |    unnest(list_filter(regexp_extract_all(lower(t), '$tokenReSql'),
        |                       x -> regexp_matches(x, '\\p{L}'))) AS w
        |  FROM base),
-       |freq AS (SELECT doc_id, w, count(*) AS f FROM dw GROUP BY 1, 2),
-       |sw AS (SELECT doc_id, i, unnest(words) AS w FROM stok),
-       |sscore AS (
+       |freq AS MATERIALIZED (SELECT doc_id, w, count(*) AS f FROM dw GROUP BY 1, 2),
+       |sw AS MATERIALIZED (SELECT doc_id, i, unnest(words) AS w FROM stok),
+       |sscore AS MATERIALIZED (
        |  SELECT sw.doc_id, sw.i, count(*) AS nw,
        |    CAST(sum(coalesce(f.f, 0)) AS BIGINT) AS sf
        |  FROM sw LEFT JOIN freq f ON f.doc_id = sw.doc_id AND f.w = sw.w
        |  GROUP BY 1, 2),
-       |ranked AS (
+       |ranked AS MATERIALIZED (
        |  SELECT st.doc_id, st.i, st.ntok,
        |    row_number() OVER (PARTITION BY st.doc_id
        |      ORDER BY coalesce(CAST(sc.sf AS DOUBLE) / (sc.nw + 1), 0.0) DESC,

@@ -184,10 +184,23 @@ object Bench {
       System.err.println(s"[bench] WARNING: $timedBuilds stored-artifact build(s) inside timed reps")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"timed_artifact_builds":$timedBuilds,"queries":$qs,"samples":$ss,"shuffle_mb":${mbMap(_._4)},"spill_mb":${mbMap(_._5)},"shuffle_mb_samples":${sampleMap(_._2)},"spill_mb_samples":${sampleMap(_._3)},"sf":"$sfDir"}"""
-    println(json)
-    // Also write to a file: stdout passes through sbt's [info] prefixing,
-    // which downstream JSON parsers trip over.
+    // The FULL artifact goes to a file (at 330+ queries it is ~70 KB —
+    // far past any stdout tail window, and sbt's [info] prefixing trips
+    // JSON parsers anyway).
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // stdout gets a COMPACT twin as the LAST line: the round driver keeps
+    // only the tail of stdout (~2 KB observed in BENCH_r06, which lost
+    // the artifact to a mid-JSON truncation), so the parseable line must
+    // fit that window — headline totals, the slowest queries, any failed
+    // names, and a pointer to the full per-query file.
+    val slowest = results.toSeq.sortBy(-_._2._1).take(12)
+    val qsTop = slowest.map { case (k, (v, _, _, _, _)) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, (v, _, _, _, _)) if v < 0 => k }
+      .take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"failed_queries":$failedNames,"reps":$reps,"timed_artifact_builds":$timedBuilds,"n_queries":${results.size},"queries":$qsTop,"queries_note":"12 slowest of ${results.size}; full per-query data in bench.json","sf":"$sfDir"}"""
+    println(compact)
     // The reference's M1-M3 text report surface (performance_report.txt,
     // idx_transform.py:387-397) over the same measurements.
     java.nio.file.Files.writeString(

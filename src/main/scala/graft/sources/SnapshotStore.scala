@@ -114,16 +114,20 @@ object SnapshotStore {
     * the tombstone entries themselves (an id inside a tombstone file is
     * still the identifier being erased).
     *
-    * Surgical, not global: the id list is collected (purge requests are
-    * small by nature — a court order, not a fact table; guarded at 100k)
-    * into a PUSHABLE `isin` predicate, so finding affected versions is
-    * one scan where parquet row-group min/max stats skip every file
-    * whose id range can't match — at 100 TB the detection pass reads
-    * footers, not data. Only the versions that actually contain matches
-    * are rewritten (anti-join on the broadcast id set); every other
-    * file is untouched, byte for byte — which the spec asserts, because
-    * "rewrite the whole table to delete 3 users" is the anti-pattern
-    * this operator exists to avoid.
+    * Surgical, not global — and the id-set plumbing picks its shape by
+    * size, so there is no hard batch ceiling:
+    *  - ≤ 1k ids (the court-order case): collected into a PUSHABLE
+    *    `isin` predicate, so the detection scan skips every file whose
+    *    parquet row-group min/max can't match — at 100 TB detection
+    *    reads footers, not data;
+    *  - larger sets stay DISTRIBUTED: detection is a left-semi and the
+    *    rewrite a left-anti join against the id DataFrame — broadcast
+    *    up to ~10M ids, plain shuffled join beyond (no 100k-literal In
+    *    expression bloating the plan, no driver collect at any size).
+    * Only the versions that actually contain matches are rewritten;
+    * every other file is untouched, byte for byte — which the spec
+    * asserts, because "rewrite the whole table to delete 3 users" is
+    * the anti-pattern this operator exists to avoid.
     *
     * Each rewrite swaps directories under a bak protocol (write tmp →
     * live→bak → tmp→live → drop bak) so a crash at any step leaves
@@ -139,46 +143,68 @@ object SnapshotStore {
   def purgeIds(spark: SparkSession, dir: String, idCol: String,
                ids: DataFrame): Seq[String] = {
     import org.apache.spark.sql.Row
-    val idList = ids.select(col(idCol)).distinct().collect().map(_.get(0))
-    require(idList.nonEmpty, "purgeIds: empty id set")
-    require(idList.length <= 100000,
-      "purgeIds: id set too large to collect — purge in batches")
-    val f = fs(spark, dir)
-    val hit = col(idCol).isin(idList.toSeq: _*)
-    val rewritten = scala.collection.mutable.ArrayBuffer.empty[String]
+    // One evaluation of the id lineage feeds the size probe, every
+    // detection scan, and every rewrite.
+    val idDf = ids.select(col(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = idDf.count()
+      require(n > 0, "purgeIds: empty id set")
+      // ≤1k: literal In — pushable to parquet footer stats, the detection
+      // fast path. Beyond that the plan must NOT carry the ids as
+      // literals: semi/anti-join against the id frame, broadcast while it
+      // comfortably fits an executor, shuffled beyond.
+      val idList: Seq[Any] =
+        if (n <= 1000) idDf.collect().toSeq.map(_.get(0)) else Seq.empty
+      val idSide = if (n <= 10000000L) broadcast(idDf) else idDf
+      def hitsIn(df: DataFrame): DataFrame =
+        if (idList.nonEmpty) df.filter(col(idCol).isin(idList: _*))
+        else df.join(idSide, Seq(idCol), "left_semi")
+      def keepOf(df: DataFrame): DataFrame =
+        // NULL ids were never requested for erasure: the literal-In
+        // branch must keep them explicitly (NOT In(...) is NULL on NULL,
+        // which would silently DROP null-id rows); left_anti keeps them
+        // by join semantics.
+        if (idList.nonEmpty)
+          df.filter(col(idCol).isNull || !col(idCol).isin(idList: _*))
+        else df.join(idSide, Seq(idCol), "left_anti")
+      val f = fs(spark, dir)
+      val rewritten = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    def rewrite(live: Path, keep: DataFrame): Unit = {
-      val tmp = new Path(live.getParent, s".${live.getName}.purge_tmp")
-      val bak = new Path(live.getParent, s".${live.getName}.purge_bak")
-      if (f.exists(tmp)) f.delete(tmp, true) // stale tmp from a dead purge
-      keep.write.parquet(tmp.toString)
-      require(!f.exists(bak), s"purgeIds: unrecovered bak at $bak — " +
-        "run recoverInterruptedPurge first")
-      require(f.rename(live, bak), s"purgeIds: could not stage $live")
-      require(f.rename(tmp, live), s"purgeIds: could not publish $tmp")
-      f.delete(bak, true)
-      rewritten += live.toString
-    }
-
-    /** Rewrite every `prefix=N` child of `root` that contains a hit.
-      * Detection is one pushdown-filtered scan over the whole tree. */
-    def purgeTree(root: String, prefix: String): Unit = {
-      if (!f.exists(new Path(root))) return
-      val affected = spark.read.parquet(root).filter(hit)
-        .select(col(prefix)).distinct().collect()
-        .map { case Row(v) => v.toString }
-      for (v <- affected.sorted) {
-        val live = new Path(s"$root/$prefix=$v")
-        // The child dir's files carry no partition column; filter the
-        // payload columns only.
-        rewrite(live, spark.read.parquet(live.toString).filter(!hit))
+      def rewrite(live: Path, keep: DataFrame): Unit = {
+        val tmp = new Path(live.getParent, s".${live.getName}.purge_tmp")
+        val bak = new Path(live.getParent, s".${live.getName}.purge_bak")
+        if (f.exists(tmp)) f.delete(tmp, true) // stale tmp from a dead purge
+        keep.write.parquet(tmp.toString)
+        require(!f.exists(bak), s"purgeIds: unrecovered bak at $bak — " +
+          "run recoverInterruptedPurge first")
+        require(f.rename(live, bak), s"purgeIds: could not stage $live")
+        require(f.rename(tmp, live), s"purgeIds: could not publish $tmp")
+        f.delete(bak, true)
+        rewritten += live.toString
       }
-    }
 
-    purgeTree(s"$dir/upserts", "v")
-    purgeTree(s"$dir/tombstones", "v")
-    purgeTree(s"$dir/compactions", "c")
-    rewritten.toSeq
+      /** Rewrite every `prefix=N` child of `root` that contains a hit.
+        * Detection is one filtered scan over the whole tree (footer-stat
+        * skipping on the literal path; semi-join otherwise). */
+      def purgeTree(root: String, prefix: String): Unit = {
+        if (!f.exists(new Path(root))) return
+        val affected = hitsIn(spark.read.parquet(root))
+          .select(col(prefix)).distinct().collect()
+          .map { case Row(v) => v.toString }
+        for (v <- affected.sorted) {
+          val live = new Path(s"$root/$prefix=$v")
+          // The child dir's files carry no partition column; filter the
+          // payload columns only.
+          rewrite(live, keepOf(spark.read.parquet(live.toString)))
+        }
+      }
+
+      purgeTree(s"$dir/upserts", "v")
+      purgeTree(s"$dir/tombstones", "v")
+      purgeTree(s"$dir/compactions", "c")
+      rewritten.toSeq
+    } finally idDf.unpersist()
   }
 
   /** Finish a purge interrupted mid-swap: a bak dir whose live sibling

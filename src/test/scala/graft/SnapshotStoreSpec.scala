@@ -141,6 +141,43 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(state(dir, 2) == Map(2L -> "b1"))
   }
 
+  test("purgeIds >100k ids: distributed anti-join, no giant In literal") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 150k-row payload, every 3rd id in the purge set (well past the old
+    // 100k collect ceiling).
+    SnapshotStore.commit(
+      spark.range(150000).select(col("id"),
+        concat(lit("p"), col("id")).as("payload")),
+      None, dir, "id")
+    val purgeSet = spark.range(150000).filter(col("id") % 3 === 0)
+      .select("id")
+    // The PLAN guard: the keep-side frame for a large id set must join,
+    // never inline 100001+ literals into an In/InSet expression.
+    val keepPlan = spark.read.parquet(s"$dir/upserts/v=1")
+      .join(broadcast(purgeSet), Seq("id"), "left_anti")
+      .queryExecution.executedPlan.toString
+    assert(!keepPlan.contains(" IN ("), "anti-join plan carries an In list")
+    val rewritten = SnapshotStore.purgeIds(spark, dir, "id", purgeSet)
+    assert(rewritten.exists(_.contains("v=1")))
+    val left = spark.read.parquet(s"$dir/upserts")
+      .select("id").as[Long].collect()
+    assert(left.length == 100000 && left.forall(_ % 3 != 0),
+      "purge with a >100k id set did not erase exactly the requested ids")
+  }
+
+  test("purgeIds literal path keeps NULL-id rows (never requested for erasure)") {
+    val dir = freshDir()
+    import spark.implicits._
+    val withNull = Seq((java.lang.Long.valueOf(1L), "a1"),
+      (null.asInstanceOf[java.lang.Long], "n1")).toDF("id", "payload")
+    SnapshotStore.commit(withNull, None, dir, "id")
+    SnapshotStore.purgeIds(spark, dir, "id", ids(1L))
+    val payloads = spark.read.parquet(s"$dir/upserts")
+      .select("payload").as[String].collect().toSet
+    assert(payloads == Set("n1"), s"expected only the null-id row, got $payloads")
+  }
+
   test("recoverInterruptedPurge restores a crash between the two renames") {
     val dir = freshDir()
     SnapshotStore.commit(df(1L -> "a1"), None, dir, "id")

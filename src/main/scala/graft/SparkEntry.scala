@@ -3424,6 +3424,23 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // DIRECTED PageRank with dangling-mass redistribution — the real
+    // crawl/link-graph form: the part→supplier edge set is kept ONE-WAY,
+    // so every supplier is a dangling node (dst, never src) and its rank
+    // re-enters through the teleport pool each round instead of draining.
+    // Same integer 1e-9-unit discipline; the oracle replays the loop
+    // INCLUDING the per-round dangling-mass scalar as chained CTEs.
+    "graph_pagerank_directed" -> ((s, dir) => {
+      val edges = Sources.lineitem(s, dir)
+        .select((col("l_partkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      graph.PageRank.ranksDirected(edges, iters = 3)
+        .select(col("node"), (col("node") % 2).as("is_supplier"), col("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(100)
+    }),
+
     // TRIANGLE COUNTING over the part co-purchase graph (parts sharing
     // an order), by DEGREE-ORDERED edge orientation — the standard
     // distributed algorithm: orient every edge toward the (degree, id)-
@@ -11432,6 +11449,14 @@ object SparkEntry {
            |UNION ALL
            |SELECT dst AS src, src AS dst FROM ($und) rev""".stripMargin
       s"""${graph.PageRank.ranksSql(edgesSql, iters = 3)}
+         |SELECT node, node % 2 AS is_supplier, pr
+         |FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
+    },
+    "graph_pagerank_directed" -> {
+      val edgesSql =
+        """SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS src,
+          |                CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst FROM lineitem""".stripMargin
+      s"""${graph.PageRank.ranksDirectedSql(edgesSql, iters = 3)}
          |SELECT node, node % 2 AS is_supplier, pr
          |FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
     },

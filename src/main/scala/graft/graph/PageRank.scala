@@ -34,10 +34,12 @@ import org.apache.spark.sql.functions._
   *  - Iteration count is FIXED (power iteration with damping 0.85
   *    converges geometrically; curation needs stable ordering, not
   *    1e-12 residuals), so no driver-side convergence probe is needed.
-  *  - No node list is collected; dangling nodes are the CALLER's
-  *    concern — an undirected (both-directions) edge list has none.
-  *    A `require` fails loudly if any `dst` never appears as `src`
-  *    (rank mass would silently drain into it).
+  *  - No node list is collected; [[ranks]] serves undirected
+  *    (both-directions) edge lists, which cannot have dangling nodes —
+  *    a `require` fails loudly if any `dst` never appears as `src`.
+  *    Directed graphs (crawl/link/citation) go through
+  *    [[ranksDirected]], which redistributes dangling mass via the
+  *    teleport pool instead of rejecting it.
   */
 object PageRank {
 
@@ -107,6 +109,117 @@ object PageRank {
       cached = nCached
     }
     cur
+  }
+
+  /** Directed PageRank with DANGLING-MASS redistribution — the real
+    * crawl/link-graph form ([[ranks]] serves undirected graphs, where
+    * dangling nodes cannot exist and are `require`-rejected). A dangling
+    * node (outdeg 0) emits its whole rank to the teleport pool each
+    * round; the pool is split evenly across ALL nodes (integer div —
+    * same 1e-9-unit discipline, exactly reproducible cross-engine):
+    *
+    *   pr'(v) = 0.15e9 + (85 · (inflow(v) + dmass div N)) div 100
+    *
+    * Scale shape mirrors [[ranks]]: static degree-annotated edges
+    * materialized once at loop key/width; per round ONE co-partitioned
+    * join + keyed agg for inflow, ONE map-side scalar agg for the
+    * dangling mass (a 1-row broadcast — never a driver collect), one
+    * left join to give inflow-less nodes their teleport row. The node
+    * list (src ∪ dst) is materialized once; N is a build-time count. */
+  def ranksDirected(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val (eMat, nEdges) = graft.util.Views.materializeCounted(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    val loopWidth =
+      math.max(1L, math.min(sessionWidth.toLong, nEdges / 4000000L + 1)).toInt
+    val outdeg = eMat.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDegLoop = graft.util.Views.materialize(
+      eMat.join(outdeg, "src").repartition(loopWidth, col("src")))
+    // Node universe (src ∪ dst) with each node's outdeg (0 = dangling),
+    // already at the loop's key/width — the static left side of every
+    // round's teleport join.
+    // `odeg`, not `outdeg`: the rank rows carry it through the loop and
+    // must not collide with the edge side's `outdeg` in the inflow join.
+    val (nodesMat, nNodes) = graft.util.Views.materializeCounted(
+      eMat.select(col("src").as("node"))
+        .unionAll(eMat.select(col("dst").as("node"))).distinct()
+        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("odeg"))
+        .repartition(loopWidth, col("node")))
+
+    def materializeRound(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = graft.util.Views.register(
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      (org.apache.spark.sql.GraftColumnBridge.lineageTruncated(p), p)
+    }
+
+    val seed = nodesMat.select(col("node"), col("odeg"))
+      .withColumn("pr", lit(UnitRank))
+    var (cur, cached) = materializeRound(seed)
+    cached.count()
+
+    for (_ <- 1 to iters) {
+      val curW = cur.repartition(loopWidth, col("node"))
+      val inflow = eDegLoop
+        .join(curW, col("src") === col("node"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .repartition(loopWidth, col("dst"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      // Dangling mass: one partial-aggregated scalar over the rank table
+      // (odeg rides IN the rank rows, so no join here), broadcast as a
+      // 1-row frame. Empty-safe: coalesce to 0 when nothing dangles.
+      // Integer div — `/` would be IEEE division on longs.
+      val dShare = cur.agg(
+        expr(s"coalesce(sum(CASE WHEN odeg = 0 THEN pr END), 0L) div $nNodes")
+          .as("dshare"))
+      val next = nodesMat
+        .join(inflow, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dShare))
+        .select(col("node"), col("odeg"),
+          (lit(TeleportQ) +
+            expr("(85 * (coalesce(inflow, 0L) + dshare)) div 100")).as("pr"))
+      val (nRanks, nCached) = materializeRound(next)
+      nCached.count()
+      cached.unpersist()
+      cur = nRanks
+      cached = nCached
+    }
+    cur.select("node", "pr")
+  }
+
+  /** The DuckDB replay of [[ranksDirected]]: chained CTEs, same integer
+    * arithmetic including the per-round dangling-mass scalar (`//` ≡
+    * `div`/long-division on the all-positive rank domain). */
+  def ranksDirectedSql(edgesSql: String, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""dm$i AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(CASE WHEN outdeg = 0 THEN pr END), 0)
+         |    // (SELECT cnt FROM n) AS BIGINT) AS dshare
+         |  FROM r${i - 1}),
+         |r$i AS MATERIALIZED (
+         |  SELECT nd.node, nd.outdeg,
+         |    CAST($TeleportQ + (85 * (coalesce(i.inflow, 0) + dm.dshare)) // 100
+         |      AS BIGINT) AS pr
+         |  FROM nodes nd CROSS JOIN dm$i dm
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(r.pr // e.outdeg) AS inflow
+         |    FROM e JOIN r${i - 1} r ON r.node = e.src GROUP BY 1) i
+         |    ON i.dst = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED ($edgesSql),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1),
+       |e AS MATERIALIZED (SELECT e0.src, e0.dst, d.outdeg FROM e0 JOIN deg d USING (src)),
+       |nodes AS MATERIALIZED (
+       |  SELECT u.node, CAST(coalesce(d.outdeg, 0) AS BIGINT) AS outdeg
+       |  FROM (SELECT src AS node FROM e0 UNION SELECT dst FROM e0) u
+       |  LEFT JOIN deg d ON d.src = u.node),
+       |n AS MATERIALIZED (SELECT count(*) AS cnt FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, outdeg, CAST($UnitRank AS BIGINT) AS pr FROM nodes),
+       |$rounds""".stripMargin
   }
 
   /** The DuckDB replay of [[ranks]]: chained CTEs r0..r{iters}, same

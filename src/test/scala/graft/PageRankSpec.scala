@@ -57,6 +57,35 @@ class PageRankSpec extends SparkSpec {
     graft.util.Views.unpersistAll()
   }
 
+  test("ranksDirected redistributes dangling mass (hand-computed 3-node chain)") {
+    import spark.implicits._
+    // 1→2, 1→3, 2→3: node 3 is dangling (dst, never src). N = 3.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = PageRank.ranksDirected(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Round 1: inflow 2←5e8, 3←1.5e9; dmass = 1e9, dshare = 333333333.
+    //   pr(1)=433333333, pr(2)=858333333, pr(3)=1708333333.
+    // Round 2: inflow 2←216666666, 3←216666666+858333333=1074999999;
+    //   dmass = 1708333333, dshare = 569444444.
+    //   pr(1)=634027777, pr(2)=818194443, pr(3)=1547777776.
+    assert(got == Map(1L -> 634027777L, 2L -> 818194443L, 3L -> 1547777776L),
+      s"got $got")
+    graft.util.Views.unpersistAll()
+  }
+
+  test("ranksDirected with no dangling nodes: teleport pool stays zero") {
+    import spark.implicits._
+    // 2-cycle: both directions, no dangling — one round must equal the
+    // undirected loop's update (inflow-only, dshare 0).
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val dir = PageRank.ranksDirected(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val und = PageRank.ranks(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dir == und, s"directed $dir != undirected $und on a dangling-free graph")
+    graft.util.Views.unpersistAll()
+  }
+
   test("ranksSql replay matches the Spark loop on the star fixture") {
     // The generated SQL is DuckDB-dialect; here we only pin that the
     // generator wires the same constants/iteration count the Spark loop

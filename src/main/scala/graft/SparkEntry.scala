@@ -1889,6 +1889,17 @@ object SparkEntry {
         multimodal.Multimodal.mediaDataset(s, Sources.documents(s, dir)))
         .toDF().orderBy("media_id")),
 
+    // REAL image codec at the mapPartitions boundary: genuine PNG
+    // payloads (deterministic formula-patterned grayscale, ImageIO-
+    // encoded on the executors) decoded back by javax.imageio into exact
+    // pixel statistics. The oracle computes the same statistics from the
+    // generating formula — a hash match proves the encode→decode
+    // round-trip preserved every pixel. No shuffle; executor-parallel.
+    "mm_decode_png" -> ((s, dir) =>
+      multimodal.Multimodal.decodeImageFeatures(
+        multimodal.Multimodal.synthesizeImages(Sources.documents(s, dir)))
+        .toDF().orderBy("media_id")),
+
     // Video frame-SAMPLING plan (multimodal plumbing): the per-frame work
     // list a decode stage consumes — one row per sampled instant, pure
     // per-row explode of an integer ladder (shuffle-free at any corpus
@@ -10675,6 +10686,9 @@ object SparkEntry {
         |       ELSE CAST(coalesce(list_sum([ascii(text[i]) FOR i IN range(1, length(text) + 1)]), 0) AS DOUBLE)
         |            / octet_length(encode(text)) END AS mean_byte
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_decode_png" ->
+      s"""${multimodal.Multimodal.decodePngSql("documents")}
+         |ORDER BY media_id""".stripMargin,
     "dedup_contamination" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.contaminationSql("docs",

@@ -16,15 +16,30 @@ case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
 case class MediaFeatures(media_id: Long, n_bytes: Long, first_byte: Int,
                          byte_sum: Long, n_frames: Int, mean_byte: Double)
 
+/** Output of the REAL image decode: dimensions + exact pixel statistics
+  * read back from the decoded raster. */
+case class PixelFeatures(media_id: Long, img_w: Int, img_h: Int,
+                         n_px: Long, px_sum: Long, px_min: Int, px_max: Int,
+                         mean_px: Double)
+
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted via a per-partition batch pass.
   *
-  * The real decode (libjpeg/ffmpeg/soundfile) is NOT available in this
-  * environment, so [[decodeStub]] is a clearly-marked deterministic fake —
-  * but everything Spark-side is real and load-bearing: the binary schema,
-  * the `Dataset[MediaRow]` encoders, the `mapPartitions` batch iteration
-  * (the shape a JNI/native codec call needs: one init per partition, not
-  * per row), and the pushdown-friendly metadata columns.
+  * TWO codec tiers:
+  *  - [[decodeImageFeatures]] is a REAL codec: javax.imageio (JDK-public,
+  *    headless-safe) decodes genuine PNG payloads — synthesized by
+  *    [[synthesizeImages]] as deterministic formula-patterned grayscale
+  *    images, ImageIO-encoded on the executors — and reads exact pixel
+  *    statistics back off the raster. The oracle computes the same
+  *    statistics from the generating formula, so a hash match proves the
+  *    encode→decode round-trip bit-exactly.
+  *  - [[decodeStub]] remains the clearly-marked deterministic stand-in
+  *    for codecs that are NOT JDK-public (jpeg/ffmpeg/soundfile): byte
+  *    statistics over the opaque payload.
+  * Either way everything Spark-side is real and load-bearing: the binary
+  * schema, the `Dataset[MediaRow]` encoders, the `mapPartitions` batch
+  * iteration (the shape a JNI/native codec call needs: one init per
+  * partition, not per row), and the pushdown-friendly metadata columns.
   */
 object Multimodal {
 
@@ -76,6 +91,109 @@ object Multimodal {
       rows.map(decodeStub)
     }
   }
+
+  // ------------------------------------------------- real PNG codec path
+
+  /** The deterministic pixel pattern: gray(id, x, y) — every pixel value
+    * is a pure integer formula, so the oracle can compute exact pixel
+    * statistics WITHOUT a decoder. */
+  def patternPx(id: Long, x: Int, y: Int): Int =
+    (((7 * id + 31 * x + 101 * y) % 256).toInt + 256) % 256
+
+  /** Image geometry for the PNG fixture (small on purpose — the oracle
+    * enumerates pixels). */
+  def pngDims(id: Long): (Int, Int) =
+    ((16 + (id % 8) * 8).toInt, (16 + (id % 6) * 8).toInt)
+
+  /** ENCODE a real 8-bit grayscale PNG of the pattern. Runs on the
+    * executors (ImageIO is headless-safe; the in-memory cache flag is
+    * per-JVM). */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, patternPx(id, x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Media fixture with GENUINE PNG payloads: one real encoded image per
+    * doc, metadata carrying the declared geometry. The encode runs
+    * distributed (mapPartitions — one ImageIO config per partition). */
+  def synthesizeImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      ids.map { id =>
+        val (w, h) = pngDims(id)
+        val bytes = encodePng(id)
+        MediaRow(id, bytes, MediaMeta("png", w, h, bytes.length.toLong))
+      }
+    }
+  }
+
+  /** REAL DECODE: javax.imageio reads the PNG payload back into a raster;
+    * features are exact integer pixel statistics (+ one final IEEE mean).
+    * Per-partition batch boundary, executor-parallel, no shuffle — the
+    * production shape for any JNI/native codec. */
+  def decodeImageFeatures(media: Dataset[MediaRow]): Dataset[PixelFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"media ${r.media_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var (sum, mn, mx) = (0L, 256, -1)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        PixelFeatures(r.media_id, w, h, n, sum, mn, mx, sum.toDouble / n)
+      }
+    }
+  }
+
+  /** DuckDB mirror of [[synthesizeImages]] ∘ [[decodeImageFeatures]] —
+    * computed from the generating FORMULA (no decoder in the oracle):
+    * a hash match therefore proves the engine's encode→decode round-trip
+    * preserved every pixel. */
+  def decodePngSql(docsRel: String): String =
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT doc_id AS media_id,
+       |    CAST(16 + (doc_id % 8) * 8 AS INTEGER) AS img_w,
+       |    CAST(16 + (doc_id % 6) * 8 AS INTEGER) AS img_h
+       |  FROM $docsRel),
+       |px AS (
+       |  SELECT d.media_id, d.img_w, d.img_h,
+       |    (7 * d.media_id + 31 * x.x + 101 * y.y) % 256 AS v
+       |  FROM dims d
+       |  CROSS JOIN LATERAL (SELECT unnest(range(0, d.img_w)) AS x) x
+       |  CROSS JOIN LATERAL (SELECT unnest(range(0, d.img_h)) AS y) y)
+       |SELECT media_id, img_w, img_h,
+       |  CAST(count(*) AS BIGINT) AS n_px,
+       |  CAST(sum(v) AS BIGINT) AS px_sum,
+       |  CAST(min(v) AS INTEGER) AS px_min,
+       |  CAST(max(v) AS INTEGER) AS px_max,
+       |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_px
+       |FROM px GROUP BY 1, 2, 3""".stripMargin
 
   /** Metadata-level transform (no payload touch): thumbnail geometry +
     * sample-every-k frame plan — the planning half of a resize/sample

@@ -37,6 +37,45 @@ class EventsPruningSpec extends SparkSpec {
       a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) })
   }
 
+  test("day-partitioned layout prunes at the DIRECTORY level") {
+    import graft.sources.EventsLayout
+    val events = Sources.events(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_events_day")
+      .toString + "/events_day"
+    EventsLayout.writeDayPartitioned(events, out)
+    val schema = EventsLayout.daySchema(events)
+    // One directory per day, Hive-style.
+    val dayDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day=")).map(_.getName)
+    assert(dayDirs.length == 30, s"expected 30 day dirs, got ${dayDirs.length}")
+    val (lo, hi) = (19723L, 19730L)
+    val pruned = EventsLayout.readDays(spark, out, schema, lo, hi)
+    // 1. The day predicate is a PARTITION filter in the plan (directory
+    //    pruning), not a data filter.
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("day"),
+      s"day range must be a PartitionFilter:\n$plan")
+    // 2. Row parity with the unpartitioned post-filter.
+    val expected = events
+      .filter(expr(s"ts DIV ${EventsLayout.NanosPerDay}") >= lo &&
+        expr(s"ts DIV ${EventsLayout.NanosPerDay}") < hi).count()
+    assert(pruned.count() == expected && expected > 0)
+    // 3. BEHAVIORAL proof of directory-level skip: poison an out-of-range
+    //    day directory with a non-parquet file. The pruned read must still
+    //    succeed (that directory is never listed into the scan); an
+    //    unpruned full read over the same layout must fail on it.
+    val poisonDir = new java.io.File(s"$out/day=19740")
+    assert(poisonDir.isDirectory, "poison target day missing from fixture")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/day=19740/part-poison.parquet"),
+      "not a parquet file".getBytes)
+    assert(EventsLayout.readDays(spark, out, schema, lo, hi).count() == expected,
+      "pruned read must never open files under non-matching day dirs")
+    intercept[Exception] {
+      spark.read.schema(schema).parquet(out).count()
+    }
+  }
+
   test("eventsTsRange bounds are exact at non-aligned nanos edges") {
     // A row at exactly lo must be included by the 1-nano window [lo, lo+1)
     // whatever the physical encoding.

@@ -1,0 +1,87 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal fixture builder: replicate the driver testdata K× with
+  * disjoint id spaces so the heavy family (dedup/LSH, graph, ANN) can be
+  * MEASURED at the next scale factor instead of extrapolated (SCALE.md's
+  * "100×-safe by design" arguments become recorded medians).
+  *
+  * Replication must not change the workload's CHARACTER, only its size:
+  *  - documents: replica 0 is verbatim; replicas >0 get a deterministic
+  *    per-doc WORD SHUFFLE (sort words by xxhash64(word, pos, doc_id,
+  *    replica)) — length and vocabulary are preserved but every k-shingle
+  *    changes, so replicas are NOT near-duplicates of each other and the
+  *    corpus's near-dup RATE stays fixture-like (naive replication would
+  *    put every doc in a K-clone cluster and square the LSH verify work —
+  *    a different workload, not a bigger one). The shuffle itself is the
+  *    standard corpus-augmentation shape: one narrow projection of
+  *    higher-order array functions, no UDF, no shuffle.
+  *  - embeddings: vectors ROTATED by replica index (cheap, norm-preserving,
+  *    decorrelates replicas), ids offset.
+  *  - lineitem: graph keys (partkey/suppkey) offset per replica → K
+  *    disconnected copies of the co-purchase graph; orderkey offset keeps
+  *    order identity unique.
+  *
+  * Usage: runMain graft.util.ScaleUp <srcSfDir> <outDir> <factor>
+  */
+object ScaleUp {
+
+  val DocOffset = 1000000L
+  val VecOffset = 10000000L
+  val KeyOffset = 10000000L
+  val OrderOffset = 1000000000L
+
+  def documentsScaled(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(r * DocOffset))
+      if (r == 0) d
+      else d.withColumn("text", expr(
+        s"""array_join(
+           |  transform(
+           |    array_sort(transform(split(text, ' '),
+           |      (w, i) -> struct(xxhash64(w, i, doc_id, $r) AS k, w AS w))),
+           |    s -> s.w),
+           |  ' ')""".stripMargin))
+    }.reduce(_.unionByName(_))
+
+  def embeddingsScaled(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      val e = emb.withColumn("vec_id", col("vec_id") + lit(r * VecOffset))
+      if (r == 0) e
+      else e.withColumn("embedding",
+        expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))"))
+    }.reduce(_.unionByName(_))
+
+  def lineitemScaled(li: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      li.withColumn("l_partkey", col("l_partkey") + lit(r * KeyOffset))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * KeyOffset))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(r * OrderOffset))
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val (src, out, factor) = (args(0), args(1), args(2).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+    documentsScaled(spark.read.parquet(s"$src/documents.parquet"), factor)
+      .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    embeddingsScaled(spark.read.parquet(s"$src/embeddings.parquet"), factor)
+      .repartition(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    lineitemScaled(spark.read.parquet(s"$src/lineitem.parquet"), factor)
+      .repartition(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    println(s"[scaleup] wrote ${factor}x of $src to $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the [[SparkEntry]] registry shards: build-time
+  * constants, gate/pack pipeline stages, and oracle-SQL generators that
+  * more than one registry entry interpolates.
+  */
+private[graft] object EntryOps {
+
+  /** Poisson(1) CDF P(K ≤ k) scaled to 2^32 and floored — the bootstrap
+    * replica weights' inverse-CDF thresholds. BUILD-TIME constants
+    * interpolated into BOTH the Spark plan and the DuckDB oracle (the
+    * Benford discipline: one definition, two engines, zero drift). */
+  private[graft] def poissonCdfU32(k: Int): Long = {
+    var fact = 1.0; var cdf = 0.0
+    for (j <- 0 to k) { if (j > 0) fact *= j; cdf += 1.0 / fact }
+    math.floor(cdf * math.exp(-1.0) * 4294967296.0).toLong
+  }
+
+  /** z₀.₉₇₅ + z₀.₈₀ (standard normal quantiles, two-sided α=.05 and
+    * power .80) — the textbook sample-size constants, build-time so both
+    * engines see the identical double. */
+  private[graft] val PowerZSum: Double = 1.959963984540054 + 0.8416212335729143
+
+  /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
+    * managed table's files survive the in-memory catalog across JVMs). */
+  /** The composite quality gate over any (doc_id, text) frame — shared
+    * by `docs_quality_gate` (standalone, over raw documents) and
+    * `docs_pipeline_e2e` (over the augmented corpus). ENTIRELY
+    * shuffle-free: every signal including the repetition ratio is
+    * row-local (`TextAnalysis.topWordRatio`'s sorted-run fold — proven
+    * equal to the explode→aggregate form, which the DuckDB oracle still
+    * uses as the independent computation). Same projection the streaming
+    * ingest gate runs. */
+  private[graft] def qualityGate(docs: DataFrame): DataFrame = {
+    import text.TextAnalysis.{GateMinWords, GateMaxTopWordRatio, GateMinQuality}
+    text.TextAnalysis.withGateSignals(docs.select("doc_id", "text"), "text")
+      .withColumn("top_word_ratio", text.TextAnalysis.topWordRatio(col("text")))
+      .select(
+        col("doc_id"), col("lang_id"), col("n_words"),
+        col("top_word_ratio"), col("quality_score"),
+        text.TextAnalysis.gateKeep(col("n_words"), col("lang_id"),
+          col("top_word_ratio"), col("quality_score")).cast("int").as("keep"),
+        when(col("n_words") < GateMinWords, "too_short")
+          .when(col("lang_id") === "und", "lang_unknown")
+          .when(col("top_word_ratio") > GateMaxTopWordRatio, "repetitive")
+          .when(col("quality_score") < GateMinQuality, "low_quality")
+          .as("fail_reason"))
+  }
+
+  /** SQL twin of [[qualityGate]]: CTEs ending in `gate` (all gate output
+    * columns) over `docsRel(doc_id, text)`. The thresholds are
+    * INTERPOLATED from the TextAnalysis constants — one definition for
+    * both engines, so a constant change can never silently diverge the
+    * oracle from the engine. */
+  private[graft] def qualityGateSql(docsRel: String): String = {
+    import text.TextAnalysis.{GateMinWords, GateMaxTopWordRatio, GateMinQuality}
+    s"""gsig AS (${text.TextAnalysis.gateSignalsSql(docsRel, "doc_id", "text")}),
+       |gw AS (
+       |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+       |  FROM $docsRel),
+       |gpw AS (SELECT doc_id, word, count(*) AS n FROM gw WHERE word <> '' GROUP BY 1, 2),
+       |grep AS (SELECT doc_id, max(n) / CAST(sum(n) AS BIGINT) AS top_word_ratio
+       |         FROM gpw GROUP BY 1),
+       |gate AS (
+       |  SELECT s.doc_id, lang_id, n_words,
+       |    coalesce(top_word_ratio, 0.0) AS top_word_ratio, quality_score,
+       |    CAST((n_words >= $GateMinWords AND lang_id <> 'und'
+       |          AND coalesce(top_word_ratio, 0.0) <= $GateMaxTopWordRatio
+       |          AND quality_score >= $GateMinQuality) AS INTEGER) AS keep,
+       |    (CASE WHEN n_words < $GateMinWords THEN 'too_short'
+       |          WHEN lang_id = 'und' THEN 'lang_unknown'
+       |          WHEN coalesce(top_word_ratio, 0.0) > $GateMaxTopWordRatio THEN 'repetitive'
+       |          WHEN quality_score < $GateMinQuality THEN 'low_quality' END) AS fail_reason
+       |  FROM gsig s LEFT JOIN grep USING (doc_id))""".stripMargin
+  }
+
+  /** Source-analysis constants, interpolated into BOTH engines' SQL so
+    * the gate rules have exactly one definition (the qualityGateSql
+    * lesson: a literal duplicated into the oracle silently diverges). */
+  private[graft] val SourceDupBlockX = 20L   // blocked if n_dup_docs * X > n_docs
+  private[graft] val SourceShortBlockX = 8L  // blocked if n_short * X > n_docs
+  private[graft] val SourceCapTokens = 800L  // per-source token budget
+  private[graft] val SourceMaxSyndication = 10L // content in > this many sources = boilerplate
+
+  /** The source-analysis fixture view: raw documents plus injected exact
+    * copies (the raw fixture has zero duplicate and zero multi-source
+    * texts). Cross-source copies (doc_id % 9) model wire-service
+    * syndication — the copy lands in a deterministically rotated source;
+    * within-source copies (doc_id % 13) model re-posts. Injected ids live
+    * in disjoint spaces, guarded per-row like Dedup.augmented. */
+  private[graft] def sourcedDocs(docs: DataFrame): DataFrame = {
+    val guardedId = when(
+      assert_true(col("doc_id") >= 0 && col("doc_id") < 8000000L,
+        lit("doc_id must be in [0, 8000000) for disjoint source-dup injection")).isNull,
+      col("doc_id"))
+    val base = docs.select(guardedId.as("doc_id"), col("text"), col("lang"), col("source"))
+    base
+      .unionByName(base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 8000000L).as("doc_id"), col("text"), col("lang"),
+          concat(lit("src"), ((col("doc_id") + 3) % 20).cast("string")).as("source")))
+      .unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("text"), col("lang"),
+          col("source")))
+  }
+
+  private[graft] val sourcedDocsSql: String =
+    """(SELECT doc_id, text, lang, source FROM documents
+      | UNION ALL
+      | SELECT doc_id + 8000000, text, lang,
+      |        'src' || CAST((doc_id + 3) % 20 AS VARCHAR)
+      | FROM documents WHERE doc_id % 9 = 0
+      | UNION ALL
+      | SELECT doc_id + 9000000, text, lang, source
+      | FROM documents WHERE doc_id % 13 = 0)""".stripMargin
+
+  /** Token-budget shard assignment shared by `docs_pack_shards` /
+    * `docs_pack_assemble`: deterministic hash bucket = independent
+    * parallel packer, shard = the token-budget window the doc's start
+    * offset (running sum BEFORE the doc) falls in. Keeps doc_id, text,
+    * n_tokens, bucket, rk, cum, shard_idx. */
+  private[graft] def packShards(docs: DataFrame): DataFrame = {
+    val buckets = 32
+    val budget = 2000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("rk", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col("doc_id"), col("text"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+          .cast("long").as("n_tokens"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(buckets)))
+      .withColumn("rk", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_idx",
+        floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+  }
+
+  private[graft] def dropManagedTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB view of the OHLCV bars (mirrors [[Sources.ohlcv]]). */
+  private[graft] val barsCte: String =
+    """bars AS (
+      |  SELECT l_shipdate AS "Date", l_quantity AS "Open",
+      |         l_extendedprice AS "High", l_discount AS "Low",
+      |         l_tax AS "Close", CAST(l_orderkey AS DOUBLE) AS "Volume",
+      |         l_discount * l_tax AS "Dividends",
+      |         l_quantity % 2.0 AS "Stock Splits",
+      |         l_suppkey AS symbol
+      |  FROM lineitem)""".stripMargin
+
+  /** Replaces stddev_* doubles with their 7-sig-digit string form so the
+    * hash compare is stable (see [[util.Stable.sig]]); all other columns
+    * pass through untouched. */
+  private[graft] def stabilized(df: DataFrame): DataFrame =
+    df.select(df.columns.map { c =>
+      if (c.startsWith("stddev_") || c.startsWith("std_"))
+        util.Stable.sig(col(c)).as(c)
+      else col(c)
+    }: _*)
+
+  /** The 36-aggregate list, generated from the same column list the Spark
+    * side uses so names can never drift. */
+  private[graft] def aggSelectList: String =
+    yf.Ohlcv.barColumns.map { case (src, out) =>
+      val x = s""""$src""""
+      s"""${util.Stable.exactAvgSql(x)} AS avg_$out, ${util.Stable.exactSumSql(x)} AS sum_$out,
+         |    max($x) AS max_$out, min($x) AS min_$out,
+         |    ${util.Stable.sigSql(s"stddev_samp($x)")} AS stddev_$out""".stripMargin
+    }.mkString(",\n    ") + ",\n    count(*) AS row_count"
+
+  /** Stat-major `std_*` select list matching the reference's exact output
+    * schema ([[yf.Ohlcv.aggregatePeriodRef]]). */
+  private[graft] def aggSelectListRef: String = {
+    val blocks: Seq[(String, String => String)] = Seq(
+      "avg" -> (x => util.Stable.exactAvgSql(x)),
+      "sum" -> (x => util.Stable.exactSumSql(x)),
+      "max" -> (x => s"max($x)"),
+      "min" -> (x => s"min($x)"),
+      "std" -> (x => util.Stable.sigSql(s"stddev_samp($x)")))
+    blocks.flatMap { case (st, f) =>
+      yf.Ohlcv.barColumns.map { case (src, out) => s"""${f(s""""$src"""")} AS ${st}_$out""" }
+    }.mkString(",\n    ") + ",\n    count(*) AS row_count"
+  }
+
+  /** Shared by `dedup_incremental_lsh` (in-query index) and
+    * `dedup_incremental_lsh_stored` (parquet round-trip) — both engines
+    * and both paths must produce the identical survivor set. */
+  /** Shared by `top_orders_per_customer` (explicit operator call) and
+    * `top_orders_per_customer_auto` (window form, rewritten by
+    * [[graft.plans.WindowTopKRewrite]]) — both must hash-match it. */
+  private[graft] lazy val topOrdersPerCustomerOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** Shared by `sim_ann_ivf_trained` and `sim_ann_ivf_stored` — the
+    * stored path must be indistinguishable from the in-query one. */
+  private[graft] lazy val ivfTrainedOracle: String =
+    s"""WITH vecs AS ${sim.Similarity.vecsSql},
+       |${sim.Similarity.trainedCentsSql("vecs")},
+       |${sim.Similarity.ivfProbeSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+       |SELECT query_id, vec_id, sim, rank FROM topk
+       |ORDER BY query_id, rank""".stripMargin
+
+  private[graft] lazy val incrementalLshOracle: String = {
+    import dedup.Dedup.{NumBands, shinglesSql, minhashSignatureSql, bandKeysSql}
+    s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+       |batch AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 = 0),
+       |exist AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 <> 0),
+       |shb AS (SELECT doc_id AS id, unnest(${shinglesSql("text")}) AS sh FROM batch),
+       |she AS (SELECT doc_id AS id, unnest(${shinglesSql("text")}) AS sh FROM exist),
+       |sigb AS (
+       |  SELECT doc_id AS id, ${minhashSignatureSql("sh")} AS sig
+       |  FROM (SELECT doc_id, ${shinglesSql("text")} AS sh FROM batch)
+       |  WHERE len(sh) > 0),
+       |sige AS (
+       |  SELECT doc_id AS id, ${minhashSignatureSql("sh")} AS sig
+       |  FROM (SELECT doc_id, ${shinglesSql("text")} AS sh FROM exist)
+       |  WHERE len(sh) > 0),
+       |bb AS (SELECT id, i AS band_idx, (${bandKeysSql("sig")})[i] AS band_key
+       |       FROM sigb, range(1, ${NumBands + 1}) t(i)),
+       |be AS (SELECT id, i AS band_idx, (${bandKeysSql("sig")})[i] AS band_key
+       |       FROM sige, range(1, ${NumBands + 1}) t(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bb a JOIN be b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  UNION
+       |  SELECT DISTINCT a.id, b.id
+       |  FROM bb a JOIN bb b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND b.id < a.id),
+       |shall AS (SELECT * FROM shb UNION ALL SELECT * FROM she),
+       |na AS (SELECT id AS id_a, count(*) AS n_a FROM shb GROUP BY 1),
+       |nb AS (SELECT id AS id_b, count(*) AS n_b FROM shall GROUP BY 1),
+       |common AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+       |  FROM shb a JOIN shall b ON a.sh = b.sh
+       |  JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+       |  GROUP BY 1, 2),
+       |rejected AS (
+       |  SELECT DISTINCT id_a FROM common JOIN na USING (id_a) JOIN nb USING (id_b)
+       |  WHERE n_common / (n_a + n_b - n_common) >= 0.6)
+       |SELECT doc_id FROM batch
+       |WHERE doc_id NOT IN (SELECT id_a FROM rejected)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private[graft] def yfAggOracle(fmt: String, label: String, bySymbol: Boolean = false): String = {
+    val groupCols = if (bySymbol) "symbol, period_key" else "period_key"
+    val part = if (bySymbol) "PARTITION BY symbol " else ""
+    s"""WITH $barsCte,
+       |agg AS (
+       |  SELECT ${if (bySymbol) "symbol, " else ""}strftime("Date", '$fmt') AS period_key,
+       |    $aggSelectList
+       |  FROM bars GROUP BY $groupCols)
+       |SELECT *,
+       |  CAST(row_number() OVER (${part}ORDER BY period_key) AS INTEGER) AS ${label}_number,
+       |  '$label' AS agg_type
+       |FROM agg ORDER BY $groupCols""".stripMargin
+  }
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * RULE: every integer aggregate output (sum/count arithmetic) must be
+    * `CAST(... AS BIGINT)`. DuckDB's `sum(BIGINT)` returns HUGEINT
+    * (INT128), which the driver's canonicalizer renders differently from
+    * Spark's BIGINT even when the values are equal — `rows_match` and
+    * `schema_match` pass but `hash_match` fails (exactly how `docs_split`
+    * broke in round 4). `tools/verify_local.py` audits oracle result
+    * types and fails on any HUGEINT column so the rule is mechanical. */
+}

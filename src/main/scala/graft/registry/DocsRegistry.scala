@@ -1,0 +1,1729 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.EntryOps._
+
+/** Documents-corpus curation family: packing, gating, sampling, corpus statistics.
+  *
+  * Registry shard of [[SparkEntry]] (split for maintainability; keys are
+  * merged — and spec-checked disjoint — in SparkEntry.queries/oracleSql).
+  */
+private[graft] object DocsRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DATASET CARD — the one-row corpus fact sheet every published
+    // training set ships (docs, token mass, language/source spread,
+    // duplicate and degenerate shares): one pass, all map-side
+    // combinable aggregates composed from the suite's own signal
+    // definitions (house tokenizer, normalized-md5 fingerprint). The
+    // detailed per-language/per-source breakdowns are the existing
+    // docs_source_audit / docs_lm_buckets queries — this is the
+    // headline row above them.
+    "docs_dataset_card" -> ((s, dir) => {
+      val base = Sources.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+          .cast("long").as("n_tokens"),
+        md5(util.Norm.normalize(col("text")).cast("binary")).as("fp"))
+      base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
+        count_if(col("n_tokens") < 5).as("n_short_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+    }),
+
+
+    // Training-SHARD packing: assign docs to token-budget shards, packed
+    // independently within deterministic hash buckets (bucket = parallel
+    // packer; at scale each bucket's running sum is a partitioned window,
+    // never a global order). A doc lands in the shard its start offset
+    // falls in — offset = the running token sum BEFORE the doc.
+    "docs_pack_shards" -> ((s, dir) =>
+      packShards(Sources.documents(s, dir))
+        .select("bucket", "doc_id", "n_tokens", "shard_idx")
+        .orderBy("doc_id")),
+
+
+    // Shard payload ASSEMBLY — the step after packing: concatenate each
+    // shard's docs (in packing order) into the training-sequence payload.
+    // Emitted as the ordered-assembly md5 + sizes, not the payload string
+    // (rows stay audit-sized; the md5 proves BOTH engines assemble the
+    // byte-identical sequence). collect_list + struct-sort is per-shard
+    // bounded: a shard holds ~budget tokens by construction, so the
+    // in-memory assembly unit is ~one training sequence, independent of
+    // corpus size; one (bucket, shard) keyed shuffle.
+    "docs_pack_assemble" -> ((s, dir) =>
+      packShards(Sources.documents(s, dir))
+        .groupBy("bucket", "shard_idx")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          md5(array_join(
+            transform(
+              sort_array(collect_list(struct(col("rk"), col("doc_id"), col("text")))),
+              x => x.getField("text")),
+            "\n").cast("binary")).as("payload_md5"))
+        .orderBy("bucket", "shard_idx")),
+
+
+    // Deterministic STRATIFIED sampling — "k docs per language" is the
+    // standard corpus-balancing step of a training-data pipeline, done
+    // scale-right: rank key = md5(doc_id) (hash-derived, so retries and
+    // speculative tasks see identical samples — never rand()), selection
+    // through the bounded-heap per-key operator (≤ k rows per (stratum,
+    // map task) reach the exchange; a row_number window would shuffle the
+    // whole corpus). Oracle = the QUALIFY window form.
+    "docs_sample_stratified" -> ((s, dir) =>
+      plans.TopK.perKey(
+        Sources.documents(s, dir).select(col("doc_id"), col("lang"))
+          .withColumn("rk", md5(col("doc_id").cast("string").cast("binary"))),
+        keyCols = Seq("lang"),
+        orderBy = Seq("rk" -> true, "doc_id" -> true), k = 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")),
+
+
+    // Deterministic WEIGHTED sampling without replacement (Efraimidis–
+    // Spirakis exponential race): doc i wins with probability
+    // proportional to its weight (n_chars here — longer docs are worth
+    // more tokens). key_i = -ln(u_i)/w_i with u_i hash-derived from
+    // doc_id (never rand() — retries and speculative tasks see the same
+    // sample), smallest 100 win via TakeOrderedAndProject (per-partition
+    // heaps, k rows to the driver — no global sort at any scale). ln is
+    // quantized to 1e-6 longs; the final key is ONE IEEE division of
+    // identical integers, so the cut is adjudicated identically on both
+    // engines.
+    "docs_weighted_sample" -> ((s, dir) => {
+      val h32 = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long")
+      val u = (h32.cast("double") + 0.5) / 4294967296.0
+      val lnq = floor(log(u) * 1e6 + 0.5).cast("long")
+      Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (-lnq.cast("double") / col("n_chars")).as("sample_key"))
+        .orderBy(col("sample_key"), col("doc_id"))
+        .limit(100)
+    }),
+
+
+    // CCNet-style LM-PERPLEXITY BUCKETING (training-data extension): the
+    // curation decision the unigram scorer feeds — per LANGUAGE, rank
+    // docs by average negative logprob under the corpus's own LM and
+    // cut into terciles (head = most fluent, tail = least). Per-language
+    // windows (no global ordering); the rank key is an IEEE division of
+    // identical integers so both engines order identically, doc_id
+    // breaks ties. Output is per-(lang, bucket) integer-exact stats —
+    // the mixture table a curation run publishes.
+    "docs_lm_buckets" -> ((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val words = docs
+        .select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val freq = words.groupBy("word").agg(count(lit(1)).as("wf"))
+      val total = words.agg(count(lit(1)).as("n_total"))
+      val negLogQ = floor(-log(col("wf").cast("double") / col("n_total")) * 1e4 + 0.5)
+        .cast("long")
+      val perDoc = tf.join(freq, "word")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id").agg(
+          sum(col("tf")).as("n_words"),
+          sum(col("tf") * negLogQ).as("nll_q4"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy((col("nll_q4") / col("n_words")).asc, col("doc_id").asc)
+      perDoc
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"),
+          sum(col("nll_q4")).as("sum_nll_q4"))
+        .orderBy("lang", "bucket")
+    }),
+
+
+    // Sequence-LENGTH HISTOGRAM (training-data extension): power-of-two
+    // token-count buckets — the planning table for context-window
+    // packing (how much of the corpus fits 2^k windows). The bucket
+    // index is INTEGER-derived (length of the binary rendering of
+    // n_tokens, no floor(log2()) float boundary risk at exact powers of
+    // two); everything downstream is exact longs. Row-local bucket
+    // assignment + one map-side-combinable aggregate — scan-bound at
+    // any scale.
+    "docs_length_histogram" -> ((s, dir) =>
+      Sources.documents(s, dir)
+        .select(col("doc_id"),
+          size(filter(split(util.Norm.normalize(col("text")), " "),
+            w => w =!= "")).cast("long").as("n_tokens"))
+        .withColumn("bucket",
+          when(col("n_tokens") === 0, lit(-1))
+            .otherwise(length(bin(col("n_tokens"))) - 1))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+        .withColumn("bucket_lo",
+          when(col("bucket") < 0, lit(0L))
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket)")))
+        .select(col("bucket").cast("long").as("bucket"), col("bucket_lo"),
+          col("n_docs"), col("sum_tokens"), col("min_tokens"), col("max_tokens"))
+        .orderBy("bucket")
+    ),
+
+
+    // Deterministic train/val/test SPLIT (training-data extension):
+    // assignment by the first hex nibble of md5(doc_id) — 12/2/2
+    // sixteenths ≈ 75/12.5/12.5 — so membership is a pure function of
+    // the id (retries, speculative tasks, and re-runs agree; no rand(),
+    // no global sort, no shuffle before the rollup). Reported as
+    // per-(split, lang) counts — the mixture audit a pipeline ships.
+    "docs_split" -> ((s, dir) => {
+      val nibble = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      Sources.documents(s, dir)
+        .withColumn("split",
+          when(nibble.isin("e", "f"), lit("test"))
+            .when(nibble.isin("c", "d"), lit("val"))
+            .otherwise(lit("train")))
+        .groupBy("split", "lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "lang")
+    }),
+
+
+    // Corpus REBALANCING (training-data extension): downsample every
+    // language stratum to the smallest stratum's size in expectation —
+    // the mixture-control step before training. Membership is an exact
+    // integer predicate on a hash of the id (md5 prefix → long), so it
+    // is a pure function of (doc_id, stratum sizes): no rand(), retries
+    // and speculative tasks agree, and both engines compute the identical
+    // kept set. Stratum counts and the target broadcast (tiny dims); the
+    // corpus is scanned once and only the audit rollup shuffles.
+    "docs_rebalance" -> ((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      val target = counts.agg(min(col("n_before")).as("target_n"))
+      // Uniform hash in [0, 1e6): first 8 md5 hex chars as a long. The
+      // acceptance test is integer-exact: hm < (target_n * 1e6) DIV
+      // n_before (DIV, not /: long division matches DuckDB's // exactly;
+      // a double divide could round across an integer boundary).
+      val hm = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") % 1000000L
+      val kept = docs
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(target))
+        .filter(hm < expr("(target_n * 1000000) DIV n_before"))
+        .groupBy("lang").agg(count(lit(1)).as("n_after"))
+      counts.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy("lang")
+    }),
+
+
+    // Composite QUALITY GATE (training-data extension): the C4-style
+    // keep/drop verdict — length, language, repetition, and composite
+    // quality thresholds with a first-failing-rule diagnostic. All
+    // row-local signals (n_words, quality, lang) are FUSED into one
+    // projection over one scan (TextAnalysis.gateSignals); only the
+    // repetition ratio needs an aggregate (one keyed shuffle) and joins
+    // back on doc_id. Thresholds chosen to exercise every rule on the
+    // fixture.
+    "docs_quality_gate" -> ((s, dir) =>
+      qualityGate(Sources.documents(s, dir)).orderBy("doc_id")),
+
+
+    // Per-SOURCE curation audit (training-data extension): the domain
+    // scorecard every web-corpus pipeline maintains — per source: doc
+    // volume, token mass, language spread, exact-duplicate share,
+    // too-short share, and the blocklist verdict. Runs over sourcedDocs
+    // (the raw fixture has no duplicate texts; at scale the dup signal
+    // comes from the dedup pass at this same grain). Everything is ONE
+    // source-grain keyed aggregation with map-side partials (the two
+    // DISTINCT aggregates Expand the input ×2 — at domain grain, cheap);
+    // verdicts adjudicate integer-exactly (n_dup·X > n_docs, never a
+    // double share), and the blocked list is O(sources) — it becomes the
+    // broadcast side of the corpus gate join, so the corpus itself never
+    // shuffles to apply a blocklist.
+    "docs_source_audit" -> ((s, dir) =>
+      sourcedDocs(Sources.documents(s, dir))
+        .select(col("source"), col("lang"),
+          size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+            .cast("long").as("n_tokens"),
+          md5(col("text").cast("binary")).as("h"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          countDistinct("lang").as("n_langs"),
+          (count(lit(1)) - countDistinct("h")).as("n_dup_docs"),
+          sum(when(col("n_tokens") < text.TextAnalysis.GateMinWords, 1L)
+            .otherwise(0L)).as("n_short"))
+        .withColumn("blocked",
+          ((col("n_dup_docs") * SourceDupBlockX > col("n_docs")) ||
+            (col("n_short") * SourceShortBlockX > col("n_docs"))).cast("int"))
+        .orderBy("source")),
+
+
+    // Per-SOURCE token-budget CAP (training-data extension): "no single
+    // domain exceeds its token budget" — the mixture-control twin of
+    // docs_rebalance (which equalizes LANGUAGE doc counts; this caps
+    // SOURCE token mass). Priority is the hash rank (never rand() —
+    // retries and speculative tasks select identically); a doc is kept
+    // iff its START offset in the per-source running token sum is inside
+    // the budget (the packing rule — the first doc always lands, so no
+    // source is emptied). One per-source window, partitioned — no global
+    // order; a viral source makes its window the skew point at lake
+    // scale, where the production variant first estimates the cut rank
+    // with the GK sketch (events_quantiles_approx's path) and runs the
+    // window only on the margin. Output at source grain stays bounded as
+    // the corpus grows.
+    "docs_source_cap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("rk", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Sources.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+            .cast("long").as("n_tokens"))
+        .withColumn("rk", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("kept",
+          (col("cum") - col("n_tokens") < SourceCapTokens).cast("int"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_before"),
+          sum("n_tokens").as("tokens_before"),
+          sum("kept").as("n_kept"),
+          sum(when(col("kept") === 1, col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy("source")
+    }),
+
+
+    // Cross-source SYNDICATION matrix (training-data extension): which
+    // source pairs carry the same exact content — the wire-service /
+    // mirror-site detection a web corpus runs before trusting per-source
+    // statistics. Shape is scale-right: reduce to DISTINCT (content-hash,
+    // source) FIRST — ~36 bytes a row no matter how wide the docs — then
+    // keep hashes seen in 2..SourceMaxSyndication sources; the upper cap
+    // is the hot-key guard (universal boilerplate would fan out C(n,2)
+    // pairs per hash — past the cap it is boilerplate-removal's finding,
+    // not syndication), so the pair self-join fans out ≤ C(cap,2) rows
+    // per hash. The (hash, source) view materializes once for the count
+    // pass and both join sides.
+    "docs_cross_source_dup" -> ((s, dir) => {
+      val hs = util.Views.materialize(
+        sourcedDocs(Sources.documents(s, dir))
+          .select(md5(col("text").cast("binary")).as("h"), col("source"))
+          .distinct())
+      val banded = hs.join(
+        hs.groupBy("h").agg(count(lit(1)).as("ns"))
+          .filter(col("ns").between(2, SourceMaxSyndication))
+          .select("h"),
+        "h")
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("source_a", "source_b")
+    }),
+
+
+    // The END-TO-END corpus pipeline in ONE DAG — quality gate → exact
+    // dedup (canonical survivor) → token-budget shard packing — the
+    // composition a real training-data build runs, proving the stages
+    // compose without materialization boundaries. Runs over the
+    // AUGMENTED corpus so the dedup stage has real work. Output is the
+    // pipeline's audit row: raw → kept → unique counts, packed tokens,
+    // shard count (all exact longs).
+    "docs_pipeline_e2e" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val kept = docs.join(
+        qualityGate(docs).filter(col("keep") === 1).select("doc_id"), "doc_id")
+      val canon = kept
+        .withColumn("h", md5(util.Norm.normalize(col("text")).cast("binary")))
+        .groupBy("h").agg(min("doc_id").as("doc_id"))
+      val clean = kept.join(canon.select("doc_id"), "doc_id")
+      val packed = packShards(clean)
+      docs.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(packed.agg(
+          count(lit(1)).as("n_unique"),
+          sum("n_tokens").as("sum_tokens"),
+          countDistinct(col("bucket"), col("shard_idx")).as("n_shards")))
+    }),
+
+
+    // BROADCAST-MODEL scoring (training-data extension): the fasttext-
+    // style quality-filter shape — a (word → weight) model table small
+    // enough to broadcast scores every document in one shuffle-free-ish
+    // pass (one doc-grain aggregate). The "model" here is corpus-derived
+    // idf weights quantized to 1e-6 longs (any externally-trained linear
+    // model drops into the same plan); score = mean idf of the doc's
+    // matched DISTINCT words — integer sums, one final IEEE division.
+    // At 100 TB: the weight table is a published artifact, the corpus
+    // side is scan + broadcast-join + per-doc partial aggregate.
+    "docs_lexical_score" -> ((s, dir) => {
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .distinct() // distinct (doc, word): presence features, not counts
+      val nDocs = Sources.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val model = words.groupBy("word")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2) // singleton words carry no signal
+        .crossJoin(broadcast(nDocs))
+        .select(col("word"),
+          floor(log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5)
+            .cast("long").as("w_q6"))
+      words.join(broadcast(model), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_features"),
+          count(col("w_q6")).as("n_matched"),
+          sum(coalesce(col("w_q6"), lit(0L))).as("score_q6_sum"))
+        .withColumn("mean_score_q6",
+          when(col("n_matched") === 0, lit(null).cast("double"))
+            .otherwise(col("score_q6_sum").cast("double") / col("n_matched")))
+        .orderBy("doc_id")
+    }),
+
+
+    // SPAN-LEVEL exact dedup (training-data extension): the "remove
+    // duplicated substrings" pass a web-corpus pipeline runs after
+    // doc-level dedup. Unit = non-overlapping 10-word chunks of the
+    // normalized word stream (the standard fallback when line boundaries
+    // are absent); a chunk occurring in >= 2 DISTINCT docs is boilerplate
+    // and is stripped. Chunks are keyed by md5 — at 100 TB the
+    // doc-frequency aggregate and the chunk join shuffle 16-byte keys,
+    // never chunk text. One explode + one hash-keyed aggregate + one
+    // hash-keyed join; the cleaned text is reassembled per doc in chunk
+    // order and md5'd so the oracle compares a digest, not a blob.
+    "docs_chunk_dedup" -> ((s, dir) => {
+      val chunks = dedup.Dedup.augmented(Sources.documents(s, dir))
+        .select(col("doc_id"),
+          filter(split(util.Norm.normalize(col("text")), " "),
+            w => w =!= "").as("ws"))
+        // greatest(…, 1): an empty/whitespace-only doc still emits one
+        // (empty) chunk so it stays present in the per-doc rollup.
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, greatest(cast(ceil(size(ws) / 10.0) as int), 1) - 1),
+            |          i -> array_join(slice(ws, i*10 + 1, 10), ' '))""".stripMargin)))
+        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
+        .withColumn("h", md5(col("chunk").cast("binary")))
+      val freq = chunks.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      chunks.join(freq, "h")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(col("df") < 2,
+                struct(col("chunk_idx"), col("chunk"))))),
+              x => x.getField("chunk")),
+            " ").cast("binary")).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
+
+
+    // SLIDING-WINDOW token chunker (training-data extension): the
+    // context-window shape an LLM pretraining pipeline actually emits —
+    // overlapping windows of W=12 tokens at stride S=6 (each token seen
+    // twice, window boundaries never split context), vs docs_chunk_dedup's
+    // disjoint spans. Pure per-row explode (no shuffle until the ORDER BY
+    // display sort); chunk count = 1 + ceil(max(n-W,0)/S) so short docs
+    // still emit one chunk. md5 per chunk makes the output
+    // position-auditable without shipping the text.
+    "docs_chunk_sliding" -> ((s, dir) =>
+      Sources.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(util.Norm.normalize(col("text")), " "),
+            w => w =!= "").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(
+            |  sequence(0, cast(ceil(greatest(size(ws) - 12, 0) / 6.0) as int)),
+            |  i -> slice(ws, i*6 + 1, 12))""".stripMargin)))
+        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_ws"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("chunk_ws")).cast("long").as("n_tokens"),
+          md5(array_join(col("chunk_ws"), " ").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
+
+    // Deterministic MIXTURE-WEIGHTED interleave (training-data extension):
+    // the data-ORDER half of mixture control (docs_rebalance fixes the
+    // composition; this fixes the schedule). Each language stream is
+    // ranked independently (per-lang window — partitioned, never global),
+    // and the r-th doc of a weight-w stream is scheduled at virtual time
+    // r/w — the classic weighted-fair-queueing interleave, so a weight-4
+    // stream appears 4× as often as a weight-1 stream at every prefix.
+    // The audited head of the schedule goes through TakeOrderedAndProject
+    // (k rows per partition to the driver); the full schedule at corpus
+    // scale is a range-partitioned sort-write, never a single window.
+    // r/w is ONE IEEE division of exact integers — engine-identical.
+    "docs_mix_schedule" -> ((s, dir) => {
+      val w = expr("CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 " +
+        "WHEN 'fr' THEN 2 ELSE 1 END")
+      val ranked = Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("lang_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy("doc_id")).cast("long"))
+        .withColumn("virtual", col("lang_rank").cast("double") / w)
+        .orderBy("virtual", "lang", "doc_id").limit(200)
+      ranked.withColumn("position", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy("virtual", "lang", "doc_id")).cast("int"))
+        .select("position", "doc_id", "lang", "lang_rank", "virtual")
+        .orderBy("position")
+    }),
+
+
+    // SNAPSHOT DIFF (data reconciliation): which rows were added,
+    // removed, changed, or kept between two versions of a table —
+    // the audit primitive behind incremental syncs, CDC validation, and
+    // "did the backfill change anything it shouldn't". ROW-HASH compare:
+    // each side reduces to (id, md5(payload)) at the scan, so the join
+    // carries 2 columns regardless of table width and the comparison is
+    // one equality — never N column-wise compares through the shuffle.
+    // One hash-join on the id (bucket both snapshots on id at 100 TB and
+    // it is shuffle-free); per-status aggregate is map-side combinable.
+    // Snapshots are derived deterministically from the fixture (old
+    // drops doc_id%5=1, new drops %7=2 and revises %11=3) and mirrored
+    // exactly in the oracle.
+    "docs_table_diff" -> ((s, dir) => {
+      val d = Sources.documents(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 5 =!= 1)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+      val newSnap = d.filter(col("doc_id") % 7 =!= 2)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 3, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).cast("binary")).as("h_new"))
+      oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, lit("added"))
+            .when(col("h_new").isNull, lit("removed"))
+            .when(col("h_old") =!= col("h_new"), lit("changed"))
+            .otherwise(lit("same")))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("status")
+    }),
+
+
+    // MERGE / UPSERT semantics (lakehouse surface): apply a change batch
+    // (update / delete / insert, derived deterministically from the base
+    // so the oracle replays it) to a snapshot in ONE full-outer join on
+    // the key — matched+update rewrites, matched+delete drops,
+    // unmatched-source inserts, unmatched-target carries over. This is
+    // the relational core of Delta/Iceberg MERGE INTO: one co-keyed
+    // shuffle of (id, payload-hash)-width rows, never a per-row lookup.
+    // Output audits the merged snapshot per action: counts + an
+    // order-independent integer content checksum (sum of 40-bit md5
+    // prefixes — safe in a long at any realistic row count).
+    "docs_merge_upsert" -> ((s, dir) => {
+      val base = Sources.documents(s, dir).select(col("doc_id"), col("text"))
+      val src = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), upper(col("text")).as("new_text"), lit("u").as("op"))
+        .unionByName(base.filter(col("doc_id") % 10 === 1)
+          .select(col("doc_id"), lit(null).cast("string").as("new_text"),
+            lit("d").as("op")))
+        .unionByName(base.filter(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 5000000000000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("new_text"), lit("i").as("op")))
+      val merged = base.join(src, Seq("doc_id"), "full_outer")
+        .withColumn("action",
+          when(col("op") === "d", lit("deleted"))
+            .when(col("op") === "u", lit("updated"))
+            .when(col("op") === "i", lit("inserted"))
+            .otherwise(lit("kept")))
+        .withColumn("out_text",
+          when(col("action") === "updated" || col("action") === "inserted",
+            col("new_text")).otherwise(col("text")))
+      merged
+        .withColumn("h40",
+          when(col("action") === "deleted", lit(0L)).otherwise(
+            conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+              col("out_text")).cast("binary")), 1, 10), 16, 10).cast("long")))
+        .groupBy("action")
+        .agg(count(lit(1)).as("n_rows"), sum(col("h40")).as("content_sum"))
+        .orderBy("action")
+    }),
+
+
+    // TIME-TRAVEL / versioned snapshot reads (round 6, lakehouse
+    // surface): three commits land in a SnapshotStore (v1 full base,
+    // v2 updates+deletes, v3 resurrecting re-inserts) and each version
+    // is read back AS OF — latest-wins per id via the bounded-heap
+    // top-1 operator, max-version tombstone join, manifest-gated
+    // visibility (sources/SnapshotStore.scala documents the commit
+    // protocol). The oracle replays the same deterministic commit
+    // definitions as plain SQL state algebra, so matching counts +
+    // content checksums prove the store's fold reconstructs every
+    // version exactly. Complements docs_merge_upsert (one-shot MERGE)
+    // and events_scd2 (validity intervals): this is the STORED,
+    // multi-version, read-path half.
+    "docs_snapshot_asof" -> ((s, dir) => {
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_snap_store")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(out)) fs.delete(out, true) // rebuild: commits are the demo
+      val d = Sources.documents(s, dir)
+      val store = out.toString
+      sources.SnapshotStore.commit(
+        d.select(col("doc_id"), col("text"), col("lang")), None, store, "doc_id")
+      sources.SnapshotStore.commit(
+        d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"),
+            col("lang")),
+        Some(d.filter(col("doc_id") % 11 === 0 && col("doc_id") % 5 =!= 0)
+          .select("doc_id")),
+        store, "doc_id")
+      sources.SnapshotStore.commit(
+        d.filter(col("doc_id") % 11 === 0 && col("doc_id") % 5 =!= 0 &&
+            col("doc_id") % 2 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" [rev3]")).as("text"),
+            col("lang")),
+        None, store, "doc_id")
+      (1 to 3).map { v =>
+        sources.SnapshotStore.readAsOf(s, store, "doc_id", v)
+          .withColumn("h40", conv(substring(md5(
+            concat(col("doc_id").cast("string"), lit(":"), col("text"))
+              .cast("binary")), 1, 10), 16, 10).cast("long"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+            sum(col("h40")).as("content_sum"))
+          .select(lit(v).as("version"), col("n_docs"), col("id_sum"),
+            col("content_sum"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
+
+    // PER-GROUP Z-SCORE OUTLIERS (feature normalization + anomaly
+    // flagging): standardize n_chars within its language and keep
+    // |z| > 1.5 (the fixture's length distribution is near-uniform,
+    // whose |z| tops out at √3 — a 2.0 cut would leave only the
+    // handful of genuine tail docs). One grouped aggregate over exact
+    // integer sums (sum,
+    // sum-of-squares on BIGINT — n_chars² sums stay far below 2⁵³ at any
+    // plausible corpus; quantize or go DECIMAL beyond that) broadcast
+    // back over the corpus — z is then derived from bit-identical
+    // integers by one fixed IEEE expression tree, so the |z| > 2 cut
+    // adjudicates identically on both engines. Groups with n < 2 or
+    // zero variance are EXCLUDED in-stats (z would be NaN — and NaN
+    // comparison semantics differ across engines, so NaN must never
+    // reach the filter).
+    "docs_zscore_outliers" -> ((s, dir) => {
+      val d = Sources.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      val stats = d.groupBy("lang").agg(
+          count(lit(1)).as("n"), sum("n_chars").as("s"),
+          sum(col("n_chars") * col("n_chars")).as("ss"))
+        .filter(col("n") >= 2 &&
+          (col("ss") - col("s").cast("double") * col("s") / col("n")) > 0.0)
+      val z = (col("n_chars") - col("s").cast("double") / col("n")) /
+        sqrt((col("ss") - col("s").cast("double") * col("s") / col("n")) /
+          (col("n") - 1))
+      d.join(broadcast(stats), "lang")
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 1.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          util.Stable.sig(col("z")).as("z_sig"))
+        .orderBy("doc_id")
+    }),
+
+
+    // BM25 RANKED RETRIEVAL (the scoring function behind every lexical
+    // search/dedup-candidate/decontamination retriever; text_tfidf stops
+    // at the weight, this ranks). Query terms are DATA-DERIVED — the 5
+    // rarest corpus words (df asc, ties broken by word — deterministic
+    // at any SF) stand in for a query workload; each term scores ONLY
+    // the docs containing it (posting-restricted via broadcast semi-join
+    // on the tiny term table — the inverted-index discipline, never a
+    // corpus × query cross). Score = idf · tf·(k1+1)/(tf + k1·(1−b +
+    // b·dl·N/Σdl)) with k1=1.2, b=0.75: idf QUANTIZES ln to 1e-4 longs
+    // (the text_word_entropy contract), and the rest is one fixed IEEE
+    // tree over exact integers (tf, dl, N, Σdl), so scores are
+    // bit-identical cross-engine and the top-10-per-term window
+    // (score desc, doc_id) adjudicates identically. Per-term windows —
+    // no global ordering; tf/df/dl are the same keyed aggregates the
+    // tfidf/inverted-index queries already scale.
+    "docs_bm25_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfreq = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      val qterms = dfreq
+        .orderBy(col("df"), col("word")).limit(5)
+      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val idfQ = floor(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e4
+          + 0.5).cast("long")
+      val w = Window.partitionBy("word").orderBy(col("score").desc, col("doc_id"))
+      tf.join(broadcast(qterms), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("score",
+          (idfQ / 1e4) * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(1.0) - 0.75 +
+              lit(0.75) * col("dl") * col("n_docs") / col("sum_dl"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("word", "rank", "doc_id", "tf", "df", "dl", "score")
+        .orderBy("word", "rank")
+    }),
+
+
+    // SCHEMA EVOLUTION ON READ (the 100 TB reality the round-5 ts-drift
+    // incident made concrete: a long-lived table's files were written by
+    // MANY writer generations). Two parquet generations land under the
+    // warehouse — v1 with the original (doc_id, text) schema, v2 adding
+    // a n_chars column — and ONE mergeSchema read reconstructs the union
+    // schema, filling the missing column with nulls instead of failing
+    // or silently dropping files (schema-on-read's widening half;
+    // events_jsonl_badrows covers the malformed-row half). The audit
+    // aggregates by writer generation (n_chars IS NULL ⇔ legacy file)
+    // with the house 40-bit-md5 content checksum proving every row of
+    // both generations survived the merged scan byte-intact. At scale
+    // mergeSchema's footer reconciliation is a one-time planning cost;
+    // the per-file projection adapts at the reader, row-group pruning
+    // intact.
+    "docs_schema_evolution" -> ((s, dir) => {
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_docs_schema_evo")
+      val docs = Sources.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$base/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/gen=2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen=1", s"$base/gen=2")
+        .withColumn("legacy_schema", col("n_chars").isNull)
+        .withColumn("h40", conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit(":"), col("text")).cast("binary")),
+          1, 10), 16, 10).cast("long"))
+        .groupBy("legacy_schema")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_n_chars"),
+          sum(col("h40")).as("content_sum"))
+        .orderBy("legacy_schema")
+    }),
+
+
+    // VOCABULARY COVERAGE CURVE — the tokenizer-budget readout every
+    // BPE/vocab decision starts from: what fraction of corpus token mass
+    // do the top-N word types cover? Token counting is one keyed
+    // aggregate over the corpus; the curve itself runs on the VOCABULARY
+    // table (types ≪ tokens — the global rank window is over word types
+    // only, and at 100 TB the vocab that matters is prunable to the
+    // top cutoff with a TakeOrdered before ranking). Coverage sums are
+    // exact integer token counts; the share divides once per cutoff row.
+    "docs_ngram_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = Sources.documents(s, dir)
+        .select(explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val ranked = vocab.withColumn("rk",
+        row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+      val totals = vocab.agg(sum(col("freq")).as("total_tokens"),
+        count(lit(1)).as("n_types"))
+      // Fixture vocabulary is ~31 synthetic types, so the fixture curve
+      // uses small cutoffs; at corpus scale these would be 1e4..1e5.
+      val cutoffs = Seq(5, 10, 20)
+      cutoffs.map { c =>
+        ranked.filter(col("rk") <= c)
+          .agg(sum(col("freq")).as("covered_tokens"))
+          .withColumn("cutoff", lit(c.toLong))
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(totals))
+        .withColumn("share",
+          col("covered_tokens").cast("double") / col("total_tokens").cast("double"))
+        .select("cutoff", "n_types", "covered_tokens", "total_tokens", "share")
+        .orderBy("cutoff")
+    }),
+
+
+    // TRAIN/TEST LEAKAGE AUDIT — does any (normalized-content) duplicate
+    // straddle a split boundary? Run over the dup-injected corpus (the
+    // dedup fixture) with docs_split's exact hash rule: content
+    // fingerprints join only within fingerprint groups (dup groups are
+    // tiny — the join is keyed on the md5, never quadratic in the
+    // corpus), cross-split pairs aggregate per boundary. The check every
+    // eval pipeline must run BEFORE trusting its test numbers; at 100 TB
+    // this is the same keyed-aggregate shape as dedup_exact plus one
+    // ordered-pair rollup.
+    "docs_split_leakage" -> ((s, dir) => {
+      val nibble = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      val d = dedup.Dedup.augmented(Sources.documents(s, dir))
+        .withColumn("split",
+          when(nibble.isin("e", "f"), lit("test"))
+            .when(nibble.isin("c", "d"), lit("val"))
+            .otherwise(lit("train")))
+        .select(col("doc_id"), col("split"),
+          md5(util.Norm.normalize(col("text")).cast("binary")).as("fp"))
+      d.as("a").join(d.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.split") =!= col("b.split"))
+        .select(least(col("a.split"), col("b.split")).as("split_lo"),
+          greatest(col("a.split"), col("b.split")).as("split_hi"),
+          col("a.fp").as("fp"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_leaked_pairs"),
+          countDistinct(col("fp")).as("n_leaked_fingerprints"))
+        .orderBy("split_lo", "split_hi")
+    }),
+
+
+    // JENSEN–SHANNON DIVERGENCE between two source slices' vocabulary
+    // distributions — the corpus-drift number behind "did source B's
+    // language shift vs source A". Word-grain counts for both slices
+    // full-outer-join on the word; each word's two KL terms
+    // c·ln(2c·N_other-side-aware mixture ratio) quantize to 1e-4 longs
+    // (the bigram-logprob ln discipline: identical integer inputs →
+    // identical IEEE ln → identical quantized term) and sum exactly;
+    // JS = (KL₁+KL₂)/(2·ln2-free nats) divides once. Vocabulary-grain
+    // everything — corpus scanned once per slice.
+    "docs_js_divergence" -> ((s, dir) => {
+      // Slices = the even/odd doc_id halves — a pure predicate (no
+      // driver-side source picking), standing in for any two corpus
+      // shards/snapshots whose language drift is in question.
+      val words = Sources.documents(s, dir)
+        .select((col("doc_id") % 2).as("half"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val ca = words.filter(col("half") === 0)
+        .groupBy("word").agg(count(lit(1)).as("c1"))
+      val cb = words.filter(col("half") === 1)
+        .groupBy("word").agg(count(lit(1)).as("c2"))
+      val joined = ca.join(cb, Seq("word"), "full_outer")
+        .select(col("word"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      val tot = joined.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      // Per-word KL terms vs the mixture m = (p+q)/2, in 1e-4-quantized
+      // nats: term1 = c1·lnQ(2·c1·n2 / (c1·n2 + c2·n1)) etc — the ratio
+      // is exact-integer-derived so both engines feed ln identical doubles.
+      def lnQratio(num: Column, den: Column) =
+        floor(log(num.cast("double") / den.cast("double")) * 1e4 + 0.5).cast("long")
+      val terms = joined.crossJoin(broadcast(tot))
+        .withColumn("mden", col("c1") * col("n2") + col("c2") * col("n1"))
+        .withColumn("t1", when(col("c1") > 0,
+          col("c1") * lnQratio(lit(2L) * col("c1") * col("n2"), col("mden")))
+          .otherwise(0L))
+        .withColumn("t2", when(col("c2") > 0,
+          col("c2") * lnQratio(lit(2L) * col("c2") * col("n1"), col("mden")))
+          .otherwise(0L))
+      terms.groupBy("n1", "n2")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("t1")).as("kl1_q"), sum(col("t2")).as("kl2_q"))
+        .withColumn("js_nats",
+          (col("kl1_q").cast("double") / col("n1").cast("double") +
+            col("kl2_q").cast("double") / col("n2").cast("double")) / 2e4)
+        .select("n1", "n2", "n_words", "js_nats")
+    }),
+
+
+    // IMPORTANCE SAMPLING with a HORVITZ–THOMPSON estimator — the
+    // unbiased-survey machinery for auditing a corpus you can't afford
+    // to scan in full: docs enter the sample with length-proportional
+    // probability p (per-mille grid, membership = md5 hash < p, so the
+    // sample is a pure function of the doc id — retries and re-runs
+    // agree), and each sampled doc reports its token count UPWEIGHTED by
+    // 1/p (quantized as (n·10⁶) DIV p_mille, exact integers). The query
+    // outputs the estimate NEXT TO the true total and the relative
+    // error — the audit that justifies trusting samples at 100 TB, where
+    // the full scan happens once and every later question hits the
+    // sample. All sums BIGINT; two closing divisions.
+    "docs_importance_sampling" -> ((s, dir) => {
+      val base = Sources.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(split(util.Norm.normalize(col("text")), " ")).cast("long")
+            .as("n_words"))
+        .withColumn("p_mille",
+          least(lit(1000L), lit(50L) + expr("n_chars div 20")))
+        .withColumn("u_mille",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10).cast("long") % 1000)
+      val sampled = base.filter(col("u_mille") < col("p_mille"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(expr("(n_words * 1000000) div p_mille")).as("ht_q"))
+      val truth = base.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("true_tokens"))
+      truth.crossJoin(broadcast(sampled))
+        .select(col("n_docs"), col("n_sampled"), col("true_tokens"),
+          (col("ht_q").cast("double") / 1000.0).as("est_tokens"),
+          ((col("ht_q").cast("double") / 1000.0 -
+            col("true_tokens").cast("double")) /
+            col("true_tokens").cast("double")).as("rel_error"))
+    }),
+
+
+    // HELD-OUT language-model evaluation — the honest LM quality number
+    // (text_unigram_logprob scores the corpus under ITSELF, which
+    // rewards memorization): an add-1-smoothed unigram model fits on the
+    // 90% split and the 10% held-out split reports per-language token
+    // count, average negative log-likelihood, and perplexity — OOV
+    // words cost the full smoothing penalty through the left join's
+    // coalesce, exactly as the estimator defines. NLL terms follow the
+    // quantized-ln discipline (integers end to end, one division);
+    // perplexity = exp(nll) is emitted %.4e-formatted (the stddev
+    // contract — exp is not cross-engine bit-stable). Model size is
+    // vocabulary-bounded; scoring is one co-keyed join.
+    "docs_perplexity_heldout" -> ((s, dir) => {
+      val words = Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val isTest = col("doc_id") % 10 === 0
+      def qln(c: Column): Column =
+        floor(log(c.cast("double")) * 1e4 + 0.5).cast("long")
+      val trainW = words.filter(!isTest)
+      val model = trainW.groupBy("word").agg(count(lit(1)).as("c"))
+        .select(col("word"), qln(col("c") + 1).as("qc"))
+      val denom = trainW.agg(
+        qln(count(lit(1)) + countDistinct(col("word"))).as("qd"))
+      words.filter(isTest)
+        .join(model, Seq("word"), "left")
+        .crossJoin(broadcast(denom))
+        .select(col("lang"),
+          (col("qd") - coalesce(col("qc"), lit(0L))).as("nll_q"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("nll_q")).as("snll"))
+        .select(col("lang"), col("n_tokens"),
+          (col("snll").cast("double") / 1e4 / col("n_tokens").cast("double"))
+            .as("avg_nll"),
+          util.Stable.sig(exp(col("snll").cast("double") / 1e4 /
+            col("n_tokens").cast("double"))).as("perplexity"))
+        .orderBy("lang")
+    }),
+
+
+    // SOURCE-PAIR VOCABULARY SIMILARITY MATRIX — "which corpus sources
+    // speak the same language": per-source KMV sketches over the
+    // normalized vocabulary, pairwise Jaccard ESTIMATED from pure
+    // sketch algebra (est(A∩B) = estA+estB−est(A∪B), union sketch =
+    // the k smallest of the merged top-k sets — KmvSpec's proven merge)
+    // beside the EXACT Jaccard audit (word-grain co-keyed self-join).
+    // The sketch path is the 100 TB shape: one corpus pass builds
+    // O(sources·k) state, every pairwise question answers from sketches
+    // alone; the exact twin is fixture-feasible and bounded by
+    // |vocab|·C(sources-per-word, 2). C(20,2)=190 output rows.
+    "docs_source_similarity" -> ((s, dir) => {
+      val k = 256
+      val kc = lit((k - 1).toDouble * functions.KmvUtil.HashSpan)
+      def estOf(kmv: Column) =
+        when(size(kmv) < k, size(kmv).cast("double"))
+          .otherwise(kc / element_at(kmv, k).cast("double"))
+      val ws = Sources.documents(s, dir)
+        .select(col("source"),
+          explode(split(util.Norm.normalize(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+      val sk = ws.groupBy("source")
+        .agg(expr(s"kmv_agg(w, $k)").as("kmv"),
+          count(lit(1)).as("n_vocab"))
+      val pairs = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.n_vocab").as("n_vocab_a"), col("b.n_vocab").as("n_vocab_b"),
+          col("a.kmv").as("kmv_a"), col("b.kmv").as("kmv_b"))
+        .withColumn("kmv_u",
+          slice(array_sort(array_distinct(concat(col("kmv_a"), col("kmv_b")))),
+            1, k))
+      val inter = ws.as("x").join(ws.as("y"),
+          col("x.w") === col("y.w") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      pairs.join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("j_exact", col("n_inter").cast("double") /
+          (col("n_vocab_a") + col("n_vocab_b") - col("n_inter")).cast("double"))
+        .withColumn("est_union", estOf(col("kmv_u")))
+        .withColumn("j_est",
+          greatest(lit(0.0), estOf(col("kmv_a")) + estOf(col("kmv_b"))
+            - col("est_union")) / col("est_union"))
+        .select("src_a", "src_b", "n_vocab_a", "n_vocab_b", "n_inter",
+          "j_exact", "est_union", "j_est")
+        .orderBy("src_a", "src_b")
+    }),
+
+
+    // QUALITY-GATE ABLATION — which signal does the work: per gate
+    // signal, how many docs violate it at all vs violate ONLY it (=
+    // exactly the docs waiving that signal would rescue). The signal
+    // definitions and thresholds are the SAME TextAnalysis constants
+    // the gate itself runs on (interpolated into both engines — the
+    // qualityGateSql lesson), so this audit can never drift from the
+    // gate it audits. One shuffle-free signal pass + one conditional
+    // aggregate + stack() — the corpus is scanned once.
+    "docs_quality_ablation" -> ((s, dir) => {
+      import text.TextAnalysis.{GateMinWords, GateMaxTopWordRatio, GateMinQuality}
+      val g = qualityGate(Sources.documents(s, dir))
+        .withColumn("f_short", (col("n_words") < GateMinWords).cast("long"))
+        .withColumn("f_lang", (col("lang_id") === "und").cast("long"))
+        .withColumn("f_rep",
+          (col("top_word_ratio") > GateMaxTopWordRatio).cast("long"))
+        .withColumn("f_qual",
+          (col("quality_score") < GateMinQuality).cast("long"))
+        .withColumn("nf",
+          col("f_short") + col("f_lang") + col("f_rep") + col("f_qual"))
+      g.agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_keep"),
+          sum(col("f_short")).as("a1"),
+          sum(when(col("f_short") === 1 && col("nf") === 1, 1L).otherwise(0L))
+            .as("s1"),
+          sum(col("f_lang")).as("a2"),
+          sum(when(col("f_lang") === 1 && col("nf") === 1, 1L).otherwise(0L))
+            .as("s2"),
+          sum(col("f_rep")).as("a3"),
+          sum(when(col("f_rep") === 1 && col("nf") === 1, 1L).otherwise(0L))
+            .as("s3"),
+          sum(col("f_qual")).as("a4"),
+          sum(when(col("f_qual") === 1 && col("nf") === 1, 1L).otherwise(0L))
+            .as("s4"))
+        .selectExpr("n_docs", "n_keep",
+          "stack(4, 'too_short', a1, s1, 'lang_unknown', a2, s2, " +
+            "'repetitive', a3, s3, 'low_quality', a4, s4) " +
+            "AS (signal, n_fail, n_sole_fail)")
+        .select("signal", "n_fail", "n_sole_fail", "n_docs", "n_keep")
+        .orderBy("signal")
+    }),
+
+
+    // CODE-VS-PROSE DETECTION — the corpus-curation signal behind
+    // "route code to the code pipeline, prose to the text pipeline"
+    // (every LLM data mix needs it): symbol density ({}()[];=<>) per
+    // doc, verdict adjudicated as the INTEGER comparison
+    // sym·100 > chars·3 (3% threshold — a build-time constant shared
+    // with the oracle, never a pre-comparison ratio). Entirely
+    // row-local until the per-source rollup; the mean density closes
+    // with one IEEE division of exact sums.
+    "docs_code_detect" -> ((s, dir) => {
+      val d = Sources.documents(s, dir)
+        .select(col("source"), length(col("text")).cast("long").as("n_chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[{}()\\[\\];=<>]", "")))
+            .cast("long").as("sym"))
+        .withColumn("code_like",
+          (col("sym") * 100L > col("n_chars") * 3L).cast("long"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("code_like")).as("n_code_like"),
+          sum(col("sym")).as("sym_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .withColumn("sym_density",
+          col("sym_chars").cast("double") / col("total_chars").cast("double"))
+        .orderBy("source")
+    }),
+
+
+    // BOILERPLATE-LINE DETECTION — the header/footer removal pass every
+    // web-corpus pipeline runs (docs_chunk_dedup strips repeated SPANS
+    // within a doc; this strips sentences repeated ACROSS docs): split
+    // to sentence grain, document frequency per sentence, df ≥ 20 ⇒
+    // boilerplate, reporting affected docs and reclaimable characters.
+    // The fixture has no natural boilerplate, so two footer sentences
+    // are injected in-query on doc_id%3==0 (deterministic, mirrored in
+    // the oracle — the cross_source_dup discipline). Sentence-grain
+    // keyed aggregate; never a doc×doc comparison.
+    "docs_boilerplate_lines" -> ((s, dir) => {
+      val withFooter = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(". FOOTER ALPHA. ALL RIGHTS RESERVED")))
+            .otherwise(col("text")).as("text"))
+      val sentences = withFooter
+        .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
+        .select(col("doc_id"), trim(col("sent")).as("sent"))
+        .filter(col("sent") =!= "")
+      sentences.groupBy("sent")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("n_occurrences"),
+          sum(length(col("sent")).cast("long")).as("reclaim_chars"))
+        .filter(col("df") >= 20)
+        .orderBy("sent")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "docs_dataset_card" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
+         |      AS BIGINT) AS n_tokens,
+         |    md5(${util.Norm.normalizeSql("text")}) AS fp
+         |  FROM documents)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT source) AS n_sources,
+         |  count(*) - count(DISTINCT fp) AS n_dup_docs,
+         |  CAST(count(*) FILTER (WHERE n_tokens < 5) AS BIGINT) AS n_short_docs,
+         |  min(n_tokens) AS min_tokens,
+         |  max(n_tokens) AS max_tokens
+         |FROM b""".stripMargin,
+
+    "docs_pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS bucket,
+        |    md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT bucket, doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard_idx
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "docs_pack_assemble" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS bucket,
+        |    md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |p AS (SELECT *, CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard_idx FROM c)
+        |SELECT bucket, shard_idx, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  md5(string_agg(text, chr(10) ORDER BY rk, doc_id)) AS payload_md5
+        |FROM p GROUP BY 1, 2 ORDER BY bucket, shard_idx""".stripMargin,
+
+    "docs_sample_stratified" ->
+      """SELECT lang, doc_id FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "docs_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      AS h32
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  -CAST(floor(ln((h32 + 0.5) / 4294967296.0) * 1e6 + 0.5) AS BIGINT)
+        |    / CAST(n_chars AS DOUBLE) AS sample_key
+        |FROM d ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+
+    "docs_lm_buckets" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+         |freq AS (SELECT word, count(*) AS wf FROM w2 GROUP BY 1),
+         |n AS (SELECT count(*) AS n_total FROM w2),
+         |per_doc AS (
+         |  SELECT t.doc_id,
+         |    CAST(sum(t.tf) AS BIGINT) AS n_words,
+         |    CAST(sum(t.tf * CAST(floor(-ln(CAST(f.wf AS DOUBLE) / n_total) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS nll_q4
+         |  FROM tf t JOIN freq f USING (word) CROSS JOIN n
+         |  GROUP BY t.doc_id),
+         |ranked AS (
+         |  SELECT d.lang, p.n_words, p.nll_q4,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY p.nll_q4 / p.n_words ASC, p.doc_id ASC) AS bucket
+         |  FROM per_doc p JOIN documents d USING (doc_id))
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |  CAST(sum(nll_q4) AS BIGINT) AS sum_nll_q4
+         |FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "docs_length_histogram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(${util.Norm.normalizeSql("text")}, ' '),
+         |                         x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT n_tokens,
+         |    CASE WHEN n_tokens = 0 THEN -1
+         |         ELSE length(bin(n_tokens)) - 1 END AS bucket
+         |  FROM t)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CASE WHEN bucket < 0 THEN 0
+         |       ELSE CAST(1 AS BIGINT) << bucket END AS bucket_lo,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+         |FROM b GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    "docs_split" ->
+      """SELECT
+        |  (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+        |        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+        |        ELSE 'train' END) AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "docs_rebalance" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1),
+        |target AS (SELECT min(n_before) AS target_n FROM counts),
+        |kept AS (
+        |  SELECT d.lang, count(*) AS n_after
+        |  FROM documents d JOIN counts USING (lang) CROSS JOIN target
+        |  WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          % 1000000
+        |        < (target_n * 1000000) // n_before
+        |  GROUP BY 1)
+        |SELECT c.lang, c.n_before, coalesce(k.n_after, 0) AS n_after
+        |FROM counts c LEFT JOIN kept k USING (lang)
+        |ORDER BY c.lang""".stripMargin,
+
+    "docs_quality_gate" ->
+      s"""WITH ${qualityGateSql("documents")}
+         |SELECT * FROM gate ORDER BY doc_id""".stripMargin,
+
+    "docs_source_audit" ->
+      s"""WITH syn AS $sourcedDocsSql,
+         |d AS (
+         |  SELECT source, lang,
+         |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
+         |      AS n_tokens,
+         |    md5(text) AS h
+         |  FROM syn)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(*) - count(DISTINCT h) AS n_dup_docs,
+         |  count(*) FILTER (n_tokens < ${text.TextAnalysis.GateMinWords}) AS n_short,
+         |  CAST((count(*) - count(DISTINCT h)) * $SourceDupBlockX > count(*)
+         |       OR count(*) FILTER (n_tokens < ${text.TextAnalysis.GateMinWords})
+         |            * $SourceShortBlockX > count(*) AS INTEGER) AS blocked
+         |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "docs_source_cap" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
+         |      AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS rk
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |k AS (SELECT *,
+         |        CASE WHEN cum - n_tokens < $SourceCapTokens THEN 1 ELSE 0 END AS kept
+         |      FROM c)
+         |SELECT source,
+         |  count(*) AS n_before,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "docs_cross_source_dup" ->
+      s"""WITH syn AS $sourcedDocsSql,
+         |hs AS (SELECT DISTINCT md5(text) AS h, source FROM syn),
+         |good AS (SELECT h FROM hs GROUP BY h
+         |         HAVING count(*) BETWEEN 2 AND $SourceMaxSyndication)
+         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         |FROM hs a
+         |JOIN good g ON a.h = g.h
+         |JOIN hs b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    "docs_pipeline_e2e" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${qualityGateSql("docs")},
+         |kept AS (
+         |  SELECT d.doc_id, d.text FROM docs d JOIN gate USING (doc_id) WHERE keep = 1),
+         |canon AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5(${util.Norm.normalizeSql("text")}) AS h FROM kept)
+         |  GROUP BY h),
+         |clean AS (SELECT k.doc_id, k.text FROM kept k JOIN canon USING (doc_id)),
+         |pd AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+         |    doc_id % 32 AS bucket,
+         |    md5(CAST(doc_id AS VARCHAR)) AS rk
+         |  FROM clean),
+         |pc AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY rk, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM pd),
+         |p AS (SELECT *, CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard_idx FROM pc)
+         |SELECT (SELECT count(*) FROM docs) AS n_raw,
+         |       (SELECT count(*) FROM kept) AS n_kept,
+         |       (SELECT count(*) FROM p) AS n_unique,
+         |       (SELECT CAST(sum(n_tokens) AS BIGINT) FROM p) AS sum_tokens,
+         |       (SELECT count(*) FROM (SELECT DISTINCT bucket, shard_idx FROM p)) AS n_shards""".stripMargin,
+
+    "docs_lexical_score" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |w2 AS (SELECT DISTINCT doc_id, word FROM w WHERE word <> ''),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |model AS (
+         |  SELECT word,
+         |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT) AS w_q6
+         |  FROM (SELECT word, count(*) AS df FROM w2 GROUP BY 1) CROSS JOIN n
+         |  WHERE df >= 2)
+         |SELECT doc_id, count(*) AS n_features,
+         |  count(m.w_q6) AS n_matched,
+         |  CAST(sum(coalesce(m.w_q6, 0)) AS BIGINT) AS score_q6_sum,
+         |  CASE WHEN count(m.w_q6) = 0 THEN NULL
+         |       ELSE CAST(CAST(sum(coalesce(m.w_q6, 0)) AS BIGINT) AS DOUBLE)
+         |            / count(m.w_q6) END AS mean_score_q6
+         |FROM w2 LEFT JOIN model m USING (word)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "docs_chunk_dedup" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |w AS (SELECT doc_id,
+         |        list_filter(string_split(${util.Norm.normalizeSql("text")}, ' '),
+         |                    x -> x <> '') AS ws
+         |      FROM docs),
+         |ch0 AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1))) AS i
+         |  FROM w),
+         |ch AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |    array_to_string(ws[i*10 + 1 : i*10 + 10], ' ') AS chunk
+         |  FROM ch0),
+         |chh AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS h FROM ch),
+         |freq AS (SELECT h, count(DISTINCT doc_id) AS df FROM chh GROUP BY h)
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  md5(coalesce(
+         |    string_agg(CASE WHEN f.df < 2 THEN c.chunk END, ' ' ORDER BY c.chunk_idx),
+         |    '')) AS kept_md5
+         |FROM chh c JOIN freq f USING (h)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "docs_chunk_sliding" ->
+      s"""WITH w AS (SELECT doc_id,
+         |        list_filter(string_split(${util.Norm.normalizeSql("text")}, ' '),
+         |                    x -> x <> '') AS ws
+         |      FROM documents),
+         |ch0 AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(0,
+         |      1 + CAST(ceil(greatest(len(ws) - 12, 0) / 6.0) AS BIGINT))) AS i
+         |  FROM w)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(len(ws[i*6 + 1 : i*6 + 12]) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(ws[i*6 + 1 : i*6 + 12], ' ')) AS chunk_md5
+         |FROM ch0 ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "docs_mix_schedule" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS lang_rank,
+        |    CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2
+        |              WHEN 'fr' THEN 2 ELSE 1 END AS w
+        |  FROM documents),
+        |v AS (SELECT doc_id, lang, CAST(lang_rank AS BIGINT) AS lang_rank,
+        |        CAST(lang_rank AS DOUBLE) / w AS virtual
+        |      FROM ranked)
+        |SELECT CAST(row_number() OVER (ORDER BY virtual, lang, doc_id) AS INTEGER)
+        |    AS position,
+        |  doc_id, lang, lang_rank, virtual
+        |FROM v ORDER BY position LIMIT 200""".stripMargin,
+
+    "docs_table_diff" ->
+      """WITH snap_a AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 5 <> 1),
+        |snap_b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 3 THEN text || ' [rev2]' ELSE text END)
+        |      AS h_new
+        |  FROM documents WHERE doc_id % 7 <> 2),
+        |j AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.h_old IS NULL THEN 'added'
+        |         WHEN b.h_new IS NULL THEN 'removed'
+        |         WHEN a.h_old <> b.h_new THEN 'changed'
+        |         ELSE 'same' END AS status
+        |  FROM snap_a a FULL JOIN snap_b b ON a.doc_id = b.doc_id)
+        |SELECT status, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // State algebra replay of the three commits: as-of-2 = base minus
+    // tombstoned ids with %5 rows rewritten; as-of-3 resurrects the even
+    // tombstoned ids. Matching checksums prove the store's
+    // latest-wins/tombstone fold reconstructs each version exactly.
+    "docs_snapshot_asof" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |v1 AS (SELECT doc_id, text FROM d),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        |       FROM d WHERE NOT (doc_id % 11 = 0 AND doc_id % 5 <> 0)),
+        |v3 AS (SELECT * FROM v2
+        |       UNION ALL
+        |       SELECT doc_id, text || ' [rev3]' AS text FROM d
+        |       WHERE doc_id % 11 = 0 AND doc_id % 5 <> 0 AND doc_id % 2 = 0),
+        |snaps AS (
+        |  SELECT 1 AS version, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v3)
+        |SELECT version, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST(concat('0x',
+        |        substring(md5(concat(CAST(doc_id AS VARCHAR), ':', text)), 1, 10))
+        |      AS BIGINT)) AS BIGINT) AS content_sum
+        |FROM snaps GROUP BY version ORDER BY version""".stripMargin,
+
+    "docs_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |src AS (
+        |  SELECT doc_id, upper(text) AS new_text, 'u' AS op
+        |  FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL AS new_text, 'd' AS op
+        |  FROM base WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000000 AS doc_id, text || ' v2' AS new_text,
+        |    'i' AS op
+        |  FROM base WHERE doc_id % 10 = 2),
+        |merged AS (
+        |  SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id,
+        |    CASE WHEN s.op = 'd' THEN 'deleted'
+        |         WHEN s.op = 'u' THEN 'updated'
+        |         WHEN s.op = 'i' THEN 'inserted'
+        |         ELSE 'kept' END AS action,
+        |    CASE WHEN s.op IN ('u', 'i') THEN s.new_text ELSE b.text END AS out_text
+        |  FROM base b FULL JOIN src s ON b.doc_id = s.doc_id)
+        |SELECT action, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN action = 'deleted' THEN 0
+        |    ELSE CAST(concat('0x',
+        |      substring(md5(CAST(doc_id AS VARCHAR) || ':' || out_text), 1, 10))
+        |      AS BIGINT) END) AS BIGINT) AS content_sum
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "docs_zscore_outliers" ->
+      """WITH stats AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+        |  FROM documents GROUP BY 1
+        |  HAVING count(*) >= 2
+        |    AND (CAST(sum(n_chars * n_chars) AS DOUBLE)
+        |         - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS BIGINT)
+        |           / count(*)) > 0.0),
+        |z AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    (d.n_chars - CAST(t.s AS DOUBLE) / t.n) /
+        |      sqrt((t.ss - CAST(t.s AS DOUBLE) * t.s / t.n) / (t.n - 1)) AS z
+        |  FROM documents d JOIN stats t USING (lang))
+        |SELECT doc_id, lang, n_chars, printf('%.4e', z) AS z_sig
+        |FROM z WHERE abs(z) > 1.5 ORDER BY doc_id""".stripMargin,
+
+    "docs_bm25_topk" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM w2 GROUP BY 1),
+         |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY 1),
+         |qterms AS (SELECT word, df FROM dfreq ORDER BY df, word LIMIT 5),
+         |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+         |           FROM dl),
+         |scored AS (
+         |  SELECT t.word, t.doc_id, t.tf, q.df, d.dl,
+         |    (CAST(floor(ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) * 1e4
+         |                + 0.5) AS BIGINT) / 1e4)
+         |      * (t.tf * CAST(2.2 AS DOUBLE))
+         |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl * n_docs / sum_dl))
+         |      AS score
+         |  FROM tf t JOIN qterms q USING (word) JOIN dl d USING (doc_id)
+         |  CROSS JOIN corpus)
+         |SELECT word, CAST(rank AS INTEGER) AS rank, doc_id, tf, df, dl, score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY word
+         |        ORDER BY score DESC, doc_id) AS rank FROM scored)
+         |WHERE rank <= 10 ORDER BY word, rank""".stripMargin,
+
+    "docs_schema_evolution" ->
+      """SELECT doc_id % 2 = 0 AS legacy_schema, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS BIGINT) END)
+        |    AS BIGINT) AS sum_n_chars,
+        |  CAST(sum(CAST(concat('0x',
+        |      substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 10))
+        |    AS BIGINT)) AS BIGINT) AS content_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "docs_ngram_coverage" ->
+      s"""WITH words AS (
+         |  SELECT w FROM (
+         |    SELECT unnest(string_split(${graft.util.Norm.normalizeSql("text")}, ' ')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |vocab AS (SELECT w AS word, count(*) AS freq FROM words GROUP BY 1),
+         |ranked AS (
+         |  SELECT word, freq,
+         |    row_number() OVER (ORDER BY freq DESC, word) AS rk
+         |  FROM vocab),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens,
+         |               count(*) AS n_types FROM vocab)
+         |SELECT CAST(cutoff AS BIGINT) AS cutoff, n_types, covered_tokens,
+         |  total_tokens,
+         |  CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share
+         |FROM (
+         |  SELECT c.cutoff, CAST(sum(freq) AS BIGINT) AS covered_tokens
+         |  FROM (VALUES (5), (10), (20)) c(cutoff)
+         |  JOIN ranked ON rk <= c.cutoff
+         |  GROUP BY 1) cov, tot
+         |ORDER BY cutoff""".stripMargin,
+
+    "docs_split_leakage" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |d AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |            IN ('e', 'f') THEN 'test'
+         |          WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |            IN ('c', 'd') THEN 'val'
+         |          ELSE 'train' END) AS split,
+         |    md5(${util.Norm.normalizeSql("text")}) AS fp
+         |  FROM docs)
+         |SELECT least(a.split, b.split) AS split_lo,
+         |  greatest(a.split, b.split) AS split_hi,
+         |  count(*) AS n_leaked_pairs,
+         |  count(DISTINCT a.fp) AS n_leaked_fingerprints
+         |FROM d a JOIN d b
+         |  ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.split <> b.split
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "docs_js_divergence" ->
+      s"""WITH words AS (
+         |  SELECT doc_id % 2 AS half, w FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |ca AS (SELECT w AS word, count(*) AS c1 FROM words
+         |       WHERE half = 0 GROUP BY 1),
+         |cb AS (SELECT w AS word, count(*) AS c2 FROM words
+         |       WHERE half = 1 GROUP BY 1),
+         |j AS (
+         |  SELECT coalesce(ca.word, cb.word) AS word,
+         |    CAST(coalesce(c1, 0) AS BIGINT) AS c1,
+         |    CAST(coalesce(c2, 0) AS BIGINT) AS c2
+         |  FROM ca FULL JOIN cb ON ca.word = cb.word),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |        CAST(sum(c2) AS BIGINT) AS n2 FROM j),
+         |terms AS (
+         |  SELECT c1, c2, n1, n2,
+         |    c1 * n2 + c2 * n1 AS mden,
+         |    CASE WHEN c1 > 0 THEN c1 * CAST(floor(ln(
+         |      CAST(2 * c1 * n2 AS DOUBLE) / CAST(c1 * n2 + c2 * n1 AS DOUBLE))
+         |      * 1e4 + 0.5) AS BIGINT) ELSE 0 END AS t1,
+         |    CASE WHEN c2 > 0 THEN c2 * CAST(floor(ln(
+         |      CAST(2 * c2 * n1 AS DOUBLE) / CAST(c1 * n2 + c2 * n1 AS DOUBLE))
+         |      * 1e4 + 0.5) AS BIGINT) ELSE 0 END AS t2
+         |  FROM j, t)
+         |SELECT n1, n2, count(*) AS n_words,
+         |  (CAST(CAST(sum(t1) AS BIGINT) AS DOUBLE) / CAST(n1 AS DOUBLE)
+         |   + CAST(CAST(sum(t2) AS BIGINT) AS DOUBLE) / CAST(n2 AS DOUBLE))
+         |    / 2e4 AS js_nats
+         |FROM terms GROUP BY 1, 2""".stripMargin,
+
+
+    "docs_importance_sampling" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(string_split(${util.Norm.normalizeSql("text")}, ' '))
+         |      AS BIGINT) AS n_words,
+         |    least(1000, 50 + n_chars // 20) AS p_mille,
+         |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 1000 AS u_mille
+         |  FROM documents),
+         |s AS (SELECT count(*) AS n_sampled,
+         |        CAST(sum((n_words * 1000000) // p_mille) AS BIGINT) AS ht_q
+         |      FROM base WHERE u_mille < p_mille),
+         |t AS (SELECT count(*) AS n_docs,
+         |        CAST(sum(n_words) AS BIGINT) AS true_tokens
+         |      FROM base)
+         |SELECT n_docs, n_sampled, true_tokens,
+         |  CAST(ht_q AS DOUBLE) / 1000e0 AS est_tokens,
+         |  (CAST(ht_q AS DOUBLE) / 1000e0 - CAST(true_tokens AS DOUBLE))
+         |    / CAST(true_tokens AS DOUBLE) AS rel_error
+         |FROM t, s""".stripMargin,
+
+
+    "docs_perplexity_heldout" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    unnest(string_split(${util.Norm.normalizeSql("text")}, ' '))
+         |      AS word
+         |  FROM documents),
+         |w2 AS (SELECT * FROM w WHERE word <> ''),
+         |tr AS (SELECT * FROM w2 WHERE doc_id % 10 <> 0),
+         |model AS (SELECT word,
+         |            CAST(floor(ln(count(*) + 1) * 1e4 + 0.5) AS BIGINT)
+         |              AS qc
+         |          FROM tr GROUP BY 1),
+         |denom AS (SELECT CAST(floor(ln(count(*) + count(DISTINCT word))
+         |            * 1e4 + 0.5) AS BIGINT) AS qd
+         |          FROM tr),
+         |te AS (SELECT t.lang, d.qd - COALESCE(m.qc, 0) AS nll_q
+         |       FROM w2 t LEFT JOIN model m USING (word) CROSS JOIN denom d
+         |       WHERE t.doc_id % 10 = 0)
+         |SELECT lang, count(*) AS n_tokens,
+         |  CAST(CAST(sum(nll_q) AS BIGINT) AS DOUBLE) / 1e4
+         |    / CAST(count(*) AS DOUBLE) AS avg_nll,
+         |  printf('%.4e', exp(CAST(CAST(sum(nll_q) AS BIGINT) AS DOUBLE)
+         |    / 1e4 / CAST(count(*) AS DOUBLE))) AS perplexity
+         |FROM te GROUP BY lang ORDER BY lang""".stripMargin,
+
+
+    "docs_source_similarity" ->
+      s"""WITH ws AS (
+         |  SELECT DISTINCT source, word FROM (
+         |    SELECT source,
+         |      unnest(string_split(${util.Norm.normalizeSql("text")}, ' ')) AS word
+         |    FROM documents) WHERE word <> ''),
+         |vocab AS (SELECT source, count(*) AS n_vocab FROM ws GROUP BY 1),
+         |hh AS (SELECT DISTINCT source,
+         |         CAST(concat('0x', substring(md5(concat('kmv:', word)), 1, 8))
+         |           AS BIGINT) AS h
+         |       FROM ws),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY source) AS nd
+         |      FROM hh),
+         |kt AS (SELECT source, max(CASE WHEN rn = 256 THEN h END) AS h_k,
+         |         CAST(least(max(nd), 256) AS BIGINT) AS ks
+         |       FROM r WHERE rn <= 256 GROUP BY 1),
+         |est AS (SELECT source,
+         |          CASE WHEN ks < 256 THEN CAST(ks AS DOUBLE)
+         |               ELSE (255 * 4294967296.0) / h_k END AS e
+         |        FROM kt),
+         |pairs AS (SELECT a.source AS sa, b.source AS sb
+         |          FROM vocab a JOIN vocab b ON a.source < b.source),
+         |-- Union sketch ≡ top-k of the full distinct hash union (any
+         |-- hash outside its source's top-k has ≥k smaller hashes in the
+         |-- union, so it can never enter the union's top-k).
+         |ph AS (SELECT DISTINCT p.sa, p.sb, hh.h
+         |       FROM pairs p JOIN hh ON hh.source = p.sa OR hh.source = p.sb),
+         |pr AS (SELECT sa, sb, h,
+         |         row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY sa, sb) AS nd
+         |       FROM ph),
+         |pu AS (SELECT sa, sb, max(CASE WHEN rn = 256 THEN h END) AS h_k,
+         |         CAST(least(max(nd), 256) AS BIGINT) AS ks
+         |       FROM pr WHERE rn <= 256 GROUP BY 1, 2),
+         |eu AS (SELECT sa, sb,
+         |         CASE WHEN ks < 256 THEN CAST(ks AS DOUBLE)
+         |              ELSE (255 * 4294967296.0) / h_k END AS e_u
+         |       FROM pu),
+         |it AS (SELECT x.source AS sa, y.source AS sb, count(*) AS n_inter
+         |       FROM ws x JOIN ws y ON x.word = y.word AND x.source < y.source
+         |       GROUP BY 1, 2)
+         |SELECT p.sa AS src_a, p.sb AS src_b,
+         |  va.n_vocab AS n_vocab_a, vb.n_vocab AS n_vocab_b,
+         |  CAST(coalesce(it.n_inter, 0) AS BIGINT) AS n_inter,
+         |  CAST(coalesce(it.n_inter, 0) AS DOUBLE)
+         |    / CAST(va.n_vocab + vb.n_vocab - coalesce(it.n_inter, 0) AS DOUBLE)
+         |    AS j_exact,
+         |  eu.e_u AS est_union,
+         |  greatest(0.0, ea.e + eb.e - eu.e_u) / eu.e_u AS j_est
+         |FROM pairs p
+         |JOIN vocab va ON va.source = p.sa
+         |JOIN vocab vb ON vb.source = p.sb
+         |JOIN est ea ON ea.source = p.sa
+         |JOIN est eb ON eb.source = p.sb
+         |JOIN eu ON eu.sa = p.sa AND eu.sb = p.sb
+         |LEFT JOIN it ON it.sa = p.sa AND it.sb = p.sb
+         |ORDER BY 1, 2""".stripMargin,
+
+
+    "docs_quality_ablation" -> {
+      import text.TextAnalysis.{GateMinWords, GateMaxTopWordRatio, GateMinQuality}
+      s"""WITH ${qualityGateSql("documents")},
+         |f AS (
+         |  SELECT *,
+         |    CAST(n_words < $GateMinWords AS BIGINT) AS f1,
+         |    CAST(lang_id = 'und' AS BIGINT) AS f2,
+         |    CAST(top_word_ratio > $GateMaxTopWordRatio AS BIGINT) AS f3,
+         |    CAST(quality_score < $GateMinQuality AS BIGINT) AS f4
+         |  FROM gate),
+         |a AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_keep,
+         |    CAST(sum(f1) AS BIGINT) AS a1,
+         |    CAST(sum(CASE WHEN f1 = 1 AND f1+f2+f3+f4 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s1,
+         |    CAST(sum(f2) AS BIGINT) AS a2,
+         |    CAST(sum(CASE WHEN f2 = 1 AND f1+f2+f3+f4 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s2,
+         |    CAST(sum(f3) AS BIGINT) AS a3,
+         |    CAST(sum(CASE WHEN f3 = 1 AND f1+f2+f3+f4 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s3,
+         |    CAST(sum(f4) AS BIGINT) AS a4,
+         |    CAST(sum(CASE WHEN f4 = 1 AND f1+f2+f3+f4 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s4
+         |  FROM f)
+         |SELECT signal, n_fail, n_sole_fail, n_docs, n_keep FROM (
+         |  SELECT 'too_short' AS signal, a1 AS n_fail, s1 AS n_sole_fail,
+         |    n_docs, n_keep FROM a
+         |  UNION ALL SELECT 'lang_unknown', a2, s2, n_docs, n_keep FROM a
+         |  UNION ALL SELECT 'repetitive', a3, s3, n_docs, n_keep FROM a
+         |  UNION ALL SELECT 'low_quality', a4, s4, n_docs, n_keep FROM a)
+         |ORDER BY signal""".stripMargin
+    },
+
+
+    "docs_code_detect" ->
+      """WITH d AS (
+        |  SELECT source, length(text) AS n_chars,
+        |    length(text)
+        |      - length(regexp_replace(text, '[{}()\[\];=<>]', '', 'g')) AS sym
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN sym * 100 > n_chars * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_code_like,
+        |  CAST(sum(sym) AS BIGINT) AS sym_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(CAST(sum(sym) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS sym_density
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+
+    "docs_boilerplate_lines" ->
+      """WITH wf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN text || '. FOOTER ALPHA. ALL RIGHTS RESERVED'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, trim(sent) AS sent FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\. ')) AS sent
+        |    FROM wf)
+        |  WHERE trim(sent) <> '')
+        |SELECT sent, count(DISTINCT doc_id) AS df, count(*) AS n_occurrences,
+        |  CAST(sum(length(sent)) AS BIGINT) AS reclaim_chars
+        |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 20
+        |ORDER BY sent""".stripMargin,
+  )
+}

@@ -222,7 +222,7 @@ class Round9OpsSpec extends SparkSpec {
         .digest(s.getBytes("UTF-8"))
       java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
     }
-    val t = (0 to 5).map(k => SparkEntry.poissonCdfU32(k))
+    val t = (0 to 5).map(k => EntryOps.poissonCdfU32(k))
     def kOf(u: Long): Long = t.indexWhere(u < _) match {
       case -1 => 6L; case i => i.toLong
     }
@@ -423,7 +423,7 @@ class Round9OpsSpec extends SparkSpec {
     val sp2 = ((n1 - 1).toDouble * variance(n1, s1, ss1) +
       (n2 - 1).toDouble * variance(n2, s2, ss2)) / (n1 + n2 - 2).toDouble
     val mde = 0.02 * (s2.toDouble / n2)
-    val z = SparkEntry.PowerZSum
+    val z = EntryOps.PowerZSum
     val nExp = math.ceil(2.0 * (z * z) * sp2 / (mde * mde)).toLong
     assert(pGot.getAs[Long]("n_per_arm") == nExp,
       s"n_per_arm ${pGot.getAs[Long]("n_per_arm")} vs $nExp")

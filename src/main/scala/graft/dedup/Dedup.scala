@@ -207,9 +207,25 @@ object Dedup {
       .toDF("id", "band_idx", "band_key"))
   }
 
-  /** LSH candidates from an (id, sh) shingle view. */
-  private def lshCandidatesFromShingles(sh: DataFrame): DataFrame = {
-    val withBands = bandRowsFromShingles(sh)
+  /** LSH candidates from an (id, sh) shingle view. `bucketCap` is the
+    * HOT-BUCKET guard the sf1 scale rehearsal motivated (SCALE.md): the
+    * band self-join's output grows with Σ occ² over bucket occupancies,
+    * so a low-entropy corpus region (boilerplate, templated text) can
+    * turn one bucket into a quadratic candidate bomb. Buckets larger
+    * than the cap are dropped BEFORE the self-join (one keyed count +
+    * semi-join — the maxDocFreq discipline applied at the band tier);
+    * their members still meet in their other [[NumBands]]−1 bands unless
+    * hot everywhere, which is exactly the boilerplate case a curation
+    * pipeline WANTS suppressed. */
+  private def lshCandidatesFromShingles(sh: DataFrame,
+                                        bucketCap: Option[Long] = None): DataFrame = {
+    val withBands0 = bandRowsFromShingles(sh)
+    val withBands = bucketCap.fold(withBands0) { cap =>
+      val ok = withBands0.groupBy("band_idx", "band_key")
+        .agg(count(lit(1)).as("occ")).filter(col("occ") <= cap)
+        .select("band_idx", "band_key")
+      withBands0.join(ok, Seq("band_idx", "band_key"), "left_semi")
+    }
     withBands.as("a")
       .join(withBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -330,14 +346,16 @@ object Dedup {
   /** Full near-dedup: LSH candidates, then exact Jaccard verification over
     * candidate docs only. */
   def lshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       bucketCap: Option[Long] = None): DataFrame = {
     // One shingle-derivation pass feeds BOTH the minhash banding and the
     // Jaccard verification (at cluster scale: materialize the exploded
     // shingle view once, reuse it across the LSH stages). Candidates feed
     // the id restriction AND the final semi-join; materialize both so no
     // concurrent stage recomputes them (see [[graft.util.Views]]).
     val shAll = graft.util.Views.materialize(shingleRows(docs, idCol, textCol))
-    val cand = graft.util.Views.materialize(lshCandidatesFromShingles(shAll))
+    val cand = graft.util.Views.materialize(
+      lshCandidatesFromShingles(shAll, bucketCap))
     val sh = graft.util.Views.materialize(shAll.join(candidateIds(cand), "id"))
     jaccardFromShingles(sh, threshold).join(cand, Seq("id_a", "id_b"), "left_semi")
   }
@@ -825,7 +843,17 @@ object Dedup {
        |  FROM shcand WHERE $hamming <= $SimhashMaxHamming)""".stripMargin
   }
 
-  def lshCandidatesCtes(docsRel: String): String =
+  def lshCandidatesCtes(docsRel: String, bucketCap: Option[Long] = None): String = {
+    val (capCte, bandsRel) = bucketCap match {
+      case Some(cap) => (
+        s"""|bands_ok AS (
+            |  SELECT b.id, b.band_idx, b.band_key FROM bands b
+            |  JOIN (SELECT band_idx, band_key FROM bands
+            |        GROUP BY 1, 2 HAVING count(*) <= $cap) g
+            |    USING (band_idx, band_key)),
+            |""".stripMargin.stripPrefix("|"), "bands_ok")
+      case None => ("", "bands")
+    }
     s"""sig AS (
        |  SELECT doc_id AS id, ${minhashSignatureSql("sh")} AS sig
        |  FROM (SELECT doc_id, ${shinglesSql("text")} AS sh FROM $docsRel)
@@ -833,8 +861,9 @@ object Dedup {
        |bands AS (
        |  SELECT id, i AS band_idx, (${bandKeysSql("sig")})[i] AS band_key
        |  FROM sig, range(1, ${NumBands + 1}) t(i)),
-       |cand AS (
+       |${capCte}cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM $bandsRel a JOIN $bandsRel b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id)""".stripMargin
+  }
 }

@@ -60,13 +60,17 @@ object PageRank {
     // sizing the loop width off its measured cardinality (same rationale
     // as the cluster loop: the graph is usually far smaller than the
     // corpus that produced it; session-width rounds would be
-    // scheduling-bound). One partition per ~4M edges, capped at the
-    // session width.
+    // scheduling-bound). One partition per ~512k edges, capped at the
+    // session width — the sf1 rehearsal (SCALE.md) measured the earlier
+    // 4M-edge budget leaving a 2M-edge graph's whole 3-round loop on ONE
+    // partition (single-thread joins, 33 s); edge rows are two longs, so
+    // a 512k budget keeps partitions comfortably small while the cap
+    // still prevents scheduling-bound tiny rounds.
     val (eMat, nEdges) = graft.util.Views.materializeCounted(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
     val loopWidth =
-      math.max(1L, math.min(sessionWidth.toLong, nEdges / 4000000L + 1)).toInt
+      math.max(1L, math.min(sessionWidth.toLong, nEdges / 524288L + 1)).toInt
     // The degree-annotated static side is cached ALREADY at the loop's
     // key and width — every round's join probes it with no new exchange.
     val eDegLoop = graft.util.Views.materialize(
@@ -135,7 +139,7 @@ object PageRank {
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
     val loopWidth =
-      math.max(1L, math.min(sessionWidth.toLong, nEdges / 4000000L + 1)).toInt
+      math.max(1L, math.min(sessionWidth.toLong, nEdges / 524288L + 1)).toInt
     val outdeg = eMat.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eDegLoop = graft.util.Views.materialize(
       eMat.join(outdeg, "src").repartition(loopWidth, col("src")))

@@ -85,6 +85,19 @@ private[graft] object DedupSimRegistry {
         dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6)
         .orderBy("id_a", "id_b")),
 
+    // HOT-BUCKET-guarded LSH (the production form at corpus scale): band
+    // buckets larger than the cap are dropped before the candidate
+    // self-join — the sf1 rehearsal measured uncapped candidate shuffle
+    // growing ~45× for 10× docs on a low-entropy corpus (Σ occ² is
+    // quadratic in bucket occupancy; SCALE.md "Deduplication"). Members
+    // of a dropped bucket still meet in their other bands unless hot
+    // everywhere — the boilerplate case curation wants suppressed anyway.
+    "dedup_minhash_lsh_capped" -> ((s, dir) =>
+      dedup.Dedup.lshVerifiedPairs(
+        dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6,
+        bucketCap = Some(8L))
+        .orderBy("id_a", "id_b")),
+
 
     // MinHash ESTIMATE-vs-EXACT audit (the sketch-quality measurement for
     // the dedup tier, like sim_ann_recall for the ANN tier): for every
@@ -1030,6 +1043,14 @@ private[graft] object DedupSimRegistry {
     "dedup_minhash_lsh" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.lshCandidatesCtes("docs")},
+         |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, Some("cand"))}
+         |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
+         |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    "dedup_minhash_lsh_capped" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.lshCandidatesCtes("docs", Some(8L))},
          |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, Some("cand"))}
          |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
          |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b

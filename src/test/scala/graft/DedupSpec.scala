@@ -278,4 +278,26 @@ class DedupSpec extends SparkSpec {
     assert(out.count() > 0 && out.count() < nBatch)
     out.unpersist()
   }
+
+  test("lshVerifiedPairs bucketCap suppresses a hot boilerplate bucket") {
+    import spark.implicits._
+    // 40 byte-identical boilerplate docs (one white-hot bucket in every
+    // band: 780 candidate pairs uncapped) + 2 genuine near-dups.
+    val boiler = (0 until 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val near = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val uncapped = graft.dedup.Dedup
+      .lshVerifiedPairs(docs, "doc_id", "text", 0.6).count()
+    val capped = graft.dedup.Dedup
+      .lshVerifiedPairs(docs, "doc_id", "text", 0.6, bucketCap = Some(10L))
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // The hot bucket (occupancy 40 > 10) is dropped from every band; the
+    // small near-dup bucket survives untouched.
+    assert(uncapped >= 780L + 1L, s"uncapped=$uncapped")
+    assert(cappedPairs.toSeq == Seq((100L, 101L)), cappedPairs.mkString(","))
+    graft.util.Views.unpersistAll()
+  }
 }

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * The BART model call (`:25-26`, facebook/bart-large-cnn on CPU) is not
   * available offline; it is replaced by a deterministic extractive
   * summarizer (term-frequency sentence scoring under the same
-  * max/min-token budgets). The judge checks query semantics, not BART
-  * output; determinism is what matters for re-run hash stability.
+  * max/min-token budgets) whose output STRING is fully oracle-checked:
+  * [[extractiveSummaryCtes]]/[[summarizeLongTextCtes]] replay the whole
+  * split-merge pipeline — scoring, ranking, greedy pick, reassembly —
+  * as independent DuckDB recursive CTEs.
   *
   * Scale: one scalar UDF in a narrow `Project` — no shuffle, fully
   * parallel. The only shuffle in the pipeline is the global index window;
@@ -107,14 +109,16 @@ object Summarize {
     greedyPick(ranked, maxLength, minLength).sortBy(_._2).map(_._1).mkString(" ")
   }
 
-  /** The SQL-expressible ENVELOPE of the extractive summarizer (the U2
-    * core stays rows-only — it emits prose): total sentence count, how
-    * many sentences the greedy pick keeps under the one-shot
-    * (250, 50) budgets, and the 1-BASED original index of the
+  /** The SQL-expressible ENVELOPE of the extractive summarizer: total
+    * sentence count, how many sentences the greedy pick keeps under the
+    * one-shot (250, 50) budgets, and the 1-BASED original index of the
     * top-ranked sentence. Driven by the exact same [[rankedSentences]] /
     * [[greedyPick]] the summarizer runs, and replayed independently in
     * DuckDB by [[summaryStatsSql]] (scoring joins + a recursive-CTE
-    * greedy fold). */
+    * greedy fold). Since round 11 the summary STRING itself is also
+    * oracle-checked ([[extractiveSummaryCtes]]/[[summarizeLongTextCtes]]);
+    * this envelope remains as the cheap independent cross-check of the
+    * ranking math. */
   case class SummaryStats(n_sentences: Long, n_summary_sentences: Long,
                           top_sentence_idx: Long)
 

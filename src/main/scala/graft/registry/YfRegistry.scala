@@ -13,6 +13,37 @@ import graft.EntryOps._
 private[graft] object YfRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `format("mongo")` COMPATIBILITY SHIM round-trip — the reference's
+    // exact connector call shape (`yfinance_transform.py:113-115,
+    // 125-128`) running UNMODIFIED against this engine: OHLCV bars
+    // written through `df.write.format("mongo").option("uri",
+    // mongodb://…/DB.collection)`, read back through
+    // `spark.read.format("mongo")`, then the reference's period-key
+    // aggregation — hash-matched against an oracle computed straight
+    // from the lineitem parquet, so the shim's write→read round-trip is
+    // proven lossless. mode("overwrite") (not the reference's append)
+    // keeps warm-up + timed reps idempotent. See sources/MongoCompat.
+    "yf_mongo_shim_roundtrip" -> ((s, dir) => {
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_mongo_compat").toString
+      val uri = "mongodb://localhost:27017/Yfinance_db.OHLCV"
+      Sources.ohlcv(s, dir)
+        .select(col("Date"), col("Open"), col("Close"), col("Volume"),
+          col("symbol"))
+        .write.format("mongo").option("uri", uri).option("root", root)
+        .mode("overwrite").save()
+      s.read.format("mongo").option("uri", uri).option("root", root).load()
+        .filter(col("Date") >= lit("1995-01-01") && col("Date") < lit("1996-01-01"))
+        .withColumn("period_key", date_format(col("Date"), "yyyy-MM"))
+        .groupBy("period_key")
+        .agg(count(lit(1)).as("n_bars"),
+          util.Stable.exactSum(col("Open")).as("sum_open"),
+          util.Stable.exactSum(col("Close")).as("sum_close"),
+          sum(col("Volume").cast("long")).as("sum_volume"),
+          countDistinct(col("symbol")).as("n_symbols"))
+        .orderBy("period_key")
+    }),
+
     "yf_month_agg" -> ((s, dir) =>
       stabilized(yf.Ohlcv.aggregatePeriod(Sources.ohlcv(s, dir), "yyyy-MM", "month"))
         .orderBy("period_key")),
@@ -1635,6 +1666,20 @@ private[graft] object YfRegistry {
   )
 
   def oracles: Map[String, String] = Map(
+    // Straight from the parquet fact — if the shim's write→read path
+    // dropped or mangled anything, the hash diverges.
+    "yf_mongo_shim_roundtrip" ->
+      s"""WITH $barsCte
+         |SELECT strftime("Date", '%Y-%m') AS period_key,
+         |  count(*) AS n_bars,
+         |  ${util.Stable.exactSumSql("\"Open\"")} AS sum_open,
+         |  ${util.Stable.exactSumSql("\"Close\"")} AS sum_close,
+         |  CAST(sum(CAST("Volume" AS BIGINT)) AS BIGINT) AS sum_volume,
+         |  count(DISTINCT symbol) AS n_symbols
+         |FROM bars
+         |WHERE "Date" >= '1995-01-01' AND "Date" < '1996-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "yf_month_agg" -> yfAggOracle("%Y-%m", "month"),
 
     "yf_month_agg_ref" ->

@@ -25,8 +25,6 @@ private[graft] object EntryOps {
     * engines see the identical double. */
   private[graft] val PowerZSum: Double = 1.959963984540054 + 0.8416212335729143
 
-  /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
-    * managed table's files survive the in-memory catalog across JVMs). */
   /** The composite quality gate over any (doc_id, text) frame — shared
     * by `docs_quality_gate` (standalone, over raw documents) and
     * `docs_pipeline_e2e` (over the augmented corpus). ENTIRELY
@@ -139,6 +137,8 @@ private[graft] object EntryOps {
         floor((col("cum") - col("n_tokens")) / budget).cast("long"))
   }
 
+  /** DROP TABLE IF EXISTS + remove any orphaned warehouse location (a
+    * managed table's files survive the in-memory catalog across JVMs). */
   private[graft] def dropManagedTable(s: SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val path = new org.apache.hadoop.fs.Path(
@@ -194,9 +194,6 @@ private[graft] object EntryOps {
     }.mkString(",\n    ") + ",\n    count(*) AS row_count"
   }
 
-  /** Shared by `dedup_incremental_lsh` (in-query index) and
-    * `dedup_incremental_lsh_stored` (parquet round-trip) — both engines
-    * and both paths must produce the identical survivor set. */
   /** Shared by `top_orders_per_customer` (explicit operator call) and
     * `top_orders_per_customer_auto` (window form, rewritten by
     * [[graft.plans.WindowTopKRewrite]]) — both must hash-match it. */
@@ -215,6 +212,9 @@ private[graft] object EntryOps {
        |SELECT query_id, vec_id, sim, rank FROM topk
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared by `dedup_incremental_lsh` (in-query index) and
+    * `dedup_incremental_lsh_stored` (parquet round-trip) — both engines
+    * and both paths must produce the identical survivor set. */
   private[graft] lazy val incrementalLshOracle: String = {
     import dedup.Dedup.{NumBands, shinglesSql, minhashSignatureSql, bandKeysSql}
     s"""WITH docs AS ${dedup.Dedup.augmentedSql},

@@ -363,7 +363,8 @@ object Summarize {
        |${p}_final AS (
        |  SELECT $keys, summary FROM ${p}_os_sum
        |  UNION ALL
-       |  SELECT $keys, summary FROM ${p}_rs_sum),""".stripMargin
+       |  SELECT ${q("l")}, coalesce(r.summary, '') AS summary
+       |  FROM ${p}_long l LEFT JOIN ${p}_rs_sum r ON ${on("r", "l")}),""".stripMargin
   }
 
   /** DuckDB mirror of [[summaryStats]]: the term-frequency sentence

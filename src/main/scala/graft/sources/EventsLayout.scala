@@ -21,16 +21,21 @@ object EventsLayout {
 
   val NanosPerDay = 86400000000000L
 
-  /** The partition-carrying schema-on-read twin of the events schema —
-    * passed EXPLICITLY to [[readDays]] so planning never opens a single
-    * file footer for inference (at directory-pruned scale, listing is
-    * metadata-only and pruned-away directories are never touched). */
-  def daySchema(events: DataFrame): StructType =
-    StructType(events.schema.fields)
+  /** The DATA-column schema to pass explicitly to [[readDays]] (the
+    * `day` partition column is NOT in it — partition discovery supplies
+    * it from the directory names): with a user schema present, planning
+    * never opens a single file footer for inference — at directory-
+    * pruned scale, listing is metadata-only and pruned-away directories
+    * are never touched. */
+  def daySchema(events: DataFrame): StructType = events.schema
 
-  /** Write `events` day-partitioned under `outDir`. */
+  /** Write `events` day-partitioned under `outDir`. FLOOR division, not
+    * `DIV`: Spark's `DIV` truncates toward zero, which would fold the
+    * last pre-1970 day and the first 1970 day both into `day=0` and
+    * break range semantics for any fixture with pre-epoch timestamps. */
   def writeDayPartitioned(events: DataFrame, outDir: String): Unit =
-    events.withColumn("day", expr(s"ts DIV $NanosPerDay"))
+    events.withColumn("day",
+        expr(s"ts DIV $NanosPerDay - CASE WHEN ts % $NanosPerDay < 0 THEN 1 ELSE 0 END"))
       .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(outDir)
 

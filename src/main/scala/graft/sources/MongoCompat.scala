@@ -108,9 +108,10 @@ class MongoCompatRelation(ctx: SQLContext, path: String)
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val filtered = filters.flatMap(toColumn).foldLeft(df)(_.filter(_))
-    val pruned =
-      if (requiredColumns.isEmpty) filtered
-      else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
-    pruned.rdd
+    // Empty requiredColumns is the count() shape: project to ZERO
+    // columns (row count only) so the inner parquet scan reads no data
+    // pages — returning full-width rows here would pay whole-table I/O
+    // for a count.
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 }

@@ -144,8 +144,12 @@ object SnapshotStore {
                ids: DataFrame): Seq[String] = {
     import org.apache.spark.sql.Row
     // One evaluation of the id lineage feeds the size probe, every
-    // detection scan, and every rewrite.
-    val idDf = ids.select(col(idCol)).distinct()
+    // detection scan, and every rewrite. NULL ids are dropped up front:
+    // NULL names no row (the anti-join branch would ignore it anyway,
+    // but a NULL inside a literal In list turns NOT In(...) into NULL
+    // for every non-matching row — the keep filter would silently erase
+    // whole partitions).
+    val idDf = ids.select(col(idCol)).filter(col(idCol).isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = idDf.count()

@@ -50,9 +50,16 @@ object ScaleUp {
     (0 until factor).map { r =>
       val e = emb.withColumn("vec_id", col("vec_id") + lit(r * VecOffset))
       if (r == 0) e
-      else e.withColumn("embedding",
-        expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
-          s"slice(embedding, 1, $r))"))
+      else {
+        // Rotation amount wraps inside [1, dim-1] so it is NEVER the
+        // identity regardless of factor vs dimension (a raw rotation of
+        // r == dim reproduces the original vector and r > dim makes the
+        // slice length negative).
+        val rot = s"((${r - 1} % (size(embedding) - 1)) + 1)"
+        e.withColumn("embedding",
+          expr(s"concat(slice(embedding, $rot + 1, size(embedding) - $rot), " +
+            s"slice(embedding, 1, $rot))"))
+      }
     }.reduce(_.unionByName(_))
 
   def lineitemScaled(li: DataFrame, factor: Int): DataFrame =

@@ -76,6 +76,21 @@ class EventsPruningSpec extends SparkSpec {
     }
   }
 
+  test("day layout floor-divides: pre-1970 nanos land in day=-1, not day=0") {
+    import graft.sources.EventsLayout
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_events_neg")
+      .toString + "/events_day"
+    val two = Seq((1L, -1L), (2L, 1L)).toDF("event_id", "ts")
+    EventsLayout.writeDayPartitioned(two, out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("day=-1", "day=0"), s"got $dirs")
+    val day0 = EventsLayout.readDays(spark, out, two.schema, 0L, 1L)
+      .select("event_id").as[Long].collect().toSeq
+    assert(day0 == Seq(2L), "day 0 must hold only the post-epoch row")
+  }
+
   test("eventsTsRange bounds are exact at non-aligned nanos edges") {
     // A row at exactly lo must be included by the 1-nano window [lo, lo+1)
     // whatever the physical encoding.

@@ -64,6 +64,17 @@ class MongoCompatSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).sorted.toSeq == (91L to 100L))
   }
 
+  test("count() (empty projection) scans zero columns and still counts rows") {
+    import spark.implicits._
+    val root = freshRoot()
+    val uri = "mongodb://h/db.wide"
+    (1 to 50).map(i => (i, s"a$i", s"b$i", s"c$i")).toDF("k", "a", "b", "c")
+      .write.format("mongo").option("uri", uri).option("root", root)
+      .mode("overwrite").save()
+    assert(spark.read.format("mongo").option("uri", uri).option("root", root)
+      .load().count() == 50)
+  }
+
   test("malformed URIs fail loudly") {
     intercept[IllegalArgumentException] {
       spark.read.format("mongo").option("uri", "mongodb://hostonly").load()

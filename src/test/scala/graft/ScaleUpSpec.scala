@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[graft.util.ScaleUp]] replication invariants — the fixture builder
+  * must grow the corpus without changing its character. */
+class ScaleUpSpec extends SparkSpec {
+  import graft.util.ScaleUp
+
+  test("documentsScaled: ids disjoint, vocabulary preserved, shingles changed") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val scaled = ScaleUp.documentsScaled(docs, 3).cache()
+    assert(scaled.count() == 6)
+    assert(scaled.select("doc_id").distinct().count() == 6)
+    // Replica 0 verbatim; replicas >0 same word MULTISET, different order.
+    val byBase = scaled
+      .withColumn("base", col("doc_id") % ScaleUp.DocOffset)
+      .withColumn("words", array_sort(split(col("text"), " ")))
+      .groupBy("base")
+      .agg(countDistinct(col("words")).as("n_word_sets"),
+        countDistinct(col("text")).as("n_texts"))
+      .collect()
+    byBase.foreach { r =>
+      assert(r.getLong(1) == 1L, "word multiset must be preserved")
+      assert(r.getLong(2) == 3L, "every replica's word ORDER must differ")
+    }
+    scaled.unpersist()
+  }
+
+  test("embeddingsScaled: rotation never degenerates to identity, any factor") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0f, 2.0f, 3.0f), 0)).toDF("vec_id", "embedding", "label")
+    // factor 5 > dim 3: raw rotation r=3 would be the identity and r=4
+    // a negative-length slice.
+    val scaled = ScaleUp.embeddingsScaled(emb, 5).cache()
+    val vecs = scaled.orderBy("vec_id")
+      .select("embedding").as[Seq[Float]].collect()
+    assert(vecs.length == 5)
+    assert(vecs.forall(_.sorted.toSeq == Seq(1.0f, 2.0f, 3.0f)),
+      "rotation must preserve the element multiset")
+    assert(vecs.tail.forall(_ != vecs.head),
+      s"replica vector equals the original: ${vecs.mkString(";")}")
+    scaled.unpersist()
+  }
+}

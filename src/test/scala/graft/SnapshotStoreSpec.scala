@@ -166,6 +166,20 @@ class SnapshotStoreSpec extends SparkSpec {
       "purge with a >100k id set did not erase exactly the requested ids")
   }
 
+  test("purgeIds tolerates a NULL inside the purge id SET (literal path)") {
+    val dir = freshDir()
+    import spark.implicits._
+    SnapshotStore.commit(df(5L -> "a", 6L -> "b", 7L -> "c"), None, dir, "id")
+    // [NULL, 5]: NULL names no row; without the up-front isNotNull drop,
+    // NOT In(NULL, 5) is NULL for ids 6 and 7 and the rewrite would
+    // silently erase the whole partition.
+    val withNullIds = Seq(Option(5L), Option.empty[Long]).toDF("id")
+    SnapshotStore.purgeIds(spark, dir, "id", withNullIds)
+    val left = spark.read.parquet(s"$dir/upserts")
+      .select("payload").as[String].collect().toSet
+    assert(left == Set("b", "c"), s"survivors mangled: $left")
+  }
+
   test("purgeIds literal path keeps NULL-id rows (never requested for erasure)") {
     val dir = freshDir()
     import spark.implicits._

@@ -178,8 +178,12 @@ object Dedup {
     * identical (lexicographic min over the same md5 strings; docs with no
     * shingles drop out of the explode, matching the `size > 0` filter).
     */
-  def lshCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    lshCandidatesFromShingles(shingleRows(docs, idCol, textCol))
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                    bucketCap: Option[Long] = None,
+                    numHashes: Int = NumHashes,
+                    numBands: Int = NumBands): DataFrame =
+    lshCandidatesFromShingles(shingleRows(docs, idCol, textCol),
+      bucketCap, numHashes, numBands)
 
   /** (id, band_idx, band_key) band rows from an (id, sh) shingle view —
     * the LSH band INDEX, materialized (at cluster scale this is computed
@@ -188,16 +192,19 @@ object Dedup {
     * (reused digest, byte-level prefixes); the aggregate then takes
     * [[NumHashes]] mins over cheap array reads instead of that many
     * md5(concat) chains per row. */
-  private def bandRowsFromShingles(sh: DataFrame): DataFrame = {
-    val rows = NumHashes / NumBands
+  private def bandRowsFromShingles(sh: DataFrame,
+                                   numHashes: Int = NumHashes,
+                                   numBands: Int = NumBands): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rows = numHashes / numBands
     val hs = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.MinhashRow(
-        org.apache.spark.sql.GraftColumnBridge.expression(col("sh")), NumHashes))
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sh")), numHashes))
     val sig = sh.select(col("id"), hs.as("hs")).groupBy("id").agg(
       min(element_at(col("hs"), 1)).as("h0"),
-      (1 until NumHashes).map(j =>
+      (1 until numHashes).map(j =>
         min(element_at(col("hs"), j + 1)).as(s"h$j")): _*)
-    val bandKeyCols = (0 until NumBands).map { b =>
+    val bandKeyCols = (0 until numBands).map { b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"h$r")): _*))
     }
     // Materialize before any join so the minhash plan runs once, not
@@ -218,8 +225,10 @@ object Dedup {
     * hot everywhere, which is exactly the boilerplate case a curation
     * pipeline WANTS suppressed. */
   private def lshCandidatesFromShingles(sh: DataFrame,
-                                        bucketCap: Option[Long] = None): DataFrame = {
-    val withBands0 = bandRowsFromShingles(sh)
+                                        bucketCap: Option[Long] = None,
+                                        numHashes: Int = NumHashes,
+                                        numBands: Int = NumBands): DataFrame = {
+    val withBands0 = bandRowsFromShingles(sh, numHashes, numBands)
     val withBands = bucketCap.fold(withBands0) { cap =>
       val ok = withBands0.groupBy("band_idx", "band_key")
         .agg(count(lit(1)).as("occ")).filter(col("occ") <= cap)
@@ -347,7 +356,9 @@ object Dedup {
     * candidate docs only. */
   def lshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double,
-                       bucketCap: Option[Long] = None): DataFrame = {
+                       bucketCap: Option[Long] = None,
+                       numHashes: Int = NumHashes,
+                       numBands: Int = NumBands): DataFrame = {
     // One shingle-derivation pass feeds BOTH the minhash banding and the
     // Jaccard verification (at cluster scale: materialize the exploded
     // shingle view once, reuse it across the LSH stages). Candidates feed
@@ -355,7 +366,7 @@ object Dedup {
     // concurrent stage recomputes them (see [[graft.util.Views]]).
     val shAll = graft.util.Views.materialize(shingleRows(docs, idCol, textCol))
     val cand = graft.util.Views.materialize(
-      lshCandidatesFromShingles(shAll, bucketCap))
+      lshCandidatesFromShingles(shAll, bucketCap, numHashes, numBands))
     val sh = graft.util.Views.materialize(shAll.join(candidateIds(cand), "id"))
     jaccardFromShingles(sh, threshold).join(cand, Seq("id_a", "id_b"), "left_semi")
   }
@@ -740,15 +751,16 @@ object Dedup {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
-  def minhashSignatureSql(shList: String): String = {
-    val mins = (0 until NumHashes).map(j =>
+  def minhashSignatureSql(shList: String, numHashes: Int = NumHashes): String = {
+    val mins = (0 until numHashes).map(j =>
       s"list_aggregate(list_transform($shList, x -> md5('$j:' || x)), 'min')")
     s"[${mins.mkString(",\n    ")}]"
   }
 
-  def bandKeysSql(sig: String): String = {
-    val rows = NumHashes / NumBands
-    val keys = (0 until NumBands).map { b =>
+  def bandKeysSql(sig: String, numHashes: Int = NumHashes,
+                  numBands: Int = NumBands): String = {
+    val rows = numHashes / numBands
+    val keys = (0 until numBands).map { b =>
       val parts = (0 until rows).map(r => s"($sig)[${b * rows + r + 1}]")
       s"md5(${parts.mkString(" || '|' || ")})"
     }
@@ -843,7 +855,9 @@ object Dedup {
        |  FROM shcand WHERE $hamming <= $SimhashMaxHamming)""".stripMargin
   }
 
-  def lshCandidatesCtes(docsRel: String, bucketCap: Option[Long] = None): String = {
+  def lshCandidatesCtes(docsRel: String, bucketCap: Option[Long] = None,
+                        numHashes: Int = NumHashes,
+                        numBands: Int = NumBands): String = {
     val (capCte, bandsRel) = bucketCap match {
       case Some(cap) => (
         s"""|bands_ok AS (
@@ -855,12 +869,12 @@ object Dedup {
       case None => ("", "bands")
     }
     s"""sig AS (
-       |  SELECT doc_id AS id, ${minhashSignatureSql("sh")} AS sig
+       |  SELECT doc_id AS id, ${minhashSignatureSql("sh", numHashes)} AS sig
        |  FROM (SELECT doc_id, ${shinglesSql("text")} AS sh FROM $docsRel)
        |  WHERE len(sh) > 0),
        |bands AS (
-       |  SELECT id, i AS band_idx, (${bandKeysSql("sig")})[i] AS band_key
-       |  FROM sig, range(1, ${NumBands + 1}) t(i)),
+       |  SELECT id, i AS band_idx, (${bandKeysSql("sig", numHashes, numBands)})[i] AS band_key
+       |  FROM sig, range(1, ${numBands + 1}) t(i)),
        |${capCte}cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM $bandsRel a JOIN $bandsRel b

@@ -98,6 +98,20 @@ private[graft] object DedupSimRegistry {
         bucketCap = Some(8L))
         .orderBy("id_a", "id_b")),
 
+    // ENTROPY-SCALED banding (the durable corpus-growth fix, SCALE.md):
+    // 8 bands × 4 rows (32 hashes) keeps the threshold s-curve anchored —
+    // t ≈ (1/b)^(1/r): (1/8)^(1/4)=0.59 vs the default (1/4)^(1/3)=0.63 —
+    // while each band key carries one more minhash row, dropping the
+    // accidental-collision probability per band by another Jaccard
+    // factor. This is the knob to turn as the corpus grows (band-key
+    // entropy must scale with log |corpus|); the bucket cap above is the
+    // skew INSURANCE, this is the capacity plan.
+    "dedup_minhash_lsh_scaled" -> ((s, dir) =>
+      dedup.Dedup.lshVerifiedPairs(
+        dedup.Dedup.augmented(Sources.documents(s, dir)), "doc_id", "text", 0.6,
+        numHashes = 32, numBands = 8)
+        .orderBy("id_a", "id_b")),
+
 
     // MinHash ESTIMATE-vs-EXACT audit (the sketch-quality measurement for
     // the dedup tier, like sim_ann_recall for the ANN tier): for every
@@ -1051,6 +1065,14 @@ private[graft] object DedupSimRegistry {
     "dedup_minhash_lsh_capped" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.lshCandidatesCtes("docs", Some(8L))},
+         |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, Some("cand"))}
+         |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
+         |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    "dedup_minhash_lsh_scaled" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.lshCandidatesCtes("docs", None, 32, 8)},
          |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, Some("cand"))}
          |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
          |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b

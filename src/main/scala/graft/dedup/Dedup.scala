@@ -759,6 +759,10 @@ object Dedup {
 
   def bandKeysSql(sig: String, numHashes: Int = NumHashes,
                   numBands: Int = NumBands): String = {
+    // Same loud guard as the Spark twin (bandRowsFromShingles): a
+    // truncating rows-per-band would silently band over a hash PREFIX
+    // and break Spark/DuckDB parity.
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rows = numHashes / numBands
     val keys = (0 until numBands).map { b =>
       val parts = (0 until rows).map(r => s"($sig)[${b * rows + r + 1}]")

@@ -153,7 +153,12 @@ object SnapshotStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = idDf.count()
-      require(n > 0, "purgeIds: empty id set")
+      if (n == 0) {
+        require(!ids.isEmpty, "purgeIds: empty id set")
+        // Non-empty input whose ids are ALL NULL: NULL names no row, so
+        // there is nothing to erase — the historical no-op, not an error.
+        return Seq.empty
+      }
       // ≤1k: literal In — pushable to parquet footer stats, the detection
       // fast path. Beyond that the plan must NOT carry the ids as
       // literals: semi/anti-join against the id frame, broadcast while it

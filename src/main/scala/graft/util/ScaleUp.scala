@@ -55,7 +55,7 @@ object ScaleUp {
         // identity regardless of factor vs dimension (a raw rotation of
         // r == dim reproduces the original vector and r > dim makes the
         // slice length negative).
-        val rot = s"((${r - 1} % (size(embedding) - 1)) + 1)"
+        val rot = s"((${r - 1} % greatest(size(embedding) - 1, 1)) + 1)"
         e.withColumn("embedding",
           expr(s"concat(slice(embedding, $rot + 1, size(embedding) - $rot), " +
             s"slice(embedding, 1, $rot))"))

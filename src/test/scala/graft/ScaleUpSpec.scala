@@ -44,4 +44,19 @@ class ScaleUpSpec extends SparkSpec {
       s"replica vector equals the original: ${vecs.mkString(";")}")
     scaled.unpersist()
   }
+
+  test("embeddingsScaled: 1-dim vectors survive (identity, never NULL)") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(7.0f), 0)).toDF("vec_id", "embedding", "label")
+    val vecs = ScaleUp.embeddingsScaled(emb, 3)
+      .select("embedding").as[Seq[Float]].collect()
+    assert(vecs.length == 3 && vecs.forall(_ == Seq(7.0f)),
+      s"1-dim rotation must be the identity, got ${vecs.mkString(";")}")
+  }
+
+  test("SQL band-key generator rejects non-dividing banding like the Spark twin") {
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.bandKeysSql("sig", numHashes = 32, numBands = 5)
+    }
+  }
 }

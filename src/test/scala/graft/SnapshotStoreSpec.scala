@@ -180,6 +180,18 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(left == Set("b", "c"), s"survivors mangled: $left")
   }
 
+  test("purgeIds: all-NULL id set is a no-op; truly empty set still errors") {
+    val dir = freshDir()
+    import spark.implicits._
+    SnapshotStore.commit(df(1L -> "a"), None, dir, "id")
+    val allNull = Seq(Option.empty[Long]).toDF("id")
+    assert(SnapshotStore.purgeIds(spark, dir, "id", allNull).isEmpty)
+    assert(state(dir, 1) == Map(1L -> "a"))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.purgeIds(spark, dir, "id", allNull.limit(0))
+    }
+  }
+
   test("purgeIds literal path keeps NULL-id rows (never requested for erasure)") {
     val dir = freshDir()
     import spark.implicits._

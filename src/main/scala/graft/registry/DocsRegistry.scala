@@ -347,9 +347,15 @@ private[graft] object DocsRegistry {
     // pipeline's audit row: raw → kept → unique counts, packed tokens,
     // shard count (all exact longs).
     "docs_pipeline_e2e" -> ((s, dir) => {
-      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
-      val kept = docs.join(
-        qualityGate(docs).filter(col("keep") === 1).select("doc_id"), "doc_id")
+      // Both shared frames feed MULTIPLE consumers (docs → gate + join +
+      // raw count; kept → canon + clean + kept count): materialize so the
+      // augment/gate lineage runs once, not once per consumer — measured
+      // at sf1 this was the whole gap between the pipeline's 4.3× scaling
+      // and its stages' (see SCALE.md).
+      val docs = util.Views.materialize(
+        dedup.Dedup.augmented(Sources.documents(s, dir)))
+      val kept = util.Views.materialize(docs.join(
+        qualityGate(docs).filter(col("keep") === 1).select("doc_id"), "doc_id"))
       val canon = kept
         .withColumn("h", md5(util.Norm.normalize(col("text")).cast("binary")))
         .groupBy("h").agg(min("doc_id").as("doc_id"))

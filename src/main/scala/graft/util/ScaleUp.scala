@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  val DocOffset = 1000000L
+  // Must stay below sourcedDocs' 8M source-dup injection offset at any
+  // realistic factor (sf0.1 doc ids top out under 100k): replica ids at
+  // factor 79 still fit [0, 8M).
+  val DocOffset = 100000L
   val VecOffset = 10000000L
   val KeyOffset = 10000000L
   val OrderOffset = 1000000000L

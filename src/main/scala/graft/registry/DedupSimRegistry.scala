@@ -124,7 +124,10 @@ private[graft] object DedupSimRegistry {
     // component; comparisons stay on the candidate set only (never
     // all pairs).
     "dedup_minhash_estimate" -> ((s, dir) => {
-      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      // The augmented frame feeds candidate mining AND both signature
+      // sides — materialize once.
+      val docs = util.Views.materialize(
+        dedup.Dedup.augmented(Sources.documents(s, dir)))
       val cand = graft.util.Views.materialize(
         dedup.Dedup.lshCandidates(docs, "doc_id", "text"))
       val sigs = docs.select(col("doc_id").as("id"),
@@ -189,7 +192,11 @@ private[graft] object DedupSimRegistry {
     // task reaches the exchange). Oracle = the QUALIFY window form over
     // the RECURSIVE-CTE closure.
     "dedup_survivors" -> ((s, dir) => {
-      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      // Three consumers (pair mining, cluster loop seed, quality scoring)
+      // read the augmented frame — materialize it once (the
+      // docs_pipeline_e2e lesson from the sf1 rehearsal, SCALE.md).
+      val docs = util.Views.materialize(
+        dedup.Dedup.augmented(Sources.documents(s, dir)))
       val pairs = dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.6,
         maxDocFreq = Some(10L))
       val clusters = dedup.Dedup.clusters(docs, "doc_id", pairs)

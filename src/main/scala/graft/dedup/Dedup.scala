@@ -329,7 +329,16 @@ object Dedup {
     * per ingest. One shingle-derivation pass feeds both files. */
   def writeLshIndex(docs: DataFrame, idCol: String, textCol: String,
                     dir: String): Unit = {
-    val sh = graft.util.Views.materialize(shingleRows(docs, idCol, textCol))
+    // Cluster the corpus by doc id BEFORE shingling (one linear shuffle of
+    // doc rows — ~3x smaller than their shingle rows): the explode
+    // preserves the hash partitioning, so the signature aggregate's
+    // groupBy(id) is satisfied without a second exchange AND the stored
+    // files come out doc-clustered — the layout the sf1 rehearsal showed
+    // restores map-side collapse at any corpus size (SCALE.md "sf1.0
+    // rehearsal": scattered doc ids grew the signature-stage shuffle ~45x
+    // for 10x docs).
+    val sh = graft.util.Views.materialize(
+      shingleRows(docs.repartition(col(idCol)), idCol, textCol))
     bandRowsFromShingles(sh).write.mode("overwrite").parquet(s"$dir/bands")
     sh.write.mode("overwrite").parquet(s"$dir/shingles")
   }
@@ -351,6 +360,126 @@ object Dedup {
   def readLshIndex(spark: org.apache.spark.sql.SparkSession,
                    dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/shingles"))
+
+  /** Bucket count of the BUCKETED index tier — matches the local[32]
+    * harness; on a real cluster size it to corpus/bucket targets. */
+  val IndexBuckets = 32
+
+  /** BUCKETED stored-index tier — the doc-id-clustered layout the sf1
+    * rehearsal called for (SCALE.md "sf1.0 rehearsal": the signature
+    * stage's shuffle grew ~45x for 10x docs because source files scatter
+    * doc ids and the explode→min-per-doc aggregate ships poorly-combined
+    * partials; the fix is to WRITE the shingle view clustered by doc id
+    * and feed the signature aggregate from that layout).
+    *
+    * Both artifacts become warehouse tables `bucketBy(numBuckets, id)`,
+    * sorted by id:
+    *  1. the shingle store is written first, after ONE linear
+    *     doc-clustering shuffle — paid on doc rows (~3x smaller than
+    *     their shingle rows), aligned with the bucket spec so each write
+    *     task owns whole buckets (file count == bucket count, not
+    *     tasks × buckets);
+    *  2. the signature aggregate is then fed FROM the bucketed scan:
+    *     `groupBy(id)` over data bucketed by id needs NO exchange, so the
+    *     signature stage ships ZERO shuffle bytes at any corpus size
+    *     (LshIndexSpec pins the plan; SCALE.md records the sf0.1/sf1 A/B);
+    *  3. the band index inherits the scan's partitioning through the
+    *     aggregate, so its bucketed write is exchange-free too.
+    * Probe-time id-keyed consumers (per-doc counts, candidate-id
+    * semi-joins) cluster on the stored side's distribution for free. */
+  def writeLshIndexBucketed(docs: DataFrame, idCol: String, textCol: String,
+                            base: String,
+                            numBuckets: Int = IndexBuckets): Unit = {
+    writeShingleStore(docs, idCol, textCol, base, numBuckets, bucketed = true)
+    writeBandIndex(docs.sparkSession, base, numBuckets, bucketed = true)
+  }
+
+  /** Build step 1: the shingle store table. `bucketed = true` pays the one
+    * linear doc-clustering shuffle and writes `bucketBy(id)`;
+    * `bucketed = false` reproduces the legacy scattered layout (kept for
+    * the scale A/B — graft.IndexBench). */
+  private[graft] def writeShingleStore(docs: DataFrame, idCol: String,
+                                       textCol: String, base: String,
+                                       numBuckets: Int,
+                                       bucketed: Boolean): Unit = {
+    val in = if (bucketed) docs.repartition(numBuckets, col(idCol)) else docs
+    val w = shingleRows(in, idCol, textCol).write.mode("overwrite")
+    (if (bucketed) w.bucketBy(numBuckets, "id").sortBy("id") else w)
+      .format("parquet").saveAsTable(s"${base}_shingles")
+  }
+
+  /** Build step 2 — THE SIGNATURE STAGE: minhash signatures + band keys
+    * aggregated per doc from the stored shingle layout. Over a bucketed
+    * store this plans no exchange; over a scattered store it ships the
+    * per-doc partials the sf1 rehearsal measured growing ~45x for 10x
+    * docs. */
+  private[graft] def writeBandIndex(spark: org.apache.spark.sql.SparkSession,
+                                    base: String, numBuckets: Int,
+                                    bucketed: Boolean): Unit = {
+    val w = bandRowsFromShingles(spark.table(s"${base}_shingles"))
+      .write.mode("overwrite")
+    (if (bucketed) w.bucketBy(numBuckets, "id").sortBy("id") else w)
+      .format("parquet").saveAsTable(s"${base}_bands")
+  }
+
+  /** (band index, shingle store) readers for a [[writeLshIndexBucketed]]
+    * table base — catalog reads, so the scans carry the bucket spec and
+    * downstream id-keyed stages skip their exchanges. */
+  def readLshIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                           base: String): (DataFrame, DataFrame) =
+    (spark.table(s"${base}_bands"), spark.table(s"${base}_shingles"))
+
+  /** Re-register a bucketed index table after a session restart,
+    * METADATA-ONLY: the in-memory catalog forgets tables across JVMs but
+    * the files (and the bucket ids encoded in their names) survive, so a
+    * `CREATE TABLE … CLUSTERED BY … LOCATION` restores exchange-free
+    * scans without rewriting a byte — the production analogue is a
+    * catalog entry outliving any single Spark application. */
+  private[graft] def registerBucketedTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, location: String,
+      numBuckets: Int): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val ddl = spark.read.parquet(location).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $table ($ddl) USING PARQUET
+           |CLUSTERED BY (id) SORTED BY (id) INTO $numBuckets BUCKETS
+           |LOCATION '$location'""".stripMargin)
+    }
+
+  /** Ensure the WRITE-ONCE bucketed LSH index for (`dir`-identified
+    * corpus, current LSH params) exists, building only when the marker
+    * says the artifact was built from a different corpus or parameters
+    * (testdata is immutable by driver contract, so (sfDir, params)
+    * identifies the content — the marker discipline shared with the MV /
+    * IVF artifacts). Returns the table base name for
+    * [[readLshIndexBucketed]]. */
+  def ensureLshIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, corpus: => DataFrame,
+                             idCol: String, textCol: String): String = {
+    val base = s"graft_lsh_bidx_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    def loc(part: String) =
+      new org.apache.hadoop.fs.Path(warehouse, s"${base}_$part")
+    val fs = loc("shingles")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(loc("bands"), "_GRAFT_MARKER")
+    val tag = s"$dir|n=$ShingleN|h=$NumHashes|b=$NumBands|bk=$IndexBuckets"
+    val fresh = fs.exists(marker) && {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
+    }
+    if (!fresh) {
+      graft.util.Artifacts.recordBuild(s"lsh_bidx $tag")
+      Seq("shingles", "bands")
+        .foreach(p => graft.EntryOps.dropManagedTable(spark, s"${base}_$p"))
+      writeLshIndexBucketed(corpus, idCol, textCol, base)
+      val os = fs.create(marker, true)
+      try os.write(tag.getBytes("UTF-8")) finally os.close()
+    } else Seq("shingles", "bands").foreach(p =>
+      registerBucketedTable(spark, s"${base}_$p", loc(p).toString, IndexBuckets))
+    base
+  }
 
   /** Full near-dedup: LSH candidates, then exact Jaccard verification over
     * candidate docs only. */

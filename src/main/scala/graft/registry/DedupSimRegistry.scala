@@ -317,37 +317,17 @@ private[graft] object DedupSimRegistry {
     "dedup_incremental_lsh_stored" -> ((s, dir) => {
       val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
       val isBatch = col("doc_id") % 10 === 0
-      // Per-SF directory: the warm-up pass (sf0.001) and the timed pass
-      // (bench SF) must not clobber each other's artifact — with one
-      // shared dir the tag mismatch forced a rebuild INSIDE timed rep 1
-      // of every bench run (measured: 16.8 s rep 1 vs the 6.9 s probe
-      // floor). Per-SF dirs make the artifact genuinely write-once
-      // across invocations, which is the whole point of the shape.
-      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val out = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), s"graft_lsh_index_$sfTag")
-      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
-      // WRITE-ONCE, like production: the index is rebuilt only when the
-      // marker says it was built from a different corpus or different
-      // LSH parameters (the testdata is immutable by driver contract, so
-      // (sfDir, params) identifies the content). Re-invocations — bench
-      // reps above all — probe the existing artifact, which is the
-      // entire point of the stored-index ingest shape.
-      val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_MARKER")
-      val tag = s"$dir|n=${dedup.Dedup.ShingleN}|h=${dedup.Dedup.NumHashes}" +
-        s"|b=${dedup.Dedup.NumBands}"
-      val fresh = fs.exists(marker) && {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
-      }
-      if (!fresh) {
-        util.Artifacts.recordBuild(s"lsh_index $tag")
-        if (fs.exists(out)) fs.delete(out, true)
-        dedup.Dedup.writeLshIndex(docs.filter(!isBatch), "doc_id", "text", out.toString)
-        val os = fs.create(marker, true)
-        try os.write(tag.getBytes("UTF-8")) finally os.close()
-      }
-      val (bandE, shE) = dedup.Dedup.readLshIndex(s, out.toString)
+      // WRITE-ONCE and BUCKETED BY DOC ID (round 12 — the sf1 rehearsal's
+      // named scale-killer fix): the index tables are built at most once
+      // per (sfDir, params) — bench reps probe, never rebuild — and their
+      // bucket-by-id layout makes the build's signature aggregate and the
+      // probe's id-keyed stages exchange-free (see
+      // Dedup.writeLshIndexBucketed; ensure keeps per-SF artifacts so the
+      // sf0.001 warm-up never clobbers the bench-SF index — round 5
+      // measured 16.8 s rep 1 vs the 6.9 s probe floor when it did).
+      val base = dedup.Dedup.ensureLshIndexBucketed(
+        s, dir, docs.filter(!isBatch), "doc_id", "text")
+      val (bandE, shE) = dedup.Dedup.readLshIndexBucketed(s, base)
       dedup.Dedup.lshNewDocsAgainstIndex(docs.filter(isBatch), bandE, shE,
         "doc_id", "text", 0.6)
         .orderBy("doc_id")

@@ -251,6 +251,53 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("bucketed stored index: same survivors, exchange-free id aggregate, write-once, restart re-registration") {
+    val corpus = Dedup.augmented(Sources.documents(spark, sfDir))
+    val isBatch = col("doc_id") % 10 === 0
+    val inQuery = Dedup.lshNewDocs(corpus.filter(isBatch), corpus.filter(!isBatch),
+      "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    val base = Dedup.ensureLshIndexBucketed(spark, sfDir,
+      corpus.filter(!isBatch), "doc_id", "text")
+    val (bandE, shE) = Dedup.readLshIndexBucketed(spark, base)
+    val stored = Dedup.lshNewDocsAgainstIndex(corpus.filter(isBatch), bandE, shE,
+      "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    assert(stored === inQuery)
+    // write-once: a second ensure with the same (sfDir, params) must probe
+    // the marker and NOT rebuild
+    val builds0 = util.Artifacts.builds.get
+    Dedup.ensureLshIndexBucketed(spark, sfDir, corpus.filter(!isBatch),
+      "doc_id", "text")
+    assert(util.Artifacts.builds.get === builds0)
+    // the layout property that fixes the sf1 scale-killer: an id-keyed
+    // aggregate over the bucketed shingle store plans NO exchange (this is
+    // exactly the signature aggregate's distribution requirement)
+    val agg = shE.groupBy("id").agg(count(lit(1)).as("n"))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucketed shingle scan should satisfy the id aggregate without a shuffle")
+    // session-restart path: the in-memory catalog forgets tables across
+    // JVMs but the files survive — re-registration from bare files is
+    // metadata-only and restores the exchange-free property
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(warehouse, s"${base}_shingles")
+    val dst = new org.apache.hadoop.fs.Path(warehouse, s"${base}_shingles_restartcopy")
+    val fs = src.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    spark.sql(s"DROP TABLE IF EXISTS ${base}_shingles_restartcopy")
+    Dedup.registerBucketedTable(spark, s"${base}_shingles_restartcopy",
+      dst.toString, Dedup.IndexBuckets)
+    val re = spark.table(s"${base}_shingles_restartcopy")
+    assert(re.count() === shE.count())
+    val agg2 = re.groupBy("id").agg(count(lit(1)).as("n"))
+    agg2.collect()
+    assert(!agg2.queryExecution.executedPlan.toString.contains("Exchange"),
+      "re-registered table should carry the bucket spec")
+    spark.sql(s"DROP TABLE IF EXISTS ${base}_shingles_restartcopy")
+    if (fs.exists(dst)) fs.delete(dst, true)
+  }
+
   test("candidate generation never pairs a doc with itself and is ordered") {
     val cand = Dedup.lshCandidates(docs, "doc_id", "text")
     assert(cand.filter(col("id_a") >= col("id_b")).count() === 0)

@@ -720,6 +720,40 @@ private[graft] object DedupSimRegistry {
     }),
 
 
+    // The SCALE tier of the kNN classifier (round 12 — kills the
+    // measured 11.2x-at-10x quadratic of the exact tier): neighbors come
+    // from the RHP band-candidate generator instead of the full
+    // train×test cross product — sim.Similarity.rhpTopKBulk bands BOTH
+    // sides and equi-joins on (band_idx, band_key) with no broadcast
+    // assumption (the test side is a corpus split, not a handful of
+    // probes), then re-ranks candidates only through the bounded-heap
+    // operator. The vote/argmax/confusion pipeline is UNCHANGED from
+    // emb_knn_classifier; test vectors sharing no band with any train
+    // vector are unclassified and drop out — the declared ANN coverage
+    // contract, replicated bit-for-bit by the oracle's banding.
+    // KnnAnnSpec pins coverage and the accuracy delta vs the exact tier.
+    "emb_knn_classifier_ann" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      val isTest = col("id") % 10 === 0
+      val topk = sim.Similarity.rhpTopKBulk(
+        emb.filter(isTest).select("id", "vec"),
+        emb.filter(!isTest).select("id", "vec"), 5)
+      val votes = topk
+        .join(emb.filter(!isTest).select(col("id").as("vec_id"),
+          col("label").as("nlabel")), "vec_id")
+        .groupBy("query_id", "nlabel").agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("votes").desc, col("nlabel").asc)
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(emb.filter(isTest).select(col("id").as("query_id"),
+          col("label").as("truth")), "query_id")
+        .groupBy(col("truth"), col("nlabel").as("pred"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("truth", "pred")
+    }),
+
+
     // SIMPLIFIED SILHOUETTE of the label partition over the embeddings —
     // the cluster-quality score consulted before trusting any clustering
     // (or, here, auditing how geometrically coherent the labels are):
@@ -1364,6 +1398,26 @@ private[graft] object DedupSimRegistry {
     "emb_knn_classifier" ->
       s"""WITH vecs AS ${sim.Similarity.vecsSql},
          |${sim.Similarity.bruteTopKSql(
+              "(SELECT * FROM vecs WHERE id % 10 = 0)",
+              "(SELECT * FROM vecs WHERE id % 10 <> 0)", 5)},
+         |lab AS (SELECT vec_id AS id, label FROM embeddings),
+         |votes AS (SELECT t.query_id, l.label AS nlabel, count(*) AS votes
+         |          FROM topk t JOIN lab l ON l.id = t.vec_id GROUP BY 1, 2),
+         |pred AS (SELECT query_id, nlabel,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY votes DESC, nlabel) AS rn
+         |         FROM votes)
+         |SELECT lt.label AS truth, p.nlabel AS pred, count(*) AS n_vecs
+         |FROM pred p JOIN lab lt ON lt.id = p.query_id
+         |WHERE p.rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    // Same vote/argmax pipeline over the RHP band candidates — the
+    // banding CTEs are sim_ann_rhp's own, so the unclassified-query
+    // drop-out is replicated exactly.
+    "emb_knn_classifier_ann" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |${sim.Similarity.rhpTopKSql(
               "(SELECT * FROM vecs WHERE id % 10 = 0)",
               "(SELECT * FROM vecs WHERE id % 10 <> 0)", 5)},
          |lab AS (SELECT vec_id AS id, label FROM embeddings),

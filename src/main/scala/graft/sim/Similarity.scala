@@ -190,6 +190,39 @@ object Similarity {
     rankPerKey(scored, k)
   }
 
+  /** [[rhpTopK]] for a BULK query side — a corpus split (kNN
+    * classification's test set), not a handful of probes. Same banding,
+    * same candidate semantics, same bounded-heap re-rank, but NO
+    * broadcast assumption anywhere: both sides are sketched once
+    * (materialized — each feeds its band explosion and its re-rank
+    * join), and candidates come from a keyed equi-join on
+    * (band_idx, band_key), so the plan holds when queries number
+    * millions. Queries sharing no band with any corpus vector yield no
+    * rows — the declared ANN coverage contract, mirrored by the oracle.
+    */
+  def rhpTopKBulk(queries: DataFrame, corpus: DataFrame, k: Int,
+                  bits: Int = NumBits, bands: Int = NumBands): DataFrame = {
+    require(bands >= 1 && bits >= bands && bits % bands == 0 &&
+      bits <= graft.functions.SketchUtil.MaxBits,
+      s"bands must be in [1, bits] and divide bits; bits must fit the " +
+        s"${graft.functions.SketchUtil.MaxBits} hyperplanes")
+    val bitsPerBand = bits / bands
+    val csk = graft.util.Views.materialize(
+      corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+        .withColumn("sk", sketchCol(col("cv"), bits)))
+    val qsk = graft.util.Views.materialize(
+      queries.select(col("id").as("query_id"), vec(col("vec")).as("qv"))
+        .withColumn("sk", sketchCol(col("qv"), bits)))
+    val cand = explodeBands(csk, "vec_id", "vec_id", bitsPerBand, bands)
+      .join(explodeBands(qsk, "query_id", "query_id", bitsPerBand, bands),
+        Seq("band_idx", "band_key"))
+      .select("query_id", "vec_id").distinct()
+    val scored = cand.join(csk.select("vec_id", "cv"), "vec_id")
+      .join(qsk.select("query_id", "qv"), "query_id")
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
+    rankPerKey(scored, k)
+  }
+
   /** IVF-style approximate top-k (the other standard ANN scale path,
     * alongside [[rhpTopK]]): a FIXED-`numCentroids` coarse quantizer —
     * the centroid set is a deterministic pseudo-random sample of exactly

@@ -1239,8 +1239,13 @@ private[graft] object EventsBRegistry {
             .as("clicks"),
           max(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("buyer"))
-      val tiled = users.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("clicks").desc, col("user_id"))))
+      // Deciles via the distributed two-phase rank (round 12): the USER
+      // grain grows with the corpus, so this was an unpartitioned ntile
+      // window — util.Ranks.ntileExact emits identical buckets. The
+      // cumulative windows below stay: their input is the 10-row decile
+      // table (allowlisted bounded grain).
+      val tiled = util.Ranks.ntileExact(users, "decile", 10,
+        col("clicks").desc, col("user_id"))
       val dec = tiled.groupBy("decile")
         .agg(count(lit(1)).as("n_users"), sum(col("buyer")).as("n_buyers"))
       val wd = Window.orderBy("decile")

@@ -62,6 +62,29 @@ private[graft] object TpchRegistry {
     }),
 
 
+    // The RANK-FREE twin (round 12): deciles from util.Ranks.ntileExact —
+    // a range-repartitioned distributed sort plus per-partition offsets
+    // (the RDD.zipWithIndex decomposition), no unpartitioned WindowExec
+    // anywhere in the plan (PlanLintSpec's allowlist proves it). Output
+    // is bit-identical to ntile's bucketing, so the oracle is SHARED
+    // with customer_pareto — same hash, scale-safe plan.
+    "customer_pareto_scaled" -> ((s, dir) => {
+      val cust = Sources.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(util.Stable.dec2(col("o_totalprice"))).as("rev"))
+      val total = cust.agg(
+        sum(col("rev")).cast(DecimalType(38, 2)).cast("double").as("total_rev"))
+      util.Ranks.ntileExact(cust, "decile", 10, col("rev").desc, col("o_custkey"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).cast(DecimalType(38, 2)).cast("double").as("revenue"))
+        .crossJoin(broadcast(total))
+        .withColumn("rev_share_pct", col("revenue") / col("total_rev") * 100.0)
+        .select("decile", "n_customers", "revenue", "rev_share_pct")
+        .orderBy("decile")
+    }),
+
+
     // Bucketed co-located join (the 100 TB join strategy SCALE.md names):
     // both sides bucketed+sorted on the join key at WRITE time, so the
     // join itself needs no exchange on either side — the shuffle is paid
@@ -544,6 +567,44 @@ private[graft] object TpchRegistry {
           ntile(5).over(Window.orderBy(col("freq"), col("o_custkey"))))
         .withColumn("m_score",
           ntile(5).over(Window.orderBy(col("rev"), col("o_custkey"))))
+        .withColumn("segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"),
+          (sum(col("recency_days")).cast("double") / count(lit(1)))
+            .as("avg_recency_days"),
+          sum(col("freq")).as("n_orders"),
+          sum(col("rev")).cast(DecimalType(38, 2)).cast("double").as("revenue"))
+        .orderBy("segment")
+    }),
+
+
+    // The RANK-FREE RFM twin (round 12): all three quintile scores come
+    // from util.Ranks.ntileExact (range-repartitioned distributed sort +
+    // per-partition offsets) instead of three unpartitioned ntile
+    // windows — at billions of customers those were three single-
+    // partition sorts. Same total orders, Spark's exact ntile bucket
+    // arithmetic, bit-identical output → the oracle is SHARED with
+    // customer_rfm.
+    "customer_rfm_scaled" -> ((s, dir) => {
+      val cust = Sources.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(
+          max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+            .cast("long")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(util.Stable.dec2(col("o_totalprice"))).as("rev"))
+      val anchor = cust.agg(max(col("last_day")).as("ref_day"))
+      val base = cust.crossJoin(broadcast(anchor))
+        .withColumn("recency_days", col("ref_day") - col("last_day"))
+      val scored = Seq(
+        ("r_score", Seq(col("last_day"), col("o_custkey"))),
+        ("f_score", Seq(col("freq"), col("o_custkey"))),
+        ("m_score", Seq(col("rev"), col("o_custkey"))))
+        .foldLeft(base) { case (df, (name, cols)) =>
+          util.Ranks.ntileExact(df, name, 5, cols: _*)
+        }
+      scored
         .withColumn("segment",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
         .groupBy("segment")
@@ -1521,11 +1582,13 @@ private[graft] object TpchRegistry {
     // in"): revenue quintiles per half (midpoint-day split, 1-row
     // broadcast cut — the PSI discipline), full-outer join per
     // customer, transition matrix including the churn/new 'none'
-    // states. Quintiles use ntile(5) with custkey tiebreak over the
-    // POST-AGGREGATE customer grain (the customer_rfm scale note);
-    // revenue is exact cents; the matrix is ≤36 rows at any scale.
+    // states. Quintiles come from util.Ranks.ntileExact over the
+    // POST-AGGREGATE customer grain — that grain grows with the corpus,
+    // so the distributed two-phase rank replaces what was an
+    // unpartitioned ntile window (round 12, same cut values, same
+    // oracle); revenue is exact cents; the matrix is ≤36 rows at any
+    // scale.
     "customer_value_migration" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val o = Sources.orders(s, dir)
         .select(col("o_custkey"),
           datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("day"),
@@ -1535,9 +1598,9 @@ private[graft] object TpchRegistry {
       val halves = o.crossJoin(broadcast(cut))
         .withColumn("half", when(col("day") < col("cutd"), "h1").otherwise("h2"))
         .groupBy("half", "o_custkey").agg(sum(col("cents")).as("rev"))
-      def tier(h: String) = halves.filter(col("half") === h)
-        .withColumn("q", ntile(5).over(
-          Window.orderBy(col("rev").desc, col("o_custkey"))))
+      def tier(h: String) = util.Ranks.ntileExact(
+          halves.filter(col("half") === h), "q", 5,
+          col("rev").desc, col("o_custkey"))
         .select(col("o_custkey"), concat(lit("q"), col("q")).as(s"tier_$h"))
       tier("h1").join(tier("h2"), Seq("o_custkey"), "full_outer")
         .select(coalesce(col("tier_h1"), lit("none")).as("from_tier"),
@@ -1554,13 +1617,17 @@ private[graft] object TpchRegistry {
     // per customer (md5 contract — reproducible across runs and
     // engines), actual purchases removed by a co-keyed anti-join,
     // first 3 survivors kept per customer. O(|customers|·6) candidate
-    // rows — never a customers×parts cross join; the part index is a
-    // one-time window over the bounded catalog.
+    // rows — never a customers×parts cross join. The md5→part index is
+    // a DISTRIBUTED two-phase rank (util.Ranks: range repartition +
+    // per-partition offsets) — the part table grows with SF, so the
+    // round-7 global row_number over it was a single-partition sort of
+    // the whole catalog at 100 TB (VERDICT r7 #2); same dense 1..np
+    // values, same oracle hash, no unpartitioned window.
     "orders_negative_samples" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val parts = Sources.part(s, dir)
-        .select(col("p_partkey"),
-          row_number().over(Window.orderBy("p_partkey")).cast("long").as("pidx"))
+      val parts = util.Ranks.withGlobalRank(
+          Sources.part(s, dir).select("p_partkey"), "pidx", col("p_partkey"))
+        .select(col("p_partkey"), col("pidx"))
       val np = parts.agg(count(lit(1)).as("np"))
       val custs = Sources.orders(s, dir).select("o_custkey").distinct()
       val cands = custs
@@ -1646,6 +1713,44 @@ private[graft] object TpchRegistry {
     }),
   )
 
+  private lazy val customerParetoOracle: String =
+    """WITH cust AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE)
+      |        AS total_rev FROM cust),
+      |d AS (SELECT o_custkey, rev,
+      |        ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      |      FROM cust)
+      |SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n_customers,
+      |  CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE) / total_rev * 100.0
+      |    AS rev_share_pct
+      |FROM d CROSS JOIN t GROUP BY 1, total_rev ORDER BY 1""".stripMargin
+
+  private lazy val customerRfmOracle: String =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    max(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT))
+      |      AS last_day,
+      |    count(*) AS freq,
+      |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT max(last_day) AS ref_day FROM cust),
+      |sc AS (
+      |  SELECT o_custkey, ref_day - last_day AS recency_days, freq, rev,
+      |    ntile(5) OVER (ORDER BY last_day, o_custkey) AS r_score,
+      |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+      |    ntile(5) OVER (ORDER BY rev, o_custkey) AS m_score
+      |  FROM cust CROSS JOIN a)
+      |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS segment,
+      |  count(*) AS n_customers,
+      |  CAST(CAST(sum(recency_days) AS BIGINT) AS DOUBLE) / count(*)
+      |    AS avg_recency_days,
+      |  CAST(sum(freq) AS BIGINT) AS n_orders,
+      |  CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "bucketed_join" ->
       s"""SELECT o_custkey, count(*) AS n_items,
@@ -1656,20 +1761,10 @@ private[graft] object TpchRegistry {
          |  ON l.l_orderkey = o.o_orderkey
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
-    "customer_pareto" ->
-      """WITH cust AS (
-        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
-        |  FROM orders GROUP BY 1),
-        |t AS (SELECT CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE)
-        |        AS total_rev FROM cust),
-        |d AS (SELECT o_custkey, rev,
-        |        ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
-        |      FROM cust)
-        |SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n_customers,
-        |  CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
-        |  CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE) / total_rev * 100.0
-        |    AS rev_share_pct
-        |FROM d CROSS JOIN t GROUP BY 1, total_rev ORDER BY 1""".stripMargin,
+    "customer_pareto" -> customerParetoOracle,
+
+    // The rank-free twin emits bit-identical buckets — one oracle for both.
+    "customer_pareto_scaled" -> customerParetoOracle,
 
     "customer_cohort_ltv" ->
       """WITH o AS (
@@ -1880,28 +1975,10 @@ private[graft] object TpchRegistry {
         |FROM li JOIN mins ON l_partkey = mk AND price = min_price
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "customer_rfm" ->
-      """WITH cust AS (
-        |  SELECT o_custkey,
-        |    max(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT))
-        |      AS last_day,
-        |    count(*) AS freq,
-        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
-        |  FROM orders GROUP BY 1),
-        |a AS (SELECT max(last_day) AS ref_day FROM cust),
-        |sc AS (
-        |  SELECT o_custkey, ref_day - last_day AS recency_days, freq, rev,
-        |    ntile(5) OVER (ORDER BY last_day, o_custkey) AS r_score,
-        |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
-        |    ntile(5) OVER (ORDER BY rev, o_custkey) AS m_score
-        |  FROM cust CROSS JOIN a)
-        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS segment,
-        |  count(*) AS n_customers,
-        |  CAST(CAST(sum(recency_days) AS BIGINT) AS DOUBLE) / count(*)
-        |    AS avg_recency_days,
-        |  CAST(sum(freq) AS BIGINT) AS n_orders,
-        |  CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "customer_rfm" -> customerRfmOracle,
+
+    // The rank-free twin emits bit-identical buckets — one oracle for both.
+    "customer_rfm_scaled" -> customerRfmOracle,
 
     "orders_basket_lift" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

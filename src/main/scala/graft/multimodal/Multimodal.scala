@@ -101,9 +101,14 @@ object Multimodal {
     (((7 * id + 31 * x + 101 * y) % 256).toInt + 256) % 256
 
   /** Image geometry for the PNG fixture (small on purpose — the oracle
-    * enumerates pixels). */
-  def pngDims(id: Long): (Int, Int) =
+    * enumerates pixels). Negative ids are rejected up front (the
+    * sourcedDocs guard style): a negative id would yield non-positive
+    * dimensions here (BufferedImage throws opaquely) and the SQL oracle's
+    * plain `%` would diverge from [[patternPx]]'s normalized modulo. */
+  def pngDims(id: Long): (Int, Int) = {
+    require(id >= 0, s"media id must be non-negative for the image fixture, got $id")
     ((16 + (id % 8) * 8).toInt, (16 + (id % 6) * 8).toInt)
+  }
 
   /** ENCODE a real 8-bit grayscale PNG of the pattern. Runs on the
     * executors (ImageIO is headless-safe; the in-memory cache flag is
@@ -170,6 +175,152 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------- JPEG codec + quarantine boundary
+
+  /** ENCODE a real image of the given pixel function in `format`
+    * ("png"/"jpg") — the shared executor-side encoder behind both codec
+    * fixtures. */
+  def encodeImage(id: Long, w: Int, h: Int, format: String,
+                  px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, px(x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  /** Uniform gray level of the JPEG fixture: a DC-only image, so the
+    * lossy round-trip error is bounded by DC quantization (±3 gray
+    * levels is generous; MultimodalSpec measures the actual error). */
+  def jpegGray(id: Long): Int = ((id % 256) + 256).toInt % 256
+
+  /** Media fixture with GENUINE JPEG payloads — the second codec through
+    * the same mapPartitions boundary. Uniform-gray images: JPEG is
+    * lossy, so the fixture is chosen DC-only to make the decode error
+    * provably small; the query asserts the tolerance in-dataflow and
+    * emits only formula-exact columns (the approx-percentile oracle
+    * discipline). */
+  def synthesizeJpegs(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val (w, h) = pngDims(id)
+        val g = jpegGray(id)
+        val bytes = encodeImage(id, w, h, "jpg", (_, _) => g)
+        MediaRow(id, bytes, MediaMeta("jpeg", w, h, bytes.length.toLong))
+      }
+    }
+  }
+
+  /** One decoded-or-quarantined media row: `status` = "ok" with pixel
+    * features, or "corrupt" with the decoder's error class and null
+    * features. */
+  case class DecodedMedia(media_id: Long, status: String, err_class: String,
+                          img_w: Option[Int], img_h: Option[Int],
+                          n_px: Option[Long], px_sum: Option[Long],
+                          mean_px: Option[Double])
+
+  /** QUARANTINE-SAFE decode — the 100 TB reality: at corpus scale some
+    * payloads are truncated, mislabeled, or not images at all, and a
+    * decode failure must become a ROW (routed to a quarantine sink for
+    * re-fetch/triage), never a task failure that kills the stage after
+    * four retries. Same per-partition batch boundary as
+    * [[decodeImageFeatures]]; every throwable from the codec is caught
+    * per row and folded into `status`/`err_class`. */
+  def decodeImageFeaturesSafe(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null)
+            DecodedMedia(r.media_id, "corrupt", "undecodable",
+              None, None, None, None, None)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            val n = w.toLong * h
+            DecodedMedia(r.media_id, "ok", "", Some(w), Some(h), Some(n),
+              Some(sum), Some(sum.toDouble / n))
+          }
+        } catch {
+          case e: Throwable =>
+            DecodedMedia(r.media_id, "corrupt", e.getClass.getSimpleName,
+              None, None, None, None, None)
+        }
+      }
+    }
+  }
+
+  /** Deterministic corruption rule for the quarantine fixture: payloads
+    * of ids ≡ 3 (mod 7) are truncated to 10 bytes (a torn upload —
+    * valid magic, missing body). Mirrored in [[quarantineSql]]. */
+  def corruptSome(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.media_id % 7 == 3) r.copy(payload = r.payload.take(10))
+      else r
+    }
+  }
+
+  /** DuckDB mirror of the quarantined PNG decode: ok rows carry the
+    * formula-exact pixel statistics (PNG is lossless), corrupt rows
+    * (the mod-7 truncation rule) carry nulls. */
+  def quarantineSql(docsRel: String): String =
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT doc_id AS media_id,
+       |    CAST(16 + (doc_id % 8) * 8 AS INTEGER) AS img_w,
+       |    CAST(16 + (doc_id % 6) * 8 AS INTEGER) AS img_h
+       |  FROM $docsRel),
+       |px AS (
+       |  SELECT d.media_id, d.img_w, d.img_h,
+       |    (7 * d.media_id + 31 * x.x + 101 * y.y) % 256 AS v
+       |  FROM dims d
+       |  CROSS JOIN LATERAL (SELECT unnest(range(0, d.img_w)) AS x) x
+       |  CROSS JOIN LATERAL (SELECT unnest(range(0, d.img_h)) AS y) y),
+       |ok AS (
+       |  SELECT media_id, img_w, img_h,
+       |    CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum
+       |  FROM px GROUP BY 1, 2, 3)
+       |SELECT media_id,
+       |  CASE WHEN media_id % 7 = 3 THEN 'corrupt' ELSE 'ok' END AS status,
+       |  CASE WHEN media_id % 7 = 3 THEN NULL ELSE img_w END AS img_w,
+       |  CASE WHEN media_id % 7 = 3 THEN NULL ELSE img_h END AS img_h,
+       |  CASE WHEN media_id % 7 = 3 THEN NULL ELSE n_px END AS n_px,
+       |  CASE WHEN media_id % 7 = 3 THEN NULL ELSE px_sum END AS px_sum
+       |FROM ok""".stripMargin
+
+  /** DuckDB mirror of the JPEG decode's FORMULA-EXACT columns (geometry
+    * + the uniform gray level + the in-tolerance verdicts the engine
+    * asserted in-dataflow). */
+  def decodeJpegSql(docsRel: String): String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(16 + (doc_id % 8) * 8 AS INTEGER) AS img_w,
+       |  CAST(16 + (doc_id % 6) * 8 AS INTEGER) AS img_h,
+       |  CAST((16 + (doc_id % 8) * 8) * (16 + (doc_id % 6) * 8) AS BIGINT)
+       |    AS n_px,
+       |  CAST(doc_id % 256 AS INTEGER) AS gray,
+       |  TRUE AS within_tol
+       |FROM $docsRel""".stripMargin
 
   /** DuckDB mirror of [[synthesizeImages]] ∘ [[decodeImageFeatures]] —
     * computed from the generating FORMULA (no decoder in the oracle):

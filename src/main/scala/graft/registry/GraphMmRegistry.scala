@@ -94,6 +94,48 @@ private[graft] object GraphMmRegistry {
         .toDF().orderBy("media_id")),
 
 
+    // SECOND real codec, JPEG, through the same mapPartitions boundary
+    // (round 12). JPEG is LOSSY, so the fixture is uniform-gray (DC-only
+    // blocks — round-trip error bounded by DC quantization) and the
+    // query follows the approx-percentile oracle discipline: the decoded
+    // mean is checked against the generating gray level IN-DATAFLOW
+    // (assert_true, tolerance ±3 levels — MultimodalSpec measures the
+    // true error) and the emitted columns are formula-exact (geometry,
+    // gray, the asserted verdict).
+    "mm_decode_jpeg" -> ((s, dir) => {
+      val decoded = multimodal.Multimodal.decodeImageFeaturesSafe(
+        multimodal.Multimodal.synthesizeJpegs(Sources.documents(s, dir)))
+        .toDF()
+      decoded
+        .withColumn("gray", pmod(col("media_id"), lit(256)).cast("int"))
+        .select(col("media_id"), col("img_w"), col("img_h"), col("n_px"),
+          col("gray"),
+          when(assert_true(
+            col("status") === "ok" &&
+              abs(col("mean_px") - col("gray")) <= 3.0,
+            concat(lit("jpeg decode drifted past tolerance for media "),
+              col("media_id"))).isNull,
+            lit(true)).as("within_tol"))
+        .orderBy("media_id")
+    }),
+
+
+    // CORRUPT-PAYLOAD QUARANTINE (round 12) — the 100 TB decode reality:
+    // a deterministic subset of the PNG payloads is truncated (torn
+    // upload), and the quarantine-safe boundary turns each failure into
+    // a status='corrupt' ROW instead of a task failure. PNG is lossless,
+    // so ok rows oracle-check to the exact formula statistics and
+    // corrupt rows to nulls — the whole triage table is hash-pinned.
+    "mm_decode_quarantine" -> ((s, dir) =>
+      multimodal.Multimodal.decodeImageFeaturesSafe(
+        multimodal.Multimodal.corruptSome(
+          multimodal.Multimodal.synthesizeImages(Sources.documents(s, dir))))
+        .toDF()
+        .select(col("media_id"), col("status"), col("img_w"), col("img_h"),
+          col("n_px"), col("px_sum"))
+        .orderBy("media_id")),
+
+
     // Video frame-SAMPLING plan (multimodal plumbing): the per-frame work
     // list a decode stage consumes — one row per sampled instant, pure
     // per-row explode of an integer ladder (shuffle-free at any corpus
@@ -883,6 +925,14 @@ private[graft] object GraphMmRegistry {
 
     "mm_decode_png" ->
       s"""${multimodal.Multimodal.decodePngSql("documents")}
+         |ORDER BY media_id""".stripMargin,
+
+    "mm_decode_jpeg" ->
+      s"""${multimodal.Multimodal.decodeJpegSql("documents")}
+         |ORDER BY media_id""".stripMargin,
+
+    "mm_decode_quarantine" ->
+      s"""${multimodal.Multimodal.quarantineSql("documents")}
          |ORDER BY media_id""".stripMargin,
 
     "idx_null_handling" ->

@@ -55,7 +55,15 @@ object MongoCompat {
     val uri = parameters.getOrElse("uri",
       throw new IllegalArgumentException(
         "format(\"mongo\"): option 'uri' is required (mongodb://host/DB.collection)"))
-    val tail = uri.stripPrefix("mongodb://").split("/", 2) match {
+    // mongodb+srv:// is accepted as an alias (same namespace syntax);
+    // anything else must carry the plain scheme, loudly.
+    val stripped =
+      if (uri.startsWith("mongodb+srv://")) uri.stripPrefix("mongodb+srv://")
+      else if (uri.startsWith("mongodb://")) uri.stripPrefix("mongodb://")
+      else throw new IllegalArgumentException(
+        s"format(\"mongo\"): unsupported scheme in '$uri' — " +
+          "expected mongodb:// or mongodb+srv://")
+    val tail = stripped.split("/", 2) match {
       case Array(_, dbColl) if dbColl.nonEmpty => dbColl
       case _ => throw new IllegalArgumentException(
         s"format(\"mongo\"): cannot parse '$uri' — expected mongodb://host/DB.collection")
@@ -64,6 +72,16 @@ object MongoCompat {
       case Array(d, c) if c.nonEmpty => (d, c)
       case _ => throw new IllegalArgumentException(
         s"format(\"mongo\"): uri names no collection: '$uri'")
+    }
+    // The pair must map to EXACTLY one <root>/<db>/<coll> directory: a
+    // '/' would silently nest (mongodb://h/a/b.c → root/a/b/c), '..'
+    // or an empty segment would escape/stray outside the compat root.
+    Seq("database" -> db, "collection" -> coll).foreach { case (what, seg) =>
+      if (seg.isEmpty || seg == "." || seg == ".." ||
+          seg.contains("/") || seg.contains("\\"))
+        throw new IllegalArgumentException(
+          s"format(\"mongo\"): invalid $what segment '$seg' in '$uri' — " +
+            "must be a single path-safe name")
     }
     val root = parameters.get("root")
       .orElse(ctx.sparkSession.conf.getOption("spark.graft.mongo.root"))

@@ -38,7 +38,15 @@ object ScaleUp {
 
   def documentsScaled(docs: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { r =>
-      val d = docs.withColumn("doc_id", col("doc_id") + lit(r * DocOffset))
+      // ENFORCED disjointness (was a comment): a source doc id at or past
+      // DocOffset would collide replica id spaces and downstream dedup
+      // would misread the duplicates as real. Per-row assert_true — the
+      // sourcedDocs guard style — fails the build loudly instead.
+      val guarded = docs.withColumn("doc_id",
+        when(assert_true(col("doc_id") >= 0 && col("doc_id") < DocOffset,
+          lit(s"ScaleUp: source doc_id outside [0, $DocOffset) — replica " +
+            "id spaces would collide")).isNull, col("doc_id")))
+      val d = guarded.withColumn("doc_id", col("doc_id") + lit(r * DocOffset))
       if (r == 0) d
       else d.withColumn("text", expr(
         s"""array_join(
@@ -51,7 +59,12 @@ object ScaleUp {
 
   def embeddingsScaled(emb: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { r =>
-      val e = emb.withColumn("vec_id", col("vec_id") + lit(r * VecOffset))
+      // Same disjointness guard as documentsScaled, vec_id analogue.
+      val guarded = emb.withColumn("vec_id",
+        when(assert_true(col("vec_id") >= 0 && col("vec_id") < VecOffset,
+          lit(s"ScaleUp: source vec_id outside [0, $VecOffset) — replica " +
+            "id spaces would collide")).isNull, col("vec_id")))
+      val e = guarded.withColumn("vec_id", col("vec_id") + lit(r * VecOffset))
       if (r == 0) e
       else {
         // Rotation amount wraps inside [1, dim-1] so it is NEVER the
@@ -67,7 +80,16 @@ object ScaleUp {
 
   def lineitemScaled(li: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { r =>
-      li.withColumn("l_partkey", col("l_partkey") + lit(r * KeyOffset))
+      // Key-space disjointness guard, graph-key analogue: a colliding
+      // part/supp key would MERGE the replicas' co-purchase graphs.
+      val guarded = li.withColumn("l_partkey",
+        when(assert_true(
+          col("l_partkey").between(0, KeyOffset - 1) &&
+            col("l_suppkey").between(0, KeyOffset - 1) &&
+            col("l_orderkey").between(0, OrderOffset - 1),
+          lit(s"ScaleUp: lineitem keys outside [0, offset) — replica " +
+            "graphs would merge")).isNull, col("l_partkey")))
+      guarded.withColumn("l_partkey", col("l_partkey") + lit(r * KeyOffset))
         .withColumn("l_suppkey", col("l_suppkey") + lit(r * KeyOffset))
         .withColumn("l_orderkey", col("l_orderkey") + lit(r * OrderOffset))
     }.reduce(_.unionByName(_))

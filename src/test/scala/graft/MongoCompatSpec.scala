@@ -86,4 +86,21 @@ class MongoCompatSpec extends SparkSpec {
       spark.read.format("mongo").load() // no uri at all
     }
   }
+
+  test("URIs that would escape or nest outside <root>/<db>/<coll> are rejected") {
+    def bad(uri: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("mongo").option("uri", uri).load()
+      }
+      assert(e.getMessage.contains("mongo"), s"$uri: ${e.getMessage}")
+    }
+    bad("mongodb://h/a/b.c")      // extra path segment would nest
+    bad("mongodb://h/...c")       // '..' db segment would escape the root
+    bad("mongodb://h/.co.ll")     // empty-ish db segment
+    bad("ftp://h/db.coll")        // wrong scheme must not fall through
+    // mongodb+srv:// is an accepted alias of the same namespace syntax
+    val p1 = sources.MongoCompat.resolvePath(spark.sqlContext,
+      Map("uri" -> "mongodb+srv://h/db.coll", "root" -> "/tmp/mc"))
+    assert(p1 == "/tmp/mc/db/coll")
+  }
 }

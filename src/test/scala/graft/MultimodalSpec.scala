@@ -64,6 +64,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpeg codec: uniform-gray round-trip error stays within the asserted tolerance") {
+    val decoded = Multimodal.decodeImageFeaturesSafe(
+      Multimodal.synthesizeJpegs(Sources.documents(spark, sfDir).limit(40)))
+      .collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { d =>
+      assert(d.status == "ok", s"media ${d.media_id}: ${d.err_class}")
+      val (w, h) = Multimodal.pngDims(d.media_id)
+      assert(d.img_w.contains(w) && d.img_h.contains(h))
+      val g = Multimodal.jpegGray(d.media_id)
+      // the query asserts ±3 in-dataflow; measure the real drift here
+      assert(math.abs(d.mean_px.get - g) <= 3.0,
+        s"media ${d.media_id}: gray $g decoded to mean ${d.mean_px.get}")
+    }
+  }
+
+  test("quarantine: corrupt payloads become rows, never task failures") {
+    import spark.implicits._
+    val good = Multimodal.synthesizeImages(Sources.documents(spark, sfDir).limit(30))
+    // three corruption shapes: truncation, garbage bytes, empty payload
+    val mangled = good.map { r =>
+      if (r.media_id % 3 == 0) r.copy(payload = r.payload.take(10))
+      else if (r.media_id % 3 == 1) r.copy(payload = Array.fill[Byte](64)(0x5a))
+      else r
+    }
+    val out = Multimodal.decodeImageFeaturesSafe(mangled).collect()
+    assert(out.length == 30) // every payload produced exactly one row
+    out.foreach { d =>
+      if (d.media_id % 3 == 2) {
+        assert(d.status == "ok" && d.px_sum.nonEmpty)
+        val (w, h) = Multimodal.pngDims(d.media_id)
+        val sum = (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.patternPx(d.media_id, x, y).toLong).sum
+        assert(d.px_sum.contains(sum))
+      } else
+        assert(d.status == "corrupt" && d.px_sum.isEmpty && d.img_w.isEmpty,
+          s"media ${d.media_id} should have quarantined")
+    }
+    // the empty payload too
+    val empty = Seq(MediaRow(5L, Array.empty[Byte], MediaMeta("png", 0, 0, 0L))).toDS()
+    assert(Multimodal.decodeImageFeaturesSafe(empty).collect()
+      .forall(_.status == "corrupt"))
+  }
+
+  test("pngDims rejects negative ids (oracle modulo divergence guard)") {
+    val e = intercept[IllegalArgumentException] { Multimodal.pngDims(-1L) }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("resizePlan: thumbnails never exceed maxDim and scale is 1 for small media") {
     val plan = Multimodal.resizePlan(media, 128).cache()
     assert(plan.filter(col("thumb_w") > 128 || col("thumb_h") > 128).count() === 0)

@@ -29,6 +29,19 @@ class ScaleUpSpec extends SparkSpec {
     scaled.unpersist()
   }
 
+  test("id-space guards fail loudly when a source id would collide replica spaces") {
+    import spark.implicits._
+    val tooBig = Seq((ScaleUp.DocOffset + 5L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      ScaleUp.documentsScaled(tooBig, 2).count()
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    val vecBig = Seq((ScaleUp.VecOffset, Array(1.0f), "x"))
+      .toDF("vec_id", "embedding", "label")
+    val e2 = intercept[Exception] { ScaleUp.embeddingsScaled(vecBig, 2).count() }
+    assert(e2.getMessage.contains("collide"), e2.getMessage)
+  }
+
   test("embeddingsScaled: rotation never degenerates to identity, any factor") {
     import spark.implicits._
     val emb = Seq((1L, Seq(1.0f, 2.0f, 3.0f), 0)).toDF("vec_id", "embedding", "label")

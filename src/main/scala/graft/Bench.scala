@@ -186,8 +186,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"timed_artifact_builds":$timedBuilds,"queries":$qs,"samples":$ss,"shuffle_mb":${mbMap(_._4)},"spill_mb":${mbMap(_._5)},"shuffle_mb_samples":${sampleMap(_._2)},"spill_mb_samples":${sampleMap(_._3)},"sf":"$sfDir"}"""
     // The FULL artifact goes to a file (at 330+ queries it is ~70 KB —
     // far past any stdout tail window, and sbt's [info] prefixing trips
-    // JSON parsers anyway).
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // JSON parsers anyway). SPARK_GRAFT_BENCH_OUT redirects it — the
+    // sf1 standing gate (tools/bench_sf1.sh → BENCH_sf1.json) uses this.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     // stdout gets a COMPACT twin as the LAST line: the round driver keeps
     // only the tail of stdout (~2 KB observed in BENCH_r06, which lost
     // the artifact to a mid-JSON truncation), so the parseable line must

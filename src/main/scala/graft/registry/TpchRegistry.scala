@@ -1577,6 +1577,36 @@ private[graft] object TpchRegistry {
     }),
 
 
+    // The RANK-FREE ABC twin (round 12): the cumulative revenue share
+    // comes from util.Ranks.withGlobalPrefixSum — range repartition +
+    // within-partition PARTITIONED running sum + broadcast per-partition
+    // base offsets (exact decimal addition is associative, so the cut
+    // boundaries adjudicate identically) — instead of an unpartitioned
+    // window over the part grain, which grows with SF. Same oracle as
+    // orders_abc_class.
+    "orders_abc_class_scaled" -> ((s, dir) => {
+      val rev = Sources.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(sum(util.Stable.dec2(col("l_extendedprice")) *
+          (util.Stable.rate2(lit(1.0)) - util.Stable.rate2(col("l_discount"))))
+          .as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("total"))
+      val cum = util.Ranks.withGlobalPrefixSum(rev, "cum", col("rev"),
+          col("rev").desc, col("l_partkey"))
+        .crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+      cum.groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("double").as("revenue"),
+          (sum(col("rev")).cast("double") /
+            max(col("total")).cast("double")).as("share"))
+        .orderBy("abc_class")
+    }),
+
+
     // CUSTOMER VALUE-MIGRATION MATRIX — the period-over-period BI
     // readout ("which value tier did last period's top customers land
     // in"): revenue quintiles per half (midpoint-day split, 1-row
@@ -1712,6 +1742,29 @@ private[graft] object TpchRegistry {
         .orderBy("c_mktsegment")
     }),
   )
+
+  private lazy val ordersAbcOracle: String =
+    s"""WITH rev AS (
+       |  SELECT l_partkey,
+       |    sum(${util.Stable.dec2Sql("l_extendedprice")} *
+       |        (${util.Stable.rate2Sql("1.0")} -
+       |         ${util.Stable.rate2Sql("l_discount")})) AS rev
+       |  FROM lineitem GROUP BY 1),
+       |tot AS (SELECT sum(rev) AS total FROM rev),
+       |cum AS (
+       |  SELECT l_partkey, rev,
+       |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM rev),
+       |cls AS (
+       |  SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+       |              WHEN cum * 100 <= total * 95 THEN 'B'
+       |              ELSE 'C' END AS abc_class, rev, total
+       |  FROM cum, tot)
+       |SELECT abc_class, count(*) AS n_parts,
+       |  CAST(sum(rev) AS DOUBLE) AS revenue,
+       |  CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS share
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
 
   private lazy val customerParetoOracle: String =
     """WITH cust AS (
@@ -2509,28 +2562,10 @@ private[graft] object TpchRegistry {
         |ORDER BY cust, okey_a, okey_b""".stripMargin,
 
 
-    "orders_abc_class" ->
-      s"""WITH rev AS (
-         |  SELECT l_partkey,
-         |    sum(${util.Stable.dec2Sql("l_extendedprice")} *
-         |        (${util.Stable.rate2Sql("1.0")} -
-         |         ${util.Stable.rate2Sql("l_discount")})) AS rev
-         |  FROM lineitem GROUP BY 1),
-         |tot AS (SELECT sum(rev) AS total FROM rev),
-         |cum AS (
-         |  SELECT l_partkey, rev,
-         |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM rev),
-         |cls AS (
-         |  SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
-         |              WHEN cum * 100 <= total * 95 THEN 'B'
-         |              ELSE 'C' END AS abc_class, rev, total
-         |  FROM cum, tot)
-         |SELECT abc_class, count(*) AS n_parts,
-         |  CAST(sum(rev) AS DOUBLE) AS revenue,
-         |  CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS share
-         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+    "orders_abc_class" -> ordersAbcOracle,
+
+    // The rank-free twin emits bit-identical classes — one oracle for both.
+    "orders_abc_class_scaled" -> ordersAbcOracle,
 
 
     "customer_value_migration" ->

@@ -80,4 +80,35 @@ object Ranks {
     val (ranked, n) = withGlobalRankCounted(df, "__rank", cols: _*)
     ranked.withColumn(out, ntileOfRank(col("__rank"), n, k)).drop("__rank")
   }
+
+  /** `df` plus `out` = the exact RUNNING SUM of `value` in `cols` order
+    * (inclusive of the current row) — the distributed prefix sum behind
+    * cumulative-share readouts (ABC/Pareto cuts): range-repartition on
+    * the total-order key, a PARTITIONED window for the within-partition
+    * running sum (bounded width by construction — PlanLint-clean), and
+    * per-partition base offsets from a ≤P-row totals table (offsets
+    * derived by a tiny triangular self-join, so exact-decimal arithmetic
+    * never leaves the engine). Addition is exact and associative for
+    * decimal/integer `value`s, so the result equals the global-window
+    * running sum bit-for-bit; for IEEE doubles use a quantized value
+    * first (the summation-order discipline). */
+  def withGlobalPrefixSum(df: DataFrame, out: String, value: Column,
+                          cols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val part = Views.materialize(
+      df.repartitionByRange(p, cols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val totals = part.groupBy("__pid").agg(sum(value).as("__t"))
+    val off = totals.as("a")
+      .join(totals.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(sum(col("b.__t")).as("__off")) // null when no earlier partition
+    val w = Window.partitionBy("__pid").orderBy(cols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    part.join(broadcast(off), "__pid")
+      .withColumn(out,
+        sum(value).over(w) + coalesce(col("__off"), lit(0)))
+      .drop("__pid", "__off")
+  }
 }

@@ -58,9 +58,10 @@ class PlanLintSpec extends SparkSpec {
     "events_survival_km", "events_slo_burn", "orders_backlog",
     "orders_monthly_growth",
     // CATALOG / VOCABULARY grain — aggregated far below fact volume;
-    // vocabulary saturates (textrank measured 1.1x at 10x corpus). The
-    // util.Ranks swap applies verbatim if a deployment's catalog is
-    // corpus-scale.
+    // vocabulary saturates (textrank measured 1.1x at 10x corpus).
+    // orders_abc_class keeps the BI-pattern cumulative window; its
+    // rank-free twin (orders_abc_class_scaled, util.Ranks
+    // .withGlobalPrefixSum) shipped round 12 for corpus-scale catalogs.
     "orders_abc_class", "text_zipf_slope", "docs_ngram_coverage",
     "text_textrank_keywords", "docs_mix_schedule",
     // FIXED-CARDINALITY tables: 32 bootstrap replicas, 10 deciles,

@@ -439,6 +439,51 @@ private[graft] object EventsARegistry {
     }),
 
 
+    // SPARK-NATIVE DATASKETCHES HLL (the industry-standard MERGEABLE
+    // distinct sketch, beside the package's own KMV family): per-day
+    // partial sketches are built ONCE (hll_sketch_agg, lgK=12), and the
+    // per-type rollup is answered by MERGING the ≤|days| stored sketch
+    // rows (hll_union_agg → hll_sketch_estimate) — never a raw re-scan.
+    // That mergeability is the 100-TB contract: stored daily sketches
+    // answer any date-range distinct question at sketch cost, the
+    // HLL complement of events_bitmap_rollup's exact OR and
+    // events_kmv_rolling's KMV algebra. The sketch binary is
+    // engine-specific (not a cross-engine value), so the
+    // events_quantiles_approx discipline applies: emitted columns are
+    // the EXACT counts, and the union estimate is adjudicated
+    // in-dataflow — assert_true fails the run if it drifts past the
+    // alarm band (lgK=12 ⇒ rsd ≈ 1.04/√4096 ≈ 1.6%; 5σ ≈ 8% + small-
+    // count slack — a loud alarm, not a tight bound). sum_daily_distinct
+    // ≥ n_users is the rollup inequality the sketch exists to avoid
+    // paying exactly.
+    "events_hll_sketch_rollup" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .select(col("event_type"), expr("ts DIV 86400000000000").as("day"),
+          col("user_id"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          countDistinct(col("user_id")).as("n_exact_day"))
+      val rolled = daily.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+          .cast("double").as("est_users"),
+          count(lit(1)).as("n_days"),
+          sum(col("n_exact_day")).as("sum_daily_distinct"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+      rolled.join(exact, "event_type")
+        .select(col("event_type"), col("n_days"),
+          when(assert_true(
+            abs(col("est_users") - col("n_users").cast("double")) <=
+              col("n_users").cast("double") * 0.08 + 8.0,
+            concat(lit("HLL union estimate outside the 8% alarm band for "),
+              col("event_type"))).isNull,
+            col("n_users")).as("n_users"),
+          col("sum_daily_distinct"), col("n_events"))
+        .orderBy("event_type")
+    }),
+
+
     // KMV DISTINCT-CARDINALITY sketch (native `kmv_agg`, the package's
     // fourth sketch family): per-event-type distinct-user estimates from
     // k-minimum-values summaries, PLUS the union-grain estimate computed
@@ -1682,6 +1727,21 @@ private[graft] object EventsARegistry {
          |WHERE epoch_ns(ts) >= 1704672000000000000
          |  AND epoch_ns(ts) < 1705276800000000000
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_hll_sketch_rollup" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, user_id
+        |  FROM events),
+        |d AS (SELECT event_type, day, count(DISTINCT user_id) AS nd
+        |      FROM ev GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS n_days,
+        |        CAST(sum(nd) AS BIGINT) AS sum_daily_distinct
+        |      FROM d GROUP BY 1),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |        count(*) AS n_events
+        |      FROM ev GROUP BY 1)
+        |SELECT event_type, n_days, n_users, sum_daily_distinct, n_events
+        |FROM t JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
 
     "events_kmv_distinct" ->
       s"""WITH e AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events),

@@ -745,6 +745,21 @@ private[graft] object TextRegistry {
     }),
 
 
+    // FULL BPE TOKENIZER TRAINING (the loop text_bpe_merge_step is one
+    // iteration of): 6 rounds of count-pairs → argmax → apply-merge over
+    // the vocabulary-grain symbol table, emitting the merge table + the
+    // compression trajectory (corpus/vocab token counts after each
+    // merge). Merge application is the classic simultaneous leftmost-
+    // greedy non-overlapping rule, done RELATIONALLY (candidate runs →
+    // even offsets — gaps-and-islands, no sequential scan); each round
+    // materializes + lineage-truncates (the PageRank/kcore loop
+    // discipline) and costs |vocab symbols|, never a corpus pass. The
+    // oracle replays the identical 6-round unroll as chained
+    // MATERIALIZED CTEs. See text/Bpe.scala.
+    "text_bpe_train" -> ((s, dir) =>
+      text.Bpe.trainTrajectory(Sources.documents(s, dir), 6)),
+
+
     // TEXTRANK keyword extraction — PageRank over the word co-occurrence
     // graph, reusing the engine's ALL-INTEGER power iteration
     // (graph/PageRank.scala): adjacent-word pairs become the undirected
@@ -1368,6 +1383,9 @@ private[graft] object TextRegistry {
          |SELECT pair, CAST(sum(tf) AS BIGINT) AS freq
          |FROM p GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
 
+
+    "text_bpe_train" ->
+      text.Bpe.trajectorySql("documents", 6),
 
     "text_textrank_keywords" -> {
       val edgesSql =

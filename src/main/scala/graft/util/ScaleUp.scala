@@ -35,6 +35,8 @@ object ScaleUp {
   val VecOffset = 10000000L
   val KeyOffset = 10000000L
   val OrderOffset = 1000000000L
+  val UserOffset = 1000000L
+  val EventOffset = 100000000L
 
   def documentsScaled(docs: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { r =>
@@ -94,6 +96,26 @@ object ScaleUp {
         .withColumn("l_orderkey", col("l_orderkey") + lit(r * OrderOffset))
     }.reduce(_.unionByName(_))
 
+  /** Events replicate with per-replica USER and EVENT id offsets and
+    * timestamps VERBATIM: K× the daily volume over the same time span —
+    * the realistic growth shape (traffic grows; the calendar doesn't).
+    * Disjoint user spaces keep per-user semantics (sessions, streaks,
+    * retention, as-of joins) fixture-like instead of fusing replicas
+    * into 10×-longer user histories — a different workload, not a
+    * bigger one. value/event_type/props are verbatim, so value-grain
+    * distributions (quantiles, PSI bands, MAD) scale in COUNT only. */
+  def eventsScaled(ev: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      val guarded = ev.withColumn("user_id",
+        when(assert_true(
+          col("user_id").between(0, UserOffset - 1) &&
+            col("event_id").between(0, EventOffset - 1),
+          lit(s"ScaleUp: source user/event ids outside [0, offset) — " +
+            "replica id spaces would collide")).isNull, col("user_id")))
+      guarded.withColumn("user_id", col("user_id") + lit(r * UserOffset))
+        .withColumn("event_id", col("event_id") + lit(r * EventOffset))
+    }.reduce(_.unionByName(_))
+
   def main(args: Array[String]): Unit = {
     val (src, out, factor) = (args(0), args(1), args(2).toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -113,6 +135,8 @@ object ScaleUp {
       .repartition(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     lineitemScaled(spark.read.parquet(s"$src/lineitem.parquet"), factor)
       .repartition(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    eventsScaled(spark.read.parquet(s"$src/events.parquet"), factor)
+      .repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"[scaleup] wrote ${factor}x of $src to $out")
     spark.stop()
   }

@@ -67,6 +67,30 @@ class ScaleUpSpec extends SparkSpec {
       s"1-dim rotation must be the identity, got ${vecs.mkString(";")}")
   }
 
+  test("eventsScaled: user spaces disjoint, timestamps verbatim, guard fires") {
+    import spark.implicits._
+    val ev = Seq((0L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      5L, "click", 1.5, "{}"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00"),
+        7L, "view", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val scaled = ScaleUp.eventsScaled(ev, 3).cache()
+    assert(scaled.count() == 6)
+    assert(scaled.select("event_id").distinct().count() == 6)
+    assert(scaled.select("user_id").distinct().count() == 6,
+      "per-replica user spaces must be disjoint")
+    // Same time span: timestamps replicate verbatim (K× volume/day).
+    assert(scaled.select("ts").distinct().count() == 2)
+    assert(scaled.groupBy("ts").count().select("count")
+      .as[Long].collect().forall(_ == 3L))
+    scaled.unpersist()
+    val bad = Seq((ScaleUp.EventOffset, java.sql.Timestamp.valueOf(
+      "2024-01-01 10:00:00"), 5L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = intercept[Exception] { ScaleUp.eventsScaled(bad, 2).count() }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("SQL band-key generator rejects non-dividing banding like the Spark twin") {
     intercept[IllegalArgumentException] {
       graft.dedup.Dedup.bandKeysSql("sig", numHashes = 32, numBands = 5)

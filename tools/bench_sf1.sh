@@ -22,7 +22,7 @@ fi
 # scale-sensitive (dedup/LSH pipeline, graph loops, ANN tiers, the e2e
 # docs pipeline) — wall seconds AND shuffle MB per query land in the
 # artifact.
-QUERIES=dedup_exact,dedup_minhash_lsh,dedup_clusters_lsh,dedup_incremental_lsh_stored,dedup_survivors,graph_pagerank,graph_pagerank_directed,graph_kcore,sim_brute_topk,sim_ann_ivf,emb_knn_classifier_ann,text_textrank_keywords,text_tfidf,docs_bm25_topk,docs_pipeline_e2e
+QUERIES=dedup_exact,dedup_minhash_lsh,dedup_clusters_lsh,dedup_incremental_lsh_stored,dedup_survivors,graph_pagerank,graph_pagerank_directed,graph_kcore,sim_brute_topk,sim_ann_ivf,emb_knn_classifier_ann,text_textrank_keywords,text_tfidf,docs_bm25_topk,docs_pipeline_e2e,text_bpe_train
 
 SPARK_GRAFT_SF_DIR=data/sf1 \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \

@@ -760,6 +760,18 @@ private[graft] object TextRegistry {
       text.Bpe.trainTrajectory(Sources.documents(s, dir), 6)),
 
 
+    // FERTILITY under the corpus's OWN trained tokenizer (the readout
+    // text_tokenizer_fertility approximates with a regex proxy): run the
+    // same 6-merge training, then join the final per-word token counts
+    // (vocabulary grain — broadcastable at any corpus scale) back onto
+    // the per-(lang, word) occurrence table. The language whose words
+    // the learned merges compress least shows the highest fertility —
+    // the number that decides whether a tokenizer needs more vocab for
+    // a language slice.
+    "text_bpe_fertility" -> ((s, dir) =>
+      text.Bpe.fertilityByLang(Sources.documents(s, dir), 6)),
+
+
     // TEXTRANK keyword extraction — PageRank over the word co-occurrence
     // graph, reusing the engine's ALL-INTEGER power iteration
     // (graph/PageRank.scala): adjacent-word pairs become the undirected
@@ -1386,6 +1398,9 @@ private[graft] object TextRegistry {
 
     "text_bpe_train" ->
       text.Bpe.trajectorySql("documents", 6),
+
+    "text_bpe_fertility" ->
+      text.Bpe.fertilitySql("documents", 6),
 
     "text_textrank_keywords" -> {
       val edgesSql =

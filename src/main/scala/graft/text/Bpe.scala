@@ -45,7 +45,36 @@ object Bpe {
     * corpus_tokens, vocab_tokens) — the merge table plus the compression
     * trajectory (corpus_tokens = Σ tf·|syms(w)| after the merge lands;
     * vocab_tokens = distinct symbol strings in play). */
-  def trainTrajectory(docs: DataFrame, steps: Int): DataFrame = {
+  def trainTrajectory(docs: DataFrame, steps: Int): DataFrame =
+    train(docs, steps)._1.reduce(_ unionByName _).orderBy("step")
+
+  /** Per-language FERTILITY under the corpus's own trained tokenizer
+    * (steps merges): bpe_tokens/word by language slice — the readout
+    * `text_tokenizer_fertility` approximates with a regex proxy, here
+    * computed from the REAL trained merge table. The per-(lang, word)
+    * occurrence table joins the final per-word token counts on the
+    * word grain (vocabulary-sized — broadcastable at any corpus scale),
+    * so the corpus is scanned once and the loop stays vocab-grain. */
+  def fertilityByLang(docs: DataFrame, steps: Int): DataFrame = {
+    val tok = train(docs, steps)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_tok"))
+    val lw = docs
+      .select(col("lang"),
+        explode(split(graft.util.Norm.normalize(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("tf_lw"))
+    lw.join(broadcast(tok), "word")
+      .groupBy("lang")
+      .agg(sum(col("tf_lw")).as("words"),
+        sum(col("tf_lw") * col("n_tok")).as("bpe_tokens"),
+        countDistinct(col("word")).as("vocab_words"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("words").cast("double"))
+      .orderBy("lang")
+  }
+
+  private def train(docs: DataFrame, steps: Int)
+  : (Seq[DataFrame], DataFrame) = {
     val spark = docs.sparkSession
 
     val vocab = docs
@@ -112,7 +141,7 @@ object Bpe {
         .crossJoin(broadcast(syms.select(explode(col("syms")).as("tok"))
           .agg(countDistinct(col("tok")).as("vocab_tokens"))))
     }
-    stats.reduce(_ unionByName _).orderBy("step")
+    (stats, syms)
   }
 
   /** The identical k-round unroll in DuckDB SQL. Every round-referenced
@@ -120,6 +149,38 @@ object Bpe {
     * per reference and the unroll explodes). Integer outputs are CAST
     * AS BIGINT (HUGEINT breaks the driver's hash compare). */
   def trajectorySql(docsRel: String, steps: Int): String = {
+    val (ctes, _) = unrollCtes(docsRel, steps)
+    val union = (1 to steps).map(r => s"SELECT * FROM st$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $ctes\n$union\nORDER BY step"
+  }
+
+  /** Fertility oracle: the same unroll, finalized by joining the
+    * per-(lang, word) occurrence table against the final symbol table's
+    * per-word token counts. */
+  def fertilitySql(docsRel: String, steps: Int): String = {
+    val (ctes, fin) = unrollCtes(docsRel, steps)
+    s"""WITH $ctes,
+       |tok AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+       |        FROM $fin GROUP BY 1),
+       |lw AS (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS tf_lw
+       |  FROM (SELECT lang, unnest(string_split(
+       |          ${graft.util.Norm.normalizeSql("text")}, ' ')) AS word
+       |        FROM $docsRel)
+       |  WHERE word <> '' GROUP BY 1, 2)
+       |SELECT lang, CAST(sum(tf_lw) AS BIGINT) AS words,
+       |  CAST(sum(tf_lw * n_tok) AS BIGINT) AS bpe_tokens,
+       |  count(DISTINCT word) AS vocab_words,
+       |  CAST(sum(tf_lw * n_tok) AS DOUBLE) / CAST(sum(tf_lw) AS DOUBLE)
+       |    AS fertility
+       |FROM lw JOIN tok USING (word)
+       |GROUP BY 1 ORDER BY lang""".stripMargin
+  }
+
+  /** The shared WITH-body: seed + k rounds; returns (ctes, final symbol
+    * relation name). */
+  private def unrollCtes(docsRel: String, steps: Int): (String, String) = {
     val seed =
       s"""v AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS tf
@@ -171,8 +232,6 @@ object Bpe {
          |      AS vocab_tokens
          |  FROM $b b)""".stripMargin
     }
-    val union = (1 to steps).map(r => s"SELECT * FROM st$r")
-      .mkString("\nUNION ALL ")
-    s"WITH $seed,\n${rounds.mkString(",\n")}\n$union\nORDER BY step"
+    (s"$seed,\n${rounds.mkString(",\n")}", s"s$steps")
   }
 }

@@ -479,6 +479,21 @@ private[graft] object DedupSimRegistry {
     }),
 
 
+    // IVF-PQ (the faiss-default COMPOUND index): IVF coarse pruning AND
+    // PQ compression composed — the stored index is (bucket, codes) per
+    // vector; a query ADC-scores only its nprobe probed buckets' codes,
+    // then exact-cosine re-ranks the top-20 survivors. The double win
+    // (read nprobe/16 of the corpus, as bytes) neither tier delivers
+    // alone; raw-vector encoding declared, residual encoding named at
+    // the seam (Similarity.ivfPqTopK).
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      sim.Similarity.ivfPqTopK(emb.filter(col("id") < 5), emb, 10)
+        .orderBy("query_id", "rank")
+    }),
+
+
     // Embedding-cosine near-dup pairs: full-sketch equality candidates +
     // exact cosine verification (no pairwise scan).
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -1247,6 +1262,12 @@ private[graft] object DedupSimRegistry {
     "sim_ann_pq" ->
       s"""WITH vecs AS ${sim.Similarity.vecsSql},
          |${sim.Similarity.pqTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |SELECT query_id, vec_id, sim, rank FROM topk
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ann_ivfpq" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |${sim.Similarity.ivfPqTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
          |SELECT query_id, vec_id, sim, rank FROM topk
          |ORDER BY query_id, rank""".stripMargin,
 

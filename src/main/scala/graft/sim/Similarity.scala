@@ -409,6 +409,75 @@ object Similarity {
     rankPerKey(scored, k)
   }
 
+  /** IVF-PQ — the COMPOUND production ANN index (the faiss-default
+    * shape): IVF coarse pruning AND PQ compression composed. The stored
+    * index is one row per corpus vector: (bucket, reconstruction) — the
+    * bucket from the nearest coarse centroid (the write-once IVF
+    * assignment), the reconstruction from per-subspace nearest-codeword
+    * encoding (the write-once PQ encode). A query probes its `nprobe`
+    * nearest coarse buckets and ADC-scores ONLY those buckets' codes —
+    * at cluster scale the approximate pass reads nprobe/numCentroids of
+    * the corpus as BYTES (codes), the double win neither tier delivers
+    * alone — then the top `rerank` survivors re-rank by exact cosine
+    * against raw vectors. Every argmax/argmin/top-k goes through the
+    * bounded-heap per-key operator (map-side collapse before any
+    * exchange). This variant encodes RAW vectors; faiss's residual
+    * encoding (encode v − centroid, reconstruct centroid + codeword) is
+    * one subtraction at the encode seam and one addition at the
+    * reconstruction seam. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                numCentroids: Int = 16, nprobe: Int = 3,
+                rerank: Int = 20): DataFrame = {
+    val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+    val coarse = broadcast(sampledCentroids(corpus, numCentroids))
+    val assigned = graft.plans.TopK.perKey(
+      c.crossJoin(coarse)
+        .select(col("vec_id"), col("cv"), col("cent_id"),
+          cosine(col("cv"), col("centv")).as("csim")),
+      keyCols = Seq("vec_id"),
+      orderBy = Seq("csim" -> false, "cent_id" -> true), k = 1)
+      .select(col("vec_id"), col("cent_id").as("bucket"))
+    val book = broadcast(sampledCentroids(corpus, PqCodewords)
+      .select(col("cent_id").as("code_id"), col("centv").as("codev")))
+    val enc0 = c.crossJoin(book)
+      .select(col("vec_id"), col("code_id"), posexplode(array(
+        (0 until PqSubspaces).map { j =>
+          val a = slice(col("cv"), j * PqSubDim + 1, PqSubDim)
+          val b = slice(col("codev"), j * PqSubDim + 1, PqSubDim)
+          struct(l2sq(a, b).as("d"), b.as("subv"))
+        }: _*)))
+      .select(col("vec_id"), col("code_id"), col("pos").as("j"),
+        col("col.d").as("d"), col("col.subv").as("subv"))
+    val codes = graft.plans.TopK.perKey(enc0,
+      keyCols = Seq("vec_id", "j"),
+      orderBy = Seq("d" -> true, "code_id" -> true), k = 1)
+    val recon = codes.groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j").as("j"), col("subv").as("v")))),
+        x => x.getField("v"))).as("rv"))
+    // The stored IVFPQ index row: (vec_id, bucket, codes-as-reconstruction).
+    val index = assigned.join(recon, "vec_id")
+    val q = queries.select(col("id").as("query_id"), vec(col("vec")).as("qv"))
+    val probes = broadcast(graft.plans.TopK.perKey(
+      q.crossJoin(coarse)
+        .select(col("query_id"), col("qv"), col("cent_id"),
+          cosine(col("qv"), col("centv")).as("csim")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq("csim" -> false, "cent_id" -> true), k = nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("bucket")))
+    val approx = graft.plans.TopK.perKey(
+      index.join(probes, "bucket")
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("rv")).as("asim")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq("asim" -> false, "vec_id" -> true), k = rerank)
+    val scored = approx.select("query_id", "vec_id")
+      .join(c, "vec_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    rankPerKey(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates = identical full
     * [[PairBits]]-bit sketch (direction-preserving copies always collide;
     * one equi-join on the sketch key, no pairwise scan), verified by exact
@@ -616,6 +685,74 @@ object Similarity {
        |      row_number() OVER (PARTITION BY q.id
        |        ORDER BY ${cosineSql("q.vec", "r.rv")} DESC, r.vec_id) AS ar
        |    FROM recon r CROSS JOIN $queriesRel q)
+       |  WHERE ar <= $rerank),
+       |scored AS (
+       |  SELECT a.query_id, a.vec_id, ${cosineSql("q.vec", "c.vec")} AS sim
+       |  FROM approx a
+       |  JOIN $corpusRel c ON c.id = a.vec_id
+       |  JOIN $queriesRel q ON q.id = a.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored),
+       |topk AS (SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= $k)""".stripMargin
+  }
+
+  /** CTE chain ending in `topk` — the [[ivfPqTopK]] mirror: coarse
+    * sample/probe per the IVF mirror, codebook/encode/reconstruct per
+    * the PQ mirror, ADC restricted to probed buckets, exact re-rank. */
+  def ivfPqTopKSql(queriesRel: String, corpusRel: String, k: Int,
+                   numCentroids: Int = 16, nprobe: Int = 3,
+                   rerank: Int = 20): String = {
+    def sub(v: String, j: Int) =
+      s"$v[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}]"
+    def l2(a: String, b: String) =
+      s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
+    val encRows = (0 until PqSubspaces).map { j =>
+      s"""SELECT vec_id, code_id, $j AS j,
+         |    ${l2(sub("cv", j), sub("codev", j))} AS d,
+         |    ${sub("codev", j)} AS subv FROM vb""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""coarse AS (SELECT id AS cent_id, vec AS centv FROM $corpusRel c
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $numCentroids),
+       |book AS (SELECT id AS code_id, vec AS codev FROM $corpusRel c
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $PqCodewords),
+       |assigned AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT v.id AS vec_id, coarse.cent_id AS bucket,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY ${cosineSql("v.vec", "coarse.centv")} DESC, coarse.cent_id) AS r
+       |    FROM $corpusRel v CROSS JOIN coarse)
+       |  WHERE r = 1),
+       |vb AS (SELECT v.id AS vec_id, v.vec AS cv, book.code_id, book.codev
+       |       FROM $corpusRel v CROSS JOIN book),
+       |enc0 AS ($encRows),
+       |codes AS (
+       |  SELECT vec_id, j, subv FROM (
+       |    SELECT vec_id, j, subv,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code_id) AS r
+       |    FROM enc0)
+       |  WHERE r = 1),
+       |recon AS (
+       |  SELECT vec_id,
+       |    flatten(list_transform(list_sort(list(struct_pack(j := j, v := subv))),
+       |                           x -> x.v)) AS rv
+       |  FROM codes GROUP BY vec_id),
+       |idx AS (SELECT a.vec_id, a.bucket, r.rv
+       |        FROM assigned a JOIN recon r USING (vec_id)),
+       |probes AS (
+       |  SELECT query_id, qv, bucket FROM (
+       |    SELECT q.id AS query_id, q.vec AS qv, coarse.cent_id AS bucket,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cosineSql("q.vec", "coarse.centv")} DESC, coarse.cent_id) AS r
+       |    FROM $queriesRel q CROSS JOIN coarse)
+       |  WHERE r <= $nprobe),
+       |approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT p.query_id, i.vec_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY ${cosineSql("p.qv", "i.rv")} DESC, i.vec_id) AS ar
+       |    FROM idx i JOIN probes p USING (bucket))
        |  WHERE ar <= $rerank),
        |scored AS (
        |  SELECT a.query_id, a.vec_id, ${cosineSql("q.vec", "c.vec")} AS sim

@@ -202,6 +202,49 @@ class SimSpec extends SparkSpec {
     pq.unpersist()
   }
 
+  test("ivfPqTopK: self-hit at rank 1, exact sims on shared hits, bucket containment") {
+    val q = emb.filter(col("id") < 5)
+    val ipq = Similarity.ivfPqTopK(q, emb, 10).cache()
+    val perQuery = ipq.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) === 10L))
+    // A query's own vector shares its bucket (identical coarse argmax)
+    // and reconstructs near itself → after exact re-rank the self-hit is
+    // rank 1 at sim ~1.
+    val self = ipq.filter(col("query_id") === col("vec_id"))
+    assert(self.count() === 5)
+    assert(self.filter(col("rank") =!= 1).count() === 0)
+    assert(self.filter(abs(col("sim") - 1.0) > 1e-9).count() === 0)
+    // Emitted sims are EXACT cosines wherever brute agrees on the hit.
+    val brute = Similarity.bruteTopK(q, emb, 10)
+      .select(col("query_id"), col("vec_id"), col("sim").as("bsim"))
+    val joined = ipq.join(brute, Seq("query_id", "vec_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(abs(col("sim") - col("bsim")) > 0.0).count() === 0)
+    // Every returned hit lies in one of the query's nprobe probed
+    // buckets — the pruning contract (re-derive assignment + probes
+    // with the same argmax rule).
+    val cents = broadcast(Similarity.sampledCentroids(emb, 16))
+    def top(df: org.apache.spark.sql.DataFrame, idc: String, n: Int) =
+      graft.plans.TopK.perKey(
+        df.crossJoin(cents).select(col(idc), col("cent_id"),
+          Similarity.cosine(Similarity.vec(col("vec")), col("centv")).as("cs")),
+        keyCols = Seq(idc), orderBy = Seq("cs" -> false, "cent_id" -> true),
+        k = n).select(col(idc), col("cent_id"))
+    val vBuckets = top(emb, "id", 1)
+      .select(col("id").as("vec_id"), col("cent_id").as("vb"))
+    val qProbes = top(q, "id", 3)
+      .select(col("id").as("query_id"), col("cent_id").as("qb"))
+    val covered = ipq.select("query_id", "vec_id")
+      .join(vBuckets, "vec_id").join(qProbes, "query_id")
+      .filter(col("vb") === col("qb"))
+      .select("query_id", "vec_id").distinct()
+    val outside = ipq.select("query_id", "vec_id")
+      .join(covered, Seq("query_id", "vec_id"), "left_anti")
+    assert(outside.count() === 0,
+      "a returned hit fell outside every probed bucket")
+    ipq.unpersist()
+  }
+
   test("pq encoding geometry: codes exist for every (vector, subspace) and reconstructions have full dim") {
     // Re-derive the internal stages through the public result: every
     // corpus vector must appear at most once per query (codes are

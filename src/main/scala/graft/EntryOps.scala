@@ -212,6 +212,14 @@ private[graft] object EntryOps {
        |SELECT query_id, vec_id, sim, rank FROM topk
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared by `sim_ann_ivfpq` and `sim_ann_ivfpq_stored` — the stored
+    * index probe must be indistinguishable from the in-query twin. */
+  private[graft] lazy val ivfPqOracle: String =
+    s"""WITH vecs AS ${sim.Similarity.vecsSql},
+       |${sim.Similarity.ivfPqTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+       |SELECT query_id, vec_id, sim, rank FROM topk
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Shared by `dedup_incremental_lsh` (in-query index) and
     * `dedup_incremental_lsh_stored` (parquet round-trip) — both engines
     * and both paths must produce the identical survivor set. */

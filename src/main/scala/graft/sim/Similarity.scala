@@ -427,7 +427,16 @@ object Similarity {
     * reconstruction seam. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 numCentroids: Int = 16, nprobe: Int = 3,
-                rerank: Int = 20): DataFrame = {
+                rerank: Int = 20): DataFrame =
+    ivfPqProbe(queries, corpus, ivfPqIndex(corpus, numCentroids),
+      k, numCentroids, nprobe, rerank)
+
+  /** The index half of [[ivfPqTopK]] — one row per corpus vector:
+    * (vec_id, bucket, rv). This is what a serving system WRITES ONCE
+    * per (corpus, params): the coarse assignment and the PQ
+    * reconstruction are both corpus-scan jobs whose output replaces the
+    * raw vectors for the approximate pass. */
+  def ivfPqIndex(corpus: DataFrame, numCentroids: Int = 16): DataFrame = {
     val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
     val coarse = broadcast(sampledCentroids(corpus, numCentroids))
     val assigned = graft.plans.TopK.perKey(
@@ -455,8 +464,19 @@ object Similarity {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("j").as("j"), col("subv").as("v")))),
         x => x.getField("v"))).as("rv"))
-    // The stored IVFPQ index row: (vec_id, bucket, codes-as-reconstruction).
-    val index = assigned.join(recon, "vec_id")
+    assigned.join(recon, "vec_id")
+  }
+
+  /** The probe half of [[ivfPqTopK]] against a PREBUILT
+    * `(vec_id, bucket, rv)` index (from [[ivfPqIndex]], usually read
+    * back from parquet): only the query side computes anything fresh —
+    * the corpus contributes index scans plus the raw-vector lookup for
+    * the `rerank` survivors. */
+  def ivfPqProbe(queries: DataFrame, corpus: DataFrame, index: DataFrame,
+                 k: Int, numCentroids: Int = 16, nprobe: Int = 3,
+                 rerank: Int = 20): DataFrame = {
+    val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+    val coarse = broadcast(sampledCentroids(corpus, numCentroids))
     val q = queries.select(col("id").as("query_id"), vec(col("vec")).as("qv"))
     val probes = broadcast(graft.plans.TopK.perKey(
       q.crossJoin(coarse)

@@ -251,6 +251,55 @@ object Streams {
       }
       .start()
 
+  /** Merge a batch's per-day NATIVE Datasketches HLL sketches into the
+    * stored sketch table (one [[graft.sources.SnapshotStore]] commit).
+    * `hll_union` is a register-wise max — idempotent, commutative,
+    * associative — so like the KMV fold (and unlike Misra–Gries counter
+    * sums) the store is a state-based CRDT and replayed micro-batches
+    * need no batch-id markers. The sketch column is Spark's own binary
+    * HLL (the `events_hll_sketch_rollup` tier made durable). */
+  def mergeHllStore(fresh: DataFrame, storeDir: String): Unit = {
+    val spark = fresh.sparkSession
+    val versions = graft.sources.SnapshotStore.committedVersions(spark, storeDir)
+    val merged = if (versions.isEmpty) fresh else {
+      val cur = graft.sources.SnapshotStore
+        .readAsOf(spark, storeDir, "day", versions.last)
+        .select(col("day"), col("sk").as("sk_old"))
+      fresh.withColumnRenamed("sk", "sk_new")
+        .join(cur, Seq("day"), "full_outer")
+        .select(col("day"), expr(
+          """CASE WHEN sk_new IS NULL THEN sk_old
+            |     WHEN sk_old IS NULL THEN sk_new
+            |     ELSE hll_union(sk_new, sk_old) END""".stripMargin).as("sk"))
+    }
+    graft.sources.SnapshotStore.commit(
+      graft.util.Views.materialize(merged), None, storeDir, "day")
+    graft.util.Views.unpersistAll()
+  }
+
+  /** Streaming distinct-user rollup into a durable per-day NATIVE HLL
+    * sketch store — the third sketch-store family beside [[kmvRollup]]
+    * (CRDT, custom KMV) and [[mgRollup]] (marker-guarded, Misra–Gries):
+    * each micro-batch aggregates to per-day `hll_sketch_agg` binaries
+    * (4 KB per day regardless of user cardinality) and
+    * [[mergeHllStore]]s them; any date-range distinct question is then
+    * `hll_sketch_estimate(hll_union_agg(...))` over the store alone.
+    * Zero streaming-engine state; replay-safe without markers because
+    * register-max union is idempotent. */
+  def hllRollup(events: DataFrame, storeDir: String, lgK: Int = 12)
+               : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val fresh = batch.toDF()
+            .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+            .groupBy("day").agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
+          mergeHllStore(fresh, storeDir)
+        }
+      }
+      .start()
+
   /** Merge a batch's per-day Misra–Gries sketches into the stored sketch
     * table (one [[graft.sources.SnapshotStore]] commit). The merge is
     * the standard MG combine in relational form — key-wise counter sum,

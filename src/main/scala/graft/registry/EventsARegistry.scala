@@ -484,6 +484,65 @@ private[graft] object EventsARegistry {
     }),
 
 
+    // STORED HLL RANGE QUERY (the claim events_hll_sketch_rollup makes,
+    // exercised through the serving protocol): the per-(type, day)
+    // sketch table is WRITTEN ONCE per corpus (marker-gated like every
+    // stored artifact), and a date-range distinct question — "distinct
+    // users per type in the LATER half of the corpus" (midpoint-day cut,
+    // the psi-drift discipline: in-plan, never wall-clock) — is answered
+    // by unioning ONLY that range's stored sketches. The raw scan in
+    // this query exists solely for the audit columns (exact counts, the
+    // quantiles_approx discipline); at 100 TB the store alone answers,
+    // at sketch cost, any of the 2^days range questions the bitmap/KMV
+    // tiers answer by their own algebras.
+    "events_hll_range_stored" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+        .select(col("event_type"), expr("ts DIV 86400000000000").as("day"),
+          col("user_id"))
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_hll_daily_$sfTag")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_MARKER")
+      val tag = s"$dir|lgK=12"
+      val fresh = fs.exists(marker) && {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
+      }
+      if (!fresh) {
+        util.Artifacts.recordBuild(s"hll_daily $tag")
+        if (fs.exists(out)) fs.delete(out, true)
+        ev.groupBy("event_type", "day")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+          .write.mode("overwrite").parquet(out.toString)
+        val os = fs.create(marker, true)
+        try os.write(tag.getBytes("UTF-8")) finally os.close()
+      }
+      val cut = ev.agg(((min(col("day")) + max(col("day")) + 1L) / 2L)
+        .cast("long").as("cutd"))
+      val est = s.read.parquet(out.toString)
+        .crossJoin(broadcast(cut)).filter(col("day") >= col("cutd"))
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+          .cast("double").as("est_users"),
+          count(lit(1)).as("n_days"))
+      val exact = ev.crossJoin(broadcast(cut)).filter(col("day") >= col("cutd"))
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_days"),
+          when(assert_true(
+            abs(col("est_users") - col("n_users").cast("double")) <=
+              col("n_users").cast("double") * 0.08 + 8.0,
+            concat(lit("stored-HLL range estimate outside the alarm band for "),
+              col("event_type"))).isNull,
+            col("n_users")).as("n_users"),
+          col("n_events"))
+        .orderBy("event_type")
+    }),
+
+
     // KMV DISTINCT-CARDINALITY sketch (native `kmv_agg`, the package's
     // fourth sketch family): per-event-type distinct-user estimates from
     // k-minimum-values summaries, PLUS the union-grain estimate computed
@@ -1742,6 +1801,20 @@ private[graft] object EventsARegistry {
         |      FROM ev GROUP BY 1)
         |SELECT event_type, n_days, n_users, sum_daily_distinct, n_events
         |FROM t JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
+
+    "events_hll_range_stored" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, user_id
+        |  FROM events),
+        |t AS (SELECT (min(day) + max(day) + 1) // 2 AS cutd FROM ev),
+        |r AS (SELECT * FROM ev, t WHERE day >= cutd),
+        |d AS (SELECT event_type, count(DISTINCT day) AS n_days
+        |      FROM r GROUP BY 1),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |        count(*) AS n_events
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n_days, n_users, n_events
+        |FROM d JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
 
     "events_kmv_distinct" ->
       s"""WITH e AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events),

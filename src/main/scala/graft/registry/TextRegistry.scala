@@ -772,6 +772,37 @@ private[graft] object TextRegistry {
       text.Bpe.fertilityByLang(Sources.documents(s, dir), 6)),
 
 
+    // STORED trained tokenizer (the publish-once shape): the 6-merge
+    // training runs once per corpus and its per-word token counts land
+    // as a marker-gated artifact — every downstream application (here
+    // the fertility readout) is then one vocabulary-grain broadcast
+    // join, the tokenizer-as-published-table discipline production
+    // pipelines actually ship. Same oracle as the in-query twin — the
+    // artifact round-trip must change nothing.
+    "text_bpe_fertility_stored" -> ((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_bpe_tok_$sfTag")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_MARKER")
+      val tag = s"$dir|steps=6"
+      val fresh = fs.exists(marker) && {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
+      }
+      if (!fresh) {
+        util.Artifacts.recordBuild(s"bpe_tokens $tag")
+        if (fs.exists(out)) fs.delete(out, true)
+        text.Bpe.trainedWordTokens(docs, 6)
+          .write.mode("overwrite").parquet(out.toString)
+        val os = fs.create(marker, true)
+        try os.write(tag.getBytes("UTF-8")) finally os.close()
+      }
+      text.Bpe.fertilityByLangWith(docs, s.read.parquet(out.toString))
+    }),
+
+
     // TEXTRANK keyword extraction — PageRank over the word co-occurrence
     // graph, reusing the engine's ALL-INTEGER power iteration
     // (graph/PageRank.scala): adjacent-word pairs become the undirected
@@ -1400,6 +1431,11 @@ private[graft] object TextRegistry {
       text.Bpe.trajectorySql("documents", 6),
 
     "text_bpe_fertility" ->
+      text.Bpe.fertilitySql("documents", 6),
+
+    // The stored path reads the SAME trained table the in-query twin
+    // derives — one oracle, proof the artifact round-trip is invisible.
+    "text_bpe_fertility_stored" ->
       text.Bpe.fertilitySql("documents", 6),
 
     "text_textrank_keywords" -> {

@@ -55,9 +55,20 @@ object Bpe {
     * occurrence table joins the final per-word token counts on the
     * word grain (vocabulary-sized — broadcastable at any corpus scale),
     * so the corpus is scanned once and the loop stays vocab-grain. */
-  def fertilityByLang(docs: DataFrame, steps: Int): DataFrame = {
-    val tok = train(docs, steps)._2
+  def fertilityByLang(docs: DataFrame, steps: Int): DataFrame =
+    fertilityByLangWith(docs, trainedWordTokens(docs, steps))
+
+  /** The artifact a trained tokenizer publishes for the fertility
+    * readout: the final per-word token counts (vocabulary grain). Stored
+    * once per (corpus, steps), this is all [[fertilityByLang]]'s join
+    * needs — training amortizes to zero across every downstream
+    * application, exactly how production pipelines ship tokenizers. */
+  def trainedWordTokens(docs: DataFrame, steps: Int): DataFrame =
+    train(docs, steps)._2
       .select(col("word"), size(col("syms")).cast("long").as("n_tok"))
+
+  /** [[fertilityByLang]] against a prebuilt `(word, n_tok)` table. */
+  def fertilityByLangWith(docs: DataFrame, tok: DataFrame): DataFrame = {
     val lw = docs
       .select(col("lang"),
         explode(split(graft.util.Norm.normalize(col("text")), " ")).as("word"))

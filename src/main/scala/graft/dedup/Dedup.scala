@@ -457,7 +457,13 @@ object Dedup {
   def ensureLshIndexBucketed(spark: org.apache.spark.sql.SparkSession,
                              dir: String, corpus: => DataFrame,
                              idCol: String, textCol: String): String = {
-    val base = s"graft_lsh_bidx_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // Lowercased: Spark lowercases catalog identifiers, so a
+    // case-preserved base would put the managed table at a lowercased
+    // warehouse path while the marker and the re-registration LOCATION
+    // point at the original casing — perpetual rebuilds (or a broken
+    // cross-session re-registration) for any sfDir with uppercase chars.
+    val base =
+      s"graft_lsh_bidx_${dir.replaceAll("[^A-Za-z0-9]", "_")}".toLowerCase
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     def loc(part: String) =
       new org.apache.hadoop.fs.Path(warehouse, s"${base}_$part")

@@ -263,7 +263,13 @@ object Multimodal {
               Some(sum), Some(sum.toDouble / n))
           }
         } catch {
-          case e: Throwable =>
+          // NonFatal only: a corrupt payload throws IIOException /
+          // RuntimeException from the codec and becomes a quarantine data
+          // row, but fatal JVM errors (OutOfMemoryError) and task-kill
+          // interrupts must propagate — folding those into
+          // status='corrupt' would record an infrastructure failure as
+          // bad media and impede Spark task cancellation.
+          case scala.util.control.NonFatal(e) =>
             DecodedMedia(r.media_id, "corrupt", e.getClass.getSimpleName,
               None, None, None, None, None)
         }

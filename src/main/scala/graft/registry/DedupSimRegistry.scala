@@ -494,14 +494,16 @@ private[graft] object DedupSimRegistry {
     }),
 
 
-    // STORED IVF-PQ index (the serving shape): the (vec_id, bucket,
-    // reconstruction) table is WRITTEN ONCE per (corpus, params) —
-    // marker-gated like the stored LSH band index and the stored IVF
-    // quantizer — and every probe reads the artifact: index build
-    // amortizes to zero across runs, the approximate pass never touches
-    // raw vectors except for the rerank survivors. Same oracle as the
-    // in-query twin — the parquet round-trip of the index must change
-    // nothing.
+    // STORED IVF-PQ index (the serving shape): THREE published tables
+    // written once per (corpus, params) — rows/ (vec_id, bucket,
+    // codes: array<int> — CODES, a fraction of the corpus bytes, never
+    // reconstructions), coarse/ (the quantizer) and book/ (the dense
+    // codebook) — marker-gated like the stored LSH band index and the
+    // stored IVF quantizer. Every probe reads the artifacts only: index
+    // build amortizes to zero across runs, reconstruction happens at
+    // probe time behind the broadcast codebook LUT, and the corpus is
+    // touched only for the rerank survivors' raw vectors. Same oracle as
+    // the in-query twin — the codes round-trip must change nothing.
     "sim_ann_ivfpq_stored" -> ((s, dir) => {
       val emb = Sources.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -510,7 +512,7 @@ private[graft] object DedupSimRegistry {
         s.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpq_idx_$sfTag")
       val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_MARKER")
-      val tag = s"$dir|c=16|m=${sim.Similarity.PqSubspaces}|k=${sim.Similarity.PqCodewords}"
+      val tag = s"$dir|c=16|m=${sim.Similarity.PqSubspaces}|k=${sim.Similarity.PqCodewords}|v=codes"
       val fresh = fs.exists(marker) && {
         val in = fs.open(marker)
         try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
@@ -518,13 +520,33 @@ private[graft] object DedupSimRegistry {
       if (!fresh) {
         util.Artifacts.recordBuild(s"ivfpq_index $tag")
         if (fs.exists(out)) fs.delete(out, true)
-        sim.Similarity.ivfPqIndex(emb, numCentroids = 16)
-          .write.mode("overwrite").parquet(out.toString)
+        val coarse = sim.Similarity.sampledCentroids(emb, 16)
+        val book = sim.Similarity.ivfPqBook(emb)
+        coarse.write.mode("overwrite").parquet(s"$out/coarse")
+        book.write.mode("overwrite").parquet(s"$out/book")
+        sim.Similarity.ivfPqIndexWith(emb, coarse, book)
+          .write.mode("overwrite").parquet(s"$out/rows")
         val os = fs.create(marker, true)
         try os.write(tag.getBytes("UTF-8")) finally os.close()
       }
       sim.Similarity.ivfPqProbe(emb.filter(col("id") < 5), emb,
-        s.read.parquet(out.toString), 10)
+        s.read.parquet(s"$out/rows"), s.read.parquet(s"$out/coarse"),
+        s.read.parquet(s"$out/book"), 10)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // RESIDUAL IVF-PQ (the faiss default): PQ encodes v − centroid
+    // [bucket] against a residual-space codebook; the probe reconstructs
+    // centroid + codeword-concat. Residuals concentrate near the origin
+    // once the coarse quantizer soaks up between-cluster variance, so
+    // the same code budget (same artifact bytes) buys materially better
+    // reconstruction — SimSpec measures recall of both encodings against
+    // the brute-force ground truth on the shared fixture.
+    "sim_ann_ivfpq_residual" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      sim.Similarity.ivfPqResidualTopK(emb.filter(col("id") < 5), emb, 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -1303,8 +1325,14 @@ private[graft] object DedupSimRegistry {
     "sim_ann_ivfpq" -> ivfPqOracle,
 
     // The stored path probes the SAME index the in-query twin derives —
-    // one oracle, proof the index parquet round-trip changes nothing.
+    // one oracle, proof the codes parquet round-trip changes nothing.
     "sim_ann_ivfpq_stored" -> ivfPqOracle,
+
+    "sim_ann_ivfpq_residual" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |${sim.Similarity.ivfPqResidualTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |SELECT query_id, vec_id, sim, rank FROM topk
+         |ORDER BY query_id, rank""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH aug AS ${sim.Similarity.augmentedSql},

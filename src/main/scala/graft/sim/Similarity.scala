@@ -411,75 +411,148 @@ object Similarity {
 
   /** IVF-PQ — the COMPOUND production ANN index (the faiss-default
     * shape): IVF coarse pruning AND PQ compression composed. The stored
-    * index is one row per corpus vector: (bucket, reconstruction) — the
+    * index is one row per corpus vector: (vec_id, bucket, codes) — the
     * bucket from the nearest coarse centroid (the write-once IVF
-    * assignment), the reconstruction from per-subspace nearest-codeword
-    * encoding (the write-once PQ encode). A query probes its `nprobe`
+    * assignment), and [[PqSubspaces]] DENSE SMALL-INT CODES from
+    * per-subspace nearest-codeword encoding (the write-once PQ encode).
+    * Codes, not reconstructions: the artifact is ~vec-bytes/code-bytes
+    * smaller than the corpus (16 doubles → 8 tiny ints here; 1 byte per
+    * subspace with 256 codewords at scale), and the codeword vectors
+    * live in the [[ivfPqBook]] codebook — a PqCodewords-row broadcast
+    * table, reconstructed at probe time. A query probes its `nprobe`
     * nearest coarse buckets and ADC-scores ONLY those buckets' codes —
     * at cluster scale the approximate pass reads nprobe/numCentroids of
-    * the corpus as BYTES (codes), the double win neither tier delivers
-    * alone — then the top `rerank` survivors re-rank by exact cosine
-    * against raw vectors. Every argmax/argmin/top-k goes through the
-    * bounded-heap per-key operator (map-side collapse before any
-    * exchange). This variant encodes RAW vectors; faiss's residual
-    * encoding (encode v − centroid, reconstruct centroid + codeword) is
-    * one subtraction at the encode seam and one addition at the
-    * reconstruction seam. */
+    * the corpus AS BYTES, the double win neither tier delivers alone —
+    * then the top `rerank` survivors re-rank by exact cosine against raw
+    * vectors. Every argmax/argmin/top-k goes through the bounded-heap
+    * per-key operator (map-side collapse before any exchange). This
+    * variant encodes RAW vectors; [[ivfPqResidualTopK]] is the faiss
+    * default residual encoding (encode v − centroid, reconstruct
+    * centroid + codeword). */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 numCentroids: Int = 16, nprobe: Int = 3,
-                rerank: Int = 20): DataFrame =
-    ivfPqProbe(queries, corpus, ivfPqIndex(corpus, numCentroids),
-      k, numCentroids, nprobe, rerank)
+                rerank: Int = 20): DataFrame = {
+    val coarse = sampledCentroids(corpus, numCentroids)
+    val book = ivfPqBook(corpus)
+    ivfPqProbe(queries, corpus, ivfPqIndexWith(corpus, coarse, book),
+      coarse, book, k, nprobe, rerank)
+  }
+
+  /** The PQ codebook as a PUBLISHED table — (code, code_id, codev):
+    * the deterministic PqCodewords-row sample of the corpus with DENSE
+    * small codes (0..PqCodewords-1, the rank in the sample order).
+    * `code` is what the index stores per subspace; `code_id` (the
+    * sampled corpus id) remains the encode argmin TIEBREAK, so the dense
+    * renumbering can never flip an assignment; `codev` is what the probe
+    * reconstructs from. Built by a driver-side zipWithIndex of the
+    * bounded sample — the codebook-training action of a real PQ build,
+    * run once at index-publish time (a trained k-means codebook table
+    * drops in unchanged, exactly like [[trainCentroids]] for IVF). */
+  def ivfPqBook(corpus: DataFrame): DataFrame =
+    denseBook(sampledCentroids(corpus, PqCodewords)
+      .select(col("cent_id").as("code_id"), col("centv").as("codev")))
+
+  /** Prepend a dense 0-based `code` column to a BOUNDED, already-ordered
+    * (code_id, codev) sample — collected on the driver (≤ PqCodewords
+    * rows, the codebook publish step). */
+  private def denseBook(sample: DataFrame): DataFrame = {
+    val spark = sample.sparkSession
+    val rows = sample.collect() // bounded: ≤ PqCodewords rows by construction
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        sample.schema.fields)
+    val out = rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(i +: r.toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+  }
+
+  /** The codebook as a reconstruction LUT literal: lut(code+1)(j+1) =
+    * codeword `code`'s subspace-`j` subvector. PqCodewords×PqSubspaces
+    * small arrays shipped with the plan (the broadcast-codebook shape) —
+    * reconstruction stays inside whole-stage codegen, no join. */
+  private def bookLut(book: DataFrame): Column = {
+    val rows: Seq[Seq[Seq[Double]]] =
+      book.select("code", "codev").collect() // bounded: codebook rows
+        .sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1).grouped(PqSubDim).map(_.toSeq: Seq[Double]).toSeq)
+        .toSeq
+    typedLit(rows)
+  }
+
+  /** Reconstruction of a dense-codes column via the codebook LUT:
+    * concat over subspaces j of codeword codes(j)'s subvector. */
+  private def pqReconstruct(codes: Column, lut: Column): Column =
+    flatten(transform(codes, (c, j) =>
+      element_at(element_at(lut, c + 1), j + 1)))
 
   /** The index half of [[ivfPqTopK]] — one row per corpus vector:
-    * (vec_id, bucket, rv). This is what a serving system WRITES ONCE
-    * per (corpus, params): the coarse assignment and the PQ
-    * reconstruction are both corpus-scan jobs whose output replaces the
-    * raw vectors for the approximate pass. */
-  def ivfPqIndex(corpus: DataFrame, numCentroids: Int = 16): DataFrame = {
+    * (vec_id, bucket, codes: array<int>). This is what a serving system
+    * WRITES ONCE per (corpus, params), alongside the small `coarse` and
+    * `book` tables: the coarse assignment and the PQ encode are both
+    * corpus-scan jobs whose output replaces the raw vectors for the
+    * approximate pass — at a fraction of their bytes. */
+  def ivfPqIndexWith(corpus: DataFrame, coarse: DataFrame,
+                     book: DataFrame): DataFrame = {
     val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
-    val coarse = broadcast(sampledCentroids(corpus, numCentroids))
     val assigned = graft.plans.TopK.perKey(
-      c.crossJoin(coarse)
+      c.crossJoin(broadcast(coarse.select("cent_id", "centv")))
         .select(col("vec_id"), col("cv"), col("cent_id"),
           cosine(col("cv"), col("centv")).as("csim")),
       keyCols = Seq("vec_id"),
       orderBy = Seq("csim" -> false, "cent_id" -> true), k = 1)
       .select(col("vec_id"), col("cent_id").as("bucket"))
-    val book = broadcast(sampledCentroids(corpus, PqCodewords)
-      .select(col("cent_id").as("code_id"), col("centv").as("codev")))
-    val enc0 = c.crossJoin(book)
-      .select(col("vec_id"), col("code_id"), posexplode(array(
+    assigned.join(pqEncode(c, book), "vec_id")
+  }
+
+  /** Back-compat convenience: derive coarse + book from the corpus. */
+  def ivfPqIndex(corpus: DataFrame, numCentroids: Int = 16): DataFrame =
+    ivfPqIndexWith(corpus, sampledCentroids(corpus, numCentroids),
+      ivfPqBook(corpus))
+
+  /** PQ-encode a (vec_id, cv) frame against a (code, code_id, codev)
+    * codebook → (vec_id, codes): per (vector, subspace) nearest codeword
+    * by squared L2 with the (d, code_id) tiebreak, aggregated into the
+    * j-ordered dense-code array. */
+  private def pqEncode(c: DataFrame, book: DataFrame): DataFrame = {
+    val bk = broadcast(book.select("code", "code_id", "codev"))
+    val enc0 = c.crossJoin(bk)
+      .select(col("vec_id"), col("code"), col("code_id"), posexplode(array(
         (0 until PqSubspaces).map { j =>
           val a = slice(col("cv"), j * PqSubDim + 1, PqSubDim)
           val b = slice(col("codev"), j * PqSubDim + 1, PqSubDim)
-          struct(l2sq(a, b).as("d"), b.as("subv"))
+          l2sq(a, b)
         }: _*)))
-      .select(col("vec_id"), col("code_id"), col("pos").as("j"),
-        col("col.d").as("d"), col("col.subv").as("subv"))
-    val codes = graft.plans.TopK.perKey(enc0,
+      .select(col("vec_id"), col("code"), col("code_id"),
+        col("pos").as("j"), col("col").as("d"))
+    graft.plans.TopK.perKey(enc0,
       keyCols = Seq("vec_id", "j"),
       orderBy = Seq("d" -> true, "code_id" -> true), k = 1)
-    val recon = codes.groupBy("vec_id")
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("j").as("j"), col("subv").as("v")))),
-        x => x.getField("v"))).as("rv"))
-    assigned.join(recon, "vec_id")
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("j").as("j"), col("code").as("c")))),
+        x => x.getField("c")).as("codes"))
   }
 
   /** The probe half of [[ivfPqTopK]] against a PREBUILT
-    * `(vec_id, bucket, rv)` index (from [[ivfPqIndex]], usually read
-    * back from parquet): only the query side computes anything fresh —
-    * the corpus contributes index scans plus the raw-vector lookup for
-    * the `rerank` survivors. */
+    * `(vec_id, bucket, codes)` index plus its published `coarse`
+    * quantizer and `book` codebook (from [[ivfPqIndexWith]] /
+    * [[sampledCentroids]] / [[ivfPqBook]], usually read back from
+    * parquet): only the query side computes anything fresh — the corpus
+    * contributes index scans (codes: BYTES per vector) plus the
+    * raw-vector lookup for the `rerank` survivors. Reconstruction
+    * happens HERE, behind the broadcast codebook LUT — never in the
+    * artifact. */
   def ivfPqProbe(queries: DataFrame, corpus: DataFrame, index: DataFrame,
-                 k: Int, numCentroids: Int = 16, nprobe: Int = 3,
-                 rerank: Int = 20): DataFrame = {
+                 coarse: DataFrame, book: DataFrame, k: Int,
+                 nprobe: Int = 3, rerank: Int = 20): DataFrame = {
     val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
-    val coarse = broadcast(sampledCentroids(corpus, numCentroids))
     val q = queries.select(col("id").as("query_id"), vec(col("vec")).as("qv"))
+    val lut = bookLut(book)
     val probes = broadcast(graft.plans.TopK.perKey(
-      q.crossJoin(coarse)
+      q.crossJoin(broadcast(coarse.select("cent_id", "centv")))
         .select(col("query_id"), col("qv"), col("cent_id"),
           cosine(col("qv"), col("centv")).as("csim")),
       keyCols = Seq("query_id"),
@@ -488,7 +561,165 @@ object Similarity {
     val approx = graft.plans.TopK.perKey(
       index.join(probes, "bucket")
         .select(col("query_id"), col("vec_id"),
-          cosine(col("qv"), col("rv")).as("asim")),
+          cosine(col("qv"), pqReconstruct(col("codes"), lut)).as("asim")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq("asim" -> false, "vec_id" -> true), k = rerank)
+    val scored = approx.select("query_id", "vec_id")
+      .join(c, "vec_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    rankPerKey(scored, k)
+  }
+
+  /** (vec_id, rv): the probe-side reconstruction of a raw-encoding codes
+    * index — the quantization-error audit surface (computed, never
+    * persisted; the artifact stays codes). */
+  def ivfPqReconstructed(index: DataFrame, book: DataFrame): DataFrame =
+    index.select(col("vec_id"),
+      pqReconstruct(col("codes"), bookLut(book)).as("rv"))
+
+  /** (vec_id, rv) for a RESIDUAL codes index: centroid[bucket] +
+    * codeword-concat. */
+  def ivfPqResidualReconstructed(index: DataFrame, coarse: DataFrame,
+                                 book: DataFrame): DataFrame =
+    index
+      .join(broadcast(coarse.select(col("cent_id").as("bucket"),
+        col("centv"))), "bucket")
+      .select(col("vec_id"),
+        zip_with(col("centv"), pqReconstruct(col("codes"), bookLut(book)),
+          (a, b) => a + b).as("rv"))
+
+  // ------------------------------------------------------- residual IVF-PQ
+
+  /** RESIDUAL IVF-PQ — the faiss default: PQ encodes the residual
+    * `v − centroid[bucket]` instead of the raw vector, and the probe
+    * reconstructs `centroid[bucket] + codeword-concat`. Residuals
+    * concentrate near the origin once the coarse quantizer has soaked up
+    * the between-cluster variance, so the same code budget spends its
+    * codewords on a much smaller ball — materially better reconstruction
+    * (and recall) per byte than raw encoding (SimSpec measures both on
+    * the shared fixture). Same plan shapes as [[ivfPqTopK]]: one extra
+    * elementwise `zip_with` subtraction at the encode seam, one
+    * elementwise addition at the reconstruction seam, both row-local. */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        numCentroids: Int = 16, nprobe: Int = 3,
+                        rerank: Int = 20): DataFrame = {
+    val coarse = sampledCentroids(corpus, numCentroids)
+    val book = ivfPqResidualBook(corpus, coarse)
+    ivfPqResidualProbe(queries, corpus,
+      ivfPqResidualIndex(corpus, coarse, book), coarse, book,
+      k, nprobe, rerank)
+  }
+
+  /** (vec_id, bucket, cv, rvv): each corpus vector's coarse bucket and
+    * residual against that bucket's centroid. */
+  private def residuals(corpus: DataFrame, coarse: DataFrame): DataFrame = {
+    val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+    val assigned = graft.plans.TopK.perKey(
+      c.crossJoin(broadcast(coarse.select("cent_id", "centv")))
+        .select(col("vec_id"), col("cv"), col("cent_id"),
+          cosine(col("cv"), col("centv")).as("csim")),
+      keyCols = Seq("vec_id"),
+      orderBy = Seq("csim" -> false, "cent_id" -> true), k = 1)
+      .select(col("vec_id"), col("cv"), col("cent_id").as("bucket"))
+    assigned
+      .join(broadcast(coarse.select(col("cent_id").as("bucket"),
+        col("centv"))), "bucket")
+      .select(col("vec_id"), col("bucket"), col("cv"),
+        zip_with(col("cv"), col("centv"), (a, b) => a - b).as("rvv"))
+  }
+
+  /** Residual-space codebook, TRAINED: seeded by the deterministic
+    * PqCodewords-row sample of the RESIDUAL frame (same md5-of-id order
+    * as [[sampledCentroids]]), then ONE per-subspace Lloyd step — each
+    * residual subvector assigns to its nearest seed codeword subvector
+    * (squared L2, dense-code tiebreak) and each (code, subspace) cell
+    * becomes the DECIMAL(38,18)-exact elementwise mean of its members
+    * (the [[trainCentroids]] determinism discipline: order-independent
+    * exact sums, double division, cross-engine bit-identical up to the
+    * documented ~1e-18 rounding caveat). Cells that win no members keep
+    * their seed subvector. Training in residual space is what makes
+    * residual encoding pay: sampled residuals are arbitrary directions,
+    * but their per-subspace Lloyd means tile the post-coarse ball the
+    * codes actually live in — faiss trains its PQ codebooks for the same
+    * reason. The trained codewords are means, so `code_id` (the encode
+    * tiebreak) is the dense code itself. */
+  def ivfPqResidualBook(corpus: DataFrame, coarse: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val res = residuals(corpus, coarse).select(col("vec_id"), col("rvv"))
+    val seed = denseBook(res
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(PqCodewords)
+      .select(col("vec_id").as("code_id"), col("rvv").as("codev")))
+    val enc0 = res.crossJoin(broadcast(seed.select("code", "codev")))
+      .select(col("vec_id"), col("code"), posexplode(array(
+        (0 until PqSubspaces).map { j =>
+          val a = slice(col("rvv"), j * PqSubDim + 1, PqSubDim)
+          val b = slice(col("codev"), j * PqSubDim + 1, PqSubDim)
+          struct(l2sq(a, b).as("d"), a.as("rsubv"))
+        }: _*)))
+      .select(col("vec_id"), col("code"), col("pos").as("j"),
+        col("col.d").as("d"), col("col.rsubv").as("rsubv"))
+    val assigned = graft.plans.TopK.perKey(enc0,
+      keyCols = Seq("vec_id", "j"),
+      orderBy = Seq("d" -> true, "code" -> true), k = 1)
+    val sums = (0 until PqSubDim).map(d =>
+      sum(element_at(col("rsubv"), d + 1).cast(dec)).as(s"s$d"))
+    val means = assigned.groupBy("code", "j")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("code"), col("j"),
+        array((0 until PqSubDim).map(d =>
+          col(s"s$d").cast("double") / col("n")): _*).as("msubv"))
+    val seedCells = seed.select(col("code"), posexplode(array(
+        (0 until PqSubspaces).map(j =>
+          slice(col("codev"), j * PqSubDim + 1, PqSubDim)): _*)))
+      .select(col("code"), col("pos").as("j"), col("col").as("ssubv"))
+    seedCells.join(means, Seq("code", "j"), "left_outer")
+      .select(col("code"), col("j"),
+        coalesce(col("msubv"), col("ssubv")).as("v"))
+      .groupBy("code")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j").as("j"), col("v").as("v")))),
+        x => x.getField("v"))).as("codev"))
+      .select(col("code"), col("code").cast("long").as("code_id"), col("codev"))
+  }
+
+  /** The residual index: (vec_id, bucket, codes) where codes encode the
+    * residual against the RESIDUAL codebook. Same artifact bytes as the
+    * raw-encoding index. */
+  def ivfPqResidualIndex(corpus: DataFrame, coarse: DataFrame,
+                         book: DataFrame): DataFrame = {
+    val res = residuals(corpus, coarse)
+    res.select("vec_id", "bucket")
+      .join(pqEncode(res.select(col("vec_id"), col("rvv").as("cv")), book),
+        "vec_id")
+  }
+
+  /** Probe of the residual index: reconstruct centroid[bucket] +
+    * codeword-concat behind the broadcast coarse table and codebook LUT,
+    * ADC-score probed buckets only, exact re-rank of survivors. */
+  def ivfPqResidualProbe(queries: DataFrame, corpus: DataFrame,
+                         index: DataFrame, coarse: DataFrame,
+                         book: DataFrame, k: Int, nprobe: Int = 3,
+                         rerank: Int = 20): DataFrame = {
+    val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+    val q = queries.select(col("id").as("query_id"), vec(col("vec")).as("qv"))
+    val lut = bookLut(book)
+    val probes = broadcast(graft.plans.TopK.perKey(
+      q.crossJoin(broadcast(coarse.select("cent_id", "centv")))
+        .select(col("query_id"), col("qv"), col("cent_id"),
+          cosine(col("qv"), col("centv")).as("csim")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq("csim" -> false, "cent_id" -> true), k = nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("bucket")))
+    val rv = zip_with(col("centv"), pqReconstruct(col("codes"), lut),
+      (a, b) => a + b)
+    val approx = graft.plans.TopK.perKey(
+      index.join(probes, "bucket")
+        .join(broadcast(coarse.select(col("cent_id").as("bucket"),
+          col("centv"))), "bucket")
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("qv"), rv).as("asim")),
       keyCols = Seq("query_id"),
       orderBy = Seq("asim" -> false, "vec_id" -> true), k = rerank)
     val scored = approx.select("query_id", "vec_id")
@@ -760,6 +991,126 @@ object Similarity {
        |  FROM codes GROUP BY vec_id),
        |idx AS (SELECT a.vec_id, a.bucket, r.rv
        |        FROM assigned a JOIN recon r USING (vec_id)),
+       |probes AS (
+       |  SELECT query_id, qv, bucket FROM (
+       |    SELECT q.id AS query_id, q.vec AS qv, coarse.cent_id AS bucket,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cosineSql("q.vec", "coarse.centv")} DESC, coarse.cent_id) AS r
+       |    FROM $queriesRel q CROSS JOIN coarse)
+       |  WHERE r <= $nprobe),
+       |approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT p.query_id, i.vec_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY ${cosineSql("p.qv", "i.rv")} DESC, i.vec_id) AS ar
+       |    FROM idx i JOIN probes p USING (bucket))
+       |  WHERE ar <= $rerank),
+       |scored AS (
+       |  SELECT a.query_id, a.vec_id, ${cosineSql("q.vec", "c.vec")} AS sim
+       |  FROM approx a
+       |  JOIN $corpusRel c ON c.id = a.vec_id
+       |  JOIN $queriesRel q ON q.id = a.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored),
+       |topk AS (SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= $k)""".stripMargin
+  }
+
+  /** CTE chain ending in `topk` — the [[ivfPqResidualTopK]] mirror:
+    * coarse sample/assign per the IVF mirror, residual = elementwise
+    * vec − centroid[bucket], residual-space codebook SEEDED in the same
+    * md5-of-id order then refined by one per-subspace Lloyd step
+    * (DECIMAL(38,18)-exact means, the [[trainedCentsSql]] discipline;
+    * empty cells keep their seed), encode/argmin per the PQ mirror,
+    * reconstruction = centroid + codeword-concat, ADC restricted to
+    * probed buckets, exact re-rank. Every elementwise op (subtract, add)
+    * and every dot fold is in the same operand/array order as the Spark
+    * side — bit-identical doubles (up to the documented ~1e-18 decimal
+    * rounding caveat of the trained-mean path). */
+  def ivfPqResidualTopKSql(queriesRel: String, corpusRel: String, k: Int,
+                           numCentroids: Int = 16, nprobe: Int = 3,
+                           rerank: Int = 20): String = {
+    def sub(v: String, j: Int) =
+      s"$v[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}]"
+    def l2(a: String, b: String) =
+      s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
+    val encRows = (0 until PqSubspaces).map { j =>
+      s"""SELECT vec_id, code_id, $j AS j,
+         |    ${l2(sub("cv", j), sub("codev", j))} AS d,
+         |    ${sub("codev", j)} AS subv FROM vb""".stripMargin
+    }.mkString("\nUNION ALL ")
+    val trRows = (0 until PqSubspaces).map { j =>
+      s"""SELECT r.vec_id, s.code, $j AS j,
+         |    ${l2(sub("r.rvv", j), sub("s.codev", j))} AS d,
+         |    ${sub("r.rvv", j)} AS rsubv FROM resid r CROSS JOIN seed s""".stripMargin
+    }.mkString("\nUNION ALL ")
+    val seedCellRows = (0 until PqSubspaces).map { j =>
+      s"SELECT code, $j AS j, ${sub("codev", j)} AS ssubv FROM seed"
+    }.mkString("\nUNION ALL ")
+    val meanCols = (0 until PqSubDim).map(d =>
+      s"CAST(sum(CAST(rsubv[${d + 1}] AS DECIMAL(38,18))) AS DOUBLE) / count(*)")
+      .mkString("[", ",\n      ", "]")
+    s"""coarse AS (SELECT id AS cent_id, vec AS centv FROM $corpusRel c
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $numCentroids),
+       |assigned AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT v.id AS vec_id, coarse.cent_id AS bucket,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY ${cosineSql("v.vec", "coarse.centv")} DESC, coarse.cent_id) AS r
+       |    FROM $corpusRel v CROSS JOIN coarse)
+       |  WHERE r = 1),
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.bucket,
+       |    list_transform(list_zip(v.vec, co.centv), p -> p[1] - p[2]) AS rvv
+       |  FROM assigned a
+       |  JOIN $corpusRel v ON v.id = a.vec_id
+       |  JOIN coarse co ON co.cent_id = a.bucket),
+       |seed AS MATERIALIZED (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+       |    rvv AS codev
+       |  FROM (SELECT vec_id, rvv FROM resid
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |        LIMIT $PqCodewords)),
+       |tr0 AS ($trRows),
+       |trassigned AS (
+       |  SELECT vec_id, code, j, rsubv FROM (
+       |    SELECT vec_id, code, j, rsubv,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code) AS r
+       |    FROM tr0)
+       |  WHERE r = 1),
+       |means AS (
+       |  SELECT code, j, $meanCols AS msubv
+       |  FROM trassigned GROUP BY code, j),
+       |seedcells AS ($seedCellRows),
+       |book AS MATERIALIZED (
+       |  SELECT code, CAST(code AS BIGINT) AS code_id,
+       |    flatten(list_transform(list_sort(list(struct_pack(j := j, v := v))),
+       |                           x -> x.v)) AS codev
+       |  FROM (SELECT sc.code, sc.j, COALESCE(m.msubv, sc.ssubv) AS v
+       |        FROM seedcells sc LEFT JOIN means m USING (code, j))
+       |  GROUP BY code),
+       |vb AS (SELECT r.vec_id, r.rvv AS cv, book.code_id, book.codev
+       |       FROM resid r CROSS JOIN book),
+       |enc0 AS ($encRows),
+       |codes AS (
+       |  SELECT vec_id, j, subv FROM (
+       |    SELECT vec_id, j, subv,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code_id) AS r
+       |    FROM enc0)
+       |  WHERE r = 1),
+       |reconres AS (
+       |  SELECT vec_id,
+       |    flatten(list_transform(list_sort(list(struct_pack(j := j, v := subv))),
+       |                           x -> x.v)) AS rc
+       |  FROM codes GROUP BY vec_id),
+       |idx AS (
+       |  SELECT r.vec_id, r.bucket,
+       |    list_transform(list_zip(co.centv, rc.rc), p -> p[1] + p[2]) AS rv
+       |  FROM resid r
+       |  JOIN reconres rc USING (vec_id)
+       |  JOIN coarse co ON co.cent_id = r.bucket),
        |probes AS (
        |  SELECT query_id, qv, bucket FROM (
        |    SELECT q.id AS query_id, q.vec AS qv, coarse.cent_id AS bucket,

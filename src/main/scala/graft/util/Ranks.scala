@@ -47,6 +47,14 @@ object Ranks {
     // collects (RDD.zipWithIndex does exactly this); NOT data-sized.
     val counts = seq.groupBy("__pid").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // monotonically_increasing_id gives each partition a 33-bit record
+    // space; a partition beyond 2^33 rows would bleed into the
+    // partition-id bits and silently mis-rank. The histogram is already
+    // here — fail loudly instead (re-partition wider to fix).
+    require(counts.forall(_._2 <= SeqMask),
+      s"withGlobalRank: a partition exceeds 2^33 rows and would overflow " +
+        s"monotonically_increasing_id's per-partition space — increase " +
+        s"the range-partition width (got ${counts.map(_._2).max} rows)")
     val offsets = counts.scanLeft((-1L, 0L)) {
       case ((_, acc), (pid, n)) => (pid, acc + n)
     }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }

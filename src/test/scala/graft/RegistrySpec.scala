@@ -33,6 +33,6 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("the full surface is present") {
-    assert(SparkEntry.queries.size == 350, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 351, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -245,6 +245,138 @@ class SimSpec extends SparkSpec {
     ipq.unpersist()
   }
 
+  test("IVF-PQ index artifact stores dense CODES, and its bytes are a fraction of the raw embeddings'") {
+    val idx = Similarity.ivfPqIndex(emb, numCentroids = 16).cache()
+    // Shape: one row per corpus vector; codes = PqSubspaces dense ints in
+    // [0, PqCodewords) — the renumbered codebook positions, NOT corpus
+    // ids and NOT reconstruction vectors.
+    assert(idx.count() === emb.count())
+    assert(idx.filter(size(col("codes")) =!= Similarity.PqSubspaces).count() === 0)
+    val bad = idx.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= Similarity.PqCodewords)
+    assert(bad.count() === 0, "a code fell outside [0, PqCodewords)")
+    // Byte claim (VERDICT r8 #1): the artifact must be materially smaller
+    // than the raw vectors it replaces for the approximate pass. Write
+    // both as parquet and compare actual on-disk bytes.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_bytes").toString
+    emb.write.mode("overwrite").parquet(s"$tmp/raw")
+    idx.write.mode("overwrite").parquet(s"$tmp/idx")
+    def bytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(path).getLength
+    }
+    val (rawB, idxB) = (bytes(s"$tmp/raw"), bytes(s"$tmp/idx"))
+    info(s"raw embeddings $rawB B, codes index $idxB B, ratio ${rawB.toDouble / idxB}")
+    // Conservative floor: ≥2x smaller even at fixture scale, where the
+    // per-file parquet footer overhead is at its proportional worst. The
+    // data-page win is ~16 doubles -> 8 two-bit ints per vector.
+    assert(idxB * 2 < rawB,
+      s"codes index ($idxB B) is not ≪ raw embeddings ($rawB B)")
+    idx.unpersist()
+  }
+
+  test("residual IVF-PQ: self-hit at rank 1, exact sims on shared hits, recall measured vs raw encoding") {
+    val q = emb.filter(col("id") < 20)
+    val res = Similarity.ivfPqResidualTopK(q, emb, 10).cache()
+    val perQuery = res.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) === 10L))
+    val self = res.filter(col("query_id") === col("vec_id"))
+    assert(self.count() === 20)
+    assert(self.filter(col("rank") =!= 1).count() === 0)
+    assert(self.filter(abs(col("sim") - 1.0) > 1e-9).count() === 0)
+    // Emitted sims are exact cosines wherever brute agrees on the hit.
+    val truthDf = Similarity.bruteTopK(q, emb, 10).cache()
+    val joined = res.join(
+      truthDf.select(col("query_id"), col("vec_id"), col("sim").as("bsim")),
+      Seq("query_id", "vec_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(abs(col("sim") - col("bsim")) > 0.0).count() === 0)
+    // Recall vs the raw-encoding tier at the SAME code budget (same
+    // subspaces, same codeword count, same artifact bytes): residual
+    // codewords live in the post-coarse ball, raw codewords in the full
+    // space. Both measured against brute-force ground truth.
+    val truth = truthDf.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val rawRecall = recall(Similarity.ivfPqTopK(q, emb, 10))
+    val residRecall = recall(res)
+    // On the ISOTROPIC fixture (independent random embeddings) these are
+    // expected to be close, with no reliable ordering: residual encoding
+    // pays exactly when the coarse quantizer explains variance, and on
+    // unclustered data v − centroid has HIGHER variance than v (the
+    // centroid is nearly independent of v), so the residual tier has
+    // nothing to win here. Measured and recorded, not ordered-asserted —
+    // the ordering claim is made (and asserted) on clustered data below,
+    // which is what real embedding corpora look like.
+    info(s"isotropic fixture recall@10 over 20 queries: raw-encoding $rawRecall, residual $residRecall")
+    assert(residRecall >= rawRecall - 0.06 && residRecall >= 0.15,
+      s"residual recall $residRecall collapsed vs raw $rawRecall")
+    res.unpersist(); truthDf.unpersist()
+  }
+
+  test("residual IVF-PQ beats raw encoding on CLUSTERED data: lower reconstruction MSE and >= recall at the same code budget") {
+    // Deterministic clustered corpus from fixture columns only: 8 cluster
+    // centers (scaled fixture vectors), each member = 4x its center plus
+    // a 0.3x fixture perturbation — the shape real embedding corpora
+    // have, and the regime residual encoding exists for: once the coarse
+    // quantizer soaks up the center, codes quantize the small
+    // perturbation ball instead of the full space.
+    val base = emb.select(col("id"), Similarity.vec(col("vec")).as("v"))
+    val centers = base.filter(col("id") < 8)
+      .select((col("id")).as("cid"), col("v").as("cv0"))
+    val clustered = base.filter(col("id") >= 8)
+      .withColumn("cid", col("id") % 8)
+      .join(broadcast(centers), "cid")
+      .select(col("id"),
+        zip_with(col("cv0"), col("v"),
+          (c, p) => c * lit(4.0) + p * lit(0.3)).as("vec"))
+      .cache()
+    val q = clustered.filter(col("id") < 40)
+    val truth = Similarity.bruteTopK(q, clustered, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val rawRecall = recall(Similarity.ivfPqTopK(q, clustered, 10))
+    val residRecall = recall(Similarity.ivfPqResidualTopK(q, clustered, 10))
+    // Reconstruction error — the claim residual encoding actually makes
+    // (what faiss trains for): average squared L2 between each corpus
+    // vector and its reconstruction over the WHOLE corpus (deterministic,
+    // no query luck). Same code budget both sides: PqSubspaces codes from
+    // PqCodewords codewords.
+    val coarse = Similarity.sampledCentroids(clustered, 16)
+    val cv = clustered.select(col("id").as("vec_id"),
+      Similarity.vec(col("vec")).as("cv"))
+    def mse(recon: org.apache.spark.sql.DataFrame): Double = {
+      val diff = zip_with(col("cv"), col("rv"), (a, b) => a - b)
+      recon.join(cv, "vec_id")
+        .select(Similarity.dot(diff, diff).as("e"))
+        .agg(avg("e")).head.getDouble(0)
+    }
+    val rawBook = Similarity.ivfPqBook(clustered)
+    val rawMse = mse(Similarity.ivfPqReconstructed(
+      Similarity.ivfPqIndexWith(clustered, coarse, rawBook), rawBook))
+    val residBook = Similarity.ivfPqResidualBook(clustered, coarse)
+    val residMse = mse(Similarity.ivfPqResidualReconstructed(
+      Similarity.ivfPqResidualIndex(clustered, coarse, residBook),
+      coarse, residBook))
+    info(s"clustered recall@10 over 40 queries: raw-encoding $rawRecall, residual $residRecall")
+    info(s"clustered reconstruction MSE: raw-encoding $rawMse, residual $residMse")
+    assert(residMse < rawMse,
+      s"residual reconstruction MSE $residMse not < raw $rawMse on clustered data")
+    assert(residRecall >= rawRecall,
+      s"residual recall $residRecall < raw-encoding recall $rawRecall on clustered data")
+    clustered.unpersist()
+  }
+
   test("pq encoding geometry: codes exist for every (vector, subspace) and reconstructions have full dim") {
     // Re-derive the internal stages through the public result: every
     // corpus vector must appear at most once per query (codes are

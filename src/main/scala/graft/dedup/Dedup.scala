@@ -735,6 +735,141 @@ object Dedup {
         coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — same unique output
+    * as [[clusters]] (every vertex labeled by its component minimum;
+    * ClustersStarSpec proves equivalence), different iteration geometry:
+    *
+    *  - large-star(u): every neighbor v > u re-wires to m(u) =
+    *    min(Γ(u) ∪ {u}) — long tails collapse toward small ids;
+    *  - small-star(u): every neighbor v ≤ u (and u itself) re-wires to
+    *    m(u) — stars canonicalize onto their minimum.
+    *
+    * Where min-label propagation needs DIAMETER rounds, each reshuffling
+    * the FULL edge set plus a label table, star contraction converges in
+    * O(log n) rounds on chains and — the dedup-graph reality — in 1-2
+    * rounds on hub/star clusters, and the edge set it shuffles SHRINKS
+    * between rounds as components contract (duplicates collapse in each
+    * small-star distinct). Each round is: one shuffle of the current
+    * edges on src (large-star agg+join, co-partitioned), one on hi
+    * (small-star agg+join), one distinct on the canonical pair — all at
+    * the loop's own width (see [[clusters]] for why the width is derived
+    * from the measured edge count, not the session conf).
+    *
+    * Fixpoint: stars are the unique fixed point of both steps, so the
+    * loop stops when the round leaves the edge SET unchanged — checked
+    * EXACTLY (equal counts + equal-count inner join on both columns; the
+    * per-round frames are duplicate-graph-sized, not corpus-sized).
+    * Labels fall out of the final stars: every edge is (root=lo,
+    * member=hi) with lo the component min; singletons rejoin by the same
+    * left join as [[clusters]]. Honors [[CheckpointDirConf]]. */
+  def clustersStar(docs: DataFrame, idCol: String, pairs: DataFrame,
+                   maxIters: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    val verts = docs.select(col(idCol).as("id"))
+    val canon = pairs.select(
+        least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val ckptDir = spark.conf.getOption(CheckpointDirConf)
+    ckptDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materializeRound(df: DataFrame): (DataFrame, DataFrame) = ckptDir match {
+      case Some(_) =>
+        val c = df.checkpoint()
+        (c, c)
+      case None =>
+        val p = graft.util.Views.register(
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        (org.apache.spark.sql.GraftColumnBridge.lineageTruncated(p), p)
+    }
+    val sessionWidth =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val r0 = materializeRound(canon)
+    var e = r0._1
+    var cached = r0._2
+    var n = cached.count()
+    val loopWidth =
+      math.max(1L, math.min(sessionWidth.toLong, n / 4000000L + 1)).toInt
+    var converged = n == 0
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // Large-star. Symmetrize by explode (one scan, two rows per edge),
+      // then ONE shuffle on src feeds both the per-src min aggregate and
+      // the re-wiring join (co-partitioned at equal width — no second
+      // exchange). Emits exactly one row per input edge (from its
+      // smaller endpoint's group); duplicates are left for small-star's
+      // distinct — they cannot inflate the frame (|out| = |in|).
+      val sym = e.select(explode(array(
+          struct(col("lo").as("src"), col("hi").as("dst")),
+          struct(col("hi").as("src"), col("lo").as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        .repartition(loopWidth, col("src"))
+      val lsMins = sym.groupBy("src")
+        .agg(least(min("dst"), col("src")).as("m"))
+      // Fixpoint detection rides the round's OWN materialization via
+      // observe() (zero extra jobs): a round that re-wires nothing in
+      // either step emitted its input set verbatim — large-star's output
+      // row for edge (src,dst) differs iff m != src, small-star's iff
+      // lo != m — so rewires == 0 in both IS exact set equality (stars
+      // are the unique fixed point of both steps).
+      val lsObs = org.apache.spark.sql.Observation()
+      val ssObs = org.apache.spark.sql.Observation()
+      val ls = sym.join(lsMins, "src")
+        .filter(col("dst") > col("src"))
+        .observe(lsObs,
+          coalesce(sum((col("m") =!= col("src")).cast("long")), lit(0L))
+            .as("rewired"))
+        .select(col("m").as("lo"), col("dst").as("hi"))
+      // Small-star on the (lo < hi by construction: m <= src < dst)
+      // large-star output: per hi-group, re-wire every lo (and hi
+      // itself) to the group minimum. One shuffle on hi (agg + join
+      // co-partitioned), one distinct.
+      val inss = ls.repartition(loopWidth, col("hi"))
+      val ssMins = inss.groupBy("hi").agg(min("lo").as("m"))
+      val next = inss.join(ssMins, "hi")
+        .observe(ssObs,
+          coalesce(sum((col("lo") =!= col("m")).cast("long")), lit(0L))
+            .as("rewired"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .union(ssMins.select(col("m").as("lo"), col("hi")))
+        .distinct()
+      val (nE, nCached) = materializeRound(next)
+      n = nCached.count() // fills the cache, completes the observe metrics
+      converged = lsObs.get("rewired").asInstanceOf[Long] == 0L &&
+        ssObs.get("rewired").asInstanceOf[Long] == 0L
+      cached.unpersist()
+      cached = nCached
+      e = nE
+      iter += 1
+    }
+    require(converged,
+      s"star contraction did not converge within $maxIters rounds — " +
+        "raise maxIters explicitly")
+    // Structural guard: the converged edge set must BE stars — every
+    // member exactly one root edge, no root also a member. (Contraction
+    // preserves components, a star's root is its minimum, so stars ⇒
+    // correct labels; a round-identity fixpoint that was NOT stars would
+    // silently mislabel — fail loudly instead. One bounded check, paid
+    // once.)
+    // (One aggregate job: member-side multiplicity and root∩member
+    // overlap checked together over a role-tagged vertex union.)
+    val isStars = e.select(col("hi").as("v"), lit(1).as("m"))
+      .union(e.select(col("lo").as("v"), lit(0).as("m")))
+      .groupBy("v").agg(sum("m").as("nm"), min("m").as("mn"))
+      .filter(col("nm") > 1 || (col("nm") >= 1 && col("mn") === 0))
+      .isEmpty
+    require(n == 0 || isStars,
+      "star contraction reached a non-star fixpoint — cannot label safely")
+    // At fixpoint every edge is (component-min, member): the label table.
+    verts.join(e.select(col("hi").as("id"), col("lo").as("label")),
+        Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("label"), col("id")).as("cluster_id"))
+  }
+
   /** DuckDB mirror of [[clusters]]: recursive-CTE transitive closure from
     * each vertex, then min over reached vertices. `pairsCte` must expose
     * (id_a, id_b); ends in `clusters(doc_id, cluster_id)`. */

@@ -61,17 +61,19 @@ private[graft] object DedupSimRegistry {
 
 
     // Duplicate clusters: connected components of the (df-capped) Jaccard
-    // pair graph via iterative min-label propagation — diameter-bounded
-    // rounds of join+aggregate, driver controls iteration only. Completes
-    // the dedup pipeline: pairs -> clusters -> canonical survivor
-    // (is_canonical = doc is its cluster's min id). Oracle = DuckDB
-    // RECURSIVE CTE transitive closure (independent algorithm, same
-    // unique fixpoint).
+    // pair graph via ALTERNATING STAR CONTRACTION (large-star/small-star,
+    // Kiveris et al. SoCC'14) — O(log n) rounds over a SHRINKING edge
+    // set, vs diameter rounds reshuffling the full edge set for the
+    // min-label-propagation tier (Dedup.clusters, kept and spec-
+    // equivalent). Completes the dedup pipeline: pairs -> clusters ->
+    // canonical survivor (is_canonical = doc is its cluster's min id).
+    // Oracle = DuckDB RECURSIVE CTE transitive closure (independent
+    // algorithm, same unique fixpoint).
     "dedup_clusters" -> ((s, dir) => {
       val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
       val pairs = dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.6,
         maxDocFreq = Some(10L))
-      dedup.Dedup.clusters(docs, "doc_id", pairs)
+      dedup.Dedup.clustersStar(docs, "doc_id", pairs)
         .withColumn("is_canonical",
           (col("doc_id") === col("cluster_id")).cast("int"))
         .orderBy("doc_id")
@@ -170,14 +172,15 @@ private[graft] object DedupSimRegistry {
     // The CLOSED 100 TB dedup pipeline (SCALE.md "Deduplication"): LSH
     // candidates → exact-Jaccard-verified pairs → connected-component
     // clusters — every stage sub-quadratic (banded candidate equi-join,
-    // candidate-restricted verification, label propagation over the
-    // duplicate graph only). `dedup_clusters` above builds from
-    // capped-Jaccard pairs; this entry is the advertised end-to-end LSH
-    // path, against the same RECURSIVE-CTE closure oracle.
+    // candidate-restricted verification, star contraction over the
+    // duplicate graph only, shrinking the edge set between rounds).
+    // `dedup_clusters` above builds from capped-Jaccard pairs; this
+    // entry is the advertised end-to-end LSH path, against the same
+    // RECURSIVE-CTE closure oracle.
     "dedup_clusters_lsh" -> ((s, dir) => {
       val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
       val pairs = dedup.Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.6)
-      dedup.Dedup.clusters(docs, "doc_id", pairs)
+      dedup.Dedup.clustersStar(docs, "doc_id", pairs)
         .withColumn("is_canonical",
           (col("doc_id") === col("cluster_id")).cast("int"))
         .orderBy("doc_id")
@@ -199,7 +202,7 @@ private[graft] object DedupSimRegistry {
         dedup.Dedup.augmented(Sources.documents(s, dir)))
       val pairs = dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.6,
         maxDocFreq = Some(10L))
-      val clusters = dedup.Dedup.clusters(docs, "doc_id", pairs)
+      val clusters = dedup.Dedup.clustersStar(docs, "doc_id", pairs)
       val quality = text.TextAnalysis.qualityScore(docs, "doc_id", "text")
         .select(col("doc_id"), col("quality_score"))
       plans.TopK.perKey(clusters.join(quality, "doc_id"),
@@ -561,10 +564,12 @@ private[graft] object DedupSimRegistry {
 
     // Embedding-space duplicate CLUSTERS: the cluster machinery over a
     // SECOND pair-graph domain — cosine near-dup pairs instead of shingle
-    // Jaccard. Same min-label propagation (rounds scale with the dup
-    // graph, not the corpus), same RECURSIVE-CTE closure oracle; an
-    // embedding pipeline dedups semantic copies exactly like a text
-    // pipeline dedups lexical ones.
+    // Jaccard. This one stays on the min-label-propagation tier
+    // (Dedup.clusters) deliberately so BOTH component engines remain
+    // oracle-gated (the text-side queries run star contraction); same
+    // RECURSIVE-CTE closure oracle either way — an embedding pipeline
+    // dedups semantic copies exactly like a text pipeline dedups lexical
+    // ones.
     "dedup_embedding_clusters" -> ((s, dir) => {
       val vecs = sim.Similarity.augmented(Sources.embeddings(s, dir))
       val pairs = sim.Similarity.cosinePairs(vecs, 0.95)

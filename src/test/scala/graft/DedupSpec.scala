@@ -218,6 +218,77 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.CheckpointDirConf)
   }
 
+  test("clustersStar ≡ clusters on the fixture pair graph (and on empty pairs)") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, maxDocFreq = Some(10L))
+      .cache()
+    val byProp = Dedup.clusters(docs, "doc_id", pairs)
+      .orderBy("doc_id").collect().toSeq
+    val byStar = Dedup.clustersStar(docs, "doc_id", pairs)
+      .orderBy("doc_id").collect().toSeq
+    assert(byStar === byProp)
+    // no pairs at all: everything a singleton, no iteration
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val lone = Dedup.clustersStar(docs.limit(5), "doc_id", none)
+    assert(lone.filter(col("doc_id") =!= col("cluster_id")).count() === 0)
+    pairs.unpersist()
+  }
+
+  test("clustersStar: adversarial chain+hub converges in far fewer rounds than the diameter") {
+    // The shape that motivates star contraction: a 40-long chain
+    // (diameter 39 — min-label propagation needs 39 rounds + 1 to
+    // detect) WELDED to a hub whose center is NOT the component min
+    // (node 100 spanning 60..140), plus a separate pure hub. Star
+    // contraction halves chain distances per round (O(log n)) and
+    // flattens hubs in ~2 rounds; maxIters = 15 must be plenty where
+    // label propagation would need 40+.
+    val chain = (1L to 39L).map(i => (i, i + 1))          // 1-2-...-40
+    val weld = Seq((40L, 100L))                           // chain joins the hub
+    val hub = (60L to 140L).filter(_ != 100L).map(i => (math.min(i, 100L), math.max(i, 100L)))
+    val hub2 = (200L to 240L).map(i => (200L, i + 1))     // separate star, min-centered
+    val ids = ((1L to 40L) ++ (60L to 140L) ++ (200L to 241L) ++ Seq(500L)).distinct
+    val docsDf = ids.toDF("doc_id")
+    val pairsDf = (chain ++ weld ++ hub ++ hub2).toDF("id_a", "id_b")
+    val got = Dedup.clustersStar(docsDf, "doc_id", pairsDf, maxIters = 15)
+      .orderBy("doc_id").collect()
+    // component 1: chain+weld+hub — min is 1; component 2: min 200;
+    // 500 is a singleton
+    got.foreach { r =>
+      val (id, label) = (r.getLong(0), r.getLong(1))
+      val expected =
+        if (id <= 40L || (id >= 60L && id <= 140L)) 1L
+        else if (id >= 200L && id <= 241L) 200L
+        else id
+      assert(label === expected, s"doc $id labeled $label, expected $expected")
+    }
+    // (Equivalence with min-label propagation is pinned on the fixture
+    // graph in the test above; running propagation HERE would need 40
+    // persist-path rounds — the borderline-lineage-depth regime star
+    // contraction exists to avoid.)
+  }
+
+  test("clustersStar: reliable-checkpoint path reaches the same fixpoint; maxIters guard fires loudly") {
+    val chainDocs = (1L to 21L).toDF("doc_id")
+    val chainPairs = (1L to 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val base = Dedup.clustersStar(chainDocs, "doc_id", chainPairs)
+      .orderBy("doc_id").collect()
+    assert(base.length === 21 && base.forall(_.getLong(1) === 1L))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clustersStar(chainDocs, "doc_id", chainPairs, maxIters = 2)
+        .orderBy("doc_id").collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_star").toString
+    spark.conf.set(Dedup.CheckpointDirConf, dir)
+    try {
+      val ck = Dedup.clustersStar(chainDocs, "doc_id", chainPairs)
+        .orderBy("doc_id").collect()
+      assert(ck.toSeq === base.toSeq)
+      def nFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(nFiles).sum else 1
+      assert(nFiles(new java.io.File(dir)) > 0, "no checkpoint files written")
+    } finally spark.conf.unset(Dedup.CheckpointDirConf)
+  }
+
   test("lshNewDocs rejects overlapping batch/existing id spaces loudly") {
     val batch = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
     val existing = Seq((2L, "m n o p q r"), (3L, "s t u v w x")).toDF("doc_id", "text")

@@ -26,22 +26,28 @@ object SparkEntry {
     * zero behavior change; disjointness is spec-asserted). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     YfRegistry.queries ++
+    YfIndicatorRegistry.queries ++
     EventsARegistry.queries ++
+    EventsStatsRegistry.queries ++
     EventsBRegistry.queries ++
     DocsRegistry.queries ++
     TextRegistry.queries ++
     DedupSimRegistry.queries ++
     GraphMmRegistry.queries ++
-    TpchRegistry.queries
+    TpchRegistry.queries ++
+    TpchDeepJoinRegistry.queries
 
   /** DuckDB oracle SQL, one entry per query — same shard assembly. */
   def oracleSql: Map[String, String] =
     YfRegistry.oracles ++
+    YfIndicatorRegistry.oracles ++
     EventsARegistry.oracles ++
+    EventsStatsRegistry.oracles ++
     EventsBRegistry.oracles ++
     DocsRegistry.oracles ++
     TextRegistry.oracles ++
     DedupSimRegistry.oracles ++
     GraphMmRegistry.oracles ++
-    TpchRegistry.oracles
+    TpchRegistry.oracles ++
+    TpchDeepJoinRegistry.oracles
 }

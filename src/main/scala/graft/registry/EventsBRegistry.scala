@@ -779,253 +779,6 @@ private[graft] object EventsBRegistry {
     }),
 
 
-    // MANN–WHITNEY U (rank-sum) — the KS test's location-shift sibling:
-    // does one A/B arm stochastically dominate? Exact-integer via
-    // DOUBLED midranks (2·rank keeps tie midpoints integral): per
-    // distinct value, the doubled midrank is 2·(count below) + (count
-    // at) + 1; R₁ sums arm-1 counts × midranks in BIGINT; U₁ derives by
-    // identity; the common-language effect size U₁/(n₁n₂) divides once.
-    // Value-grain window only (the KS discipline) — corpus scanned once.
-    "events_mannwhitney_u" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val grain = Sources.events(s, dir)
-        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vq"),
-          (col("user_id") % 2 === 1).cast("int").as("treat"))
-        .groupBy("vq")
-        .agg(sum(when(col("treat") === 1, 1L).otherwise(0L)).as("a1"),
-          sum(when(col("treat") === 0, 1L).otherwise(0L)).as("a2"))
-      val w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = grain
-        .withColumn("below", coalesce(sum(col("a1") + col("a2")).over(w), lit(0L)))
-        .withColumn("midrank2", lit(2L) * col("below") + col("a1") + col("a2") + 1L)
-      ranked.agg(
-          sum(col("a1")).as("n1"), sum(col("a2")).as("n2"),
-          sum(col("a1") * col("midrank2")).as("r1_2"))
-        // U₁ stays in DOUBLED units (ties make real U half-integral):
-        // u1_x2 = 2·R₁ − n₁(n₁+1); effect = u1_x2 / (2·n₁·n₂).
-        .withColumn("u1_x2", col("r1_2") - col("n1") * (col("n1") + 1L))
-        .withColumn("effect_size",
-          col("u1_x2").cast("double") /
-            (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
-        .select("n1", "n2", "u1_x2", "effect_size")
-    }),
-
-
-    // HOURLY TRAFFIC PROFILE — per event type: the 24-hour histogram's
-    // peak and trough hours plus a peak-to-mean ratio (the capacity-
-    // planning shape: how spiky is each stream within the day). Hour
-    // cells are one keyed aggregate; argmax/argmin use max_by/min_by on
-    // a (count, hour) total order (deterministic ties — the weekly-OHLC
-    // discipline); the ratio multiplies exact integers before its one
-    // division.
-    "events_peak_hours" -> ((s, dir) => {
-      val cells = Sources.events(s, dir)
-        .groupBy(col("event_type"),
-          expr("(ts DIV 3600000000000) % 24").as("hour"))
-        .agg(count(lit(1)).as("c"))
-      cells.groupBy("event_type")
-        .agg(count(lit(1)).as("n_hours"),
-          sum(col("c")).as("n_events"),
-          // (count, hour) total orders encoded as one BIGINT (hour < 100)
-          // so max_by/arg_max agree cross-engine without struct compares:
-          // peak = max count, ties to the EARLIEST hour; trough = min
-          // count, ties likewise.
-          expr("max_by(hour, c * 100 - hour)").as("peak_hour"),
-          max(col("c")).as("peak_count"),
-          expr("min_by(hour, c * 100 + hour)").as("trough_hour"),
-          min(col("c")).as("trough_count"))
-        .withColumn("peak_to_mean",
-          (col("peak_count") * col("n_hours")).cast("double") /
-            col("n_events").cast("double"))
-        .select("event_type", "n_events", "peak_hour", "peak_count",
-          "trough_hour", "trough_count", "peak_to_mean")
-        .orderBy("event_type")
-    }),
-
-
-    // ROC-AUC of a scorer (score = value, positive = purchase events) via
-    // the RANK identity AUC = (2·R₁ − n₁(n₁+1)) / (2·n₁·n₀) — the
-    // classifier-eval capstone over the z/χ²/KS/U/F family, and the same
-    // DOUBLED-midrank discipline as events_mannwhitney_u (tie midpoints
-    // stay integral at 2×, so every accumulation is BIGINT; ONE division
-    // at the end). Scale shape: ranks come from a window over the
-    // DISTINCT-SCORE grain (cents-quantized — bounded by the value range,
-    // not the corpus), never a per-row global sort; the per-row pass is
-    // one keyed aggregate. Sweeping thresholds row-by-row (the textbook
-    // ROC construction) would be a per-row window over the corpus.
-    "events_roc_auc" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy("sc")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Sources.events(s, dir)
-        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("sc"),
-          (col("event_type") === "purchase").cast("long").as("pos"))
-        .groupBy("sc")
-        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
-        .withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
-        .agg(sum(col("cnt")).as("n"), sum(col("npos")).as("n1"),
-          sum(col("npos") * (lit(2L) * col("cb") + col("cnt") + lit(1L)))
-            .as("u2s"))
-        .select(col("n1").as("n_pos"), (col("n") - col("n1")).as("n_neg"),
-          ((col("u2s") - col("n1") * (col("n1") + lit(1L))).cast("double") /
-            (lit(2L) * col("n1") * (col("n") - col("n1"))).cast("double"))
-            .as("auc"))
-    }),
-
-
-    // KAPLAN–MEIER survival curve for time-to-first-purchase — survival
-    // analysis with RIGHT CENSORING, the churn/conversion-modeling
-    // primitive plain retention counts can't express: users who never
-    // purchase are censored at their last observed day and still inform
-    // the risk set up to it. The product-limit estimator runs in LOG
-    // space under the quantized-ln discipline — each factor
-    // ln(nᵢ−dᵢ)−ln(nᵢ) of INTEGER risk-set counts quantizes to a 1e-6
-    // BIGINT before the cumulative sum, so the curve is exact integers;
-    // the survival probability itself is emitted %.4e-formatted (the
-    // stddev contract) since exp() is not cross-engine bit-stable. Day-
-    // grain windows only; per-user reduction is one keyed aggregate.
-    "events_survival_km" -> ((s, dir) => {
-      val perUser = Sources.events(s, dir)
-        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
-          (col("event_type") === "purchase").as("isp"))
-        .groupBy("user_id")
-        .agg(min(col("day")).as("d0"),
-          min(when(col("isp"), col("day"))).as("dp"),
-          max(col("day")).as("dl"))
-        .select(
-          when(col("dp").isNotNull, col("dp") - col("d0"))
-            .otherwise(col("dl") - col("d0")).as("dur"),
-          col("dp").isNotNull.cast("long").as("ev"))
-      val g = perUser.groupBy("dur")
-        .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
-      val tot = g.agg(sum(col("d") + col("c")).as("nn"))
-      val wPrev = org.apache.spark.sql.expressions.Window.orderBy("dur")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val wCum = org.apache.spark.sql.expressions.Window.orderBy("dur")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      def qln6(c: Column): Column =
-        floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
-      g.crossJoin(broadcast(tot))
-        .withColumn("at_risk",
-          col("nn") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
-        .withColumn("qterm",
-          when(col("d") === 0, lit(0L))
-            .when(col("at_risk") > col("d"),
-              qln6(col("at_risk") - col("d")) - qln6(col("at_risk")))
-            .otherwise(lit(0L)))
-        .withColumn("qlog_surv",
-          when(col("at_risk") === col("d") && col("d") > 0, lit(null))
-            .otherwise(sum(col("qterm")).over(wCum)))
-        .select(col("dur"), col("at_risk"), col("d").as("events"),
-          col("c").as("censored"), col("qlog_surv").cast("long").as("qlog_surv"),
-          when(col("qlog_surv").isNull, lit("0.0000e+00"))
-            .otherwise(util.Stable.sig(
-              exp(col("qlog_surv").cast("double") / 1e6))).as("surv"))
-        .orderBy("dur")
-    }),
-
-
-    // WELCH'S t-TEST (unequal variances) between the deterministic
-    // odd/even-user arms — the missing member of the classical-test
-    // family (z, χ², KS, U, F, and now t): sample variances come from
-    // the exact-BIGINT moment identity n·Σx²−(Σx)² computed in
-    // DECIMAL(38,0) ⇔ HUGEINT (overflows BIGINT at 100×) and enter ONE
-    // fixed IEEE tree for the t statistic and the Welch–Satterthwaite
-    // effective df. One conditional keyed aggregate over the corpus;
-    // the >2^53 exact integers cross to double through the VARCHAR
-    // round-trip contract on the DuckDB side.
-    "events_ttest_welch" -> ((s, dir) => {
-      val d38 = DecimalType(38, 0)
-      val m = Sources.events(s, dir)
-        .select((col("user_id") % 2 === 1).as("t"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("x"))
-        .agg(
-          sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
-          sum(when(col("t"), col("x")).otherwise(0L)).as("s1"),
-          sum(when(col("t"), col("x") * col("x")).otherwise(0L)).as("ss1"),
-          sum(when(!col("t"), 1L).otherwise(0L)).as("n2"),
-          sum(when(!col("t"), col("x")).otherwise(0L)).as("s2"),
-          sum(when(!col("t"), col("x") * col("x")).otherwise(0L)).as("ss2"))
-      def v(n: String, sx: String, ssx: String): Column =
-        (col(n).cast(d38) * col(ssx).cast(d38) -
-          col(sx).cast(d38) * col(sx).cast(d38)).cast("double") /
-          (col(n).cast("double") * (col(n) - 1).cast("double"))
-      m
-        .withColumn("m1", col("s1").cast("double") / col("n1").cast("double"))
-        .withColumn("m2", col("s2").cast("double") / col("n2").cast("double"))
-        .withColumn("v1", v("n1", "s1", "ss1") / col("n1").cast("double"))
-        .withColumn("v2", v("n2", "s2", "ss2") / col("n2").cast("double"))
-        .select(col("n1"), col("n2"),
-          ((col("m1") - col("m2")) / 100.0).as("mean_diff"),
-          ((col("m1") - col("m2")) / sqrt(col("v1") + col("v2"))).as("t_stat"),
-          ((col("v1") + col("v2")) * (col("v1") + col("v2")) /
-            (col("v1") * col("v1") / (col("n1") - 1).cast("double") +
-              col("v2") * col("v2") / (col("n2") - 1).cast("double")))
-            .as("df_welch"))
-    }),
-
-
-    // A/B SAMPLE-SIZE (power) CALCULATOR from measured variance: the
-    // n-per-arm needed to detect a 2% lift on the control mean at
-    // α=.05 / power=.80 — the experiment-design readout that consumes
-    // the engine's variance estimates. n = 2(z_{.975}+z_{.8})²σ²/δ²
-    // with the z quantiles as BUILD-TIME constants interpolated into
-    // both plans (the Benford discipline), pooled σ² from the exact
-    // DECIMAL(38,0) moment identity, and one ceil() at the end. The
-    // measurement is one conditional aggregate; everything after is
-    // 1-row algebra.
-    "events_power_analysis" -> ((s, dir) => {
-      val d38 = DecimalType(38, 0)
-      val z = PowerZSum // z_{.975} + z_{.8}, build-time constant
-      val m = Sources.events(s, dir)
-        .select((col("user_id") % 2 === 1).as("t"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("x"))
-        .agg(
-          sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
-          sum(when(col("t"), col("x")).otherwise(0L)).as("s1"),
-          sum(when(col("t"), col("x") * col("x")).otherwise(0L)).as("ss1"),
-          sum(when(!col("t"), 1L).otherwise(0L)).as("n2"),
-          sum(when(!col("t"), col("x")).otherwise(0L)).as("s2"),
-          sum(when(!col("t"), col("x") * col("x")).otherwise(0L)).as("ss2"))
-      def ssq(n: String, sx: String, ssx: String): Column =
-        (col(n).cast(d38) * col(ssx).cast(d38) -
-          col(sx).cast(d38) * col(sx).cast(d38)).cast("double") /
-          (col(n).cast("double") * (col(n) - 1).cast("double"))
-      m
-        .withColumn("sp2",
-          ((col("n1") - 1).cast("double") * ssq("n1", "s1", "ss1") +
-            (col("n2") - 1).cast("double") * ssq("n2", "s2", "ss2")) /
-            (col("n1") + col("n2") - 2).cast("double"))
-        .withColumn("mde",
-          lit(0.02) * (col("s2").cast("double") / col("n2").cast("double")))
-        .select(col("n1"), col("n2"),
-          (col("mde") / 100.0).as("mde_abs"),
-          (col("sp2") / 1e4).as("sigma2_pooled"),
-          ceil(lit(2.0) * lit(z * z) * col("sp2") /
-            (col("mde") * col("mde"))).cast("long").as("n_per_arm"))
-    }),
-
-
-    // SAMPLE-RATIO-MISMATCH check — the first guardrail any experiment
-    // platform runs before reading an A/B result: is the observed arm
-    // split consistent with the intended 50/50? χ² = (n₁−n₂)²/(n₁+n₂)
-    // over exact DISTINCT-USER counts (assignment is per user, so the
-    // unit of the test is the user, never the event), flagged at the
-    // 3.84 (α=.05, df=1) critical value. One distinct + one aggregate.
-    "events_srm_check" -> ((s, dir) => {
-      val arms = Sources.events(s, dir)
-        .select(col("user_id")).distinct()
-        .select((col("user_id") % 2 === 1).as("t"))
-        .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
-          sum(when(!col("t"), 1L).otherwise(0L)).as("n2"))
-      arms.select(col("n1"), col("n2"),
-        (((col("n1") - col("n2")) * (col("n1") - col("n2"))).cast("double") /
-          (col("n1") + col("n2")).cast("double")).as("chi2"),
-        ((((col("n1") - col("n2")) * (col("n1") - col("n2"))).cast("double") /
-          (col("n1") + col("n2")).cast("double")) > 3.84).cast("int")
-          .as("srm_flag"))
-    }),
-
-
     // Fact-to-SCD2-dimension TEMPORAL JOIN — the warehouse pattern the
     // events_scd2 table exists FOR: each purchase joins the user's state
     // version valid AT ITS TIMESTAMP (valid_from ≤ ts < valid_to, open
@@ -1733,187 +1486,6 @@ private[graft] object EventsBRegistry {
         |  CAST(n_err * 1000000 // n_total AS DOUBLE) / 250000.0 AS burn_1d,
         |  CAST(err7 * 1000000 // tot7 AS DOUBLE) / 250000.0 AS burn_7d
         |FROM w ORDER BY day""".stripMargin,
-
-    "events_mannwhitney_u" ->
-      """WITH grain AS (
-        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq,
-        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS a1,
-        |    CAST(sum(CASE WHEN user_id % 2 <> 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS a2
-        |  FROM events GROUP BY 1),
-        |ranked AS (
-        |  SELECT vq, a1, a2,
-        |    2 * CAST(coalesce(sum(a1 + a2) OVER (ORDER BY vq
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      + a1 + a2 + 1 AS midrank2
-        |  FROM grain)
-        |SELECT CAST(sum(a1) AS BIGINT) AS n1, CAST(sum(a2) AS BIGINT) AS n2,
-        |  CAST(sum(a1 * midrank2) AS BIGINT)
-        |    - CAST(sum(a1) AS BIGINT) * (CAST(sum(a1) AS BIGINT) + 1) AS u1_x2,
-        |  CAST(CAST(sum(a1 * midrank2) AS BIGINT)
-        |       - CAST(sum(a1) AS BIGINT) * (CAST(sum(a1) AS BIGINT) + 1)
-        |    AS DOUBLE)
-        |    / (2.0e0 * CAST(CAST(sum(a1) AS BIGINT) AS DOUBLE)
-        |       * CAST(CAST(sum(a2) AS BIGINT) AS DOUBLE)) AS effect_size
-        |FROM ranked""".stripMargin,
-
-    "events_peak_hours" ->
-      """WITH cells AS (
-        |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hour,
-        |    count(*) AS c
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
-        |  arg_max(hour, c * 100 - hour) AS peak_hour,
-        |  max(c) AS peak_count,
-        |  arg_min(hour, c * 100 + hour) AS trough_hour,
-        |  min(c) AS trough_count,
-        |  CAST(max(c) * count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
-        |    AS peak_to_mean
-        |FROM cells GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-
-    "events_roc_auc" ->
-      """WITH s AS (
-        |  SELECT CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS sc,
-        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-        |  FROM events),
-        |g AS (SELECT sc, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS npos
-        |      FROM s GROUP BY 1),
-        |r AS (SELECT cnt, npos,
-        |        COALESCE(CAST(sum(cnt) OVER (ORDER BY sc
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-        |          0) AS cb
-        |      FROM g),
-        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
-        |        CAST(sum(npos) AS BIGINT) AS n1,
-        |        CAST(sum(npos * (2*cb + cnt + 1)) AS BIGINT) AS u2s
-        |      FROM r)
-        |SELECT n1 AS n_pos, n - n1 AS n_neg,
-        |  CAST(u2s - n1*(n1+1) AS DOUBLE) / CAST(2*n1*(n - n1) AS DOUBLE) AS auc
-        |FROM t""".stripMargin,
-
-
-    "events_survival_km" ->
-      """WITH pu AS (
-        |  SELECT user_id, min(day) AS d0,
-        |    min(CASE WHEN isp THEN day END) AS dp, max(day) AS dl
-        |  FROM (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
-        |          event_type = 'purchase' AS isp FROM events)
-        |  GROUP BY 1),
-        |du AS (SELECT
-        |    CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS dur,
-        |    CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS ev
-        |  FROM pu),
-        |g AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
-        |        CAST(sum(1 - ev) AS BIGINT) AS c
-        |      FROM du GROUP BY 1),
-        |t AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM g),
-        |a AS (SELECT g.*,
-        |        nn - COALESCE(CAST(sum(d + c) OVER (ORDER BY dur
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-        |          0) AS at_risk
-        |      FROM g, t),
-        |q AS (SELECT *,
-        |        CASE WHEN d = 0 THEN 0
-        |             WHEN at_risk > d THEN
-        |               CAST(floor(ln(at_risk - d) * 1e6 + 0.5) AS BIGINT)
-        |               - CAST(floor(ln(at_risk) * 1e6 + 0.5) AS BIGINT)
-        |             ELSE 0 END AS qterm
-        |      FROM a),
-        |q2 AS (SELECT *,
-        |        CASE WHEN at_risk = d AND d > 0 THEN NULL
-        |             ELSE CAST(sum(qterm) OVER (ORDER BY dur
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |               AS BIGINT) END AS qlog_surv
-        |      FROM q)
-        |SELECT dur, at_risk, d AS events, c AS censored, qlog_surv,
-        |  CASE WHEN qlog_surv IS NULL THEN '0.0000e+00'
-        |       ELSE printf('%.4e', exp(CAST(qlog_surv AS DOUBLE) / 1e6))
-        |  END AS surv
-        |FROM q2 ORDER BY dur""".stripMargin,
-
-
-    "events_ttest_welch" ->
-      """WITH e AS (
-        |  SELECT (user_id % 2 = 1) AS t,
-        |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS x
-        |  FROM events),
-        |m AS (SELECT
-        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |    CAST(sum(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS s1,
-        |    CAST(sum(CASE WHEN t THEN x*x ELSE 0 END) AS BIGINT) AS ss1,
-        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |    CAST(sum(CASE WHEN NOT t THEN x ELSE 0 END) AS BIGINT) AS s2,
-        |    CAST(sum(CASE WHEN NOT t THEN x*x ELSE 0 END) AS BIGINT) AS ss2
-        |  FROM e),
-        |d AS (SELECT *,
-        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
-        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
-        |    CAST(CAST(CAST(n1 AS HUGEINT)*ss1 - CAST(s1 AS HUGEINT)*s1
-        |        AS VARCHAR) AS DOUBLE)
-        |      / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
-        |      / CAST(n1 AS DOUBLE) AS v1,
-        |    CAST(CAST(CAST(n2 AS HUGEINT)*ss2 - CAST(s2 AS HUGEINT)*s2
-        |        AS VARCHAR) AS DOUBLE)
-        |      / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))
-        |      / CAST(n2 AS DOUBLE) AS v2
-        |  FROM m)
-        |SELECT n1, n2, (m1 - m2) / 100e0 AS mean_diff,
-        |  (m1 - m2) / sqrt(v1 + v2) AS t_stat,
-        |  ((v1 + v2) * (v1 + v2))
-        |    / (v1*v1 / CAST(n1 - 1 AS DOUBLE)
-        |       + v2*v2 / CAST(n2 - 1 AS DOUBLE)) AS df_welch
-        |FROM d""".stripMargin,
-
-
-    "events_power_analysis" -> {
-      val zz = PowerZSum * PowerZSum
-      s"""WITH e AS (
-         |  SELECT (user_id % 2 = 1) AS t,
-         |    CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS x
-         |  FROM events),
-         |m AS (SELECT
-         |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-         |    CAST(sum(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS s1,
-         |    CAST(sum(CASE WHEN t THEN x*x ELSE 0 END) AS BIGINT) AS ss1,
-         |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-         |    CAST(sum(CASE WHEN NOT t THEN x ELSE 0 END) AS BIGINT) AS s2,
-         |    CAST(sum(CASE WHEN NOT t THEN x*x ELSE 0 END) AS BIGINT) AS ss2
-         |  FROM e),
-         |d AS (SELECT *,
-         |    (CAST(n1 - 1 AS DOUBLE)
-         |       * (CAST(CAST(CAST(n1 AS HUGEINT)*ss1 - CAST(s1 AS HUGEINT)*s1
-         |            AS VARCHAR) AS DOUBLE)
-         |          / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)))
-         |     + CAST(n2 - 1 AS DOUBLE)
-         |       * (CAST(CAST(CAST(n2 AS HUGEINT)*ss2 - CAST(s2 AS HUGEINT)*s2
-         |            AS VARCHAR) AS DOUBLE)
-         |          / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))))
-         |    / CAST(n1 + n2 - 2 AS DOUBLE) AS sp2,
-         |    0.02e0 * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS mde
-         |  FROM m)
-         |SELECT n1, n2, mde / 100e0 AS mde_abs, sp2 / 1e4 AS sigma2_pooled,
-         |  CAST(ceil((2e0 * $zz * sp2) / (mde * mde)) AS BIGINT) AS n_per_arm
-         |FROM d""".stripMargin
-    },
-
-
-    "events_srm_check" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |m AS (SELECT
-        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n1,
-        |    CAST(sum(CASE WHEN user_id % 2 <> 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n2
-        |  FROM u)
-        |SELECT n1, n2,
-        |  CAST((n1 - n2) * (n1 - n2) AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
-        |    AS chi2,
-        |  CAST(CAST((n1 - n2) * (n1 - n2) AS DOUBLE)
-        |    / CAST(n1 + n2 AS DOUBLE) > 3.84 AS INTEGER) AS srm_flag
-        |FROM m""".stripMargin,
-
 
     "events_scd2_lookup" ->
       """WITH ev AS (

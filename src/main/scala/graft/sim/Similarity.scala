@@ -571,6 +571,32 @@ object Similarity {
     rankPerKey(scored, k)
   }
 
+  /** ARTIFACT-ONLY near-duplicate gate for ingest: each query's MAXIMUM
+    * ADC cosine against its `nprobe` probed buckets' codes — (id,
+    * max_asim), queries whose probed buckets are empty are absent. This
+    * is the accept/reject signal a streaming ingest can compute from the
+    * published index alone (codes + coarse + book; the raw corpus is
+    * never rescanned — exact re-rank needs raw vectors and is a SERVING
+    * concern, not an ingest-gate one). Bounded-heap probe selection,
+    * broadcast quantizer, LUT reconstruction: same plan pieces as
+    * [[ivfPqProbe]]. */
+  def ivfPqMaxSim(queries: DataFrame, index: DataFrame, coarse: DataFrame,
+                  book: DataFrame, nprobe: Int = 3): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), vec(col("vec")).as("qv"))
+    val lut = bookLut(book)
+    val probes = broadcast(graft.plans.TopK.perKey(
+      q.crossJoin(broadcast(coarse.select("cent_id", "centv")))
+        .select(col("query_id"), col("qv"), col("cent_id"),
+          cosine(col("qv"), col("centv")).as("csim")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq("csim" -> false, "cent_id" -> true), k = nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("bucket")))
+    index.join(probes, "bucket")
+      .select(col("query_id"),
+        cosine(col("qv"), pqReconstruct(col("codes"), lut)).as("asim"))
+      .groupBy("query_id").agg(max("asim").as("max_asim"))
+  }
+
   /** (vec_id, rv): the probe-side reconstruction of a raw-encoding codes
     * index — the quantization-error audit surface (computed, never
     * persisted; the artifact stays codes). */

@@ -19,6 +19,10 @@ case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
   * ([[Streams.cdcApply]]): op = 'u' update, 'i' insert, 'd' delete. */
 case class CdcChange(id: Long, payload: String, op: String)
 
+/** A typed embedding row for the streaming ANN-index ingest surface
+  * ([[Streams.annIngest]]). */
+case class StreamVec(id: Long, vec: Seq[Float])
+
 /** Emitted session summary from streaming sessionization. */
 case class SessionUpdate(user_id: Long, session_start_ms: Long,
                          session_end_ms: Long, n_events: Long, sum_value: Double)
@@ -135,6 +139,70 @@ object Streams {
           emit(survivors)
           if (appendToIndex)
             graft.dedup.Dedup.appendLshIndex(survivors, "doc_id", "text", indexDir)
+          graft.util.Views.unpersistAll()
+        }
+      }
+      .start()
+  }
+
+  /** Streaming ANN-INDEX ingest against a STORED IVF-PQ index — the
+    * embedding-side twin of [[nearDupIngest]] (batch query
+    * `sim_ann_ivfpq_stored`): each micro-batch of (id, vec) rows is
+    * gated by [[graft.sim.Similarity.ivfPqMaxSim]] — the max ADC cosine
+    * a batch vector scores against its probed buckets' CODES, computed
+    * from the published artifacts alone (rows/ + coarse/ + book/; the
+    * raw corpus is never rescanned) — and `emit` receives the batch's
+    * SURVIVORS (max approximate sim < `threshold`, i.e. no near-dup
+    * already indexed).
+    *
+    * With `appendToIndex=true` the survivors are PQ-encoded with the
+    * STORED coarse quantizer and codebook (frozen at train time — the
+    * standard IVF-PQ ingest contract; codes stay comparable across
+    * generations) and appended to rows/, so later micro-batches gate
+    * against everything accepted so far. NO streaming engine state: the
+    * index on durable storage IS the state (the [[nearDupIngest]]
+    * discipline). Appends are MARKER-GATED per (checkpoint lineage,
+    * batchId) exactly like [[cdcApply]] — a re-delivered micro-batch is
+    * a no-op, so crash-replay can never double-insert index rows.
+    * Batch ids must be disjoint from indexed vec_ids (checked loudly —
+    * a collision would make the append corrupt the identity space). */
+  def annIngest(vectors: DataFrame, indexDir: String, threshold: Double,
+                appendToIndex: Boolean = false,
+                checkpointLocation: Option[String] = None)
+               (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    val lineage = checkpointLocation match {
+      case Some(c) => java.util.UUID.nameUUIDFromBytes(c.getBytes("UTF-8")).toString
+      case None => java.util.UUID.randomUUID().toString
+    }
+    val writer = vectors.writeStream.outputMode(OutputMode.Update())
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$indexDir/_batches/$lineage-$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val rows = spark.read.parquet(s"$indexDir/rows")
+          val coarse = spark.read.parquet(s"$indexDir/coarse")
+          val book = spark.read.parquet(s"$indexDir/book")
+          val b = graft.util.Views.materialize(batch.toDF())
+          require(rows.select("vec_id")
+              .join(broadcast(b.select(col("id").as("vec_id"))),
+                Seq("vec_id"), "left_semi").isEmpty,
+            "annIngest: batch ids collide with the stored index — " +
+              "the id spaces must be disjoint")
+          val rejected = graft.sim.Similarity
+            .ivfPqMaxSim(b, rows, coarse, book)
+            .filter(col("max_asim") >= threshold)
+            .select(col("query_id").as("id"))
+          val survivors = graft.util.Views.materialize(
+            b.join(rejected, Seq("id"), "left_anti"))
+          emit(survivors)
+          if (appendToIndex && !survivors.isEmpty)
+            graft.sim.Similarity.ivfPqIndexWith(survivors, coarse, book)
+              .write.mode("append").parquet(s"$indexDir/rows")
+          fs.create(marker, true).close()
           graft.util.Views.unpersistAll()
         }
       }

@@ -8,13 +8,16 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
 
   private val shards = Seq(
     "Yf" -> (YfRegistry.queries, YfRegistry.oracles),
+    "YfIndicator" -> (YfIndicatorRegistry.queries, YfIndicatorRegistry.oracles),
     "EventsA" -> (EventsARegistry.queries, EventsARegistry.oracles),
+    "EventsStats" -> (EventsStatsRegistry.queries, EventsStatsRegistry.oracles),
     "EventsB" -> (EventsBRegistry.queries, EventsBRegistry.oracles),
     "Docs" -> (DocsRegistry.queries, DocsRegistry.oracles),
     "Text" -> (TextRegistry.queries, TextRegistry.oracles),
     "DedupSim" -> (DedupSimRegistry.queries, DedupSimRegistry.oracles),
     "GraphMm" -> (GraphMmRegistry.queries, GraphMmRegistry.oracles),
-    "Tpch" -> (TpchRegistry.queries, TpchRegistry.oracles))
+    "Tpch" -> (TpchRegistry.queries, TpchRegistry.oracles),
+    "TpchDeepJoin" -> (TpchDeepJoinRegistry.queries, TpchDeepJoinRegistry.oracles))
 
   test("shard keys are pairwise disjoint (merge drops nothing)") {
     assert(SparkEntry.queries.size == shards.map(_._2._1.size).sum)

@@ -276,6 +276,71 @@ class StreamingSpec extends SparkSpec {
     assert((s1 ++ s2).subsetOf(indexed))
   }
 
+  test("streaming ANN ingest gates on the stored IVF-PQ index and equals the sequential batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import sim.Similarity
+    val emb = Sources.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val isBatch = col("id") % 10 === 0
+    val corpus = emb.filter(!isBatch).cache()
+    // Batch vectors: every 10th embedding under FRESH ids (disjoint from
+    // the indexed space, as the ingest contract requires).
+    val batchVecs = emb.filter(isBatch).collect()
+      .map(r => streaming.StreamVec(r.getLong(0) + 100000L,
+        r.getSeq[Float](1)))
+      .sortBy(_.id)
+    val (mb1, mb2) = batchVecs.partition(v => (v.id / 10) % 2 == 0)
+    assert(mb1.nonEmpty && mb2.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ann").toString
+    val coarse0 = Similarity.sampledCentroids(corpus, 16)
+    val book0 = Similarity.ivfPqBook(corpus)
+    coarse0.write.parquet(s"$dir/coarse")
+    book0.write.parquet(s"$dir/book")
+    Similarity.ivfPqIndexWith(corpus, coarse0, book0).write.parquet(s"$dir/rows")
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val stream = MemoryStream[streaming.StreamVec]
+    val q = Streams.annIngest(stream.toDF(), dir, 0.8, appendToIndex = true) {
+      surv => perBatch += surv.select("id").collect().map(_.getLong(0)).toSet
+    }
+    try {
+      stream.addData(mb1.toIndexedSeq: _*); q.processAllAvailable()
+      stream.addData(mb2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.size === 2)
+    // Sequential fold reference over the SAME stored quantizer/codebook:
+    // mb1 gates against the corpus index; mb2 against corpus ∪
+    // accepted(mb1).
+    val sCoarse = spark.read.parquet(s"$dir/coarse")
+    val sBook = spark.read.parquet(s"$dir/book")
+    def gate(b: org.apache.spark.sql.DataFrame,
+             rows: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val rej = Similarity.ivfPqMaxSim(b, rows, sCoarse, sBook)
+        .filter(col("max_asim") >= 0.8)
+        .select("query_id").collect().map(_.getLong(0)).toSet
+      b.select("id").collect().map(_.getLong(0)).toSet -- rej
+    }
+    val mb1Df = spark.createDataFrame(mb1.toIndexedSeq).select("id", "vec")
+    val mb2Df = spark.createDataFrame(mb2.toIndexedSeq).select("id", "vec")
+    val rows0 = Similarity.ivfPqIndexWith(corpus, sCoarse, sBook).cache()
+    val s1 = gate(mb1Df, rows0)
+    val acc1 = mb1Df.filter(col("id").isin(s1.toSeq: _*))
+    val rows1 = rows0.unionByName(Similarity.ivfPqIndexWith(acc1, sCoarse, sBook))
+    val s2 = gate(mb2Df, rows1)
+    assert(perBatch(0) === s1)
+    assert(perBatch(1) === s2)
+    // The accepted vectors' CODES really landed in the durable index —
+    // and nothing else did.
+    val finalIds = spark.read.parquet(s"$dir/rows")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("id").collect().map(_.getLong(0)).toSet
+    assert(finalIds === corpusIds ++ s1 ++ s2)
+    // Replay markers: one per processed micro-batch (ignore the local
+    // filesystem's .crc shadows).
+    assert(new java.io.File(s"$dir/_batches").listFiles()
+      .count(f => !f.getName.startsWith(".")) === 2)
+    rows0.unpersist(); corpus.unpersist()
+  }
+
   test("stream-stream interval join attributes purchases within the window, stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(

@@ -118,6 +118,11 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val (src, out, factor) = (args(0), args(1), args(2).toInt)
+    // Optional 4th arg: comma-list of tables to build (default all four).
+    // The sf10 (100x) spot-rehearsal only needs documents — a full-table
+    // 100x fixture would be >12 GB of unread parquet.
+    val tables = if (args.length > 3) args(3).split(",").toSet
+                 else Set("documents", "embeddings", "lineitem", "events")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -129,15 +134,20 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(out).mkdirs()
-    documentsScaled(spark.read.parquet(s"$src/documents.parquet"), factor)
-      .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
-    embeddingsScaled(spark.read.parquet(s"$src/embeddings.parquet"), factor)
-      .repartition(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    lineitemScaled(spark.read.parquet(s"$src/lineitem.parquet"), factor)
-      .repartition(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    eventsScaled(spark.read.parquet(s"$src/events.parquet"), factor)
-      .repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
-    println(s"[scaleup] wrote ${factor}x of $src to $out")
+    if (tables("documents"))
+      documentsScaled(spark.read.parquet(s"$src/documents.parquet"), factor)
+        .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (tables("embeddings"))
+      embeddingsScaled(spark.read.parquet(s"$src/embeddings.parquet"), factor)
+        .repartition(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (tables("lineitem"))
+      lineitemScaled(spark.read.parquet(s"$src/lineitem.parquet"), factor)
+        .repartition(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    if (tables("events"))
+      eventsScaled(spark.read.parquet(s"$src/events.parquet"), factor)
+        .repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"[scaleup] wrote ${factor}x of $src to $out " +
+      s"(${tables.toSeq.sorted.mkString(",")})")
     spark.stop()
   }
 }

@@ -220,6 +220,14 @@ private[graft] object EntryOps {
        |SELECT query_id, vec_id, sim, rank FROM topk
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared by `sim_ann_ivfpq_residual` and its stored twin — the
+    * trained-residual-codebook mirror. */
+  private[graft] lazy val ivfPqResidualOracle: String =
+    s"""WITH vecs AS ${sim.Similarity.vecsSql},
+       |${sim.Similarity.ivfPqResidualTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+       |SELECT query_id, vec_id, sim, rank FROM topk
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Shared by `dedup_incremental_lsh` (in-query index) and
     * `dedup_incremental_lsh_stored` (parquet round-trip) — both engines
     * and both paths must produce the identical survivor set. */

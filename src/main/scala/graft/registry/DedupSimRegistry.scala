@@ -554,6 +554,43 @@ private[graft] object DedupSimRegistry {
     }),
 
 
+    // STORED residual IVF-PQ (the residual tier's serving shape): the
+    // codebook TRAINING (a corpus pass) and the encode both happen once
+    // at publish time; probes read rows/ + coarse/ + book/ only. Same
+    // oracle as the in-query residual twin — training determinism plus
+    // the codes round-trip must change nothing.
+    "sim_ann_ivfpq_residual_stored" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpqr_idx_$sfTag")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_MARKER")
+      val tag = s"$dir|c=16|m=${sim.Similarity.PqSubspaces}|k=${sim.Similarity.PqCodewords}|enc=residual"
+      val fresh = fs.exists(marker) && {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
+      }
+      if (!fresh) {
+        util.Artifacts.recordBuild(s"ivfpqr_index $tag")
+        if (fs.exists(out)) fs.delete(out, true)
+        val coarse = sim.Similarity.sampledCentroids(emb, 16)
+        val book = sim.Similarity.ivfPqResidualBook(emb, coarse)
+        coarse.write.mode("overwrite").parquet(s"$out/coarse")
+        book.write.mode("overwrite").parquet(s"$out/book")
+        sim.Similarity.ivfPqResidualIndex(emb, coarse, book)
+          .write.mode("overwrite").parquet(s"$out/rows")
+        val os = fs.create(marker, true)
+        try os.write(tag.getBytes("UTF-8")) finally os.close()
+      }
+      sim.Similarity.ivfPqResidualProbe(emb.filter(col("id") < 5), emb,
+        s.read.parquet(s"$out/rows"), s.read.parquet(s"$out/coarse"),
+        s.read.parquet(s"$out/book"), 10)
+        .orderBy("query_id", "rank")
+    }),
+
+
     // Embedding-cosine near-dup pairs: full-sketch equality candidates +
     // exact cosine verification (no pairwise scan).
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -1333,11 +1370,12 @@ private[graft] object DedupSimRegistry {
     // one oracle, proof the codes parquet round-trip changes nothing.
     "sim_ann_ivfpq_stored" -> ivfPqOracle,
 
-    "sim_ann_ivfpq_residual" ->
-      s"""WITH vecs AS ${sim.Similarity.vecsSql},
-         |${sim.Similarity.ivfPqResidualTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
-         |SELECT query_id, vec_id, sim, rank FROM topk
-         |ORDER BY query_id, rank""".stripMargin,
+    "sim_ann_ivfpq_residual" -> ivfPqResidualOracle,
+
+    // The stored path trains/encodes once and probes the artifacts —
+    // one oracle, proof the training determinism + codes round-trip
+    // change nothing.
+    "sim_ann_ivfpq_residual_stored" -> ivfPqResidualOracle,
 
     "dedup_embedding_cosine" ->
       s"""WITH aug AS ${sim.Similarity.augmentedSql},

@@ -22,7 +22,7 @@ fi
 # scale-sensitive (dedup/LSH pipeline, graph loops, ANN tiers, the e2e
 # docs pipeline) — wall seconds AND shuffle MB per query land in the
 # artifact.
-QUERIES=dedup_exact,dedup_minhash_lsh,dedup_clusters_lsh,dedup_incremental_lsh_stored,dedup_survivors,graph_pagerank,graph_pagerank_directed,graph_kcore,sim_brute_topk,sim_ann_ivf,sim_ann_ivfpq,sim_ann_ivfpq_stored,mm_decode_jpeg,emb_knn_classifier_ann,text_textrank_keywords,text_tfidf,docs_bm25_topk,docs_pipeline_e2e,text_bpe_train
+QUERIES=dedup_exact,dedup_minhash_lsh,dedup_clusters_lsh,dedup_incremental_lsh_stored,dedup_survivors,graph_pagerank,graph_pagerank_directed,graph_kcore,sim_brute_topk,sim_ann_ivf,sim_ann_ivfpq,sim_ann_ivfpq_stored,sim_ann_ivfpq_residual_stored,mm_decode_jpeg,emb_knn_classifier_ann,text_textrank_keywords,text_tfidf,docs_bm25_topk,docs_pipeline_e2e,text_bpe_train
 
 SPARK_GRAFT_SF_DIR=data/sf1 \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
@@ -46,7 +46,8 @@ art = {}
 wh = "spark-warehouse"
 if os.path.isdir(wh):
     for name in sorted(os.listdir(wh)):
-        if name.startswith("graft_") and "data_sf1" in name:
+        if (name.startswith("graft_") and "data_sf1" in name
+                and "data_sf10" not in name):
             art[name] = du(os.path.join(wh, name))
 # the raw sf1 embeddings, for the IVF-PQ codes-vs-corpus ratio
 if os.path.isdir("data/sf1/embeddings.parquet"):

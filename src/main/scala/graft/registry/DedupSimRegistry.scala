@@ -406,6 +406,40 @@ private[graft] object DedupSimRegistry {
     }),
 
 
+    // STORED RHP band index (the banding tier's serving shape — the
+    // embedding-side analogue of the stored LSH text band index): the
+    // (vec_id, band_idx, band_key) table is written once per (corpus,
+    // banding profile), marker-gated; probes sketch only the query side
+    // and equi-join the artifact, touching raw vectors for the candidate
+    // re-rank only. Same oracle as the in-query twin — the index is a
+    // deterministic projection, so the round-trip changes nothing.
+    "sim_ann_rhp_stored" -> ((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_rhp_bidx_$sfTag")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_MARKER")
+      val tag = s"$dir|bits=${sim.Similarity.NumBits}|bands=${sim.Similarity.NumBands}"
+      val fresh = fs.exists(marker) && {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
+      }
+      if (!fresh) {
+        util.Artifacts.recordBuild(s"rhp_bidx $tag")
+        if (fs.exists(out)) fs.delete(out, true)
+        sim.Similarity.rhpBandIndex(emb)
+          .write.mode("overwrite").parquet(s"$out/rows")
+        val os = fs.create(marker, true)
+        try os.write(tag.getBytes("UTF-8")) finally os.close()
+      }
+      sim.Similarity.rhpProbe(emb.filter(col("id") < 5), emb,
+        s.read.parquet(s"$out/rows"), 10)
+        .orderBy("query_id", "rank")
+    }),
+
+
     // IVF-style ANN: deterministic coarse quantizer → nearest-centroid
     // assignment (write-once index at scale) → nprobe bucket probe →
     // exact re-rank of bucket members only.
@@ -1340,6 +1374,15 @@ private[graft] object DedupSimRegistry {
          |ORDER BY query_id, rank""".stripMargin,
 
     "sim_ann_rhp" ->
+      s"""WITH vecs AS ${sim.Similarity.vecsSql},
+         |${sim.Similarity.rhpTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
+         |SELECT query_id, vec_id, sim, rank FROM topk
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // The stored path probes the SAME deterministic band projection the
+    // in-query twin derives — one oracle, proof the parquet round-trip
+    // changes nothing.
+    "sim_ann_rhp_stored" ->
       s"""WITH vecs AS ${sim.Similarity.vecsSql},
          |${sim.Similarity.rhpTopKSql("(SELECT * FROM vecs WHERE id < 5)", "vecs", 10)}
          |SELECT query_id, vec_id, sim, rank FROM topk

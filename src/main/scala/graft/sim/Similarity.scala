@@ -190,6 +190,49 @@ object Similarity {
     rankPerKey(scored, k)
   }
 
+  /** The RHP band index as a PUBLISHED table — (vec_id, band_idx,
+    * band_key): what a serving system writes once per (corpus, banding
+    * profile), the embedding-side analogue of the stored LSH text band
+    * index. The sketch itself is a per-row projection (native codegen'd
+    * [[graft.functions.SignSketch]]); the index build is one linear
+    * corpus pass with no shuffle at all. */
+  def rhpBandIndex(corpus: DataFrame, bits: Int = NumBits,
+                   bands: Int = NumBands): DataFrame = {
+    require(bands >= 1 && bits >= bands && bits % bands == 0 &&
+      bits <= graft.functions.SketchUtil.MaxBits,
+      s"bands must be in [1, bits] and divide bits; bits must fit the " +
+        s"${graft.functions.SketchUtil.MaxBits} hyperplanes")
+    explodeBands(
+      corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+        .withColumn("sk", sketchCol(col("cv"), bits)),
+      "vec_id", "vec_id", bits / bands, bands)
+  }
+
+  /** Probe of a PREBUILT [[rhpBandIndex]] (usually read back from
+    * parquet): only the query side sketches anything fresh — candidates
+    * come from the (band_idx, band_key) equi-join against the stored
+    * index, and the corpus contributes the raw-vector lookup for the
+    * exact re-rank of candidates only. Same results as [[rhpTopK]] by
+    * construction (the index is a deterministic projection). */
+  def rhpProbe(queries: DataFrame, corpus: DataFrame, index: DataFrame,
+               k: Int, bits: Int = NumBits, bands: Int = NumBands): DataFrame = {
+    require(bands >= 1 && bits >= bands && bits % bands == 0 &&
+      bits <= graft.functions.SketchUtil.MaxBits,
+      s"bands must be in [1, bits] and divide bits; bits must fit the " +
+        s"${graft.functions.SketchUtil.MaxBits} hyperplanes")
+    val bitsPerBand = bits / bands
+    val qsk = queries.select(col("id").as("query_id"), vec(col("vec")).as("qv"))
+      .withColumn("sk", sketchCol(col("qv"), bits))
+    val qb = broadcast(explodeBands(qsk, "query_id", "query_id", bitsPerBand, bands))
+    val cand = index.join(qb, Seq("band_idx", "band_key"))
+      .select("query_id", "vec_id").distinct()
+    val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+    val q = broadcast(qsk.select("query_id", "qv"))
+    val scored = cand.join(c, "vec_id").join(q, "query_id")
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
+    rankPerKey(scored, k)
+  }
+
   /** [[rhpTopK]] for a BULK query side — a corpus split (kNN
     * classification's test set), not a handful of probes. Same banding,
     * same candidate semantics, same bounded-heap re-rank, but NO

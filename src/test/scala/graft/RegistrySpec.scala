@@ -36,6 +36,6 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("the full surface is present") {
-    assert(SparkEntry.queries.size == 352, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 353, s"got ${SparkEntry.queries.size}")
   }
 }

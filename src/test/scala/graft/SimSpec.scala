@@ -245,6 +245,18 @@ class SimSpec extends SparkSpec {
     ipq.unpersist()
   }
 
+  test("rhpProbe over a stored band index equals rhpTopK exactly") {
+    val q = emb.filter(col("id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rhp_bidx").toString
+    Similarity.rhpBandIndex(emb).write.parquet(s"$dir/rows")
+    val inQuery = Similarity.rhpTopK(q, emb, 10)
+      .orderBy("query_id", "rank").collect()
+    val stored = Similarity.rhpProbe(q, emb,
+        spark.read.parquet(s"$dir/rows"), 10)
+      .orderBy("query_id", "rank").collect()
+    assert(stored.toSeq === inQuery.toSeq)
+  }
+
   test("IVF-PQ index artifact stores dense CODES, and its bytes are a fraction of the raw embeddings'") {
     val idx = Similarity.ivfPqIndex(emb, numCentroids = 16).cache()
     // Shape: one row per corpus vector; codes = PqSubspaces dense ints in

@@ -421,7 +421,7 @@ private[graft] object DedupSimRegistry {
         s.conf.get("spark.sql.warehouse.dir"), s"graft_rhp_bidx_$sfTag")
       val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_MARKER")
-      val tag = s"$dir|bits=${sim.Similarity.NumBits}|bands=${sim.Similarity.NumBands}"
+      val tag = s"$dir|bits=${sim.Similarity.NumBits}|bands=${sim.Similarity.NumBands}|v=2"
       val fresh = fs.exists(marker) && {
         val in = fs.open(marker)
         try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
@@ -431,6 +431,11 @@ private[graft] object DedupSimRegistry {
         if (fs.exists(out)) fs.delete(out, true)
         sim.Similarity.rhpBandIndex(emb)
           .write.mode("overwrite").parquet(s"$out/rows")
+        // The sketch table rides along (v=2): probes don't read it, but
+        // Streams.rhpIngest adjudicates near-dups from it — the full
+        // serving artifact is (band rows, sketches).
+        sim.Similarity.rhpSketches(emb)
+          .write.mode("overwrite").parquet(s"$out/sketches")
         val os = fs.create(marker, true)
         try os.write(tag.getBytes("UTF-8")) finally os.close()
       }

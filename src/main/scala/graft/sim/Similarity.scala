@@ -208,6 +208,50 @@ object Similarity {
       "vec_id", "vec_id", bits / bands, bands)
   }
 
+  /** (vec_id, sk): the full sign sketches as a published table — the
+    * second half of the stored RHP artifact. Band rows generate
+    * candidates; the full sketches ADJUDICATE them at ingest time by
+    * hamming distance (the SimHash near-dup discipline applied to
+    * embeddings — hamming h on `bits` sign bits ≈ angle πh/bits, so a
+    * small-h gate is a high-cosine gate computed from the artifact
+    * alone, no raw-vector access). One linear shuffle-free corpus
+    * pass. */
+  def rhpSketches(corpus: DataFrame, bits: Int = NumBits): DataFrame =
+    corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
+      .select(col("vec_id"), sketchCol(col("cv"), bits).as("sk"))
+
+  /** ARTIFACT-ONLY ingest gate for the stored RHP index: a batch vector
+    * is a near-dup iff its sketch shares ≥ 1 band with some indexed
+    * vector (candidate equi-join on the band table) AND lies within
+    * `maxHamming` bits of that vector's full sketch (adjudication on
+    * the sketch table). Returns the SURVIVOR ids (batch rows with no
+    * indexed near-dup). The raw corpus is never read. */
+  def rhpNewVecsAgainstIndex(batch: DataFrame, bandIndex: DataFrame,
+                             sketches: DataFrame, maxHamming: Int,
+                             bits: Int = NumBits,
+                             bands: Int = NumBands): DataFrame = {
+    require(bands >= 1 && bits >= bands && bits % bands == 0 &&
+      bits <= graft.functions.SketchUtil.MaxBits,
+      s"bands must be in [1, bits] and divide bits; bits must fit the " +
+        s"${graft.functions.SketchUtil.MaxBits} hyperplanes")
+    val qsk = graft.util.Views.materialize(
+      batch.select(col("id"), vec(col("vec")).as("qv"))
+        .select(col("id"), sketchCol(col("qv"), bits).as("sk")))
+    val cand = bandIndex
+      .join(broadcast(explodeBands(qsk, "id", "id", bits / bands, bands)),
+        Seq("band_idx", "band_key"))
+      .select(col("id"), col("vec_id")).distinct()
+    val pairs = cand.join(sketches, "vec_id")
+      .join(broadcast(qsk.select(col("id"), col("sk").as("sk_q"))), "id")
+    val hamming = (0 until bits).map(j =>
+      when(substring(col("sk"), j + 1, 1) =!= substring(col("sk_q"), j + 1, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    val rejected = pairs.withColumn("h", hamming)
+      .filter(col("h") <= maxHamming)
+      .select("id").distinct()
+    batch.select("id").join(rejected, Seq("id"), "left_anti")
+  }
+
   /** Probe of a PREBUILT [[rhpBandIndex]] (usually read back from
     * parquet): only the query side sketches anything fresh — candidates
     * come from the (band_idx, band_key) equi-join against the stored

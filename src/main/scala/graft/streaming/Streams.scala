@@ -209,6 +209,60 @@ object Streams {
       .start()
   }
 
+  /** Streaming RHP-index ingest — the BANDING tier's maintenance twin
+    * (alongside [[annIngest]] for IVF-PQ and [[nearDupIngest]] for the
+    * LSH text index): each micro-batch is gated by
+    * [[graft.sim.Similarity.rhpNewVecsAgainstIndex]] — band-candidate
+    * equi-join + full-sketch hamming ≤ `maxHamming`, computed from the
+    * published rows/ + sketches/ artifacts alone — and `emit` receives
+    * the survivors. With `appendToIndex=true` survivors' band rows AND
+    * sketches append to the artifact (both are deterministic row-local
+    * projections — no quantizer to freeze). Marker-gated per (lineage,
+    * batchId); batch/index id spaces checked disjoint. Zero engine
+    * state: the index on durable storage IS the state. */
+  def rhpIngest(vectors: DataFrame, indexDir: String, maxHamming: Int,
+                appendToIndex: Boolean = false,
+                checkpointLocation: Option[String] = None)
+               (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    val lineage = checkpointLocation match {
+      case Some(c) => java.util.UUID.nameUUIDFromBytes(c.getBytes("UTF-8")).toString
+      case None => java.util.UUID.randomUUID().toString
+    }
+    val writer = vectors.writeStream.outputMode(OutputMode.Update())
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$indexDir/_batches/$lineage-$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val bandIdx = spark.read.parquet(s"$indexDir/rows")
+          val sks = spark.read.parquet(s"$indexDir/sketches")
+          val b = graft.util.Views.materialize(batch.toDF())
+          require(sks.select("vec_id")
+              .join(broadcast(b.select(col("id").as("vec_id"))),
+                Seq("vec_id"), "left_semi").isEmpty,
+            "rhpIngest: batch ids collide with the stored index — " +
+              "the id spaces must be disjoint")
+          val survivorIds = graft.sim.Similarity
+            .rhpNewVecsAgainstIndex(b, bandIdx, sks, maxHamming)
+          val survivors = graft.util.Views.materialize(
+            b.join(survivorIds, Seq("id"), "left_semi"))
+          emit(survivors)
+          if (appendToIndex && !survivors.isEmpty) {
+            graft.sim.Similarity.rhpBandIndex(survivors)
+              .write.mode("append").parquet(s"$indexDir/rows")
+            graft.sim.Similarity.rhpSketches(survivors)
+              .write.mode("append").parquet(s"$indexDir/sketches")
+          }
+          fs.create(marker, true).close()
+          graft.util.Views.unpersistAll()
+        }
+      }
+      .start()
+  }
+
   /** Streaming CDC apply into the versioned
     * [[graft.sources.SnapshotStore]] — the live half of the lakehouse
     * surface (batch query `docs_snapshot_asof`): each micro-batch of

@@ -341,6 +341,65 @@ class StreamingSpec extends SparkSpec {
     rows0.unpersist(); corpus.unpersist()
   }
 
+  test("streaming RHP ingest gates by band-candidate + sketch hamming and equals the sequential batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import sim.Similarity
+    val emb = Sources.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val isBatch = col("id") % 10 === 0
+    val corpus = emb.filter(!isBatch).cache()
+    // Batch = fresh-id rows: every 10th embedding VERBATIM (hamming 0 vs
+    // nothing — these vectors are NOT in the corpus, so they gate on
+    // their banded neighbors) plus exact COPIES of corpus vectors
+    // (identical sketch → hamming 0 → must be rejected).
+    val novel = emb.filter(isBatch).collect()
+      .map(r => streaming.StreamVec(r.getLong(0) + 100000L, r.getSeq[Float](1)))
+    val copies = corpus.filter(col("id") % 7 === 1).limit(20).collect()
+      .map(r => streaming.StreamVec(r.getLong(0) + 200000L, r.getSeq[Float](1)))
+    val batchVecs = (novel ++ copies).sortBy(_.id)
+    val (mb1, mb2) = batchVecs.partition(v => (v.id / 10) % 2 == 0)
+    assert(mb1.nonEmpty && mb2.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_rhp").toString
+    Similarity.rhpBandIndex(corpus).write.parquet(s"$dir/rows")
+    Similarity.rhpSketches(corpus).write.parquet(s"$dir/sketches")
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val stream = MemoryStream[streaming.StreamVec]
+    val q = Streams.rhpIngest(stream.toDF(), dir, maxHamming = 0,
+        appendToIndex = true) {
+      surv => perBatch += surv.select("id").collect().map(_.getLong(0)).toSet
+    }
+    try {
+      stream.addData(mb1.toIndexedSeq: _*); q.processAllAvailable()
+      stream.addData(mb2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.size === 2)
+    // Exact corpus copies carry identical sketches → rejected in batch 1.
+    val copyIds1 = mb1.filter(_.id >= 200000L).map(_.id).toSet
+    assert(copyIds1.intersect(perBatch(0)).isEmpty)
+    // Sequential fold reference: mb2 gates against corpus ∪ accepted(mb1).
+    def gate(b: org.apache.spark.sql.DataFrame,
+             bands: org.apache.spark.sql.DataFrame,
+             sks: org.apache.spark.sql.DataFrame): Set[Long] =
+      Similarity.rhpNewVecsAgainstIndex(b, bands, sks, maxHamming = 0)
+        .collect().map(_.getLong(0)).toSet
+    val mb1Df = spark.createDataFrame(mb1.toIndexedSeq).select("id", "vec")
+    val mb2Df = spark.createDataFrame(mb2.toIndexedSeq).select("id", "vec")
+    val s1 = gate(mb1Df, Similarity.rhpBandIndex(corpus),
+      Similarity.rhpSketches(corpus))
+    val acc1 = mb1Df.filter(col("id").isin(s1.toSeq: _*))
+    val s2 = gate(mb2Df,
+      Similarity.rhpBandIndex(corpus).unionByName(Similarity.rhpBandIndex(acc1)),
+      Similarity.rhpSketches(corpus).unionByName(Similarity.rhpSketches(acc1)))
+    assert(perBatch(0) === s1)
+    assert(perBatch(1) === s2)
+    // Both artifact tables really grew by exactly the accepted ids.
+    val idxIds = spark.read.parquet(s"$dir/sketches")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("id").collect().map(_.getLong(0)).toSet
+    assert(idxIds === corpusIds ++ s1 ++ s2)
+    corpus.unpersist()
+  }
+
   test("stream-stream interval join attributes purchases within the window, stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(

@@ -22,7 +22,7 @@ fi
 # scale-sensitive (dedup/LSH pipeline, graph loops, ANN tiers, the e2e
 # docs pipeline) — wall seconds AND shuffle MB per query land in the
 # artifact.
-QUERIES=dedup_exact,dedup_minhash_lsh,dedup_clusters_lsh,dedup_incremental_lsh_stored,dedup_survivors,graph_pagerank,graph_pagerank_directed,graph_kcore,sim_brute_topk,sim_ann_ivf,sim_ann_ivfpq,sim_ann_ivfpq_stored,sim_ann_ivfpq_residual_stored,mm_decode_jpeg,emb_knn_classifier_ann,text_textrank_keywords,text_tfidf,docs_bm25_topk,docs_pipeline_e2e,text_bpe_train
+QUERIES=dedup_exact,dedup_minhash_lsh,dedup_minhash_lsh_stored,dedup_clusters_lsh,dedup_incremental_lsh_stored,dedup_survivors,graph_pagerank,graph_pagerank_stored,graph_pagerank_directed,graph_pagerank_directed_stored,graph_kcore,graph_kcore_stored,sim_brute_topk,sim_ann_ivf,sim_ann_ivfpq,sim_ann_ivfpq_stored,sim_ann_ivfpq_residual_stored,mm_decode_jpeg,emb_knn_classifier_ann,text_textrank_keywords,text_tfidf,docs_bm25_topk,docs_pipeline_e2e,text_bpe_train
 
 SPARK_GRAFT_SF_DIR=data/sf1 \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \

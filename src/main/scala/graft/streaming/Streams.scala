@@ -122,14 +122,26 @@ object Streams {
     *
     * The per-batch views the probe materializes are reclaimed after each
     * batch ([[graft.util.Views.unpersistAll]]) — a forever-running ingest
-    * must not accumulate per-batch cache entries. */
+    * must not accumulate per-batch cache entries.
+    *
+    * `compactEvery` (round 10, VERDICT r9 task #8): with appends on,
+    * every micro-batch adds one small parquet file set per table — the
+    * classic streaming small-file problem. Every N applied batches the
+    * artifact tables are compacted IN PLACE
+    * ([[graft.util.Maintenance.compactInPlace]]) at ~`compactTargetBytes`
+    * per file. The pass runs ON the foreachBatch thread, which
+    * serializes micro-batches — it can never race an in-flight append —
+    * and it rewrites content byte-identically (layout, not data), so the
+    * replay markers stay valid. 0 disables. */
   def nearDupIngest(docs: DataFrame, indexDir: String, threshold: Double,
-                    appendToIndex: Boolean = false)
+                    appendToIndex: Boolean = false,
+                    compactEvery: Int = 0,
+                    compactTargetBytes: Long = 128L << 20)
                    (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
     docs.writeStream
       .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val (bandE, shE) = graft.dedup.Dedup.readLshIndex(spark, indexDir)
           val survivorIds = graft.dedup.Dedup.lshNewDocsAgainstIndex(
@@ -139,6 +151,10 @@ object Streams {
           emit(survivors)
           if (appendToIndex)
             graft.dedup.Dedup.appendLshIndex(survivors, "doc_id", "text", indexDir)
+          if (appendToIndex && compactEvery > 0 &&
+              (batchId + 1) % compactEvery == 0)
+            Seq("bands", "shingles").foreach(t => graft.util.Maintenance
+              .compactInPlace(spark, s"$indexDir/$t", compactTargetBytes))
           graft.util.Views.unpersistAll()
         }
       }
@@ -162,13 +178,27 @@ object Streams {
     * against everything accepted so far. NO streaming engine state: the
     * index on durable storage IS the state (the [[nearDupIngest]]
     * discipline). Appends are MARKER-GATED per (checkpoint lineage,
-    * batchId) exactly like [[cdcApply]] — a re-delivered micro-batch is
-    * a no-op, so crash-replay can never double-insert index rows.
-    * Batch ids must be disjoint from indexed vec_ids (checked loudly —
-    * a collision would make the append corrupt the identity space). */
+    * batchId) like [[cdcApply]]: a marker-bearing replay is a no-op. The
+    * append and its marker are two writes, so a crash BETWEEN them
+    * leaves applied rows with no marker; the replay then finds every
+    * batch id already indexed and self-heals (writes the marker, skips)
+    * — while a PARTIAL overlap (some batch ids indexed, some not: a
+    * replay whose original batch had rejects, or a genuine id-space
+    * collision) fails loudly with the manual-recovery path (create the
+    * marker by hand after confirming the batch was applied) instead of
+    * guessing. Batch ids must otherwise be disjoint from indexed
+    * vec_ids — a collision would corrupt the identity space.
+    *
+    * Survivors within one micro-batch are gated against the STORED index
+    * only, never against each other — two mutual near-dups arriving in
+    * the same batch both survive (and both append): intra-batch
+    * duplicates are admitted BY DESIGN, exactly as in [[nearDupIngest]];
+    * arrival batching is not an ordering the gate re-serializes. */
   def annIngest(vectors: DataFrame, indexDir: String, threshold: Double,
                 appendToIndex: Boolean = false,
-                checkpointLocation: Option[String] = None)
+                checkpointLocation: Option[String] = None,
+                compactEvery: Int = 0,
+                compactTargetBytes: Long = 128L << 20)
                (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
     val lineage = checkpointLocation match {
@@ -187,22 +217,46 @@ object Streams {
           val coarse = spark.read.parquet(s"$indexDir/coarse")
           val book = spark.read.parquet(s"$indexDir/book")
           val b = graft.util.Views.materialize(batch.toDF())
-          require(rows.select("vec_id")
-              .join(broadcast(b.select(col("id").as("vec_id"))),
-                Seq("vec_id"), "left_semi").isEmpty,
-            "annIngest: batch ids collide with the stored index — " +
-              "the id spaces must be disjoint")
-          val rejected = graft.sim.Similarity
-            .ivfPqMaxSim(b, rows, coarse, book)
-            .filter(col("max_asim") >= threshold)
-            .select(col("query_id").as("id"))
-          val survivors = graft.util.Views.materialize(
-            b.join(rejected, Seq("id"), "left_anti"))
-          emit(survivors)
-          if (appendToIndex && !survivors.isEmpty)
-            graft.sim.Similarity.ivfPqIndexWith(survivors, coarse, book)
-              .write.mode("append").parquet(s"$indexDir/rows")
-          fs.create(marker, true).close()
+          // Crash-window self-heal: append and marker are two writes. A
+          // marker-missing batch whose ids are ALL already indexed is an
+          // already-applied replay — re-write the marker and skip (never
+          // re-append). Partial overlap is undecidable (replay-with-
+          // rejects vs id collision): fail with the recovery path.
+          // (batch side broadcast — the index side is a single-column
+          // scan, never shuffled)
+          val nBatch = b.select("id").distinct().count()
+          val nIndexed = rows.select("vec_id")
+            .join(broadcast(b.select(col("id").as("vec_id"))),
+              Seq("vec_id"), "left_semi")
+            .distinct().count()
+          if (appendToIndex && nIndexed == nBatch) {
+            fs.create(marker, true).close()
+          } else {
+            require(nIndexed == 0L,
+              s"annIngest: $nIndexed of $nBatch batch ids already in the " +
+                "stored index without this batch's replay marker — either " +
+                "an id-space collision (ids must be disjoint) or a crash " +
+                "between append and marker on a batch with rejects; after " +
+                s"confirming the batch was applied, recover by creating $marker")
+            val rejected = graft.sim.Similarity
+              .ivfPqMaxSim(b, rows, coarse, book)
+              .filter(col("max_asim") >= threshold)
+              .select(col("query_id").as("id"))
+            val survivors = graft.util.Views.materialize(
+              b.join(rejected, Seq("id"), "left_anti"))
+            emit(survivors)
+            if (appendToIndex && !survivors.isEmpty)
+              graft.sim.Similarity.ivfPqIndexWith(survivors, coarse, book)
+                .write.mode("append").parquet(s"$indexDir/rows")
+            fs.create(marker, true).close()
+          }
+          // Small-file maintenance (see nearDupIngest's compactEvery doc):
+          // on the foreachBatch thread — serialized with appends, content-
+          // preserving, so replay markers stay valid.
+          if (appendToIndex && compactEvery > 0 &&
+              (batchId + 1) % compactEvery == 0)
+            graft.util.Maintenance.compactInPlace(
+              spark, s"$indexDir/rows", compactTargetBytes)
           graft.util.Views.unpersistAll()
         }
       }
@@ -218,11 +272,22 @@ object Streams {
     * the survivors. With `appendToIndex=true` survivors' band rows AND
     * sketches append to the artifact (both are deterministic row-local
     * projections — no quantizer to freeze). Marker-gated per (lineage,
-    * batchId); batch/index id spaces checked disjoint. Zero engine
-    * state: the index on durable storage IS the state. */
+    * batchId); batch/index id spaces checked disjoint against BOTH
+    * stored tables (rows/ is written first, so a crash between the two
+    * appends leaves band rows without sketches — checking sketches alone
+    * would let the replay silently re-append those band rows, because
+    * the hamming gate's inner join against sketches drops sketch-less
+    * candidates). A replay whose ids are all present in BOTH tables
+    * self-heals (marker written, batch skipped); any partial presence
+    * fails loudly with the manual-recovery path. Intra-batch duplicates
+    * are admitted by design (the [[annIngest]]/[[nearDupIngest]]
+    * contract — survivors gate against the stored index only). Zero
+    * engine state: the index on durable storage IS the state. */
   def rhpIngest(vectors: DataFrame, indexDir: String, maxHamming: Int,
                 appendToIndex: Boolean = false,
-                checkpointLocation: Option[String] = None)
+                checkpointLocation: Option[String] = None,
+                compactEvery: Int = 0,
+                compactTargetBytes: Long = 128L << 20)
                (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
     val lineage = checkpointLocation match {
@@ -240,23 +305,44 @@ object Streams {
           val bandIdx = spark.read.parquet(s"$indexDir/rows")
           val sks = spark.read.parquet(s"$indexDir/sketches")
           val b = graft.util.Views.materialize(batch.toDF())
-          require(sks.select("vec_id")
-              .join(broadcast(b.select(col("id").as("vec_id"))),
-                Seq("vec_id"), "left_semi").isEmpty,
-            "rhpIngest: batch ids collide with the stored index — " +
-              "the id spaces must be disjoint")
-          val survivorIds = graft.sim.Similarity
-            .rhpNewVecsAgainstIndex(b, bandIdx, sks, maxHamming)
-          val survivors = graft.util.Views.materialize(
-            b.join(survivorIds, Seq("id"), "left_semi"))
-          emit(survivors)
-          if (appendToIndex && !survivors.isEmpty) {
-            graft.sim.Similarity.rhpBandIndex(survivors)
-              .write.mode("append").parquet(s"$indexDir/rows")
-            graft.sim.Similarity.rhpSketches(survivors)
-              .write.mode("append").parquet(s"$indexDir/sketches")
+          // Disjointness against BOTH stored tables (rows/ is written
+          // first — orphaned band rows from a crash between the two
+          // appends must be detected, not silently re-appended), with
+          // the annIngest crash-window self-heal: all-present in both =
+          // applied replay; anything partial = loud failure.
+          val bIds = broadcast(b.select(col("id").as("vec_id")).distinct())
+          def present(t: org.apache.spark.sql.DataFrame): Long =
+            t.select("vec_id").join(bIds, Seq("vec_id"), "left_semi")
+              .distinct().count()
+          val nBatch = b.select("id").distinct().count()
+          val (inRows, inSks) = (present(bandIdx), present(sks))
+          if (appendToIndex && inRows == nBatch && inSks == nBatch) {
+            fs.create(marker, true).close()
+          } else {
+            require(inRows == 0L && inSks == 0L,
+              s"rhpIngest: $inRows/$nBatch batch ids in rows/, " +
+                s"$inSks/$nBatch in sketches/ without this batch's replay " +
+                "marker — either an id-space collision (ids must be " +
+                "disjoint) or a crash mid-append; after reconciling the " +
+                s"two tables, recover by creating $marker")
+            val survivorIds = graft.sim.Similarity
+              .rhpNewVecsAgainstIndex(b, bandIdx, sks, maxHamming)
+            val survivors = graft.util.Views.materialize(
+              b.join(survivorIds, Seq("id"), "left_semi"))
+            emit(survivors)
+            if (appendToIndex && !survivors.isEmpty) {
+              graft.sim.Similarity.rhpBandIndex(survivors)
+                .write.mode("append").parquet(s"$indexDir/rows")
+              graft.sim.Similarity.rhpSketches(survivors)
+                .write.mode("append").parquet(s"$indexDir/sketches")
+            }
+            fs.create(marker, true).close()
           }
-          fs.create(marker, true).close()
+          // Small-file maintenance (see nearDupIngest's compactEvery doc).
+          if (appendToIndex && compactEvery > 0 &&
+              (batchId + 1) % compactEvery == 0)
+            Seq("rows", "sketches").foreach(t => graft.util.Maintenance
+              .compactInPlace(spark, s"$indexDir/$t", compactTargetBytes))
           graft.util.Views.unpersistAll()
         }
       }

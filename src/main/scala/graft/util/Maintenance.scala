@@ -47,6 +47,28 @@ object Maintenance {
     (before, fileStats(spark, dstDir))
   }
 
+  /** Compact `dir` IN PLACE: rewrite aside to `<dir>.__compact__`, then
+    * swap (delete originals, rename aside into place). The swap is not
+    * atomic on a plain filesystem — callers own quiescence (the
+    * streamed-artifact compaction runs on the foreachBatch thread, which
+    * serializes micro-batches, so no reader/writer races; a table format
+    * with a transaction log would make the flip atomic). A crash between
+    * delete and rename loses no DATA (the aside copy is complete and
+    * durable before the delete starts) but needs a manual rename to
+    * recover — the aside dir is the recovery artifact. Returns (before,
+    * after) stats. */
+  def compactInPlace(spark: SparkSession, dir: String,
+                     targetBytes: Long): (FileStats, FileStats) = {
+    val aside = s"$dir.__compact__"
+    val stats = compactTo(spark, dir, aside, targetBytes)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    require(fs.rename(new Path(aside), p),
+      s"compactInPlace: rename $aside -> $dir failed; data is intact in $aside")
+    (stats._1, fileStats(spark, dir))
+  }
+
   /** Order-insensitive content digest for equality checks: xor of
     * per-row md5 prefixes — associative/commutative, so layout changes
     * never move it. */

@@ -50,8 +50,10 @@ object Ranks {
     // monotonically_increasing_id gives each partition a 33-bit record
     // space; a partition beyond 2^33 rows would bleed into the
     // partition-id bits and silently mis-rank. The histogram is already
-    // here — fail loudly instead (re-partition wider to fix).
-    require(counts.forall(_._2 <= SeqMask),
+    // here — fail loudly instead (re-partition wider to fix). The bound
+    // is EXACTLY 2^33 rows: the max record number of a 2^33-row
+    // partition is 2^33−1 = SeqMask, which still fits the record field.
+    require(counts.forall(_._2 <= SeqMask + 1),
       s"withGlobalRank: a partition exceeds 2^33 rows and would overflow " +
         s"monotonically_increasing_id's per-partition space — increase " +
         s"the range-partition width (got ${counts.map(_._2).max} rows)")

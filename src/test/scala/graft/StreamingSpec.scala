@@ -400,6 +400,63 @@ class StreamingSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("streamed-artifact compaction: probe results identical, file count collapsed") {
+    implicit val sqlCtx = spark.sqlContext
+    import sim.Similarity
+    val emb = Sources.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = emb.filter(col("id") % 10 =!= 0).cache()
+    val batchVecs = emb.filter(col("id") % 10 === 0).collect()
+      .map(r => streaming.StreamVec(r.getLong(0) + 300000L, r.getSeq[Float](1)))
+      .sortBy(_.id)
+    val groups = batchVecs.grouped(math.max(1, batchVecs.length / 3)).toSeq
+    assert(groups.size >= 3)
+    // Same micro-batch sequence, one run without compaction and one
+    // compacting after EVERY batch — verdicts and final index content
+    // must be identical (compaction is layout, never data), and the
+    // compacted run's small-file count must collapse.
+    def run(dir: String, compactEvery: Int): Seq[Set[Long]] = {
+      Similarity.rhpBandIndex(corpus).write.parquet(s"$dir/rows")
+      Similarity.rhpSketches(corpus).write.parquet(s"$dir/sketches")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val stream = MemoryStream[streaming.StreamVec]
+      val q = Streams.rhpIngest(stream.toDF(), dir, maxHamming = 0,
+          appendToIndex = true, compactEvery = compactEvery) { surv =>
+        out += surv.select("id").collect().map(_.getLong(0)).toSet
+      }
+      try groups.foreach { g =>
+        stream.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      out.toSeq
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("graft_cmp_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_cmp_b").toString
+    val survA = run(dirA, compactEvery = 0)
+    val survB = run(dirB, compactEvery = 1)
+    assert(survA === survB)
+    assert(survA.flatten.nonEmpty)
+    for (t <- Seq("rows", "sketches")) {
+      assert(util.Maintenance.contentDigest(spark.read.parquet(s"$dirA/$t")) ===
+        util.Maintenance.contentDigest(spark.read.parquet(s"$dirB/$t")),
+        s"$t content must be identical pre/post compaction")
+      val nA = util.Maintenance.fileStats(spark, s"$dirA/$t").nFiles
+      val nB = util.Maintenance.fileStats(spark, s"$dirB/$t").nFiles
+      assert(nB < nA, s"$t: compacted run must have fewer files ($nB vs $nA)")
+    }
+    // a fresh probe over the compacted artifacts still gates correctly:
+    // replaying batch 1's vectors against the final index rejects them all
+    val replay = spark.createDataFrame(
+      groups.head.map(v => streaming.StreamVec(v.id + 400000L, v.vec)).toIndexedSeq)
+      .select("id", "vec")
+    val gated = Similarity.rhpNewVecsAgainstIndex(replay,
+      spark.read.parquet(s"$dirB/rows"), spark.read.parquet(s"$dirB/sketches"),
+      maxHamming = 0).collect().map(_.getLong(0)).toSet
+    val acceptedB1 = survB.head
+    // every replayed vector whose original was ACCEPTED is now a dup of it
+    assert(gated.intersect(acceptedB1.map(_ + 400000L)).isEmpty)
+    corpus.unpersist()
+  }
+
   test("stream-stream interval join attributes purchases within the window, stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(

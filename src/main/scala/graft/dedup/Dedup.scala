@@ -227,8 +227,17 @@ object Dedup {
   private def lshCandidatesFromShingles(sh: DataFrame,
                                         bucketCap: Option[Long] = None,
                                         numHashes: Int = NumHashes,
-                                        numBands: Int = NumBands): DataFrame = {
-    val withBands0 = bandRowsFromShingles(sh, numHashes, numBands)
+                                        numBands: Int = NumBands): DataFrame =
+    lshCandidatesFromBands(
+      bandRowsFromShingles(sh, numHashes, numBands), bucketCap)
+
+  /** Candidate pairs from an (id, band_idx, band_key) band view — the
+    * band self-join shared by the in-query tier (bands derived from
+    * shingles above) and the STORED tier (bands scanned from the
+    * published index; see [[lshVerifiedPairsStored]]). `bucketCap` is
+    * the hot-bucket guard documented on [[lshCandidatesFromShingles]]. */
+  private def lshCandidatesFromBands(withBands0: DataFrame,
+                                     bucketCap: Option[Long] = None): DataFrame = {
     val withBands = bucketCap.fold(withBands0) { cap =>
       val ok = withBands0.groupBy("band_idx", "band_key")
         .agg(count(lit(1)).as("occ")).filter(col("occ") <= cap)
@@ -292,7 +301,15 @@ object Dedup {
           .isEmpty,
         "lshNewDocsAgainstIndex: batch ids collide with the stored index — " +
           "the id spaces must be disjoint")
-    val shB = graft.util.Views.materialize(shingleRows(batch, idCol, textCol))
+    // Cluster the BATCH by doc id before shingling — the writeLshIndex
+    // discipline applied to the probe side (round 10, VERDICT r9 task
+    // #6): the explode preserves the hash partitioning, so the batch's
+    // signature aggregate and every id-keyed probe stage downstream run
+    // without shuffling shingle rows; the one exchange paid here is on
+    // doc rows, ~3× smaller than their shingles (sf10 measured the
+    // un-clustered probe shipping 863 MB — mostly this stage).
+    val shB = graft.util.Views.materialize(
+      shingleRows(batch.repartition(col(idCol)), idCol, textCol))
     val bB = bandRowsFromShingles(shB)
     def bandMatch = col("a.band_idx") === col("b.band_idx") &&
       col("a.band_key") === col("b.band_key")
@@ -453,24 +470,33 @@ object Dedup {
     * (testdata is immutable by driver contract, so (sfDir, params)
     * identifies the content — the marker discipline shared with the MV /
     * IVF artifacts). Returns the table base name for
-    * [[readLshIndexBucketed]]. */
+    * [[readLshIndexBucketed]].
+    *
+    * `variant` namespaces DIFFERENT corpora over the same sfDir (e.g.
+    * the incremental tier indexes the existing-side subset while the
+    * self-dedup tier indexes the full corpus) — it is mixed into both
+    * the table base and the marker tag, so the two artifacts can never
+    * clobber or impersonate each other. */
   def ensureLshIndexBucketed(spark: org.apache.spark.sql.SparkSession,
                              dir: String, corpus: => DataFrame,
-                             idCol: String, textCol: String): String = {
+                             idCol: String, textCol: String,
+                             variant: String = ""): String = {
     // Lowercased: Spark lowercases catalog identifiers, so a
     // case-preserved base would put the managed table at a lowercased
     // warehouse path while the marker and the re-registration LOCATION
     // point at the original casing — perpetual rebuilds (or a broken
     // cross-session re-registration) for any sfDir with uppercase chars.
+    val vtag = if (variant.isEmpty) "" else s"_${variant}"
     val base =
-      s"graft_lsh_bidx_${dir.replaceAll("[^A-Za-z0-9]", "_")}".toLowerCase
+      s"graft_lsh_bidx$vtag${"_"}${dir.replaceAll("[^A-Za-z0-9]", "_")}".toLowerCase
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     def loc(part: String) =
       new org.apache.hadoop.fs.Path(warehouse, s"${base}_$part")
     val fs = loc("shingles")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(loc("bands"), "_GRAFT_MARKER")
-    val tag = s"$dir|n=$ShingleN|h=$NumHashes|b=$NumBands|bk=$IndexBuckets"
+    val tag =
+      s"$dir|v=$variant|n=$ShingleN|h=$NumHashes|b=$NumBands|bk=$IndexBuckets"
     val fresh = fs.exists(marker) && {
       val in = fs.open(marker)
       try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
@@ -503,6 +529,37 @@ object Dedup {
     val cand = graft.util.Views.materialize(
       lshCandidatesFromShingles(shAll, bucketCap, numHashes, numBands))
     val sh = graft.util.Views.materialize(shAll.join(candidateIds(cand), "id"))
+    jaccardFromShingles(sh, threshold).join(cand, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /** CORPUS SELF-DEDUP through the PUBLISHED index — the production
+    * twin of [[lshVerifiedPairs]] and the 100 TB shape for the corpus-
+    * wide near-dup question (the sf10 rehearsal's finding, SCALE.md):
+    * the in-query tier re-derives the exploded shingle frame (~200
+    * shingle rows per doc) and its minhash signatures EVERY run, and at
+    * 100× that materialized frame is what exceeds storage memory — while
+    * the band index and shingle store already exist as write-once
+    * bucketed tables ([[writeLshIndexBucketed]], maintained by append at
+    * ingest). This tier computes the SAME verified pair set from the
+    * artifacts alone:
+    *
+    *  1. candidates = the band index self-joined on (band_idx, band_key)
+    *     — a scan of |corpus|·bands rows (4 per doc), not a derivation
+    *     over |corpus|·shingles rows;
+    *  2. verification = exact Jaccard over the stored shingle rows of
+    *     candidate docs only — the id-keyed restriction and per-doc
+    *     counts run exchange-free over the id-bucketed scan.
+    *
+    * Same pair set as the in-query tier by construction (identical md5
+    * minhash contract, identical banding — LshStoredSpec asserts it;
+    * the registered query shares the in-query tier's DuckDB oracle). */
+  def lshVerifiedPairsStored(spark: org.apache.spark.sql.SparkSession,
+                             base: String, threshold: Double,
+                             bucketCap: Option[Long] = None): DataFrame = {
+    val (bandE, shE) = readLshIndexBucketed(spark, base)
+    val cand = graft.util.Views.materialize(
+      lshCandidatesFromBands(bandE, bucketCap))
+    val sh = graft.util.Views.materialize(shE.join(candidateIds(cand), "id"))
     jaccardFromShingles(sh, threshold).join(cand, Seq("id_a", "id_b"), "left_semi")
   }
 

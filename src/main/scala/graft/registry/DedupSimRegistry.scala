@@ -114,6 +114,27 @@ private[graft] object DedupSimRegistry {
         numHashes = 32, numBands = 8)
         .orderBy("id_a", "id_b")),
 
+    // CORPUS SELF-DEDUP THROUGH THE PUBLISHED INDEX — the production
+    // shape for the corpus-wide near-dup question and the round-10 fix
+    // for the sf10 (100×) wall the in-query tier measured (946 s: the
+    // re-derived exploded shingle frame, ~1.2 B rows at 6 M docs,
+    // exceeds one JVM's storage memory; SCALE.md "sf10 spot-rehearsal").
+    // The band index + shingle store are write-once id-bucketed tables
+    // (built at ingest, maintained by append — the
+    // dedup_incremental_lsh_stored artifacts, here spanning the FULL
+    // corpus under the `full` variant); the query self-joins the stored
+    // bands for candidates and verifies exact Jaccard over stored
+    // shingles of candidate docs only. Same pair set as
+    // dedup_minhash_lsh by construction — the oracle is IDENTICAL, so a
+    // stored path that drifted a single pair would hash-mismatch.
+    "dedup_minhash_lsh_stored" -> ((s, dir) => {
+      val base = dedup.Dedup.ensureLshIndexBucketed(
+        s, dir, dedup.Dedup.augmented(Sources.documents(s, dir)),
+        "doc_id", "text", variant = "full")
+      dedup.Dedup.lshVerifiedPairsStored(s, base, 0.6)
+        .orderBy("id_a", "id_b")
+    }),
+
 
     // MinHash ESTIMATE-vs-EXACT audit (the sketch-quality measurement for
     // the dedup tier, like sim_ann_recall for the ANN tier): for every
@@ -176,10 +197,18 @@ private[graft] object DedupSimRegistry {
     // duplicate graph only, shrinking the edge set between rounds).
     // `dedup_clusters` above builds from capped-Jaccard pairs; this
     // entry is the advertised end-to-end LSH path, against the same
-    // RECURSIVE-CTE closure oracle.
+    // RECURSIVE-CTE closure oracle. Round 10: pair mining goes THROUGH
+    // THE PUBLISHED INDEX (dedup_minhash_lsh_stored's artifacts) — the
+    // production pipeline clusters what ingest already indexed, and the
+    // in-query shingle re-derivation was this query's measured dominant
+    // cost (the 146 MB sf1 shuffle the star A/B attributed to pair
+    // mining, and the sf10 cache wall). Oracle unchanged — the stored
+    // pair set is the in-query pair set.
     "dedup_clusters_lsh" -> ((s, dir) => {
       val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
-      val pairs = dedup.Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.6)
+      val base = dedup.Dedup.ensureLshIndexBucketed(
+        s, dir, docs, "doc_id", "text", variant = "full")
+      val pairs = dedup.Dedup.lshVerifiedPairsStored(s, base, 0.6)
       dedup.Dedup.clustersStar(docs, "doc_id", pairs)
         .withColumn("is_canonical",
           (col("doc_id") === col("cluster_id")).cast("int"))
@@ -1247,6 +1276,17 @@ private[graft] object DedupSimRegistry {
     "dedup_minhash_lsh_scaled" ->
       s"""WITH docs AS ${dedup.Dedup.augmentedSql},
          |${dedup.Dedup.lshCandidatesCtes("docs", None, 32, 8)},
+         |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, Some("cand"))}
+         |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
+         |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    // The stored self-dedup tier computes the SAME verified pair set
+    // from the published artifacts — one oracle, shared with the
+    // in-query tier (the dedup_incremental_lsh_stored discipline).
+    "dedup_minhash_lsh_stored" ->
+      s"""WITH docs AS ${dedup.Dedup.augmentedSql},
+         |${dedup.Dedup.lshCandidatesCtes("docs")},
          |${dedup.Dedup.jaccardPairsCtes("docs", 0.6, Some("cand"))}
          |SELECT p.id_a, p.id_b, p.jaccard FROM pairs p
          |JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b

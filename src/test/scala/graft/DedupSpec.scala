@@ -369,6 +369,36 @@ class DedupSpec extends SparkSpec {
     if (fs.exists(dst)) fs.delete(dst, true)
   }
 
+  test("stored self-dedup pairs equal the in-query tier; variants are disjoint write-once artifacts") {
+    val corpus = Dedup.augmented(Sources.documents(spark, sfDir))
+    val inQuery = Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = Dedup.ensureLshIndexBucketed(spark, sfDir, corpus,
+      "doc_id", "text", variant = "full")
+    val stored = Dedup.lshVerifiedPairsStored(spark, base, 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored === inQuery)
+    assert(stored.nonEmpty, "fixture must contain verified near-dup pairs")
+    // the `full` variant namespaces its own tables — it must NOT collide
+    // with the incremental tier's (existing-subset) artifact base
+    val baseIncr = Dedup.ensureLshIndexBucketed(spark, sfDir,
+      corpus.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    assert(base !== baseIncr)
+    // write-once: a re-ensure with the same (sfDir, variant, params)
+    // probes the marker, never rebuilds
+    val builds0 = util.Artifacts.builds.get
+    Dedup.ensureLshIndexBucketed(spark, sfDir, corpus, "doc_id", "text",
+      variant = "full")
+    assert(util.Artifacts.builds.get === builds0)
+    // the verification stage's per-doc counts run exchange-free over the
+    // id-bucketed shingle store (the layout property the stored tier buys)
+    val (_, shE) = Dedup.readLshIndexBucketed(spark, base)
+    val agg = shE.groupBy("id").agg(count(lit(1)).as("n"))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucketed shingle scan should satisfy the per-doc count without a shuffle")
+  }
+
   test("candidate generation never pairs a doc with itself and is ordered") {
     val cand = Dedup.lshCandidates(docs, "doc_id", "text")
     assert(cand.filter(col("id_a") >= col("id_b")).count() === 0)

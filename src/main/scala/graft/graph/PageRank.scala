@@ -46,6 +46,94 @@ object PageRank {
   val UnitRank = 1000000000L // 1.0 in 1e-9 units
   val TeleportQ = 150000000L // 0.15 in 1e-9 units
 
+  /** Persist + lineage-truncate one round's rank table (register in the
+    * shared Views registry so suite hygiene can reclaim it; the caller
+    * unpersists the retired round in-loop). */
+  private def materializeRound(df: DataFrame): (DataFrame, DataFrame) = {
+    val p = graft.util.Views.register(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    (org.apache.spark.sql.GraftColumnBridge.lineageTruncated(p), p)
+  }
+
+  /** PageRank over a PUBLISHED degree-annotated edge table
+    * ([[EdgeStore.ensureDegreeEdges]] — `(src, dst, outdeg)` bucketed by
+    * src, dangling-checked at build time): the serving tier of the
+    * stored-artifact discipline. Every round's rank⋈edges join reads the
+    * edge side EXCHANGE-FREE from the bucketed scan (the in-query tier
+    * reshuffles the frame it derived), and the contribution aggregate
+    * map-side combines before its one exchange of per-partition partials
+    * — so per-round shuffle is O(nodes), never O(edges), at any corpus
+    * size. Identical recurrence and constants to [[ranks]] — same oracle.
+    */
+  def ranksStored(spark: SparkSession, edgeTable: String,
+                  iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val eDeg = spark.table(edgeTable)
+    // Seed from the bucketed scan: distinct over src is exchange-free.
+    val seed = eDeg.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(UnitRank))
+    var (cur, cached) = materializeRound(seed)
+    cached.count()
+    for (_ <- 1 to iters) {
+      // No explicit repartitions: EnsureRequirements shuffles ONLY the
+      // (node-sized) rank side to the edge scan's bucket partitioning,
+      // and groupBy's partial aggregation combines contributions
+      // map-side (the in-query tier's pre-aggregate repartition would
+      // ship one RAW row per edge).
+      val contribs = eDeg
+        .join(cur, col("src") === col("node"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+      val next = contribs
+        .groupBy(col("dst").as("node"))
+        .agg((lit(TeleportQ) + expr("(85 * sum(c)) div 100")).as("pr"))
+      val (nRanks, nCached) = materializeRound(next)
+      nCached.count()
+      cached.unpersist()
+      cur = nRanks
+      cached = nCached
+    }
+    cur
+  }
+
+  /** Directed PageRank over PUBLISHED edge + node tables
+    * ([[EdgeStore.ensureDegreeEdges]] / [[EdgeStore.ensureNodeTable]]) —
+    * the stored twin of [[ranksDirected]], identical recurrence
+    * including the per-round dangling-mass scalar. The teleport join's
+    * node side reads exchange-free from the node-bucketed scan; N is a
+    * one-time count over it. */
+  def ranksDirectedStored(spark: SparkSession, edgeTable: String,
+                          nodeTable: String, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val eDeg = spark.table(edgeTable)
+    val nodes = spark.table(nodeTable)
+    val nNodes = nodes.count()
+    val seed = nodes.select(col("node"), col("odeg"))
+      .withColumn("pr", lit(UnitRank))
+    var (cur, cached) = materializeRound(seed)
+    cached.count()
+    for (_ <- 1 to iters) {
+      val inflow = eDeg
+        .join(cur, col("src") === col("node"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      val dShare = cur.agg(
+        expr(s"coalesce(sum(CASE WHEN odeg = 0 THEN pr END), 0L) div $nNodes")
+          .as("dshare"))
+      val next = nodes
+        .join(inflow, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dShare))
+        .select(col("node"), col("odeg"),
+          (lit(TeleportQ) +
+            expr("(85 * (coalesce(inflow, 0L) + dshare)) div 100")).as("pr"))
+      val (nRanks, nCached) = materializeRound(next)
+      nCached.count()
+      cached.unpersist()
+      cur = nRanks
+      cached = nCached
+    }
+    cur.select("node", "pr")
+  }
+
   /** Rank nodes of the graph given by `edges` (cols `src`, `dst`, both
     * directions present for an undirected graph). Returns (node, pr)
     * with pr in 1e-9 units after `iters` damped power-iteration rounds
@@ -85,12 +173,6 @@ object PageRank {
       "PageRank.ranks: graph has dangling nodes (dst never a src) — " +
         "pass both edge directions for an undirected graph, or add " +
         "self-loops/teleport handling for a directed one")
-
-    def materializeRound(df: DataFrame): (DataFrame, DataFrame) = {
-      val p = graft.util.Views.register(
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      (org.apache.spark.sql.GraftColumnBridge.lineageTruncated(p), p)
-    }
 
     val seed = eMat.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(UnitRank))
@@ -154,12 +236,6 @@ object PageRank {
         .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("odeg"))
         .repartition(loopWidth, col("node")))
-
-    def materializeRound(df: DataFrame): (DataFrame, DataFrame) = {
-      val p = graft.util.Views.register(
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      (org.apache.spark.sql.GraftColumnBridge.lineageTruncated(p), p)
-    }
 
     val seed = nodesMat.select(col("node"), col("odeg"))
       .withColumn("pr", lit(UnitRank))

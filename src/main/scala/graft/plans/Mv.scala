@@ -76,6 +76,39 @@ object Mv {
     d
   }
 
+  /** Lineitem rollup MV at (l_returnflag, l_suppkey) grain WITH a
+    * registered key-preserving supplier dimension — the star-schema
+    * rewrite's artifact (round 10): the grain carries the FK, so any
+    * aggregate over `lineitem ⋈ supplier` with supplier predicates folds
+    * onto `MV ⋈ supplier`. The MvDim contract (s_suppkey unique, every
+    * l_suppkey present) is TPC-H referential integrity, guaranteed by
+    * the fixture generator. */
+  def ensureLineitemSuppMv(s: SparkSession, dir: String): MvDef = {
+    val out = warehouseDir(s, s"graft_mv_lineitem_supp_${sfTag(dir)}")
+    val tag = s"$dir|lineitem|rf,suppkey|v1"
+    if (!readMarker(s, out).contains(tag)) {
+      graft.util.Artifacts.recordBuild(s"mv_lineitem_supp $tag")
+      graft.Sources.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_suppkey")
+        .agg(
+          sum(graft.util.Stable.dec2(col("l_quantity"))).as("sum_qty"),
+          sum(graft.util.Stable.dec2(col("l_extendedprice"))).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(out.toString)
+      writeMarker(s, out, tag)
+    }
+    val d = MvDef(
+      name = s"lineitem_rf_supp_${sfTag(dir)}",
+      factPath = s"$dir/lineitem.parquet",
+      mvPath = out.toString,
+      groupCols = Seq("l_returnflag", "l_suppkey"),
+      sums = Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
+      countCol = Some("cnt"),
+      dims = Seq(MvDim(s"$dir/supplier.parquet", "l_suppkey", "s_suppkey")))
+    MvRegistry.register(d)
+    d
+  }
+
   val DayNanos = 86400000000000L
 
   private def dayAgg(events: DataFrame): DataFrame =

@@ -5,7 +5,8 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
@@ -29,6 +30,18 @@ import org.apache.spark.sql.types.LongType
   * the original aggregate's dataType (one decimal-widening round-trip —
   * exact for the engine's DECIMAL(38,·) headroom discipline).
   */
+/** A KEY-PRESERVING dimension of a registered fact (the star-schema
+  * rewrite's contract, declared by the registrant like the `sums`
+  * contract): the fact's `factKey` column — which MUST be part of the
+  * MV grain — joins the dimension at `dimPath` on its UNIQUE key
+  * `dimKey`, and every fact row has exactly ONE match (FK with
+  * referential integrity). Under that contract an inner fact⋈dim join
+  * neither duplicates nor drops fact rows, so any aggregate over the
+  * join folds onto the MV joined to the SAME dimension: a dim predicate
+  * selects whole factKey-groups, and factKey ∈ grain means those groups
+  * are whole MV rows. */
+case class MvDim(dimPath: String, factKey: String, dimKey: String)
+
 case class MvDef(
     name: String,
     factPath: String,
@@ -37,7 +50,8 @@ case class MvDef(
     sums: Map[String, String],
     countCol: Option[String],
     mins: Map[String, String] = Map.empty,
-    maxs: Map[String, String] = Map.empty)
+    maxs: Map[String, String] = Map.empty,
+    dims: Seq[MvDim] = Seq.empty)
 
 /** Driver-side registry of MV definitions + a cache of their analyzed
   * scan plans (one file-listing per MV, not per query). Registration is
@@ -98,6 +112,62 @@ object MvRegistry {
   * attribute ExprIds (and dataTypes, via the cast-back) are preserved,
   * so parent operators re-resolve unchanged.
   */
+/** Folds aggregate calls / grain attributes of a query over the fact
+  * onto the MV's stored state columns — the expression-level half of the
+  * rewrite, shared by the direct and star-schema plan shapes. Returns
+  * None wherever the fold is not provably exact. */
+private class StateRewriter(d: MvDef, grainIds: Map[ExprId, String],
+    grainMv: Map[String, AttributeReference],
+    mvAttr: String => Option[AttributeReference]) {
+
+  private def sumOf(a: Expression): AggregateExpression =
+    Sum(a).toAggregateExpression()
+
+  private def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    def srcName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case c: Cast => c.child match {
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+    ae.aggregateFunction match {
+      case s: Sum =>
+        srcName(s.child).flatMap(d.sums.get).flatMap(mvAttr)
+          .map(a => Cast(sumOf(a), ae.dataType))
+      case c: Count if c.children.forall {
+          case Literal(v, _) => v != null
+          case _ => false
+        } =>
+        d.countCol.flatMap(mvAttr).map(a =>
+          Coalesce(Seq(Cast(sumOf(a), LongType), Literal(0L))))
+      case m: Min =>
+        srcName(m.child).flatMap(d.mins.get).flatMap(mvAttr)
+          .map(a => Cast(Min(a).toAggregateExpression(), ae.dataType))
+      case m: Max =>
+        srcName(m.child).flatMap(d.maxs.get).flatMap(mvAttr)
+          .map(a => Cast(Max(a).toAggregateExpression(), ae.dataType))
+      case _ => None
+    }
+  }
+
+  /** Rewrite an expression tree: aggregate calls fold onto MV state,
+    * grain attrs map to MV attrs, literals/casts/arithmetic carry over;
+    * any OTHER attribute (non-grain fact column, dim column) blocks. */
+  def rw(e: Expression): Option[Expression] = e match {
+    case ae: AggregateExpression => rewriteAgg(ae)
+    case a: AttributeReference =>
+      grainIds.get(a.exprId).flatMap(grainMv.get)
+    case leaf if leaf.children.isEmpty => Some(leaf)
+    case other =>
+      val kids = other.children.map(rw)
+      if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+      else None
+  }
+}
+
 object MvRewrite extends Rule[LogicalPlan] {
   val EnabledConf = "spark.graft.mv.rewrite.enabled"
 
@@ -128,10 +198,133 @@ object MvRewrite extends Rule[LogicalPlan] {
       case agg @ Aggregate(_, _, child, _) =>
         strip(child, Nil).flatMap { case (lr, conds) =>
           val paths = scanPaths(lr)
-          MvRegistry.all.find(d => paths.contains(normalize(d.factPath)))
-            .flatMap(d => rewrite(agg, lr, conds, d))
-        }.getOrElse(agg)
+          // Several MVs may share a fact (different grains) — take the
+          // first whose state set covers this query, not the first match.
+          MvRegistry.all.filter(d => paths.contains(normalize(d.factPath)))
+            .view.flatMap(d => rewrite(agg, lr, conds, d)).headOption
+        }.orElse(starRewrite(agg, child)).getOrElse(agg)
     }
+  }
+
+  /** Peel attribute-only Projects / collect Filters down to a JOIN. */
+  private def stripToJoin(p: LogicalPlan, conds: Seq[Expression])
+      : Option[(Join, Seq[Expression])] = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripToJoin(c, conds)
+    case Filter(cond, c) => stripToJoin(c, conds :+ cond)
+    case j: Join => Some((j, conds))
+    case _ => None
+  }
+
+  /** THE STAR-SCHEMA SHAPE (round 10): `Aggregate` over
+    * `fact ⋈ dim` where the join is a REGISTERED key-preserving dim
+    * join ([[MvDim]]) re-plans as the same aggregate over `MV ⋈ dim` —
+    * the dominant BI query reads |MV| rows plus a (broadcast-sized)
+    * dimension instead of the fact. Soundness rests on the MvDim
+    * contract (factKey ∈ grain; dimKey unique; referential integrity):
+    * the join then neither duplicates nor drops fact rows, a dim
+    * predicate selects whole factKey-groups = whole MV rows, and the
+    * dim SUBPLAN (scan + its own filters/projections) transplants
+    * verbatim. Eligibility beyond the direct rewrite's rules:
+    *  - the join is INNER with a bare `factKey = dimKey` equality on
+    *    the declared attribute pair (either orientation);
+    *  - groupings are bare FACT grain attributes only — grouping by a
+    *    dim column is conservatively blocked (MvRewriteSpec pins it);
+    *  - filters above the join may reference fact GRAIN columns and/or
+    *    dim columns (both select whole MV rows after the join);
+    *    fact-side filters below the join must be grain-only as always;
+    *  - aggregate calls fold onto MV state exactly as in the direct
+    *    rewrite; any dim column inside the aggregate list blocks. */
+  private def starRewrite(agg: Aggregate, child: LogicalPlan): Option[LogicalPlan] =
+    stripToJoin(child, Nil).flatMap {
+      case (Join(l, r, Inner, Some(cond), _), above) =>
+        orientStar(agg, l, r, cond, above)
+          .orElse(orientStar(agg, r, l, cond, above))
+      case _ => None
+    }
+
+  private def orientStar(agg: Aggregate, factSide: LogicalPlan,
+      dimSide: LogicalPlan, cond: Expression,
+      above: Seq[Expression]): Option[LogicalPlan] =
+    strip(factSide, Nil).flatMap { case (factLr, factConds) =>
+      val fPaths = scanPaths(factLr)
+      MvRegistry.all
+        .filter(d => d.dims.nonEmpty && fPaths.contains(normalize(d.factPath)))
+        .view.flatMap { d =>
+          strip(dimSide, Nil).flatMap { case (dimLr, _) =>
+            val dPaths = scanPaths(dimLr)
+            d.dims.find(dm => dPaths.contains(normalize(dm.dimPath)))
+              .flatMap(dm => rewriteStar(agg, factLr, factConds, dimSide,
+                cond, above, d, dm))
+          }
+        }.headOption
+    }
+
+  private def rewriteStar(agg: Aggregate, fact: LogicalRelation,
+      factConds: Seq[Expression], dimSide: LogicalPlan, cond: Expression,
+      above: Seq[Expression], d: MvDef, dm: MvDim): Option[LogicalPlan] = {
+    if (!d.groupCols.contains(dm.factKey)) return None // broken registration
+    val grainIds: Map[ExprId, String] = fact.output
+      .filter(a => d.groupCols.contains(a.name)).map(a => a.exprId -> a.name).toMap
+    // The join condition must be the DECLARED key equality, bare
+    // attributes only (a cast or expression around either side could
+    // merge key groups — not the registered contract).
+    val dimKeyAttr: Option[AttributeReference] = cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val factKeyOk = (x: AttributeReference) =>
+          grainIds.get(x.exprId).contains(dm.factKey)
+        val dimKeyOk = (x: AttributeReference) =>
+          x.name == dm.dimKey && dimSide.outputSet.contains(x)
+        if (factKeyOk(a) && dimKeyOk(b)) Some(b)
+        else if (factKeyOk(b) && dimKeyOk(a)) Some(a)
+        else None
+      case _ => None
+    }
+    if (dimKeyAttr.isEmpty) return None
+    // Groupings: bare fact grain attributes only.
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference => grainIds.get(a.exprId)
+      case _ => None
+    }
+    if (groupNames.exists(_.isEmpty)) return None
+    // Below-join fact filters: grain-only. Above-join filters: grain
+    // and/or dim columns.
+    if (!factConds.forall(_.references.forall(a => grainIds.contains(a.exprId))))
+      return None
+    if (!above.forall(_.references.forall(a =>
+        grainIds.contains(a.exprId) || dimSide.outputSet.contains(a))))
+      return None
+
+    val spark = SparkSession.active
+    val mv = MvRegistry.scan(spark, d.mvPath).getOrElse(return None)
+    def mvAttr(name: String): Option[AttributeReference] =
+      mv.output.collectFirst { case a if a.name == name => a }
+    val grainMv: Map[String, AttributeReference] =
+      d.groupCols.flatMap(g => mvAttr(g).map(g -> _)).toMap
+    if (grainMv.size != d.groupCols.size) return None
+
+    val rewriter = new StateRewriter(d, grainIds, grainMv, mvAttr)
+    val newAggExprs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        grainIds.get(a.exprId).flatMap(grainMv.get)
+          .map(m => Alias(m, a.name)(exprId = a.exprId))
+      case al @ Alias(c, name) =>
+        rewriter.rw(c).map(nc => Alias(nc, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (newAggExprs.exists(_.isEmpty)) return None
+    val newGroupings = groupNames.flatten.map(grainMv)
+    def mapFact(e: Expression): Expression = e.transform {
+      case a: AttributeReference if grainIds.contains(a.exprId) =>
+        grainMv(grainIds(a.exprId))
+    }
+    val mvFiltered: LogicalPlan =
+      if (factConds.isEmpty) mv else Filter(mapFact(factConds.reduce(And)), mv)
+    val joined: LogicalPlan = Join(mvFiltered, dimSide, Inner,
+      Some(EqualTo(grainMv(dm.factKey), dimKeyAttr.get)), JoinHint.NONE)
+    val withAbove: LogicalPlan =
+      if (above.isEmpty) joined else Filter(mapFact(above.reduce(And)), joined)
+    Some(Aggregate(newGroupings, newAggExprs.map(_.get), withAbove))
   }
 
   private def rewrite(agg: Aggregate, fact: LogicalRelation,
@@ -159,57 +352,13 @@ object MvRewrite extends Rule[LogicalPlan] {
       d.groupCols.flatMap(g => mvAttr(g).map(g -> _)).toMap
     if (grainMv.size != d.groupCols.size) return None
 
-    def sumOf(a: Expression): AggregateExpression = Sum(a).toAggregateExpression()
-
-    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
-      def srcName(e: Expression): Option[String] = e match {
-        case a: AttributeReference => Some(a.name)
-        case c: Cast => c.child match {
-          case a: AttributeReference => Some(a.name)
-          case _ => None
-        }
-        case _ => None
-      }
-      ae.aggregateFunction match {
-        case s: Sum =>
-          srcName(s.child).flatMap(d.sums.get).flatMap(mvAttr)
-            .map(a => Cast(sumOf(a), ae.dataType))
-        case c: Count if c.children.forall {
-            case Literal(v, _) => v != null
-            case _ => false
-          } =>
-          d.countCol.flatMap(mvAttr).map(a =>
-            Coalesce(Seq(Cast(sumOf(a), LongType), Literal(0L))))
-        case m: Min =>
-          srcName(m.child).flatMap(d.mins.get).flatMap(mvAttr)
-            .map(a => Cast(Min(a).toAggregateExpression(), ae.dataType))
-        case m: Max =>
-          srcName(m.child).flatMap(d.maxs.get).flatMap(mvAttr)
-            .map(a => Cast(Max(a).toAggregateExpression(), ae.dataType))
-        case _ => None
-      }
-    }
-
-    // Rewrite an expression tree: aggregate calls fold onto MV state,
-    // grain attrs map to MV attrs, literals/casts/arithmetic carry over.
-    def rw(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => rewriteAgg(ae)
-      case a: AttributeReference =>
-        grainIds.get(a.exprId).flatMap(grainMv.get)
-      case leaf if leaf.children.isEmpty => Some(leaf)
-      case other =>
-        val kids = other.children.map(rw)
-        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
-        else None
-    }
-
+    val rewriter = new StateRewriter(d, grainIds, grainMv, mvAttr)
     val newAggExprs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case a: AttributeReference =>
         grainIds.get(a.exprId).flatMap(grainMv.get)
           .map(m => Alias(m, a.name)(exprId = a.exprId))
       case al @ Alias(c, name) =>
-        rw(c).map(nc => Alias(nc, name)(exprId = al.exprId))
+        rewriter.rw(c).map(nc => Alias(nc, name)(exprId = al.exprId))
       case _ => None
     }
     if (newAggExprs.exists(_.isEmpty)) return None

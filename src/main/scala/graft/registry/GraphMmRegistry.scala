@@ -250,6 +250,49 @@ private[graft] object GraphMmRegistry {
     }),
 
 
+    // PAGERANK OVER PUBLISHED EDGES (round 10, VERDICT r9 task #2): the
+    // degree-annotated edge list lives in a write-once src-bucketed
+    // warehouse table (graph.EdgeStore — the Dedup.writeLshIndexBucketed
+    // discipline), so every round's rank⋈edges join reads the edge side
+    // EXCHANGE-FREE and only the node-sized rank table moves per round
+    // (the in-query twin's per-round exchange carries one raw row per
+    // EDGE). At 100× that is the difference between ~6 GB/round of
+    // exchange and zero (VERDICT r9 plan audit). Same integer
+    // recurrence, same oracle as graph_pagerank; PageRankSpec pins the
+    // exchange-free edge side.
+    "graph_pagerank_stored" -> ((s, dir) => {
+      val t = graph.EdgeStore.ensureDegreeEdges(s, dir, "copurch_und", {
+        val e0 = Sources.lineitem(s, dir)
+          .select((col("l_partkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      }, requireNoDangling = true)
+      graph.PageRank.ranksStored(s, t, iters = 3)
+        .select(col("node"), (col("node") % 2).as("is_supplier"), col("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(100)
+    }),
+
+
+    // Directed stored twin: one-way edges + the published (node, odeg)
+    // universe for the per-round teleport join (dangling suppliers keep
+    // re-entering through the pool — same recurrence, same oracle as
+    // graph_pagerank_directed).
+    "graph_pagerank_directed_stored" -> ((s, dir) => {
+      def raw = Sources.lineitem(s, dir)
+        .select((col("l_partkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      val et = graph.EdgeStore.ensureDegreeEdges(s, dir, "copurch_dir", raw)
+      val nt = graph.EdgeStore.ensureNodeTable(s, dir, "copurch_dir", raw)
+      graph.PageRank.ranksDirectedStored(s, et, nt, iters = 3)
+        .select(col("node"), (col("node") % 2).as("is_supplier"), col("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(100)
+    }),
+
+
     // TRIANGLE COUNTING over the part co-purchase graph (parts sharing
     // an order), by DEGREE-ORDERED edge orientation — the standard
     // distributed algorithm: orient every edge toward the (degree, id)-
@@ -316,7 +359,6 @@ private[graft] object GraphMmRegistry {
     // round via materialized views exactly like the cluster propagation
     // loop. Output: the k-core's nodes with their in-core degrees.
     "graph_kcore" -> ((s, dir) => {
-      val k = 3
       val op = Sources.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val edges = util.Views.materialize(
@@ -326,34 +368,32 @@ private[graft] object GraphMmRegistry {
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
           .select("u", "v"))
-      def degreesIn(nodes: DataFrame): DataFrame = {
-        val live = edges
-          .join(nodes.select(col("node").as("u")), "u", "left_semi")
-          .join(nodes.select(col("node").as("v")), "v", "left_semi")
-        live.select(col("u").as("node"))
-          .unionAll(live.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("dg"))
-      }
-      // Lineage-truncate each round (the cluster-propagation loop's
-      // discipline): persist caches the DATA, but the logical plan still
-      // nests round over round and Catalyst re-optimization grows
-      // EXPONENTIALLY (measured here: 0.9 → 3.2 → 18.6 → 217 s by round
-      // 5 without truncation).
-      def round(df: DataFrame): DataFrame =
-        org.apache.spark.sql.GraftColumnBridge.lineageTruncated(
-          util.Views.materialize(df))
-      var nodes = round(
-        edges.select(col("u").as("node"))
-          .unionAll(edges.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("dg"))
-          .filter(col("dg") >= k).select("node"))
-      for (_ <- 1 to 6)
-        nodes = round(degreesIn(nodes).filter(col("dg") >= k).select("node"))
       // Degrees of the round-6 node set, no extra filter: the oracle
-      // unrolls the SAME 10 rounds, so both report identical state even
+      // unrolls the SAME rounds, so both report identical state even
       // in the (impossible-here) unconverged case.
-      degreesIn(nodes)
-        .select(col("node"), col("dg").as("core_degree"))
+      graph.KCore.coreDegrees(edges, k = 3, rounds = 6)
+        .orderBy("node")
+    }),
+
+
+    // K-CORE OVER PUBLISHED EDGES (round 10, VERDICT r9 task #2's
+    // family lever): the thresholded co-purchase edge derivation — a
+    // fact-table self-join + support aggregate, the dominant cost of
+    // every in-query graph entry — runs ONCE into a write-once
+    // u-bucketed warehouse table; the peel loop then probes the stored
+    // scan. Same fixed-unroll loop (graph.KCore), same oracle.
+    "graph_kcore_stored" -> ((s, dir) => {
+      val t = graph.EdgeStore.ensurePlainEdges(s, dir, "copurch", {
+        val op = Sources.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("u", "v")
+      })
+      graph.KCore.coreDegrees(s.table(t), k = 3, rounds = 6)
         .orderBy("node")
     }),
 
@@ -573,6 +613,29 @@ private[graft] object GraphMmRegistry {
           // unix_micros is exact (the Sources.events discipline).
           unix_micros(min(col("l_shipdate")).cast("timestamp")).as("min_ship_us"),
           unix_micros(max(col("l_shipdate")).cast("timestamp")).as("max_ship_us"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // STAR-SCHEMA MV REWRITE (round 10, VERDICT r9 task #7): the query
+    // is the dominant BI shape — aggregate over fact ⋈ broadcast-dim
+    // with a dim predicate — and the extended matcher re-plans it as
+    // the same aggregate over MV ⋈ dim: the (l_returnflag, l_suppkey)
+    // rollup carries the FK in its grain, supplier joins key-preserving
+    // on its unique s_suppkey (TPC-H referential integrity, declared
+    // via MvDim like the sums contract), so the dim predicate selects
+    // whole MV rows. The ORACLE recomputes from the raw fact ⋈ dim;
+    // MvRewriteSpec pins that the optimized plan scans the MV and that
+    // non-key-preserving joins / dim-column groupings stay on the fact.
+    "mv_rollup_dim_stored" -> ((s, dir) => {
+      plans.Mv.ensureLineitemSuppMv(s, dir)
+      Sources.lineitem(s, dir)
+        .join(Sources.supplier(s, dir).filter(col("s_nationkey") < 5),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(util.Stable.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
     }),
 
@@ -967,6 +1030,32 @@ private[graft] object GraphMmRegistry {
          |FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
     },
 
+    // The stored tiers compute the SAME ranks from the published edge
+    // layout — one oracle each, shared with the in-query twins (the
+    // dedup_incremental_lsh_stored discipline: a parquet/bucketing
+    // round-trip that changed a single rank unit would hash-mismatch).
+    "graph_pagerank_stored" -> {
+      val und =
+        """SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS src,
+          |                CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst FROM lineitem""".stripMargin
+      val edgesSql =
+        s"""SELECT src, dst FROM ($und) fwd
+           |UNION ALL
+           |SELECT dst AS src, src AS dst FROM ($und) rev""".stripMargin
+      s"""${graph.PageRank.ranksSql(edgesSql, iters = 3)}
+         |SELECT node, node % 2 AS is_supplier, pr
+         |FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
+    },
+
+    "graph_pagerank_directed_stored" -> {
+      val edgesSql =
+        """SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS src,
+          |                CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst FROM lineitem""".stripMargin
+      s"""${graph.PageRank.ranksDirectedSql(edgesSql, iters = 3)}
+         |SELECT node, node % 2 AS is_supplier, pr
+         |FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
+    },
+
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |edges AS (
@@ -1020,6 +1109,40 @@ private[graft] object GraphMmRegistry {
          |n0 AS (
          |  SELECT n AS node
          |  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+         |  GROUP BY 1 HAVING count(*) >= 3),
+         |$rounds
+         |SELECT node, count(*) AS core_degree FROM (
+         |  SELECT e.u AS node FROM edges e
+         |  WHERE e.u IN (SELECT node FROM n6) AND e.v IN (SELECT node FROM n6)
+         |  UNION ALL
+         |  SELECT e.v FROM edges e
+         |  WHERE e.u IN (SELECT node FROM n6) AND e.v IN (SELECT node FROM n6))
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+
+    // Stored-edge twin: same peel recurrence over the same edge set —
+    // identical oracle to graph_kcore.
+    "graph_kcore_stored" -> {
+      val rounds = (1 to 6).map { i =>
+        s"""n$i AS MATERIALIZED (
+           |  SELECT node FROM (
+           |    SELECT e.u AS node FROM edges e
+           |    WHERE e.u IN (SELECT node FROM n${i - 1})
+           |      AND e.v IN (SELECT node FROM n${i - 1})
+           |    UNION ALL
+           |    SELECT e.v FROM edges e
+           |    WHERE e.u IN (SELECT node FROM n${i - 1})
+           |      AND e.v IN (SELECT node FROM n${i - 1}))
+           |  GROUP BY 1 HAVING count(*) >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |edges AS (
+         |  SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |n0 AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
          |  GROUP BY 1 HAVING count(*) >= 3),
          |$rounds
          |SELECT node, count(*) AS core_degree FROM (
@@ -1145,6 +1268,14 @@ private[graft] object GraphMmRegistry {
          |  CAST(count(*) AS BIGINT) AS n_rows
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+
+    "mv_rollup_dim_stored" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum(${util.Stable.dec2Sql("l_quantity")}) AS DOUBLE) AS sum_qty,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE s_nationkey < 5
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "mv_rollup_filtered_stored" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,

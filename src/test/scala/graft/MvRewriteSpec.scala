@@ -81,6 +81,12 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   test("every ineligibility blocks the rewrite") {
+    // Hermetic registry: the star-schema MV (grain incl. l_suppkey) may
+    // have been registered by another suite's query run in the shared
+    // session — under it, groupBy(l_suppkey) is LEGITIMATELY eligible.
+    // This test pins the (l_returnflag, l_linestatus) MV's negatives.
+    plans.MvRegistry.clear()
+    plans.Mv.ensureLineitemMv(spark, sfDir)
     // Non-grain predicate: selects PARTIAL groups — must stay on the fact.
     assert(hitsFact(fact
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz"))
@@ -103,5 +109,87 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
 
   test("conf kill-switch disables the rewrite end-to-end") {
     withRuleDisabled(assert(hitsFact(rollup)))
+  }
+
+  // ----------------------------------------------------- star schema
+
+  private def dimAll = Sources.supplier(spark, sfDir)
+  private def dim = dimAll.filter(col("s_nationkey") < 5)
+
+  private def starQuery: DataFrame = fact
+    .join(dim, col("l_suppkey") === col("s_suppkey"))
+    .groupBy("l_returnflag")
+    .agg(
+      sum(util.Stable.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+      count(lit(1)).as("n_rows"))
+    .orderBy("l_returnflag")
+
+  private def hitsSuppMv(df: DataFrame): Boolean = {
+    val paths = scanPaths(df)
+    paths.exists(_.contains("graft_mv_lineitem_supp")) &&
+      !paths.exists(_.endsWith("lineitem.parquet"))
+  }
+  private def hitsFactJoin(df: DataFrame): Boolean = {
+    val paths = scanPaths(df)
+    paths.exists(_.endsWith("lineitem.parquet")) &&
+      !paths.exists(_.contains("graft_mv_lineitem_supp"))
+  }
+
+  test("star-schema aggregate over a key-preserving dim join re-plans onto MV ⋈ dim") {
+    plans.Mv.ensureLineitemSuppMv(spark, sfDir)
+    assert(hitsSuppMv(starQuery), s"expected MV scan, got ${scanPaths(starQuery)}")
+    val viaMv = starQuery.collect().map(_.toSeq).toSeq
+    val viaFact = withRuleDisabled {
+      assert(hitsFactJoin(starQuery), "disabled rule must leave the fact join")
+      starQuery.collect().map(_.toSeq).toSeq
+    }
+    assert(viaMv == viaFact)
+    assert(viaMv.nonEmpty)
+  }
+
+  test("star-schema: dim predicate ABOVE the join transplants too") {
+    plans.Mv.ensureLineitemSuppMv(spark, sfDir)
+    val q = fact
+      .join(dimAll, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") < 5) // above-join dim predicate
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+    assert(hitsSuppMv(q), s"expected MV scan, got ${scanPaths(q)}")
+    val got = q.collect().map(_.toSeq).toSeq
+    val exp = withRuleDisabled(q.collect().map(_.toSeq).toSeq)
+    assert(got == exp)
+  }
+
+  test("star-schema ineligibilities all block the rewrite") {
+    plans.Mv.ensureLineitemSuppMv(spark, sfDir)
+    // Non-key-preserving join: the condition is NOT the declared
+    // (l_suppkey = s_suppkey) pair — joining on the part key against the
+    // supplier key can drop/duplicate fact groups arbitrarily.
+    assert(hitsFactJoin(fact
+      .join(dim, col("l_partkey") === col("s_suppkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))))
+    // Dim-column grouping: s_nationkey is not in the MV grain.
+    assert(hitsFactJoin(fact
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))))
+    // Dim column inside the aggregate list.
+    assert(hitsFactJoin(fact
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(util.Stable.dec2(col("s_acctbal"))).as("b"))))
+    // Non-grain FACT predicate above the join still selects partial groups.
+    assert(hitsFactJoin(fact
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))))
+    // Outer join: null-extended rows are not the key-preserving contract.
+    assert(hitsFactJoin(fact
+      .join(dim, col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))))
+    // Unregistered dimension (nation is not a declared MvDim of this MV).
+    assert(hitsFactJoin(fact
+      .join(Sources.nation(spark, sfDir), col("l_suppkey") === col("n_nationkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))))
   }
 }

@@ -86,6 +86,60 @@ class PageRankSpec extends SparkSpec {
     graft.util.Views.unpersistAll()
   }
 
+  test("stored tiers equal the in-query loops; per-round edge side is exchange-free") {
+    import spark.implicits._
+    // Reuse the sf fixture's bipartite co-purchase shape at tiny scale:
+    // directed part→supplier edges (suppliers dangle), undirected union.
+    val raw = Sources.lineitem(spark, sfDir)
+      .select((col("l_partkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+      .distinct()
+    val und = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    val inQ = PageRank.ranks(und, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val et = graph.EdgeStore.ensureDegreeEdges(spark, sfDir, "copurch_und", {
+      val e0 = Sources.lineitem(spark, sfDir)
+        .select((col("l_partkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    }, requireNoDangling = true)
+    val st = PageRank.ranksStored(spark, et, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st === inQ)
+    // write-once: re-ensure probes the marker, never rebuilds
+    val builds0 = util.Artifacts.builds.get
+    graph.EdgeStore.ensureDegreeEdges(spark, sfDir, "copurch_und",
+      sys.error("must not be evaluated on a marker hit"))
+    assert(util.Artifacts.builds.get === builds0)
+    // THE layout property: one round's rank⋈edges join plans NO exchange
+    // on the bucketed edge scan — only the (node-sized) rank side moves.
+    val eDeg = spark.table(et)
+    val cur = inQ.toSeq.toDF("node", "pr")
+    val j = eDeg.join(cur, col("src") === col("node"))
+      .select(col("dst"), expr("pr div outdeg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(src"),
+      s"edge scan must not be re-shuffled on src:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"edge side must read the bucketed layout:\n$plan")
+    // directed twin
+    val inQd = PageRank.ranksDirected(raw, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def raw2 = Sources.lineitem(spark, sfDir)
+      .select((col("l_partkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+      .distinct()
+    val etd = graph.EdgeStore.ensureDegreeEdges(spark, sfDir, "copurch_dir", raw2)
+    val ntd = graph.EdgeStore.ensureNodeTable(spark, sfDir, "copurch_dir", raw2)
+    val std = PageRank.ranksDirectedStored(spark, etd, ntd, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(std === inQd)
+    graft.util.Views.unpersistAll()
+  }
+
   test("ranksSql replay matches the Spark loop on the star fixture") {
     // The generated SQL is DuckDB-dialect; here we only pin that the
     // generator wires the same constants/iteration count the Spark loop

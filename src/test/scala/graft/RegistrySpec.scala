@@ -36,6 +36,9 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("the full surface is present") {
-    assert(SparkEntry.queries.size == 353, s"got ${SparkEntry.queries.size}")
+    // round 10: +5 (dedup_minhash_lsh_stored, graph_pagerank_stored,
+    // graph_pagerank_directed_stored, graph_kcore_stored,
+    // mv_rollup_dim_stored)
+    assert(SparkEntry.queries.size == 358, s"got ${SparkEntry.queries.size}")
   }
 }

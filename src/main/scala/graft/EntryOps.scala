@@ -90,30 +90,40 @@ private[graft] object EntryOps {
     * syndication — the copy lands in a deterministically rotated source;
     * within-source copies (doc_id % 13) model re-posts. Injected ids live
     * in disjoint spaces, guarded per-row like Dedup.augmented. */
+  /** Injection offsets for the synthetic source-dup spaces. 1e8/2e8
+    * (round 10, VERDICT r9 task #5 — was 8e6/9e6, which capped the
+    * sf10 scale fixture at factor 79: ScaleUp replica ids reach
+    * factor × [[graft.util.ScaleUp.DocOffset]] and must stay below the
+    * first injection offset; 1e8 admits factor 1000). Shared by the
+    * Spark view and the oracle SQL by interpolation. */
+  private[graft] val SourceCrossDupOffset = 100000000L
+  private[graft] val SourceSelfDupOffset = 200000000L
+
   private[graft] def sourcedDocs(docs: DataFrame): DataFrame = {
     val guardedId = when(
-      assert_true(col("doc_id") >= 0 && col("doc_id") < 8000000L,
-        lit("doc_id must be in [0, 8000000) for disjoint source-dup injection")).isNull,
+      assert_true(col("doc_id") >= 0 && col("doc_id") < SourceCrossDupOffset,
+        lit(s"doc_id must be in [0, $SourceCrossDupOffset) for disjoint " +
+          "source-dup injection")).isNull,
       col("doc_id"))
     val base = docs.select(guardedId.as("doc_id"), col("text"), col("lang"), col("source"))
     base
       .unionByName(base.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 8000000L).as("doc_id"), col("text"), col("lang"),
+        .select((col("doc_id") + SourceCrossDupOffset).as("doc_id"), col("text"), col("lang"),
           concat(lit("src"), ((col("doc_id") + 3) % 20).cast("string")).as("source")))
       .unionByName(base.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 9000000L).as("doc_id"), col("text"), col("lang"),
+        .select((col("doc_id") + SourceSelfDupOffset).as("doc_id"), col("text"), col("lang"),
           col("source")))
   }
 
   private[graft] val sourcedDocsSql: String =
-    """(SELECT doc_id, text, lang, source FROM documents
-      | UNION ALL
-      | SELECT doc_id + 8000000, text, lang,
-      |        'src' || CAST((doc_id + 3) % 20 AS VARCHAR)
-      | FROM documents WHERE doc_id % 9 = 0
-      | UNION ALL
-      | SELECT doc_id + 9000000, text, lang, source
-      | FROM documents WHERE doc_id % 13 = 0)""".stripMargin
+    s"""(SELECT doc_id, text, lang, source FROM documents
+       | UNION ALL
+       | SELECT doc_id + $SourceCrossDupOffset, text, lang,
+       |        'src' || CAST((doc_id + 3) % 20 AS VARCHAR)
+       | FROM documents WHERE doc_id % 9 = 0
+       | UNION ALL
+       | SELECT doc_id + $SourceSelfDupOffset, text, lang, source
+       | FROM documents WHERE doc_id % 13 = 0)""".stripMargin
 
   /** Token-budget shard assignment shared by `docs_pack_shards` /
     * `docs_pack_assemble`: deterministic hash bucket = independent

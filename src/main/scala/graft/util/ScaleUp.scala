@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  // Must stay below sourcedDocs' 8M source-dup injection offset at any
-  // realistic factor (sf0.1 doc ids top out under 100k): replica ids at
-  // factor 79 still fit [0, 8M).
+  // Must stay below sourcedDocs' 1e8 source-dup injection offset
+  // (EntryOps.SourceCrossDupOffset; sf0.1 doc ids top out under 100k):
+  // replica ids fit [0, 1e8) up to factor 1000 — the sf10 (100×)
+  // rehearsal's id space is no longer the binding constraint (round 10,
+  // VERDICT r9 task #5: the old 8e6 offset capped the fixture at 79×).
   val DocOffset = 100000L
   val VecOffset = 10000000L
   val KeyOffset = 10000000L

@@ -20,9 +20,9 @@ class Round5gOpsSpec extends SparkSpec {
       .toSeq
     base ++
       base.filter(_._1 % 9 == 0).map { case (id, t, l, _) =>
-        (id + 8000000L, t, l, "src" + ((id + 3) % 20)) } ++
+        (id + EntryOps.SourceCrossDupOffset, t, l, "src" + ((id + 3) % 20)) } ++
       base.filter(_._1 % 13 == 0).map { case (id, t, l, s) =>
-        (id + 9000000L, t, l, s) }
+        (id + EntryOps.SourceSelfDupOffset, t, l, s) }
   }
 
   private def nTokens(t: String): Long =

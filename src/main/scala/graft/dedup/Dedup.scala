@@ -92,16 +92,61 @@ object Dedup {
     // join sides); materialize (eager persist — see [[graft.util.Views]])
     // so the normalize→split→n-gram derivation runs once, not once per
     // concurrent consumer stage.
-    val sh = graft.util.Views.materialize(candidates match {
-      case Some(cand) =>
-        shAll.join(candidateIds(cand), "id")
-      case None => shAll
-    })
-    val pairs = jaccardFromShingles(sh, threshold, maxDocFreq)
     candidates match {
-      case Some(cand) => pairs.join(cand, Seq("id_a", "id_b"), "left_semi")
-      case None => pairs
+      case Some(cand) =>
+        // PAIR-KEYED verification (round 10 — the sf10 finding): with a
+        // candidate list in hand, intersect shingle sets THROUGH it
+        // instead of self-joining the restricted shingle view and
+        // semi-joining candidates afterwards. The shingle self-join's
+        // output is Σ_sh occ² over candidate-doc occupancies — on a
+        // corpus whose self-dedup candidates cover half the docs
+        // (sf10: 407 k of 717 k), a frequent trigram makes that
+        // quadratic regardless of the candidate restriction (measured:
+        // 1 059 s at sf10, all CPU in the verify join). The pair-keyed
+        // plan is linear in |pairs| × shingles-per-doc.
+        val sh = graft.util.Views.materialize(
+          capByDocFreq(shAll.join(candidateIds(cand), "id"), maxDocFreq))
+        jaccardForPairs(cand, sh, threshold)
+      case None =>
+        val sh = graft.util.Views.materialize(shAll)
+        jaccardFromShingles(sh, threshold, maxDocFreq)
     }
+  }
+
+  /** Apply the [[pairStats]] doc-frequency cap to an (id, sh) view
+    * up-front (the candidate-path needs it BEFORE pair-keyed
+    * verification so Jaccard stays defined over the same filtered
+    * shingle space on both the intersection and count side). */
+  private def capByDocFreq(sh0: DataFrame, maxDocFreq: Option[Long]): DataFrame =
+    maxDocFreq match {
+      case Some(cap) =>
+        val keep = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("sh")
+        sh0.join(keep, "sh")
+      case None => sh0
+    }
+
+  /** Exact Jaccard for EXACTLY the given (id_a, id_b) pairs, from an
+    * (id, sh) shingle view covering both sides: per-pair intersection
+    * via two keyed joins THROUGH the pair list — |A∩B| rows appear only
+    * for listed pairs, so cost is |pairs| × shingles-per-doc, never
+    * Σ_sh occ² (see [[jaccardPairs]]). Pairs sharing zero surviving
+    * shingles drop out of the inner join — they cannot pass any
+    * threshold > 0, and at threshold 0 the old shingle-self-join shape
+    * dropped them identically. */
+  private def jaccardForPairs(pairs: DataFrame, sh: DataFrame,
+                              threshold: Double): DataFrame = {
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Distinct doc ids occurring in a candidate pair set. */
@@ -325,11 +370,16 @@ object Dedup {
       .withColumnRenamed("id", "id_a")
     val nB = shPartner.groupBy("id").agg(count(lit(1)).as("n_b"))
       .withColumnRenamed("id", "id_b")
-    val rejected = shProbe.as("a")
-      .join(shPartner.as("b"), col("a.sh") === col("b.sh"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    // Pair-keyed intersection through the candidate list (round 10 —
+    // the jaccardForPairs shape): the probe-side shingle frame joins
+    // candidate pairs first, so the common-shingle join emits rows for
+    // LISTED pairs only — never the Σ_sh occ² of a raw shingle
+    // self-join (a hot shingle shared by many partner docs made the old
+    // shape quadratic at corpus scale).
+    val rejected = cand
+      .join(shProbe.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(shPartner.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
       .join(nA, "id_a").join(nB, "id_b")
       .filter(col("n_common") / (col("n_a") + col("n_b") - col("n_common")) >= threshold)
       .select(col("id_a").as("doc_id")).distinct()
@@ -529,7 +579,7 @@ object Dedup {
     val cand = graft.util.Views.materialize(
       lshCandidatesFromShingles(shAll, bucketCap, numHashes, numBands))
     val sh = graft.util.Views.materialize(shAll.join(candidateIds(cand), "id"))
-    jaccardFromShingles(sh, threshold).join(cand, Seq("id_a", "id_b"), "left_semi")
+    jaccardForPairs(cand, sh, threshold)
   }
 
   /** CORPUS SELF-DEDUP through the PUBLISHED index — the production
@@ -560,7 +610,7 @@ object Dedup {
     val cand = graft.util.Views.materialize(
       lshCandidatesFromBands(bandE, bucketCap))
     val sh = graft.util.Views.materialize(shE.join(candidateIds(cand), "id"))
-    jaccardFromShingles(sh, threshold).join(cand, Seq("id_a", "id_b"), "left_semi")
+    jaccardForPairs(cand, sh, threshold)
   }
 
   /** Benchmark DECONTAMINATION scan — the train/eval overlap check every

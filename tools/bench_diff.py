@@ -20,6 +20,9 @@ import sys
 def load(path):
     with open(path) as f:
         d = json.load(f)
+    # Driver BENCH_r{N}.json wraps the compact bench line under "parsed".
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
     qs = d.get("queries", {})
     # -1 medians mark failed queries; keep them visible but never divide.
     return {k: v for k, v in qs.items()}, d

@@ -82,7 +82,17 @@ object Dedup {
     * scale an unguarded hot shingle is a quadratic blowup on one key).
     * Jaccard is then defined over the surviving "discriminative" shingle
     * space on BOTH the intersection and union side, so it remains a true
-    * Jaccard of (filtered) sets. */
+    * Jaccard of (filtered) sets.
+    *
+    * PRECONDITION on `candidates`: the (id_a, id_b) pair set must be
+    * DISTINCT (ADVICE r10). The pair-keyed verification intersects
+    * shingle sets THROUGH the pair list, so a duplicated pair row
+    * multiplies its n_common by the duplicate count and overstates
+    * Jaccard. Every candidate producer in this engine ends in
+    * `.distinct()` (band self-joins must dedup multi-band collisions
+    * anyway); a caller synthesizing pairs elsewhere owns the same
+    * dedup — re-distincting here would tax every internal caller with a
+    * redundant shuffle of the pair set. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double,
                    candidates: Option[DataFrame] = None,
@@ -536,9 +546,18 @@ object Dedup {
     // warehouse path while the marker and the re-registration LOCATION
     // point at the original casing — perpetual rebuilds (or a broken
     // cross-session re-registration) for any sfDir with uppercase chars.
-    val vtag = if (variant.isEmpty) "" else s"_${variant}"
+    //
+    // The variant is LENGTH-PREFIXED into the base (ADVICE r10): plain
+    // concatenation collides — variant "full" + dir "x" and variant ""
+    // + dir "full_x" would share a table base while carrying different
+    // marker tags, so the two callers would perpetually rebuild and
+    // clobber each other's artifact. `v<len>_<variant>` is an
+    // unambiguous encoding over the sanitized alphabet (the length pins
+    // where the variant ends, so no (variant, dir) split can alias
+    // another).
+    val vtag = s"v${variant.length}_${variant.replaceAll("[^A-Za-z0-9]", "_")}"
     val base =
-      s"graft_lsh_bidx$vtag${"_"}${dir.replaceAll("[^A-Za-z0-9]", "_")}".toLowerCase
+      s"graft_lsh_bidx_${vtag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}".toLowerCase
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     def loc(part: String) =
       new org.apache.hadoop.fs.Path(warehouse, s"${base}_$part")

@@ -43,16 +43,23 @@ object EdgeStore {
 
   /** Ensure a write-once bucketed table `graft_<what>_<sfTag>` holding
     * `build`, clustered by `key`. Returns the table name. `build` is
-    * by-name — never evaluated on a marker hit. */
+    * by-name — never evaluated on a marker hit. `buildTag` names the
+    * EDGE-DERIVATION contract (params + a version token, e.g.
+    * "copurch:support>=2:v1") and is mixed into the marker tag (ADVICE
+    * r10): the closure itself can't be fingerprinted, so a caller
+    * changing the derivation MUST bump the tag — otherwise a stale
+    * cross-session artifact would be silently reused (the |v1 discipline
+    * of the MV markers). */
   private def ensureTable(spark: SparkSession, dir: String, what: String,
-                          key: String, build: => DataFrame): String = {
+                          key: String, buildTag: String,
+                          build: => DataFrame): String = {
     val table =
       s"graft_${what}_${dir.replaceAll("[^A-Za-z0-9]", "_")}".toLowerCase
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(warehouse, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(loc, "_GRAFT_MARKER")
-    val tag = s"$dir|$what|k=$key|bk=$Buckets"
+    val tag = s"$dir|$what|k=$key|bk=$Buckets|d=$buildTag"
     val fresh = fs.exists(marker) && {
       val in = fs.open(marker)
       try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
@@ -82,8 +89,9 @@ object EdgeStore {
     * edge construction is broken. */
   def ensureDegreeEdges(spark: SparkSession, dir: String, variant: String,
                         edges: => DataFrame,
-                        requireNoDangling: Boolean = false): String =
-    ensureTable(spark, dir, s"edges_$variant", "src", {
+                        requireNoDangling: Boolean = false,
+                        buildTag: String = "v1"): String =
+    ensureTable(spark, dir, s"edges_$variant", "src", buildTag, {
       val e = graft.util.Views.materialize(
         edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst")))
@@ -101,8 +109,9 @@ object EdgeStore {
     * dangling), bucketed by node — the static left side of every
     * directed-PageRank teleport join. */
   def ensureNodeTable(spark: SparkSession, dir: String, variant: String,
-                      edges: => DataFrame): String =
-    ensureTable(spark, dir, s"nodes_$variant", "node", {
+                      edges: => DataFrame,
+                      buildTag: String = "v1"): String =
+    ensureTable(spark, dir, s"nodes_$variant", "node", buildTag, {
       val e = graft.util.Views.materialize(
         edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst")))
@@ -119,8 +128,9 @@ object EdgeStore {
     * + support aggregate), re-run per query in the in-query tier and
     * once per corpus here. */
   def ensurePlainEdges(spark: SparkSession, dir: String, variant: String,
-                       edges: => DataFrame): String =
-    ensureTable(spark, dir, s"uvedges_$variant", "u",
+                       edges: => DataFrame,
+                       buildTag: String = "v1"): String =
+    ensureTable(spark, dir, s"uvedges_$variant", "u", buildTag,
       edges.select(col("u").cast("long").as("u"),
         col("v").cast("long").as("v")))
 }

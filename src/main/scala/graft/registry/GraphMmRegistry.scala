@@ -12,6 +12,32 @@ import graft.EntryOps._
   */
 private[graft] object GraphMmRegistry {
 
+  /** The support-thresholded part co-purchase edge table (u < v, parts
+    * sharing ≥ 2 orders), read from the PUBLISHED write-once u-bucketed
+    * artifact (round 11, VERDICT r10 task #2): the derivation — a
+    * distinct + fact-table self-join + support aggregate — was the
+    * measured dominant cost of every in-query graph-analytics entry
+    * (kcore 8.9 → 1.6 s at sf1 when it stopped re-running it), and at
+    * 100 TB it rescans the corpus once per query. The whole analytics
+    * family (triangles, common-neighbors, link-prediction, modularity,
+    * assortativity, clustering-coeff, reachability, degree-histogram,
+    * kcore-stored) reads this ONE artifact; `graph_kcore` keeps the
+    * in-query derivation as the declared no-artifact path. Every caller
+    * goes through THIS method so the build closure and its marker
+    * `buildTag` stay a single definition — two callers with divergent
+    * tags would perpetually rebuild the shared artifact. */
+  private def copurchEdges(s: SparkSession, dir: String): DataFrame =
+    s.table(graph.EdgeStore.ensurePlainEdges(s, dir, "copurch", {
+      val op = Sources.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("u", "v")
+    }, buildTag = "distinct-orderpart-selfjoin:support>=2:v1"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // IDX 32-column financial report: nested-struct projection, string→
@@ -304,21 +330,12 @@ private[graft] object GraphMmRegistry {
     // at its π-smallest vertex. The π key packs (degree, id) into one
     // long — no global rank, no window. All counts integer-exact.
     "graph_triangles" -> ((s, dir) => {
-      val op = Sources.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      // Support threshold: an edge needs ≥2 shared orders. A single
-      // shared basket is co-incidence, not co-purchase — and pruning it
-      // collapses the graph's noise floor (at sf0.1: most pairs share
-      // exactly one order; the support cut removes them and with them
-      // ~90% of the wedge volume). Every real co-occurrence graph
-      // thresholds support for exactly this reason.
-      val edges = util.Views.materialize(
-        op.as("a").join(op.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-          .select("u", "v"))
+      // Support threshold (≥2 shared orders): a single shared basket is
+      // co-incidence, not co-purchase — the cut removes ~90% of the
+      // wedge volume at sf0.1. Edges come from the PUBLISHED bucketed
+      // artifact (round 11): the derivation was this query's dominant
+      // cost, re-run per invocation; now it is a 32-file table scan.
+      val edges = copurchEdges(s, dir)
       val deg = edges.select(col("u").as("n"))
         .unionAll(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -382,20 +399,9 @@ private[graft] object GraphMmRegistry {
     // every in-query graph entry — runs ONCE into a write-once
     // u-bucketed warehouse table; the peel loop then probes the stored
     // scan. Same fixed-unroll loop (graph.KCore), same oracle.
-    "graph_kcore_stored" -> ((s, dir) => {
-      val t = graph.EdgeStore.ensurePlainEdges(s, dir, "copurch", {
-        val op = Sources.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        op.as("a").join(op.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-          .select("u", "v")
-      })
-      graph.KCore.coreDegrees(s.table(t), k = 3, rounds = 6)
-        .orderBy("node")
-    }),
+    "graph_kcore_stored" -> ((s, dir) =>
+      graph.KCore.coreDegrees(copurchEdges(s, dir), k = 3, rounds = 6)
+        .orderBy("node")),
 
 
     // LINK PREDICTION by common neighbors — the graph-analytics read
@@ -412,15 +418,7 @@ private[graft] object GraphMmRegistry {
     // practice). Non-adjacency = left_anti against the canonical u<v
     // edge set; candidate ranking lands in TakeOrderedAndProject.
     "graph_common_neighbors" -> ((s, dir) => {
-      val op = Sources.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = util.Views.materialize(
-        op.as("a").join(op.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-          .select("u", "v"))
+      val edges = copurchEdges(s, dir) // published artifact (round 11)
       val adj = edges.select(col("u").as("c"), col("v").as("nb"))
         .unionAll(edges.select(col("v").as("c"), col("u").as("nb")))
       val centerDeg = adj.groupBy("c").agg(count(lit(1)).as("dg"))
@@ -448,21 +446,12 @@ private[graft] object GraphMmRegistry {
     // the LSH df-cap plays); first-reach dedup is a min-hop aggregate
     // at the end. DuckDB runs the identical recursion.
     "graph_reachability" -> ((s, dir) => {
-      val op = Sources.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      // MATERIALIZE the edge list before the recursion: each recursive
-      // step re-evaluates the plan under the anchor CTEs, so an
-      // unmaterialized edge derivation (distinct + self-join + groupBy
-      // over the fact table) would run once per hop — measured 7.2 s at
-      // sf0.1 vs ~1.5 s materialized. At cluster scale the edge list is
-      // a stored artifact anyway (the graph_pagerank discipline).
-      graft.util.Views.materialize(
-        op.as("a").join(op.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-          .select("u", "v"))
+      // Each recursive step re-evaluates the plan under the anchor CTEs,
+      // so the edge input must be cheap per hop: round 11 re-based it on
+      // the PUBLISHED bucketed artifact (the in-query derivation ran
+      // once per hop before materialization was added — 7.2 s at sf0.1;
+      // a cached scan of the stored table is the cluster-scale shape).
+      graft.util.Views.materialize(copurchEdges(s, dir))
         .createOrReplaceTempView("graft_reach_edges")
       s.sql("""
         WITH RECURSIVE adj AS (
@@ -488,15 +477,7 @@ private[graft] object GraphMmRegistry {
     // ranking hashes identically cross-engine. Top-20 lands in
     // TakeOrderedAndProject — no global sort materializes.
     "graph_link_prediction" -> ((s, dir) => {
-      val op = Sources.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = util.Views.materialize(
-        op.as("a").join(op.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-          .select("u", "v"))
+      val edges = copurchEdges(s, dir) // published artifact (round 11)
       val adj = edges.select(col("u").as("c"), col("v").as("nb"))
         .unionAll(edges.select(col("v").as("c"), col("u").as("nb")))
       val deg = adj.groupBy(col("nb")).agg(count(lit(1)).as("dg"))
@@ -667,15 +648,7 @@ private[graft] object GraphMmRegistry {
     // (Louvain et al.) repeats; this is that step, distributed, with the
     // graph_triangles support-thresholded edge construction.
     "graph_modularity" -> ((s, dir) => {
-      val op = Sources.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = util.Views.materialize(
-        op.as("a").join(op.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-          .select("u", "v"))
+      val edges = copurchEdges(s, dir) // published artifact (round 11)
       val nb = edges.select(col("u").as("n"), col("v").as("m"))
         .unionAll(edges.select(col("v").as("n"), col("u").as("m")))
       // Labels come ONLY from the part dimension (no edge lineage), so
@@ -722,14 +695,7 @@ private[graft] object GraphMmRegistry {
     // final sqrt+divide tree. Edge derivation = the thresholded
     // distinct-pair graph shared with graph_triangles/common_neighbors.
     "graph_assortativity" -> ((s, dir) => {
-      val op = Sources.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("u", "v")
+      val edges = copurchEdges(s, dir) // published artifact (round 11)
       val dir2 = edges.select(col("u").as("x"), col("v").as("y"))
         .unionAll(edges.select(col("v").as("x"), col("u").as("y")))
       val deg = dir2.groupBy("x").agg(count(lit(1)).as("d"))
@@ -805,15 +771,7 @@ private[graft] object GraphMmRegistry {
     // guard); the denominator needs no join at all, it re-aggregates
     // the degree table. One row out.
     "graph_clustering_coeff" -> ((s, dir) => {
-      val op = Sources.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = util.Views.materialize(
-        op.as("a").join(op.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-          .select("u", "v"))
+      val edges = copurchEdges(s, dir) // published artifact (round 11)
       val deg = edges.select(col("u").as("n"))
         .unionAll(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -885,14 +843,7 @@ private[graft] object GraphMmRegistry {
     // discipline — no float log2 boundary), node/edge-mass per bucket.
     // Degree table re-aggregate only; no join.
     "graph_degree_histogram" -> ((s, dir) => {
-      val op = Sources.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("u", "v")
+      val edges = copurchEdges(s, dir) // published artifact (round 11)
       val deg = edges.select(col("u").as("n"))
         .unionAll(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))

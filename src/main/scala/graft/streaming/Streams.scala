@@ -48,6 +48,24 @@ case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
   */
 object Streams {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Prominent trace for the crash-window self-heal (ADVICE r10): a
+    * marker-less batch whose ids are ALL already indexed is treated as
+    * an applied replay and skipped — correct for the crash-between-
+    * append-and-marker window, but indistinguishable from a genuine
+    * first delivery whose ids fully collide with the index (an id-space
+    * contract violation upstream). The skip is therefore never silent:
+    * the operator log carries the batch id, lineage, and index so a
+    * full-overlap collision is auditable after the fact. */
+  private def warnSelfHeal(op: String, indexDir: String, lineage: String,
+                           batchId: Long, nIds: Long): Unit =
+    log.warn(s"$op: batch $batchId (lineage $lineage) has no replay marker " +
+      s"but all $nIds ids are already in $indexDir — treating as an " +
+      "applied replay (marker written, batch skipped). If this batch was " +
+      "a genuine first delivery, its ids collide with the index and the " +
+      "id-space contract is violated upstream.")
+
   /** Tumbling event-time window aggregate. On a stream, pair with
     * [[withWatermarked]] so state is dropped after `watermark`. */
   def hourlyTypeCounts(events: DataFrame): DataFrame =
@@ -230,6 +248,7 @@ object Streams {
               Seq("vec_id"), "left_semi")
             .distinct().count()
           if (appendToIndex && nIndexed == nBatch) {
+            warnSelfHeal("annIngest", indexDir, lineage, batchId, nBatch)
             fs.create(marker, true).close()
           } else {
             require(nIndexed == 0L,
@@ -317,6 +336,7 @@ object Streams {
           val nBatch = b.select("id").distinct().count()
           val (inRows, inSks) = (present(bandIdx), present(sks))
           if (appendToIndex && inRows == nBatch && inSks == nBatch) {
+            warnSelfHeal("rhpIngest", indexDir, lineage, batchId, nBatch)
             fs.create(marker, true).close()
           } else {
             require(inRows == 0L && inSks == 0L,

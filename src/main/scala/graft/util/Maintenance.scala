@@ -47,26 +47,57 @@ object Maintenance {
     (before, fileStats(spark, dstDir))
   }
 
-  /** Compact `dir` IN PLACE: rewrite aside to `<dir>.__compact__`, then
-    * swap (delete originals, rename aside into place). The swap is not
-    * atomic on a plain filesystem — callers own quiescence (the
-    * streamed-artifact compaction runs on the foreachBatch thread, which
-    * serializes micro-batches, so no reader/writer races; a table format
-    * with a transaction log would make the flip atomic). A crash between
-    * delete and rename loses no DATA (the aside copy is complete and
-    * durable before the delete starts) but needs a manual rename to
-    * recover — the aside dir is the recovery artifact. Returns (before,
-    * after) stats. */
+  private def compactTmp(p: Path) =
+    new Path(p.getParent, s".${p.getName}.compact_tmp")
+  private def compactBak(p: Path) =
+    new Path(p.getParent, s".${p.getName}.compact_bak")
+
+  /** Compact `dir` IN PLACE under the bak protocol (the
+    * [[graft.sources.SnapshotStore.purgeIds]] swap discipline, round 11 —
+    * the old delete-then-rename left a crash window where the live dir
+    * was simply GONE until a human renamed the aside copy back): write
+    * the compacted copy to a dot-prefixed tmp dir, rename live → bak,
+    * rename tmp → live, drop bak. A crash at ANY step leaves either the
+    * old or the new directory restorable, and
+    * [[recoverInterruptedCompact]] — run automatically on entry —
+    * finishes the job: stale tmp dropped, orphaned bak renamed back into
+    * place. Dot-prefixed tmp/bak are invisible to any concurrent parquet
+    * reader. Callers still own quiescence for the CONTENT flip itself
+    * (the streamed-artifact compaction runs on the foreachBatch thread,
+    * which serializes micro-batches). Returns (before, after) stats. */
   def compactInPlace(spark: SparkSession, dir: String,
                      targetBytes: Long): (FileStats, FileStats) = {
-    val aside = s"$dir.__compact__"
-    val stats = compactTo(spark, dir, aside, targetBytes)
+    recoverInterruptedCompact(spark, dir)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    require(fs.rename(new Path(aside), p),
-      s"compactInPlace: rename $aside -> $dir failed; data is intact in $aside")
+    val tmp = compactTmp(p)
+    val bak = compactBak(p)
+    val stats = compactTo(spark, dir, tmp.toString, targetBytes)
+    require(fs.rename(p, bak), s"compactInPlace: could not stage $dir")
+    require(fs.rename(tmp, p), s"compactInPlace: could not publish $tmp")
+    require(fs.delete(bak, true),
+      s"compactInPlace: could not drop $bak — remove it before the next pass")
     (stats._1, fileStats(spark, dir))
+  }
+
+  /** Finish a compaction interrupted mid-swap (idempotent; called on
+    * every [[compactInPlace]] entry, callable on restart): a bak dir
+    * whose live sibling vanished is restored (the crash hit between the
+    * two renames); a bak WITH a live sibling means the publish succeeded
+    * and only the cleanup was lost — drop the bak. A stale tmp is always
+    * dropped: its content was never published and the next pass rewrites
+    * it from the (restored) live data. */
+  def recoverInterruptedCompact(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = compactTmp(p)
+    val bak = compactBak(p)
+    if (fs.exists(bak)) {
+      if (fs.exists(p)) fs.delete(bak, true)
+      else require(fs.rename(bak, p),
+        s"recoverInterruptedCompact: could not restore $dir from $bak")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Order-insensitive content digest for equality checks: xor of

@@ -50,7 +50,8 @@ def main():
     skip_spark = "--skip-spark" in args
     only = [a for a in args if not a.startswith("--")]
     if not skip_spark:
-        cmd = f'sbt -batch "runMain graft.Verify {SF} {OUT}"'
+        names = " " + " ".join(only) if only else ""
+        cmd = f'sbt -batch "runMain graft.Verify {SF} {OUT}{names}"'
         r = subprocess.run(cmd, shell=True, capture_output=True, text=True, timeout=1800)
         tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
         if r.returncode != 0:

@@ -365,7 +365,21 @@ object Dedup {
     // un-clustered probe shipping 863 MB — mostly this stage).
     val shB = graft.util.Views.materialize(
       shingleRows(batch.repartition(col(idCol)), idCol, textCol))
-    val bB = bandRowsFromShingles(shB)
+    probeVerify(batch.select(col(idCol).as("doc_id")),
+      bandRowsFromShingles(shB), bandE, shB, shE, threshold)
+  }
+
+  /** The candidate-generation + pair-keyed-verification core of the
+    * incremental probe, GENERIC over the shingle key type: `shB` / `shE`
+    * are (id, sh) views of batch and corpus in the SAME key space — raw
+    * trigram strings on the legacy path ([[lshNewDocsAgainstIndex]]),
+    * 8-byte dictionary ids on the encoded path
+    * ([[lshNewDocsAgainstIndexEncoded]]). The verification joins key on
+    * `sh`, so the key's byte width IS the probe's dominant shuffle
+    * width — the whole point of the dictionary. */
+  private def probeVerify(batchIds: DataFrame, bB: DataFrame, bandE: DataFrame,
+                          shB: DataFrame, shE: DataFrame,
+                          threshold: Double): DataFrame = {
     def bandMatch = col("a.band_idx") === col("b.band_idx") &&
       col("a.band_key") === col("b.band_key")
     val candE = bB.as("a").join(bandE.as("b"), bandMatch)
@@ -393,8 +407,49 @@ object Dedup {
       .join(nA, "id_a").join(nB, "id_b")
       .filter(col("n_common") / (col("n_a") + col("n_b") - col("n_common")) >= threshold)
       .select(col("id_a").as("doc_id")).distinct()
-    batch.select(col(idCol).as("doc_id"))
-      .join(rejected, Seq("doc_id"), "left_anti")
+    batchIds.join(rejected, Seq("doc_id"), "left_anti")
+  }
+
+  /** The DICTIONARY-ENCODED incremental probe against a
+    * [[writeLshIndexBucketed]] index (round 11, VERDICT r10 task #1):
+    * identical verdicts to [[lshNewDocsAgainstIndex]] — the dictionary
+    * is an injective rename of the shingle space, so every |A∩B|, |A|,
+    * |B| is unchanged — but the verification joins key on the stored
+    * 8-byte `sid` instead of the raw trigram text (~25 bytes average),
+    * which was the single largest measured byte-mover left at sf10
+    * (1 108 MB probe shuffle, dominated by shingle strings riding the
+    * (id_b, sh) join). Batch shingles are encoded by ONE keyed join
+    * against the sh-bucketed dict scan (only the batch side shuffles);
+    * batch-NEW shingles — absent from the corpus dict by definition —
+    * get NEGATIVE dense ids ([[denseIds]] over the sorted new-shingle
+    * set, negated minus one), disjoint from the non-negative corpus ids
+    * with no max-sid lookup, so batch-vs-batch pairs verify in the same
+    * key space. */
+  def lshNewDocsAgainstIndexEncoded(batch: DataFrame, base: String,
+                                    idCol: String, textCol: String,
+                                    threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val (bandE, _) = readLshIndexBucketed(spark, base)
+    val dict = spark.table(s"${base}_dict")
+    val shE = spark.table(s"${base}_shids").select(col("id"), col("sid").as("sh"))
+    require(shE.select("id")
+        .join(broadcast(batch.select(col(idCol).as("id"))), Seq("id"), "left_semi")
+        .isEmpty,
+      "lshNewDocsAgainstIndexEncoded: batch ids collide with the stored " +
+        "index — the id spaces must be disjoint")
+    val shB = graft.util.Views.materialize(
+      shingleRows(batch.repartition(col(idCol)), idCol, textCol))
+    val bB = bandRowsFromShingles(shB)
+    val hits = shB.join(dict, "sh").select(col("id"), col("sid"))
+    val newDict = denseIds(
+        shB.select("sh").distinct().join(dict.select("sh"), Seq("sh"), "left_anti"),
+        "sh")
+      .select(col("sh"), (-col("sid") - 1).as("sid"))
+    val misses = shB.join(newDict, "sh").select(col("id"), col("sid"))
+    val shBenc = graft.util.Views.materialize(
+      hits.unionByName(misses).select(col("id"), col("sid").as("sh")))
+    probeVerify(batch.select(col(idCol).as("doc_id")), bB, bandE, shBenc, shE,
+      threshold)
   }
 
   /** Materialize the existing-corpus LSH artifacts to durable storage:
@@ -469,6 +524,56 @@ object Dedup {
                             numBuckets: Int = IndexBuckets): Unit = {
     writeShingleStore(docs, idCol, textCol, base, numBuckets, bucketed = true)
     writeBandIndex(docs.sparkSession, base, numBuckets, bucketed = true)
+    writeShingleDict(docs.sparkSession, base, numBuckets)
+  }
+
+  /** Deterministic DENSE ids for the distinct values in `df`'s column
+    * `c`: sid = the value's 0-based rank in global binary sort order —
+    * replayable on any engine (DuckDB:
+    * `row_number() OVER (ORDER BY c) - 1`), exactly like the md5
+    * minhash contract, and COLLISION-FREE by construction (a bijection,
+    * where a hashed key would trade the string-exact oracle for a
+    * 2^-64 corruption lottery — the round-10 objection to hashing).
+    * Scalable shape: a range-partitioned distributed sort plus the
+    * two-pass per-partition offset zip (`zipWithIndex` runs one count
+    * job over the sorted partitions, then assigns offsets locally) —
+    * never a single-partition window. Build-time only. */
+  private[graft] def denseIds(df: DataFrame, c: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(c).cast("string").as(c)).distinct().sort(c)
+      .rdd.zipWithIndex.map { case (r, i) => (r.getString(0), i) }
+      .toDF(c, "sid")
+  }
+
+  /** Build steps 3-4 — the SHINGLE DICTIONARY tier (round 11, VERDICT
+    * r10 task #1):
+    *  3. `<base>_dict` (sh, sid): deterministic dense ids over the
+    *     store's distinct shingles ([[denseIds]]), bucketed by `sh` so
+    *     probe-time batch encoding joins it exchange-free on the dict
+    *     side;
+    *  4. `<base>_shids` (id, sid): the shingle store re-keyed through
+    *     the dictionary, bucketed by `id` — the VERIFICATION input.
+    *     Jaccard verification never touches shingle text again: every
+    *     (id_b, sh)-keyed join ships 8-byte sids where the raw trigram
+    *     averages ~25 bytes (sf10 measured the strings as the dominant
+    *     probe shuffle — 1 074/1 108 MB).
+    * The string store (`<base>_shingles`) remains the minhash BUILD
+    * input (band keys hash the text) and stays exchange-free to write;
+    * the dictionary pays one distinct + sort + one by-sh join of the
+    * store — linear one-time build cost, amortized over every probe. */
+  private[graft] def writeShingleDict(spark: org.apache.spark.sql.SparkSession,
+                                      base: String, numBuckets: Int): Unit = {
+    val sh = spark.table(s"${base}_shingles")
+    denseIds(sh.select("sh"), "sh")
+      .repartition(numBuckets, col("sh"))
+      .write.mode("overwrite").bucketBy(numBuckets, "sh").sortBy("sh")
+      .format("parquet").saveAsTable(s"${base}_dict")
+    sh.join(spark.table(s"${base}_dict"), "sh")
+      .select(col("id"), col("sid"))
+      .repartition(numBuckets, col("id"))
+      .write.mode("overwrite").bucketBy(numBuckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${base}_shids")
   }
 
   /** Build step 1: the shingle store table. `bucketed = true` pays the one
@@ -515,12 +620,12 @@ object Dedup {
   private[graft] def registerBucketedTable(
       spark: org.apache.spark.sql.SparkSession,
       table: String, location: String,
-      numBuckets: Int): Unit =
+      numBuckets: Int, key: String = "id"): Unit =
     if (!spark.catalog.tableExists(table)) {
       val ddl = spark.read.parquet(location).schema.toDDL
       spark.sql(
         s"""CREATE TABLE $table ($ddl) USING PARQUET
-           |CLUSTERED BY (id) SORTED BY (id) INTO $numBuckets BUCKETS
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS
            |LOCATION '$location'""".stripMargin)
     }
 
@@ -565,20 +670,25 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(loc("bands"), "_GRAFT_MARKER")
     val tag =
-      s"$dir|v=$variant|n=$ShingleN|h=$NumHashes|b=$NumBands|bk=$IndexBuckets"
+      s"$dir|v=$variant|n=$ShingleN|h=$NumHashes|b=$NumBands|bk=$IndexBuckets|dict=v1"
     val fresh = fs.exists(marker) && {
       val in = fs.open(marker)
       try new String(in.readAllBytes(), "UTF-8") == tag finally in.close()
     }
+    // dict is bucketed by sh (probe-time encoding key); the other three
+    // by doc id.
+    val parts = Seq("shingles" -> "id", "bands" -> "id",
+      "dict" -> "sh", "shids" -> "id")
     if (!fresh) {
       graft.util.Artifacts.recordBuild(s"lsh_bidx $tag")
-      Seq("shingles", "bands")
-        .foreach(p => graft.EntryOps.dropManagedTable(spark, s"${base}_$p"))
+      parts.foreach { case (p, _) =>
+        graft.EntryOps.dropManagedTable(spark, s"${base}_$p") }
       writeLshIndexBucketed(corpus, idCol, textCol, base)
       val os = fs.create(marker, true)
       try os.write(tag.getBytes("UTF-8")) finally os.close()
-    } else Seq("shingles", "bands").foreach(p =>
-      registerBucketedTable(spark, s"${base}_$p", loc(p).toString, IndexBuckets))
+    } else parts.foreach { case (p, k) =>
+      registerBucketedTable(spark, s"${base}_$p", loc(p).toString,
+        IndexBuckets, k) }
     base
   }
 
@@ -625,7 +735,12 @@ object Dedup {
   def lshVerifiedPairsStored(spark: org.apache.spark.sql.SparkSession,
                              base: String, threshold: Double,
                              bucketCap: Option[Long] = None): DataFrame = {
-    val (bandE, shE) = readLshIndexBucketed(spark, base)
+    val (bandE, _) = readLshIndexBucketed(spark, base)
+    // Verification reads the DICTIONARY-ENCODED shingle table (round 11,
+    // VERDICT r10 task #1): the pair-keyed joins key on the stored
+    // 8-byte sid, not the ~25-byte trigram text — same |A∩B|/|A|/|B| by
+    // bijection, an order-of-magnitude narrower dominant shuffle column.
+    val shE = spark.table(s"${base}_shids").select(col("id"), col("sid").as("sh"))
     val cand = graft.util.Views.materialize(
       lshCandidatesFromBands(bandE, bucketCap))
     val sh = graft.util.Views.materialize(shE.join(candidateIds(cand), "id"))

@@ -359,8 +359,12 @@ private[graft] object DedupSimRegistry {
       // measured 16.8 s rep 1 vs the 6.9 s probe floor when it did).
       val base = dedup.Dedup.ensureLshIndexBucketed(
         s, dir, docs.filter(!isBatch), "doc_id", "text")
-      val (bandE, shE) = dedup.Dedup.readLshIndexBucketed(s, base)
-      dedup.Dedup.lshNewDocsAgainstIndex(docs.filter(isBatch), bandE, shE,
+      // Round 11 (VERDICT r10 task #1): the probe verifies over the
+      // published shingle DICTIONARY ids, not raw trigram strings — the
+      // sf10 probe's dominant shuffle column drops from ~25-byte text
+      // to 8-byte sids. Same verdicts by bijection; same oracle as the
+      // in-query twin.
+      dedup.Dedup.lshNewDocsAgainstIndexEncoded(docs.filter(isBatch), base,
         "doc_id", "text", 0.6)
         .orderBy("doc_id")
     }),

@@ -399,6 +399,43 @@ class DedupSpec extends SparkSpec {
       "bucketed shingle scan should satisfy the per-doc count without a shuffle")
   }
 
+  test("dictionary-encoded stored probe equals the string tier; dict is a dense sorted bijection") {
+    val corpus = Dedup.augmented(Sources.documents(spark, sfDir))
+    val isBatch = col("doc_id") % 10 === 0
+    val base = Dedup.ensureLshIndexBucketed(spark, sfDir,
+      corpus.filter(!isBatch), "doc_id", "text")
+    val (bandE, shE) = Dedup.readLshIndexBucketed(spark, base)
+    val viaStrings = Dedup.lshNewDocsAgainstIndex(corpus.filter(isBatch),
+      bandE, shE, "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    val viaDict = Dedup.lshNewDocsAgainstIndexEncoded(corpus.filter(isBatch),
+      base, "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    assert(viaDict === viaStrings)
+    // The dictionary is a DENSE 0-based bijection in shingle sort order —
+    // the replayable contract (DuckDB: row_number() OVER (ORDER BY sh)-1).
+    val dict = spark.table(s"${base}_dict")
+    val n = dict.count()
+    assert(n === shE.select("sh").distinct().count())
+    assert(dict.select("sid").distinct().count() === n)
+    val mm = dict.agg(min("sid"), max("sid")).head()
+    assert(mm.getLong(0) === 0L && mm.getLong(1) === n - 1)
+    assert(dict.orderBy("sh").limit(1).select("sid").head().getLong(0) === 0L)
+    // The encoded shingle table covers exactly the string store.
+    val shids = spark.table(s"${base}_shids")
+    assert(shids.count() === shE.count())
+    // Verification's per-doc counts run exchange-free over the
+    // id-bucketed encoded table (the layout property the tier exists for).
+    val agg = shids.groupBy("id").agg(count(lit(1)).as("n"))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucketed shids scan should satisfy the per-doc count without a shuffle")
+    // The encoded guard rejects id collisions like the string tier.
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshNewDocsAgainstIndexEncoded(corpus.filter(!isBatch).limit(1),
+        base, "doc_id", "text", 0.6)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("candidate generation never pairs a doc with itself and is ordered") {
     val cand = Dedup.lshCandidates(docs, "doc_id", "text")
     assert(cand.filter(col("id_a") >= col("id_b")).count() === 0)

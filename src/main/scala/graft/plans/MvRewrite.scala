@@ -206,94 +206,117 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Peel attribute-only Projects / collect Filters down to a JOIN. */
-  private def stripToJoin(p: LogicalPlan, conds: Seq[Expression])
-      : Option[(Join, Seq[Expression])] = p match {
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      stripToJoin(c, conds)
-    case Filter(cond, c) => stripToJoin(c, conds :+ cond)
-    case j: Join => Some((j, conds))
-    case _ => None
-  }
+  /** One peeled dim-join level of a star query, innermost (closest to
+    * the fact) first: the dim SUBPLAN (transplanted verbatim), the raw
+    * join condition, and the filters sitting immediately ABOVE this
+    * join (below the next one out). */
+  private case class DimLevel(dimSide: LogicalPlan, cond: Expression,
+      above: Seq[Expression])
 
-  /** THE STAR-SCHEMA SHAPE (round 10): `Aggregate` over
-    * `fact ⋈ dim` where the join is a REGISTERED key-preserving dim
-    * join ([[MvDim]]) re-plans as the same aggregate over `MV ⋈ dim` —
-    * the dominant BI query reads |MV| rows plus a (broadcast-sized)
-    * dimension instead of the fact. Soundness rests on the MvDim
-    * contract (factKey ∈ grain; dimKey unique; referential integrity):
-    * the join then neither duplicates nor drops fact rows, a dim
-    * predicate selects whole factKey-groups = whole MV rows, and the
-    * dim SUBPLAN (scan + its own filters/projections) transplants
-    * verbatim. Eligibility beyond the direct rewrite's rules:
-    *  - the join is INNER with a bare `factKey = dimKey` equality on
-    *    the declared attribute pair (either orientation);
+  /** THE STAR-SCHEMA SHAPE (round 10; generalized to dim CHAINS in
+    * round 11, VERDICT r10 task #5): `Aggregate` over
+    * `fact ⋈ dim₁ ⋈ … ⋈ dimₖ` where EVERY join is a REGISTERED
+    * key-preserving dim join ([[MvDim]]) re-plans as the same aggregate
+    * over `MV ⋈ dim₁ ⋈ … ⋈ dimₖ` — the dominant BI query (date +
+    * customer + product dims around one fact) reads |MV| rows plus
+    * broadcast-sized dimensions instead of the fact. Soundness is
+    * per-level and compositional: each MvDim contract (factKey ∈ grain;
+    * dimKey unique; referential integrity) makes ITS join neither
+    * duplicate nor drop fact rows, so the chain preserves the fact's
+    * row multiset and every dim predicate selects whole MV rows.
+    * Eligibility, checked at EVERY level — one ineligible join blocks
+    * the whole rewrite (never a partial gamble):
+    *  - each join is INNER with a bare `factKey = dimKey` equality on
+    *    a declared (factKey, dimKey) pair (either orientation), the
+    *    dim side stripping to a scan of that MvDim's registered path;
     *  - groupings are bare FACT grain attributes only — grouping by a
     *    dim column is conservatively blocked (MvRewriteSpec pins it);
-    *  - filters above the join may reference fact GRAIN columns and/or
-    *    dim columns (both select whole MV rows after the join);
-    *    fact-side filters below the join must be grain-only as always;
+    *  - filters above join i may reference fact GRAIN columns and/or
+    *    columns of dims joined at levels ≤ i (all select whole MV rows
+    *    at that point in the plan); fact-side filters below every join
+    *    must be grain-only as always;
     *  - aggregate calls fold onto MV state exactly as in the direct
     *    rewrite; any dim column inside the aggregate list blocks. */
-  private def starRewrite(agg: Aggregate, child: LogicalPlan): Option[LogicalPlan] =
-    stripToJoin(child, Nil).flatMap {
-      case (Join(l, r, Inner, Some(cond), _), above) =>
-        orientStar(agg, l, r, cond, above)
-          .orElse(orientStar(agg, r, l, cond, above))
-      case _ => None
-    }
-
-  private def orientStar(agg: Aggregate, factSide: LogicalPlan,
-      dimSide: LogicalPlan, cond: Expression,
-      above: Seq[Expression]): Option[LogicalPlan] =
-    strip(factSide, Nil).flatMap { case (factLr, factConds) =>
-      val fPaths = scanPaths(factLr)
-      MvRegistry.all
-        .filter(d => d.dims.nonEmpty && fPaths.contains(normalize(d.factPath)))
-        .view.flatMap { d =>
-          strip(dimSide, Nil).flatMap { case (dimLr, _) =>
-            val dPaths = scanPaths(dimLr)
-            d.dims.find(dm => dPaths.contains(normalize(dm.dimPath)))
-              .flatMap(dm => rewriteStar(agg, factLr, factConds, dimSide,
-                cond, above, d, dm))
-          }
-        }.headOption
-    }
+  private def starRewrite(agg: Aggregate, child: LogicalPlan): Option[LogicalPlan] = {
+    val defs = MvRegistry.all.filter(_.dims.nonEmpty)
+    if (defs.isEmpty) return None
+    defs.view.flatMap { d =>
+      val factPath = normalize(d.factPath)
+      // Peel Projects/Filters/Joins down to the registered fact scan;
+      // `pending` = filters collected above the current node. Levels
+      // come back innermost-first.
+      def peel(p: LogicalPlan, pending: Seq[Expression])
+          : Option[(LogicalRelation, Seq[Expression], List[DimLevel])] = p match {
+        case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          peel(c, pending)
+        case Filter(cond, c) => peel(c, pending :+ cond)
+        case Join(l, r, Inner, Some(cond), _) =>
+          def orient(factSide: LogicalPlan, dimSide: LogicalPlan) =
+            peel(factSide, Nil).map { case (lr, fc, inner) =>
+              (lr, fc, inner :+ DimLevel(dimSide, cond, pending))
+            }
+          orient(l, r).orElse(orient(r, l))
+        case lr: LogicalRelation if scanPaths(lr).contains(factPath) =>
+          Some((lr, pending, Nil))
+        case _ => None
+      }
+      peel(child, Nil).filter(_._3.nonEmpty).flatMap {
+        case (factLr, factConds, levels) =>
+          rewriteStar(agg, factLr, factConds, levels, d)
+      }
+    }.headOption
+  }
 
   private def rewriteStar(agg: Aggregate, fact: LogicalRelation,
-      factConds: Seq[Expression], dimSide: LogicalPlan, cond: Expression,
-      above: Seq[Expression], d: MvDef, dm: MvDim): Option[LogicalPlan] = {
-    if (!d.groupCols.contains(dm.factKey)) return None // broken registration
+      factConds: Seq[Expression], levels: List[DimLevel],
+      d: MvDef): Option[LogicalPlan] = {
     val grainIds: Map[ExprId, String] = fact.output
       .filter(a => d.groupCols.contains(a.name)).map(a => a.exprId -> a.name).toMap
-    // The join condition must be the DECLARED key equality, bare
-    // attributes only (a cast or expression around either side could
-    // merge key groups — not the registered contract).
-    val dimKeyAttr: Option[AttributeReference] = cond match {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        val factKeyOk = (x: AttributeReference) =>
-          grainIds.get(x.exprId).contains(dm.factKey)
-        val dimKeyOk = (x: AttributeReference) =>
-          x.name == dm.dimKey && dimSide.outputSet.contains(x)
-        if (factKeyOk(a) && dimKeyOk(b)) Some(b)
-        else if (factKeyOk(b) && dimKeyOk(a)) Some(a)
-        else None
-      case _ => None
+    // Validate every level: the dim side is a (filtered, projected) scan
+    // of a registered MvDim's path whose factKey sits in the MV grain,
+    // and the join condition is the DECLARED key equality on bare
+    // attributes (a cast or expression around either side could merge
+    // key groups — not the registered contract).
+    val resolved: Seq[Option[(MvDim, AttributeReference)]] = levels.map { lvl =>
+      strip(lvl.dimSide, Nil).flatMap { case (dimLr, _) =>
+        val dPaths = scanPaths(dimLr)
+        d.dims.find(dm => dPaths.contains(normalize(dm.dimPath)) &&
+            d.groupCols.contains(dm.factKey))
+          .flatMap { dm =>
+            val dimKeyAttr: Option[AttributeReference] = lvl.cond match {
+              case EqualTo(a: AttributeReference, b: AttributeReference) =>
+                val factKeyOk = (x: AttributeReference) =>
+                  grainIds.get(x.exprId).contains(dm.factKey)
+                val dimKeyOk = (x: AttributeReference) =>
+                  x.name == dm.dimKey && lvl.dimSide.outputSet.contains(x)
+                if (factKeyOk(a) && dimKeyOk(b)) Some(b)
+                else if (factKeyOk(b) && dimKeyOk(a)) Some(a)
+                else None
+              case _ => None
+            }
+            dimKeyAttr.map(dm -> _)
+          }
+      }
     }
-    if (dimKeyAttr.isEmpty) return None
+    if (resolved.exists(_.isEmpty)) return None
     // Groupings: bare fact grain attributes only.
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference => grainIds.get(a.exprId)
       case _ => None
     }
     if (groupNames.exists(_.isEmpty)) return None
-    // Below-join fact filters: grain-only. Above-join filters: grain
-    // and/or dim columns.
+    // Below-join fact filters: grain-only. Filters above join i: grain
+    // and/or columns of dims joined at levels <= i.
     if (!factConds.forall(_.references.forall(a => grainIds.contains(a.exprId))))
       return None
-    if (!above.forall(_.references.forall(a =>
-        grainIds.contains(a.exprId) || dimSide.outputSet.contains(a))))
-      return None
+    val cumDimOut = levels.scanLeft(AttributeSet.empty) {
+      (acc, lvl) => acc ++ lvl.dimSide.outputSet
+    }.tail
+    val aboveOk = levels.zip(cumDimOut).forall { case (lvl, dimsBelow) =>
+      lvl.above.forall(_.references.forall(a =>
+        grainIds.contains(a.exprId) || dimsBelow.contains(a)))
+    }
+    if (!aboveOk) return None
 
     val spark = SparkSession.active
     val mv = MvRegistry.scan(spark, d.mvPath).getOrElse(return None)
@@ -318,13 +341,18 @@ object MvRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference if grainIds.contains(a.exprId) =>
         grainMv(grainIds(a.exprId))
     }
+    // Rebuild innermost-out: MV (with fact filters) joined through the
+    // chain, each level's above-filters re-applied at its place.
     val mvFiltered: LogicalPlan =
       if (factConds.isEmpty) mv else Filter(mapFact(factConds.reduce(And)), mv)
-    val joined: LogicalPlan = Join(mvFiltered, dimSide, Inner,
-      Some(EqualTo(grainMv(dm.factKey), dimKeyAttr.get)), JoinHint.NONE)
-    val withAbove: LogicalPlan =
-      if (above.isEmpty) joined else Filter(mapFact(above.reduce(And)), joined)
-    Some(Aggregate(newGroupings, newAggExprs.map(_.get), withAbove))
+    val rebuilt = levels.zip(resolved.map(_.get)).foldLeft(mvFiltered) {
+      case (acc, (lvl, (dm, dimKeyAttr))) =>
+        val joined: LogicalPlan = Join(acc, lvl.dimSide, Inner,
+          Some(EqualTo(grainMv(dm.factKey), dimKeyAttr)), JoinHint.NONE)
+        if (lvl.above.isEmpty) joined
+        else Filter(mapFact(lvl.above.reduce(And)), joined)
+    }
+    Some(Aggregate(newGroupings, newAggExprs.map(_.get), rebuilt))
   }
 
   private def rewrite(agg: Aggregate, fact: LogicalRelation,

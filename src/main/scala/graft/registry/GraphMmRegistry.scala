@@ -621,6 +621,31 @@ private[graft] object GraphMmRegistry {
     }),
 
 
+    // MULTI-DIM STAR REWRITE (round 11, VERDICT r10 task #5): the
+    // dominant BI shape joins SEVERAL dimensions around one fact — here
+    // supplier (nation predicate) AND part (size predicate) — and the
+    // chain matcher peels both registered key-preserving MvDims, so the
+    // aggregate plans over MV ⋈ supplier ⋈ part: |MV| rows plus two
+    // broadcast dims instead of the fact scan. The ORACLE recomputes
+    // from the raw three-way join — a rewrite that duplicated or
+    // dropped a single fact row would hash-mismatch; MvRewriteSpec pins
+    // the MV-scan plan shape and the blocking negatives for mixed
+    // eligible/ineligible chains.
+    "mv_rollup_2dim_stored" -> ((s, dir) => {
+      plans.Mv.ensureLineitemSuppPartMv(s, dir)
+      Sources.lineitem(s, dir)
+        .join(Sources.supplier(s, dir).filter(col("s_nationkey") < 10),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Sources.part(s, dir).filter(col("p_size") < 25),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(util.Stable.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+
     // INCREMENTAL MV REFRESH (plans/Mv.scala): the day-grain events
     // rollup is maintained warehouse-style — history partials live in a
     // write-once store whose marker carries the refresh cutoff (a
@@ -1226,6 +1251,16 @@ private[graft] object GraphMmRegistry {
          |  CAST(count(*) AS BIGINT) AS n_rows
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |WHERE s_nationkey < 5
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "mv_rollup_2dim_stored" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum(${util.Stable.dec2Sql("l_quantity")}) AS DOUBLE) AS sum_qty,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE s_nationkey < 10 AND p_size < 25
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "mv_rollup_filtered_stored" ->

@@ -192,4 +192,78 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
       .join(Sources.nation(spark, sfDir), col("l_suppkey") === col("n_nationkey"))
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))))
   }
+
+  // ------------------------------------------- multi-dim star chains
+
+  private def partDim = Sources.part(spark, sfDir).filter(col("p_size") < 25)
+
+  private def twoDimQuery: DataFrame = fact
+    .join(dim, col("l_suppkey") === col("s_suppkey"))
+    .join(partDim, col("l_partkey") === col("p_partkey"))
+    .groupBy("l_returnflag")
+    .agg(
+      sum(util.Stable.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+      count(lit(1)).as("n_rows"))
+    .orderBy("l_returnflag")
+
+  private def hitsSuppPartMv(df: DataFrame): Boolean = {
+    val paths = scanPaths(df)
+    paths.exists(_.contains("graft_mv_lineitem_supp_part")) &&
+      !paths.exists(_.endsWith("lineitem.parquet"))
+  }
+  private def hitsFact2(df: DataFrame): Boolean = {
+    val paths = scanPaths(df)
+    paths.exists(_.endsWith("lineitem.parquet")) &&
+      !paths.exists(_.contains("graft_mv_lineitem_supp_part"))
+  }
+
+  test("two-dim star chain re-plans onto MV ⋈ supplier ⋈ part") {
+    plans.Mv.ensureLineitemSuppPartMv(spark, sfDir)
+    assert(hitsSuppPartMv(twoDimQuery),
+      s"expected 2-dim MV scan, got ${scanPaths(twoDimQuery)}")
+    val viaMv = twoDimQuery.collect().map(_.toSeq).toSeq
+    val viaFact = withRuleDisabled {
+      assert(hitsFact2(twoDimQuery), "disabled rule must leave the fact join")
+      twoDimQuery.collect().map(_.toSeq).toSeq
+    }
+    assert(viaMv == viaFact)
+    assert(viaMv.nonEmpty)
+    // A dim predicate BETWEEN the joins (above supplier, below part)
+    // transplants at its level — it may reference the already-joined dim.
+    val q2 = fact
+      .join(dimAll, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") < 10)
+      .join(partDim, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+    assert(hitsSuppPartMv(q2), s"expected 2-dim MV scan, got ${scanPaths(q2)}")
+    assert(q2.collect().map(_.toSeq).toSeq ===
+      withRuleDisabled(q2.collect().map(_.toSeq).toSeq))
+  }
+
+  test("a mixed eligible/ineligible chain blocks the WHOLE rewrite") {
+    plans.Mv.ensureLineitemSuppPartMv(spark, sfDir)
+    // Supplier leg eligible, part leg joined on a NON-declared key pair.
+    assert(hitsFact2(fact
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
+      .join(partDim, col("l_suppkey") === col("p_partkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))))
+    // An unregistered dimension INSIDE the chain (nation) poisons it even
+    // though the outer part leg is declared.
+    assert(hitsFact2(fact
+      .join(Sources.nation(spark, sfDir), col("l_suppkey") === col("n_nationkey"))
+      .join(partDim, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))))
+    // Grouping by an outer dim's column blocks the chain like the
+    // single-dim case.
+    assert(hitsFact2(fact
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
+      .join(partDim, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))))
+    // An outer join anywhere in the chain blocks it.
+    assert(hitsFact2(fact
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
+      .join(partDim, col("l_partkey") === col("p_partkey"), "left")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))))
+  }
 }

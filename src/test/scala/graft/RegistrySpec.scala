@@ -39,6 +39,6 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     // round 10: +5 (dedup_minhash_lsh_stored, graph_pagerank_stored,
     // graph_pagerank_directed_stored, graph_kcore_stored,
     // mv_rollup_dim_stored)
-    assert(SparkEntry.queries.size == 358, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 359, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -412,44 +412,96 @@ object Dedup {
 
   /** The DICTIONARY-ENCODED incremental probe against a
     * [[writeLshIndexBucketed]] index (round 11, VERDICT r10 task #1):
-    * identical verdicts to [[lshNewDocsAgainstIndex]] — the dictionary
-    * is an injective rename of the shingle space, so every |A∩B|, |A|,
-    * |B| is unchanged — but the verification joins key on the stored
-    * 8-byte `sid` instead of the raw trigram text (~25 bytes average),
-    * which was the single largest measured byte-mover left at sf10
-    * (1 108 MB probe shuffle, dominated by shingle strings riding the
-    * (id_b, sh) join). Batch shingles are encoded by ONE keyed join
-    * against the sh-bucketed dict scan (only the batch side shuffles);
-    * batch-NEW shingles — absent from the corpus dict by definition —
-    * get NEGATIVE dense ids ([[denseIds]] over the sorted new-shingle
-    * set, negated minus one), disjoint from the non-negative corpus ids
-    * with no max-sid lookup, so batch-vs-batch pairs verify in the same
-    * key space. */
+    * identical verdicts to [[lshNewDocsAgainstIndex]], but verification
+    * against CORPUS partners joins on the stored 8-byte `sid` instead
+    * of the raw trigram text (~25 bytes average) -- the strings riding
+    * the (id_b, sh) join were the single largest measured byte-mover at
+    * sf10 (1 108 MB probe shuffle).
+    *
+    * The verification is SPLIT by partner side, which is what keeps the
+    * probe O(batch)-shaped:
+    *  - batch-vs-CORPUS pairs intersect on sids. The batch side is
+    *    encoded by ONE keyed join against the sh-bucketed dict scan
+    *    (only batch rows shuffle); batch-NEW shingles -- absent from the
+    *    corpus dictionary BY DEFINITION -- cannot intersect any corpus
+    *    doc, so dropping them from this side is exact (they still count
+    *    in n_a, which needs no shingle-keyed join at all).
+    *  - batch-vs-BATCH pairs intersect on raw strings, batch-sized by
+    *    construction. Deliberate: a first cut assigned probe-time dense
+    *    ids to new shingles (sort + zipWithIndex per probe), and at
+    *    sf10 the assignment cost MORE than the narrow keys saved
+    *    (60.9 s vs the all-string 33.9 s, same host) -- new-shingle ids
+    *    bought nothing the batch-local string join didn't already have.
+    * Same |A intersect B|/|A|/|B| by bijection on the corpus side and
+    * identity on the batch side; same oracle as the in-query twin.
+    *
+    * Measured same-host sf10 A/B (SCALE.md round 11): this shape
+    * 29.6 s median, FLAT samples [29.6, 29.6, 30.2], 1 283 MB shuffle;
+    * the all-string probe 33.9 s, swinging [28.9, 33.9, 38.0],
+    * 1 108 MB. The split trades ~16% more bytes (the one-time batch
+    * dict-encode shuffle) for ~13% less wall and flat reps -- and the
+    * byte trade inverts in production, where a batch is ~0.1% of the
+    * corpus (not the fixture's 10%): the encode shuffle scales with
+    * |batch| while the partner-side string savings scale with
+    * |candidate partners| * shingles/doc, which dominates. */
   def lshNewDocsAgainstIndexEncoded(batch: DataFrame, base: String,
                                     idCol: String, textCol: String,
                                     threshold: Double): DataFrame = {
     val spark = batch.sparkSession
     val (bandE, _) = readLshIndexBucketed(spark, base)
     val dict = spark.table(s"${base}_dict")
-    val shE = spark.table(s"${base}_shids").select(col("id"), col("sid").as("sh"))
+    val shE = spark.table(s"${base}_shids")
     require(shE.select("id")
         .join(broadcast(batch.select(col(idCol).as("id"))), Seq("id"), "left_semi")
         .isEmpty,
       "lshNewDocsAgainstIndexEncoded: batch ids collide with the stored " +
-        "index — the id spaces must be disjoint")
+        "index -- the id spaces must be disjoint")
     val shB = graft.util.Views.materialize(
       shingleRows(batch.repartition(col(idCol)), idCol, textCol))
     val bB = bandRowsFromShingles(shB)
-    val hits = shB.join(dict, "sh").select(col("id"), col("sid"))
-    val newDict = denseIds(
-        shB.select("sh").distinct().join(dict.select("sh"), Seq("sh"), "left_anti"),
-        "sh")
-      .select(col("sh"), (-col("sid") - 1).as("sid"))
-    val misses = shB.join(newDict, "sh").select(col("id"), col("sid"))
-    val shBenc = graft.util.Views.materialize(
-      hits.unionByName(misses).select(col("id"), col("sid").as("sh")))
-    probeVerify(batch.select(col(idCol).as("doc_id")), bB, bandE, shBenc, shE,
-      threshold)
+    def bandMatch = col("a.band_idx") === col("b.band_idx") &&
+      col("a.band_key") === col("b.band_key")
+    // Corpus-partner and batch-partner candidates stay SEPARATE frames --
+    // each feeds its own verification key space (id spaces are disjoint
+    // by the guard, so the final union never conflates them).
+    val candE = graft.util.Views.materialize(
+      bB.as("a").join(bandE.as("b"), bandMatch)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct())
+    val candB = graft.util.Views.materialize(
+      bB.as("a").join(bB.as("b"), bandMatch && col("b.id") < col("a.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct())
+    // Per-doc set sizes: plain row counts -- no shingle-keyed join.
+    val nBatch = graft.util.Views.materialize(
+      shB.groupBy("id").agg(count(lit(1)).as("n_sh")))
+    val nCorpus = shE
+      .join(candE.select(col("id_b").as("id")).distinct(), "id")
+      .groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // Batch-vs-corpus intersection THROUGH the candidate list, on sids:
+    // restrict batch shingles to probing docs, encode via the bucketed
+    // dict (dict side exchange-free), intersect against the stored sid
+    // rows of listed partners only (the pair-keyed round-10 shape).
+    val shBhits = shB
+      .join(candE.select(col("id_a").as("id")).distinct(), "id")
+      .join(dict, "sh").select(col("id"), col("sid"))
+    val shEpart = shE.join(candE.select(col("id_b").as("id")).distinct(), "id")
+    val commonE = candE
+      .join(shBhits.select(col("id").as("id_a"), col("sid")), "id_a")
+      .join(shEpart.select(col("id").as("id_b"), col("sid")), Seq("id_b", "sid"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    // Batch-vs-batch intersection on raw strings -- batch-sized.
+    val commonB = candB
+      .join(shB.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(shB.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    val nA = nBatch.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+    val nB = nCorpus.unionByName(nBatch)
+      .withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
+    val rejected = commonE.unionByName(commonB)
+      .join(nA, "id_a").join(nB, "id_b")
+      .filter(col("n_common") / (col("n_a") + col("n_b") - col("n_common")) >= threshold)
+      .select(col("id_a").as("doc_id")).distinct()
+    batch.select(col(idCol).as("doc_id"))
+      .join(rejected, Seq("doc_id"), "left_anti")
   }
 
   /** Materialize the existing-corpus LSH artifacts to durable storage:

@@ -359,11 +359,12 @@ private[graft] object DedupSimRegistry {
       // measured 16.8 s rep 1 vs the 6.9 s probe floor when it did).
       val base = dedup.Dedup.ensureLshIndexBucketed(
         s, dir, docs.filter(!isBatch), "doc_id", "text")
-      // Round 11 (VERDICT r10 task #1): the probe verifies over the
-      // published shingle DICTIONARY ids, not raw trigram strings — the
-      // sf10 probe's dominant shuffle column drops from ~25-byte text
-      // to 8-byte sids. Same verdicts by bijection; same oracle as the
-      // in-query twin.
+      // Round 11 (VERDICT r10 task #1): corpus-partner verification
+      // joins on the published shingle DICTIONARY ids, batch-vs-batch
+      // stays on batch-local strings (the split shape — see
+      // lshNewDocsAgainstIndexEncoded's scaladoc for the measured sf10
+      // A/B: 29.6 s flat vs 33.9 s for the all-string probe on the same
+      // host). Same verdicts; same oracle as the in-query twin.
       dedup.Dedup.lshNewDocsAgainstIndexEncoded(docs.filter(isBatch), base,
         "doc_id", "text", 0.6)
         .orderBy("doc_id")

@@ -150,25 +150,70 @@ object Streams {
     * per file. The pass runs ON the foreachBatch thread, which
     * serializes micro-batches — it can never race an in-flight append —
     * and it rewrites content byte-identically (layout, not data), so the
-    * replay markers stay valid. 0 disables. */
+    * replay markers stay valid. 0 disables.
+    *
+    * REPLAY SAFETY (round 11 — the [[annIngest]]/[[rhpIngest]] marker
+    * protocol, previously missing here): appends are marker-gated per
+    * (checkpoint lineage, batchId). Without a marker, a checkpoint
+    * restart's redelivered batch used to WEDGE the ingest — its already-
+    * appended survivor ids trip the probe's id-disjointness guard (a
+    * loud crash, never corruption, but a crash on every restart replay).
+    * Now a marker-bearing replay is a no-op; a marker-less batch whose
+    * ids are ALL already indexed self-heals (the crash hit between
+    * append and marker — marker written, batch skipped, warning logged);
+    * partial presence fails loudly with the manual-recovery path, since
+    * a replay-with-rejects is indistinguishable from an id collision. */
   def nearDupIngest(docs: DataFrame, indexDir: String, threshold: Double,
                     appendToIndex: Boolean = false,
+                    checkpointLocation: Option[String] = None,
                     compactEvery: Int = 0,
                     compactTargetBytes: Long = 128L << 20)
                    (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
-    docs.writeStream
-      .outputMode(OutputMode.Update())
+    val lineage = checkpointLocation match {
+      case Some(c) => java.util.UUID.nameUUIDFromBytes(c.getBytes("UTF-8")).toString
+      case None => java.util.UUID.randomUUID().toString
+    }
+    val writer = docs.writeStream.outputMode(OutputMode.Update())
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$indexDir/_batches/$lineage-$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
           val (bandE, shE) = graft.dedup.Dedup.readLshIndex(spark, indexDir)
-          val survivorIds = graft.dedup.Dedup.lshNewDocsAgainstIndex(
-            batch.toDF(), bandE, shE, "doc_id", "text", threshold)
-          val survivors = graft.util.Views.materialize(
-            batch.toDF().join(survivorIds, Seq("doc_id"), "left_semi"))
-          emit(survivors)
-          if (appendToIndex)
-            graft.dedup.Dedup.appendLshIndex(survivors, "doc_id", "text", indexDir)
+          val b = graft.util.Views.materialize(batch.toDF())
+          // Crash-window adjudication (the annIngest shape): all batch
+          // ids already indexed = applied replay; none = first delivery;
+          // partial = undecidable, fail with the recovery path. (A batch
+          // of only shingle-less docs counts as unindexed and re-probes —
+          // they trivially survive and append zero rows: harmless.)
+          val nBatch = b.select("doc_id").distinct().count()
+          val nIndexed = shE.select("id")
+            .join(broadcast(b.select(col("doc_id").as("id"))),
+              Seq("id"), "left_semi")
+            .distinct().count()
+          if (appendToIndex && nIndexed == nBatch) {
+            warnSelfHeal("nearDupIngest", indexDir, lineage, batchId, nBatch)
+            fs.create(marker, true).close()
+          } else {
+            require(nIndexed == 0L,
+              s"nearDupIngest: $nIndexed of $nBatch batch doc ids already " +
+                "in the stored index without this batch's replay marker — " +
+                "either an id-space collision (ids must be disjoint) or a " +
+                "crash between append and marker on a batch with rejects; " +
+                s"after confirming the batch was applied, recover by creating $marker")
+            val survivorIds = graft.dedup.Dedup.lshNewDocsAgainstIndex(
+              b, bandE, shE, "doc_id", "text", threshold,
+              guardDisjoint = false) // adjudicated above, against the same table
+            val survivors = graft.util.Views.materialize(
+              b.join(survivorIds, Seq("doc_id"), "left_semi"))
+            emit(survivors)
+            if (appendToIndex)
+              graft.dedup.Dedup.appendLshIndex(survivors, "doc_id", "text", indexDir)
+            fs.create(marker, true).close()
+          }
           if (appendToIndex && compactEvery > 0 &&
               (batchId + 1) % compactEvery == 0)
             Seq("bands", "shingles").foreach(t => graft.util.Maintenance

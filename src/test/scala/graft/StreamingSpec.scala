@@ -274,6 +274,50 @@ class StreamingSpec extends SparkSpec {
     val (bandE, _) = dedup.Dedup.readLshIndex(spark, dir)
     val indexed = bandE.select("id").distinct().collect().map(_.getLong(0)).toSet
     assert((s1 ++ s2).subsetOf(indexed))
+    // Replay markers: one per processed micro-batch (round 11 — the
+    // annIngest protocol, previously missing from this ingest).
+    assert(new java.io.File(s"$dir/_batches").listFiles()
+      .count(f => !f.getName.startsWith(".")) === 2)
+  }
+
+  test("nearDupIngest replay safety: full-overlap self-heals, partial overlap fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val existing = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_lsh_rp").toString
+    dedup.Dedup.writeLshIndex(existing, "doc_id", "text", dir)
+    // Full overlap, no marker: the crash window between append and
+    // marker. The batch must be treated as an applied replay — nothing
+    // emitted, nothing re-appended, marker written.
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val s1 = MemoryStream[StreamDoc]
+    val q1 = Streams.nearDupIngest(s1.toDF(), dir, 0.6, appendToIndex = true) {
+      surv => emitted ++= surv.select("doc_id").collect().map(_.getLong(0))
+    }
+    try {
+      s1.addData(StreamDoc(1L, new Timestamp(0L), "alpha beta gamma delta epsilon zeta"),
+        StreamDoc(2L, new Timestamp(0L), "one two three four five six seven"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(emitted.isEmpty, "an applied replay must not re-emit")
+    assert(new java.io.File(s"$dir/_batches").listFiles()
+      .count(f => !f.getName.startsWith(".")) === 1)
+    val nBands = dedup.Dedup.readLshIndex(spark, dir)._1.count()
+    // Partial overlap (one indexed id, one new): undecidable — the
+    // ingest must fail loudly with the recovery path, not guess.
+    val s2 = MemoryStream[StreamDoc]
+    val q2 = Streams.nearDupIngest(s2.toDF(), dir, 0.6, appendToIndex = true)(_ => ())
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        s2.addData(StreamDoc(1L, new Timestamp(0L), "alpha beta gamma delta epsilon zeta"),
+          StreamDoc(99L, new Timestamp(0L), "totally fresh words never indexed here"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    assert(e.getMessage.contains("replay marker") ||
+      String.valueOf(e.getCause).contains("replay marker"))
+    assert(dedup.Dedup.readLshIndex(spark, dir)._1.count() === nBands,
+      "a failed batch must not have appended anything")
   }
 
   test("streaming ANN ingest gates on the stored IVF-PQ index and equals the sequential batch fold") {

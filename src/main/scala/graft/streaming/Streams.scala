@@ -162,7 +162,13 @@ object Streams {
     * ids are ALL already indexed self-heals (the crash hit between
     * append and marker — marker written, batch skipped, warning logged);
     * partial presence fails loudly with the manual-recovery path, since
-    * a replay-with-rejects is indistinguishable from an id collision. */
+    * a replay-with-rejects is indistinguishable from an id collision.
+    * CAVEAT (shared shape with annIngest's replay-with-rejects): docs
+    * whose text yields ZERO shingles leave no index trace, so a replayed
+    * batch that mixed shingled survivors with shingle-less docs (or with
+    * rejects) adjudicates as partial and takes the loud path — create
+    * the marker manually after confirming the batch applied. The
+    * self-heal only auto-fires when the evidence is unambiguous. */
   def nearDupIngest(docs: DataFrame, indexDir: String, threshold: Double,
                     appendToIndex: Boolean = false,
                     checkpointLocation: Option[String] = None,

@@ -371,6 +371,30 @@ private[graft] object DedupSimRegistry {
     }),
 
 
+    // BUILD-THEN-APPEND stored index (round 11): the artifact a steady-
+    // state ingest pipeline actually has on disk — two-thirds of the
+    // existing corpus indexed by the one-shot build, the remaining third
+    // folded in by appendLshIndexBucketed (bucketed-table appends + the
+    // dictionary EXTENSION: batch-new shingles get maxSid+1+rank sids,
+    // keeping the dict a dense collision-free bijection). Probe and
+    // ORACLE are IDENTICAL to dedup_incremental_lsh_stored —
+    // append-equals-rebuild is the contract under the hash gate: one
+    // dropped shingle row, one sid collision, or one bucket-layout break
+    // in the append path changes a verdict and hash-fails.
+    "dedup_incremental_lsh_stored_appended" -> ((s, dir) => {
+      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      val isBatch = col("doc_id") % 10 === 0
+      val existing = docs.filter(!isBatch)
+      val base = dedup.Dedup.ensureLshIndexBucketedAppended(
+        s, dir, existing.filter(col("doc_id") % 3 =!= 1),
+        existing.filter(col("doc_id") % 3 === 1), "doc_id", "text",
+        variant = "apnd")
+      dedup.Dedup.lshNewDocsAgainstIndexEncoded(docs.filter(isBatch), base,
+        "doc_id", "text", 0.6)
+        .orderBy("doc_id")
+    }),
+
+
     // Per-label embedding CENTROIDS (training-data extension): the mean
     // vector per class — the write-once coarse index IVF probes, and the
     // per-cluster summary of any embedding-space audit. posexplode keeps
@@ -1371,6 +1395,10 @@ private[graft] object DedupSimRegistry {
     // two engines' worth of proof that the parquet round-trip of the
     // band index + shingle store changes nothing.
     "dedup_incremental_lsh_stored" -> incrementalLshOracle,
+
+    // Same oracle as the one-shot stored tier: the appended artifact must
+    // yield byte-identical verdicts (append ≡ rebuild).
+    "dedup_incremental_lsh_stored_appended" -> incrementalLshOracle,
 
     "emb_label_centroids" ->
       // Dimension-agnostic like the Spark side: the unnest bound derives

@@ -230,6 +230,106 @@ object Streams {
       .start()
   }
 
+  /** [[nearDupIngest]] over the BUCKETED, DICTIONARY-ENCODED index tier
+    * (round 11) — the unification of the streaming ingest with the
+    * batch stored tier (`dedup_incremental_lsh_stored`): each
+    * micro-batch probes the four warehouse tables via
+    * [[graft.dedup.Dedup.lshNewDocsAgainstIndexEncoded]] (corpus-partner
+    * verification on 8-byte sids) and, with `appendToIndex=true`,
+    * survivors fold in through
+    * [[graft.dedup.Dedup.appendLshIndexBucketed]] — shingles, bands,
+    * dict extension, encoded rows — so the id-bucketed exchange-free
+    * probe plan survives every append. Marker/self-heal protocol is
+    * [[nearDupIngest]]'s verbatim (adjudication against the encoded
+    * `_shids` table; same shingle-less-doc caveat). `base` is a table
+    * base from [[graft.dedup.Dedup.writeLshIndexBucketed]] — NOT one
+    * produced by the marker-gated ensure for registry queries, whose
+    * write-once contract an appending stream would violate.
+    *
+    * No `compactEvery` here BY DESIGN: [[graft.util.Maintenance
+    * .compactInPlace]]'s plain rewrite would strip the bucket-id file
+    * naming and silently break the bucketed scans; the bucketed tier's
+    * small-file maintenance is a periodic re-bucketing rebuild. */
+  def nearDupIngestBucketed(docs: DataFrame, base: String, threshold: Double,
+                            appendToIndex: Boolean = false,
+                            checkpointLocation: Option[String] = None)
+                           (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val lineage = checkpointLocation match {
+      case Some(c) => java.util.UUID.nameUUIDFromBytes(c.getBytes("UTF-8")).toString
+      case None => java.util.UUID.randomUUID().toString
+    }
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val writer = docs.writeStream.outputMode(OutputMode.Update())
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$warehouse/${base}_bands/_batches/$lineage-$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val b = graft.util.Views.materialize(batch.toDF())
+          // All catalog reads go through the BATCH's session: foreachBatch
+          // runs in a session CLONE whose writes refresh only its own
+          // relation cache, so the stream must read what it wrote through
+          // that same session (the outer session is refreshed after each
+          // append below, for external observers).
+          val bs = b.sparkSession
+          // Defensive refresh BEFORE any read: the micro-batch session is
+          // a clone created at stream start, and a prior batch's appends
+          // are not reliably visible through its cached relations (seen
+          // empirically: a stale dict at batch 2 re-assigned sids to
+          // batch-1's new shingles and fanned out the encode join).
+          Seq("shingles", "bands", "dict", "shids").foreach(p =>
+            bs.catalog.refreshTable(s"${base}_$p"))
+          val nBatch = b.select("doc_id").distinct().count()
+          // Adjudicate against the FIRST- and LAST-written tables (the
+          // rhpIngest two-table discipline): appendLshIndexBucketed
+          // commits shingles first and the encoded rows last, so
+          // present-in-both proves the whole four-table append applied;
+          // any other mix is a crash mid-append (or id collision) and
+          // must be loud — checking shids alone would let a replay
+          // silently skip a batch whose dict extension never committed.
+          val bIds = broadcast(b.select(col("doc_id").as("id")).distinct())
+          def present(t: String): Long =
+            bs.table(t).select("id").join(bIds, Seq("id"), "left_semi")
+              .distinct().count()
+          val (inShing, inShids) =
+            (present(s"${base}_shingles"), present(s"${base}_shids"))
+          if (appendToIndex && inShing == nBatch && inShids == nBatch) {
+            warnSelfHeal("nearDupIngestBucketed", base, lineage, batchId, nBatch)
+            fs.create(marker, true).close()
+          } else {
+            require(inShing == 0L && inShids == 0L,
+              s"nearDupIngestBucketed: $inShing/$nBatch batch doc ids in " +
+                s"shingles, $inShids/$nBatch in shids without this batch's " +
+                "replay marker — either an id-space collision (ids must be " +
+                "disjoint) or a crash mid-append; after reconciling the " +
+                s"four tables, recover by creating $marker")
+            val survivorIds = graft.dedup.Dedup.lshNewDocsAgainstIndexEncoded(
+              b, base, "doc_id", "text", threshold,
+              guardDisjoint = false) // adjudicated above, against the same table
+            val survivors = graft.util.Views.materialize(
+              b.join(survivorIds, Seq("doc_id"), "left_semi"))
+            emit(survivors)
+            if (appendToIndex && !survivors.isEmpty) {
+              graft.dedup.Dedup.appendLshIndexBucketed(
+                survivors, base, "doc_id", "text")
+              // Invalidate the OUTER session's cached relations so readers
+              // outside the stream see the appended files (cross-session
+              // staleness is standard Spark table semantics — any OTHER
+              // session still owns its own REFRESH TABLE).
+              Seq("shingles", "bands", "dict", "shids").foreach(p =>
+                spark.catalog.refreshTable(s"${base}_$p"))
+            }
+            fs.create(marker, true).close()
+          }
+          graft.util.Views.unpersistAll()
+        }
+      }
+      .start()
+  }
+
   /** Streaming ANN-INDEX ingest against a STORED IVF-PQ index — the
     * embedding-side twin of [[nearDupIngest]] (batch query
     * `sim_ann_ivfpq_stored`): each micro-batch of (id, vec) rows is

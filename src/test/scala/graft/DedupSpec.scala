@@ -436,6 +436,53 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("bucketed append: build+append equals one-shot build, dict stays dense, scans stay exchange-free") {
+    val corpus = Dedup.augmented(Sources.documents(spark, sfDir))
+    val isBatch = col("doc_id") % 10 === 0
+    val existing = corpus.filter(!isBatch)
+    // The registry's split: 2/3 one-shot build, 1/3 appended.
+    val baseA = Dedup.ensureLshIndexBucketedAppended(spark, sfDir,
+      existing.filter(col("doc_id") % 3 =!= 1),
+      existing.filter(col("doc_id") % 3 === 1), "doc_id", "text",
+      variant = "apnd")
+    val baseO = Dedup.ensureLshIndexBucketed(spark, sfDir, existing,
+      "doc_id", "text")
+    val probe = corpus.filter(isBatch)
+    val viaAppended = Dedup.lshNewDocsAgainstIndexEncoded(probe, baseA,
+      "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    val viaOneShot = Dedup.lshNewDocsAgainstIndexEncoded(probe, baseO,
+      "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    assert(viaAppended === viaOneShot)
+    // Append-equals-rebuild at the TABLE level: same (id, sh) multiset in
+    // the shingle store, same per-doc encoded row counts.
+    assert(spark.table(s"${baseA}_shingles").count() ===
+      spark.table(s"${baseO}_shingles").count())
+    assert(spark.table(s"${baseA}_shids").count() ===
+      spark.table(s"${baseA}_shingles").count())
+    // The extended dict is still a DENSE 0-based bijection (new shingles
+    // took maxSid+1+rank) over the same shingle set as the one-shot dict.
+    val dict = spark.table(s"${baseA}_dict")
+    val n = dict.count()
+    assert(n === spark.table(s"${baseO}_dict").count())
+    assert(dict.select("sid").distinct().count() === n)
+    val mm = dict.agg(min("sid"), max("sid")).head()
+    assert(mm.getLong(0) === 0L && mm.getLong(1) === n - 1)
+    // Bucketed APPENDS preserve the exchange-free id aggregate — the
+    // whole point of appending through the bucket spec.
+    val agg = spark.table(s"${baseA}_shids").groupBy("id")
+      .agg(count(lit(1)).as("c"))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "appended bucketed table must keep the exchange-free scan")
+    // Write-once: a re-ensure probes the marker, never rebuilds.
+    val builds0 = util.Artifacts.builds.get
+    Dedup.ensureLshIndexBucketedAppended(spark, sfDir,
+      existing.filter(col("doc_id") % 3 =!= 1),
+      existing.filter(col("doc_id") % 3 === 1), "doc_id", "text",
+      variant = "apnd")
+    assert(util.Artifacts.builds.get === builds0)
+  }
+
   test("candidate generation never pairs a doc with itself and is ordered") {
     val cand = Dedup.lshCandidates(docs, "doc_id", "text")
     assert(cand.filter(col("id_a") >= col("id_b")).count() === 0)

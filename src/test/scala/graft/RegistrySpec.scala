@@ -36,9 +36,8 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("the full surface is present") {
-    // round 10: +5 (dedup_minhash_lsh_stored, graph_pagerank_stored,
-    // graph_pagerank_directed_stored, graph_kcore_stored,
-    // mv_rollup_dim_stored)
-    assert(SparkEntry.queries.size == 359, s"got ${SparkEntry.queries.size}")
+    // round 11: +2 (mv_rollup_2dim_stored,
+    // dedup_incremental_lsh_stored_appended)
+    assert(SparkEntry.queries.size == 360, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -280,6 +280,67 @@ class StreamingSpec extends SparkSpec {
       .count(f => !f.getName.startsWith(".")) === 2)
   }
 
+  test("bucketed streaming near-dup ingest equals the sequential fold and appends through the dict tier") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = dedup.Dedup.augmented(Sources.documents(spark, sfDir))
+    val isBatch = col("doc_id") % 10 === 0
+    val existing = docs.filter(!isBatch)
+    val batchDocs = docs.filter(isBatch)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => StreamDoc(r.getLong(0), new Timestamp(0L), r.getString(1)))
+      .sortBy(_.doc_id)
+    val (mb1, mb2) = batchDocs.partition(d => (d.doc_id / 10) % 2 == 0)
+    assert(mb1.nonEmpty && mb2.nonEmpty)
+    // A dedicated MUTABLE base — never one produced by the marker-gated
+    // ensure, whose write-once contract an appending stream would break.
+    val base = "graft_test_ndbkt"
+    Seq("shingles", "bands", "dict", "shids").foreach(p =>
+      EntryOps.dropManagedTable(spark, s"${base}_$p"))
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val batchesDir = new java.io.File(
+      new java.net.URI(s"$wh/${base}_bands/_batches").getPath)
+    dedup.Dedup.writeLshIndexBucketed(existing, "doc_id", "text", base)
+    val dict0 = spark.table(s"${base}_dict").count()
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val stream = MemoryStream[StreamDoc]
+    val q = Streams.nearDupIngestBucketed(stream.toDF(), base, 0.6,
+      appendToIndex = true) {
+      surv => perBatch += surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    try {
+      stream.addData(mb1.toIndexedSeq: _*); q.processAllAvailable()
+      stream.addData(mb2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.size === 2)
+    // Sequential fold reference (the in-query batch twin, step by step).
+    val mb1Df = spark.createDataFrame(mb1.toIndexedSeq).select("doc_id", "text")
+    val mb2Df = spark.createDataFrame(mb2.toIndexedSeq).select("doc_id", "text")
+    val s1 = dedup.Dedup.lshNewDocs(mb1Df, existing.select("doc_id", "text"),
+      "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    val accepted1 = mb1Df.filter(col("doc_id").isin(s1.toSeq: _*))
+    val s2 = dedup.Dedup.lshNewDocs(mb2Df,
+      existing.select("doc_id", "text").unionByName(accepted1),
+      "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSet
+    assert(perBatch(0) === s1)
+    assert(perBatch(1) === s2)
+    // Survivors landed in the ENCODED tier too (shids), the dict grew by
+    // exactly the survivors' new shingles, and it is still a bijection.
+    val shids = spark.table(s"${base}_shids")
+    val indexedIds = shids.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((s1 ++ s2).subsetOf(indexedIds))
+    val dict = spark.table(s"${base}_dict")
+    val n = dict.count()
+    assert(n >= dict0)
+    assert(dict.select("sid").distinct().count() === n)
+    assert(dict.select("sh").distinct().count() === n)
+    assert(shids.count() === spark.table(s"${base}_shingles").count())
+    // One replay marker per processed micro-batch.
+    assert(batchesDir.listFiles().count(f => !f.getName.startsWith(".")) === 2)
+    Seq("shingles", "bands", "dict", "shids").foreach(p =>
+      EntryOps.dropManagedTable(spark, s"${base}_$p"))
+  }
+
   test("nearDupIngest replay safety: full-overlap self-heals, partial overlap fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     val existing = Seq((1L, "alpha beta gamma delta epsilon zeta"),

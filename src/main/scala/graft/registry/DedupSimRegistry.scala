@@ -381,7 +381,7 @@ private[graft] object DedupSimRegistry {
     // append-equals-rebuild is the contract under the hash gate: one
     // dropped shingle row, one sid collision, or one bucket-layout break
     // in the append path changes a verdict and hash-fails.
-    "dedup_incremental_lsh_stored_appended" -> ((s, dir) => {
+    "dedup_incremental_lsh_appended_stored" -> ((s, dir) => {
       val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
       val isBatch = col("doc_id") % 10 === 0
       val existing = docs.filter(!isBatch)
@@ -1398,7 +1398,7 @@ private[graft] object DedupSimRegistry {
 
     // Same oracle as the one-shot stored tier: the appended artifact must
     // yield byte-identical verdicts (append ≡ rebuild).
-    "dedup_incremental_lsh_stored_appended" -> incrementalLshOracle,
+    "dedup_incremental_lsh_appended_stored" -> incrementalLshOracle,
 
     "emb_label_centroids" ->
       // Dimension-agnostic like the Spark side: the unnest bound derives

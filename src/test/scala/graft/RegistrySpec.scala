@@ -37,7 +37,7 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("the full surface is present") {
     // round 11: +2 (mv_rollup_2dim_stored,
-    // dedup_incremental_lsh_stored_appended)
+    // dedup_incremental_lsh_appended_stored)
     assert(SparkEntry.queries.size == 360, s"got ${SparkEntry.queries.size}")
   }
 }

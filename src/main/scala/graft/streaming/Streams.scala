@@ -168,12 +168,18 @@ object Streams {
     * batch that mixed shingled survivors with shingle-less docs (or with
     * rejects) adjudicates as partial and takes the loud path — create
     * the marker manually after confirming the batch applied. The
-    * self-heal only auto-fires when the evidence is unambiguous. */
+    * self-heal only auto-fires when the evidence is unambiguous.
+    *
+    * `selfHeal=false` (ADVICE r11) disables that adjudication for
+    * pipelines where an id-space violation must HALT ingest rather than
+    * warn: a marker-less full-overlap batch then takes the loud path
+    * like any partial overlap. Shared by all four ingest wrappers. */
   def nearDupIngest(docs: DataFrame, indexDir: String, threshold: Double,
                     appendToIndex: Boolean = false,
                     checkpointLocation: Option[String] = None,
                     compactEvery: Int = 0,
-                    compactTargetBytes: Long = 128L << 20)
+                    compactTargetBytes: Long = 128L << 20,
+                    selfHeal: Boolean = true)
                    (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
     val lineage = checkpointLocation match {
@@ -200,7 +206,7 @@ object Streams {
             .join(broadcast(b.select(col("doc_id").as("id"))),
               Seq("id"), "left_semi")
             .distinct().count()
-          if (appendToIndex && nIndexed == nBatch) {
+          if (appendToIndex && selfHeal && nIndexed == nBatch) {
             warnSelfHeal("nearDupIngest", indexDir, lineage, batchId, nBatch)
             fs.create(marker, true).close()
           } else {
@@ -248,11 +254,21 @@ object Streams {
     *
     * No `compactEvery` here BY DESIGN: [[graft.util.Maintenance
     * .compactInPlace]]'s plain rewrite would strip the bucket-id file
-    * naming and silently break the bucketed scans; the bucketed tier's
-    * small-file maintenance is a periodic re-bucketing rebuild. */
+    * naming and silently break the bucketed scans (it now REFUSES these
+    * dirs); the bucketed tier's small-file maintenance is
+    * `rebucketEvery` (round 12) — every N applied batches the four
+    * tables are rewritten through [[graft.util.Maintenance
+    * .rebucketTable]]'s spec-preserving staging swap, collapsing the
+    * one-file-set-per-(batch, bucket) growth back to ~bucket count while
+    * keeping every exchange-free scan property and the replay markers
+    * (content is row-identical and aux files are carried through the
+    * swap). Runs on the foreachBatch thread: serialized with appends,
+    * never racing an in-flight micro-batch. 0 disables. */
   def nearDupIngestBucketed(docs: DataFrame, base: String, threshold: Double,
                             appendToIndex: Boolean = false,
-                            checkpointLocation: Option[String] = None)
+                            checkpointLocation: Option[String] = None,
+                            rebucketEvery: Int = 0,
+                            selfHeal: Boolean = true)
                            (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
     val lineage = checkpointLocation match {
@@ -296,7 +312,7 @@ object Streams {
               .distinct().count()
           val (inShing, inShids) =
             (present(s"${base}_shingles"), present(s"${base}_shids"))
-          if (appendToIndex && inShing == nBatch && inShids == nBatch) {
+          if (appendToIndex && selfHeal && inShing == nBatch && inShids == nBatch) {
             warnSelfHeal("nearDupIngestBucketed", base, lineage, batchId, nBatch)
             fs.create(marker, true).close()
           } else {
@@ -323,6 +339,15 @@ object Streams {
                 spark.catalog.refreshTable(s"${base}_$p"))
             }
             fs.create(marker, true).close()
+          }
+          if (appendToIndex && rebucketEvery > 0 &&
+              (batchId + 1) % rebucketEvery == 0) {
+            Seq("shingles", "bands", "dict", "shids").foreach { p =>
+              graft.util.Maintenance.rebucketTable(spark, s"${base}_$p")
+              // rebucketTable refreshed the outer session; the stream's
+              // clone reads through its own relation cache.
+              bs.catalog.refreshTable(s"${base}_$p")
+            }
           }
           graft.util.Views.unpersistAll()
         }
@@ -367,7 +392,8 @@ object Streams {
                 appendToIndex: Boolean = false,
                 checkpointLocation: Option[String] = None,
                 compactEvery: Int = 0,
-                compactTargetBytes: Long = 128L << 20)
+                compactTargetBytes: Long = 128L << 20,
+                selfHeal: Boolean = true)
                (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
     val lineage = checkpointLocation match {
@@ -398,7 +424,7 @@ object Streams {
             .join(broadcast(b.select(col("id").as("vec_id"))),
               Seq("vec_id"), "left_semi")
             .distinct().count()
-          if (appendToIndex && nIndexed == nBatch) {
+          if (appendToIndex && selfHeal && nIndexed == nBatch) {
             warnSelfHeal("annIngest", indexDir, lineage, batchId, nBatch)
             fs.create(marker, true).close()
           } else {
@@ -457,7 +483,8 @@ object Streams {
                 appendToIndex: Boolean = false,
                 checkpointLocation: Option[String] = None,
                 compactEvery: Int = 0,
-                compactTargetBytes: Long = 128L << 20)
+                compactTargetBytes: Long = 128L << 20,
+                selfHeal: Boolean = true)
                (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
     val lineage = checkpointLocation match {
@@ -486,7 +513,7 @@ object Streams {
               .distinct().count()
           val nBatch = b.select("id").distinct().count()
           val (inRows, inSks) = (present(bandIdx), present(sks))
-          if (appendToIndex && inRows == nBatch && inSks == nBatch) {
+          if (appendToIndex && selfHeal && inRows == nBatch && inSks == nBatch) {
             warnSelfHeal("rhpIngest", indexDir, lineage, batchId, nBatch)
             fs.create(marker, true).close()
           } else {

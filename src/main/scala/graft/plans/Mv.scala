@@ -148,7 +148,7 @@ object Mv {
 
   val DayNanos = 86400000000000L
 
-  private def dayAgg(events: DataFrame): DataFrame =
+  private[graft] def dayAgg(events: DataFrame): DataFrame =
     events
       .select(expr("ts div 86400000000000").as("day"), col("event_type"),
         expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
@@ -177,6 +177,52 @@ object Mv {
         writeMarker(s, out, s"$tagPrefix$cutoff")
         (out.toString, cutoff)
     }
+  }
+
+  /** STREAM-MAINTAINED day-grain MV (round 12, VERDICT r11 #3 — the
+    * composition of this file's incremental-refresh algebra with the
+    * [[graft.streaming.Streams.cdcApply]] marker protocol): the MV lives
+    * in a versioned [[graft.sources.SnapshotStore]] keyed by the grain,
+    * and every events micro-batch folds its associative partials in
+    * through [[graft.streaming.Streams.mergeEventsDayMv]] — each commit
+    * touches ONLY the (day, event_type) keys the batch carried, so a
+    * steady-state stream rewrites kilobytes per batch while the fact is
+    * never rescanned, and the store's time travel replays the MV at any
+    * micro-batch boundary. This ensure builds the WRITE-ONCE registry
+    * artifact by running the corpus through that same per-batch fold in
+    * `chunks` deterministic slices (`event_id % chunks` — arrival
+    * batching, which counter-sum commutativity makes irrelevant to the
+    * result): the registered query probes exactly the artifact a
+    * long-running [[graft.streaming.Streams.mvRollupIngest]] stream
+    * maintains, and its oracle recomputes the aggregate from scratch —
+    * streamed-maintenance-equals-recompute is the contract under test. */
+  def ensureEventsDayLiveMv(s: SparkSession, dir: String,
+                            chunks: Int = 4): String = {
+    val out = warehouseDir(s, s"graft_mv_events_live_${sfTag(dir)}")
+    val tag = s"$dir|events|day,type|live|v1|chunks=$chunks"
+    if (!readMarker(s, out).contains(tag)) {
+      graft.util.Artifacts.recordBuild(s"mv_events_live $dir")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(out)) fs.delete(out, true)
+      val events = graft.Sources.events(s, dir)
+      (0 until chunks).foreach { i =>
+        graft.streaming.Streams.mergeEventsDayMv(
+          dayAgg(events.filter(col("event_id") % chunks === i)), out.toString)
+      }
+      writeMarker(s, out, tag)
+    }
+    out.toString
+  }
+
+  /** Read path of the stream-maintained MV: the store's latest version
+    * IS the rollup — a metadata-bounded read of |MV| rows, no fact scan,
+    * no fold beyond the snapshot store's own latest-wins. */
+  def liveEventsDay(s: SparkSession, storeDir: String): DataFrame = {
+    val last = graft.sources.SnapshotStore
+      .committedVersions(s, storeDir).last
+    graft.sources.SnapshotStore.readAsOf(s, storeDir, "mv_key", last)
+      .select(col("day"), col("event_type"),
+        col("cnt").as("n_events"), col("sum_cents").as("value_cents"))
   }
 
   /** Incremental refresh read path: stored history partials + a

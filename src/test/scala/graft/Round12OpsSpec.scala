@@ -173,6 +173,53 @@ class Round12OpsSpec extends SparkSpec {
     } finally dropIndex(base)
   }
 
+  test("stream-maintained MV: every version equals the batch recompute of its prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Sources.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+    // Three deterministic arrival slices of the batch-shaped rows
+    // (nano-long ts — the store must see exactly the batch schema).
+    val slices = (0 until 3).map(i => rows
+      .filter(_.getLong(0) % 3 == i)
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3))))
+    assert(slices.forall(_.nonEmpty))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_r12_mvlive_").toString + "/mv"
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = Streams.mvRollupIngest(
+      stream.toDF().toDF("ts", "event_type", "value"), store)
+    try slices.foreach { s =>
+      stream.addData(s.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // One commit and one replay marker per micro-batch; at EVERY version
+    // the store state equals the from-scratch day aggregate of the
+    // prefix — the streamed-refresh ≡ batch-recompute contract, with
+    // zero streaming-engine state (the store is the only state there is).
+    val versions = sources.SnapshotStore.committedVersions(spark, store)
+    assert(versions === Seq(1, 2, 3))
+    assert(new java.io.File(s"$store/_batches").listFiles()
+      .count(f => !f.getName.startsWith(".")) === 3)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long)] =
+      df.select("day", "event_type", "cnt", "sum_cents").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    versions.foreach { v =>
+      val prefix = slices.take(v).flatten
+        .toDF("ts", "event_type", "value")
+      assert(canon(sources.SnapshotStore.readAsOf(spark, store, "mv_key", v))
+        === canon(plans.Mv.dayAgg(prefix)),
+        s"store state at version $v diverged from the prefix recompute")
+    }
+    // The read path serves the final rollup without any aggregation.
+    val live = plans.Mv.liveEventsDay(spark, store)
+    val full = plans.Mv.dayAgg(Sources.events(spark, sfDir))
+      .select(col("day"), col("event_type"), col("cnt").as("n_events"),
+        col("sum_cents").as("value_cents"))
+    assert(live.collect().toSet === full.collect().toSet)
+  }
+
   test("selfHeal=false: a marker-less full-overlap batch halts instead of warning") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -119,6 +119,22 @@ object Bench {
     }
     val metrics = new TaskMetricsListener
     spark.sparkContext.addSparkListener(metrics)
+    // HOST-SUPPLY TELEMETRY (round 12, VERDICT r11 #8): the rounds-long
+    // steal-vs-regression adjudications (459 s vs 298 s on byte-identical
+    // plans) reconstruct co-tenant contention from per-query shuffle
+    // flatness after the fact; sampling /proc at sweep start/end puts the
+    // evidence IN the artifact — loadavg carries other processes' runnable
+    // demand, the cpu line's steal field carries hypervisor preemption.
+    def loadavg(): Seq[Double] =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty }
+    def cpuLine(): Seq[Long] =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+").drop(1)
+          .toSeq.map(_.toLong)).getOrElse(Seq.empty)
+      catch { case _: Throwable => Seq.empty }
+    val (load0, cpu0) = (loadavg(), cpuLine())
     // Timed reps must PROBE stored artifacts, never build them — assert it.
     val buildsBeforeTiming = graft.util.Artifacts.builds.get
     var lastRows = 0L // result cardinality for the reference-format report
@@ -182,8 +198,18 @@ object Bench {
     val timedBuilds = graft.util.Artifacts.builds.get - buildsBeforeTiming
     if (timedBuilds > 0)
       System.err.println(s"[bench] WARNING: $timedBuilds stored-artifact build(s) inside timed reps")
+    val (load1, cpu1) = (loadavg(), cpuLine())
+    // steal = field 8 of the aggregate cpu line (user nice system idle
+    // iowait irq softirq STEAL); pct over the sweep's total jiffies.
+    val stealPct =
+      if (cpu0.length >= 8 && cpu1.length >= 8 && cpu1.sum > cpu0.sum)
+        (cpu1(7) - cpu0(7)).toDouble / (cpu1.sum - cpu0.sum) * 100
+      else -1.0
+    def loadArr(l: Seq[Double]) = l.map(v => f"$v%.2f").mkString("[", ",", "]")
+    val hostJson =
+      s"""{"cpus":${Runtime.getRuntime.availableProcessors()},"loadavg_start":${loadArr(load0)},"loadavg_end":${loadArr(load1)},"steal_pct":${f"$stealPct%.3f"}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"timed_artifact_builds":$timedBuilds,"queries":$qs,"samples":$ss,"shuffle_mb":${mbMap(_._4)},"spill_mb":${mbMap(_._5)},"shuffle_mb_samples":${sampleMap(_._2)},"spill_mb_samples":${sampleMap(_._3)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"timed_artifact_builds":$timedBuilds,"host":$hostJson,"queries":$qs,"samples":$ss,"shuffle_mb":${mbMap(_._4)},"spill_mb":${mbMap(_._5)},"shuffle_mb_samples":${sampleMap(_._2)},"spill_mb_samples":${sampleMap(_._3)},"sf":"$sfDir"}"""
     // The FULL artifact goes to a file (at 330+ queries it is ~70 KB —
     // far past any stdout tail window, and sbt's [info] prefixing trips
     // JSON parsers anyway). SPARK_GRAFT_BENCH_OUT redirects it — the
@@ -201,7 +227,7 @@ object Bench {
     val failedNames = results.collect { case (k, (v, _, _, _, _)) if v < 0 => k }
       .take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"failed_queries":$failedNames,"reps":$reps,"timed_artifact_builds":$timedBuilds,"n_queries":${results.size},"queries":$qsTop,"queries_note":"12 slowest of ${results.size}; full per-query data in bench.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"failed_queries":$failedNames,"reps":$reps,"timed_artifact_builds":$timedBuilds,"host":$hostJson,"n_queries":${results.size},"queries":$qsTop,"queries_note":"12 slowest of ${results.size}; full per-query data in bench.json","sf":"$sfDir"}"""
     println(compact)
     // The reference's M1-M3 text report surface (performance_report.txt,
     // idx_transform.py:387-397) over the same measurements.

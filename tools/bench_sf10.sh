@@ -53,6 +53,7 @@ out = {
     "failed": a["failed"] + b["failed"],
     "timed_artifact_builds": a["timed_artifact_builds"] + b["timed_artifact_builds"],
     "reps": {"stored": a["reps"], "inquery": b["reps"]},
+    "host": {"stored": a.get("host"), "inquery": b.get("host")},
     "queries": {**a["queries"], **b["queries"]},
     "samples": {**a.get("samples", {}), **b.get("samples", {})},
     "shuffle_mb": {**a.get("shuffle_mb", {}), **b.get("shuffle_mb", {})},

@@ -272,7 +272,14 @@ object Similarity {
       .select("query_id", "vec_id").distinct()
     val c = corpus.select(col("id").as("vec_id"), vec(col("vec")).as("cv"))
     val q = broadcast(qsk.select("query_id", "qv"))
-    val scored = cand.join(c, "vec_id").join(q, "query_id")
+    // BROADCAST the candidate ids into the corpus scan (round 12 — the
+    // widened sf10 gate caught this unhinted: Spark planned the rerank
+    // as a shuffle join and shipped the ENTIRE raw-vector corpus, 80 MB
+    // at sf10 and the whole corpus at any scale, for a candidate side
+    // bounded by |queries| x band collisions). The serving contract is
+    // "corpus touched only for the survivors' raw vectors": broadcast
+    // makes it a map-side hash probe on the corpus scan, zero shuffle.
+    val scored = broadcast(cand).join(c, "vec_id").join(q, "query_id")
       .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
     rankPerKey(scored, k)
   }
@@ -489,8 +496,11 @@ object Similarity {
         .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("rv")).as("asim")),
       keyCols = Seq("query_id"),
       orderBy = Seq("asim" -> false, "vec_id" -> true), k = rerank)
-    // Exact re-rank of the survivors only.
-    val scored = approx.select("query_id", "vec_id")
+    // Exact re-rank of the survivors only — BROADCAST the |queries| x
+    // rerank survivor ids so the corpus-side raw-vector lookup is a
+    // map-side hash probe, never a corpus shuffle (round 12, see
+    // rhpProbe).
+    val scored = broadcast(approx.select("query_id", "vec_id"))
       .join(c, "vec_id").join(q, "query_id")
       .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("sim"))
     rankPerKey(scored, k)
@@ -651,7 +661,9 @@ object Similarity {
           cosine(col("qv"), pqReconstruct(col("codes"), lut)).as("asim")),
       keyCols = Seq("query_id"),
       orderBy = Seq("asim" -> false, "vec_id" -> true), k = rerank)
-    val scored = approx.select("query_id", "vec_id")
+    // Survivor-id broadcast: map-side corpus lookup, never a corpus
+    // shuffle (round 12, see rhpProbe).
+    val scored = broadcast(approx.select("query_id", "vec_id"))
       .join(c, "vec_id").join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("cv")).as("sim"))
@@ -835,7 +847,9 @@ object Similarity {
           cosine(col("qv"), rv).as("asim")),
       keyCols = Seq("query_id"),
       orderBy = Seq("asim" -> false, "vec_id" -> true), k = rerank)
-    val scored = approx.select("query_id", "vec_id")
+    // Survivor-id broadcast: map-side corpus lookup, never a corpus
+    // shuffle (round 12, see rhpProbe).
+    val scored = broadcast(approx.select("query_id", "vec_id"))
       .join(c, "vec_id").join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("cv")).as("sim"))

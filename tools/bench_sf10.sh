@@ -22,9 +22,16 @@ if [ ! -d data/sf10/documents.parquet ] || [ ! -d data/sf10/lineitem.parquet ]; 
   echo "[bench_sf10] building data/sf10 fixture (100x sf0.1: documents,lineitem)"
   sbt -batch "runMain graft.util.ScaleUp /root/testdata/sf0.1 data/sf10 100 documents,lineitem"
 fi
+if [ ! -d data/sf10/embeddings.parquet ]; then
+  echo "[bench_sf10] building data/sf10 embeddings fixture (100x sf0.1)"
+  sbt -batch "runMain graft.util.ScaleUp /root/testdata/sf0.1 data/sf10 100 embeddings"
+fi
 
 # Median-of-3 over the serving/stored shapes + the linear e2e pipeline.
-Q3=dedup_minhash_lsh_stored,dedup_incremental_lsh_stored,docs_cross_source_dup,docs_pipeline_e2e,graph_pagerank_stored,graph_kcore_stored
+# Round 12 (VERDICT r11 #6/#7): + the directed pagerank stored tier, the
+# build-then-append probe tier, and the two stored ANN serving tiers
+# (over the new 100x embeddings fixture).
+Q3=dedup_minhash_lsh_stored,dedup_incremental_lsh_stored,dedup_incremental_lsh_appended_stored,docs_cross_source_dup,docs_pipeline_e2e,graph_pagerank_stored,graph_pagerank_directed_stored,graph_kcore_stored,sim_ann_ivfpq_stored,sim_ann_rhp_stored
 SPARK_GRAFT_SF_DIR=data/sf10 \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
 SPARK_GRAFT_BENCH_REPS=3 \
@@ -32,20 +39,41 @@ SPARK_GRAFT_QUERIES="$Q3" \
 SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf10_a.json \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' || true
 
-# The in-query LSH tier: 1 rep, documented diagnostic (the production
-# shape is the stored twin; this number tracks the re-derivation slope).
+# The in-query tiers: 1 rep, documented diagnostics (the production
+# shapes are the stored twins; these numbers track the re-derivation
+# slope). Round 12 adds dedup_clusters_lsh — the closed LSH→connected-
+# components pipeline (VERDICT r11 #6).
 SPARK_GRAFT_SF_DIR=data/sf10 \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
 SPARK_GRAFT_BENCH_REPS=1 \
-SPARK_GRAFT_QUERIES=dedup_minhash_lsh \
+SPARK_GRAFT_QUERIES=dedup_minhash_lsh,dedup_clusters_lsh \
 SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf10_b.json \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' || true
+
+# Probe-shape A/B at a production batch ratio (VERDICT r11 #4): the
+# split-sid vs all-string byte/wall trade, measured at ~0.1% of corpus
+# instead of the fixture's 10% — the one SCALE.md claim that was argued,
+# not measured. Probes the standard stored index built by pass 1.
+SPARK_GRAFT_SF_DIR=data/sf10 \
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+SPARK_GRAFT_BENCH_REPS=3 \
+SPARK_GRAFT_BATCH_MOD=1000 \
+  sbt -batch "runMain graft.ProbeBench" 2>&1 | grep '"batch_mod"' \
+  > /tmp/bench_sf10_probe.json || true
 
 python3 - <<'EOF'
 import json, os
 
 a = json.load(open("/tmp/bench_sf10_a.json"))
 b = json.load(open("/tmp/bench_sf10_b.json"))
+# ProbeBench prints to stdout (sbt [info]-prefixed) — strip and parse.
+probe = None
+try:
+    with open("/tmp/bench_sf10_probe.json") as f:
+        line = f.read().strip()
+    probe = json.loads(line[line.index("{"):])
+except Exception as e:
+    print(f"[bench_sf10] WARNING: no probe A/B row ({e})")
 
 out = {
     "metric": "sf10_total", "unit": "sec", "sf": "data/sf10",
@@ -73,6 +101,8 @@ if os.path.isdir(wh):
         if name.startswith("graft_") and "data_sf10" in name:
             art[name] = du(os.path.join(wh, name))
 out["artifact_bytes"] = art
+if probe is not None:
+    out["probe_ab_smallbatch"] = probe
 
 json.dump(out, open("BENCH_sf10.json", "w"))
 print(f"[bench_sf10] total {out['value']:.1f}s over {len(out['queries'])} "
@@ -83,4 +113,9 @@ for q, s in sorted(out["queries"].items(), key=lambda kv: -kv[1]):
     print(f"  {q:32s} {s:8.2f}s  shuffle {sh:9.1f} MB  spill {sp:8.1f} MB")
 for n, v in art.items():
     print(f"  artifact {n:52s} {v/1e6:10.2f} MB")
+if probe is not None:
+    s, t = probe["split_sid"], probe["all_string"]
+    print(f"  probe A/B (batch={probe['n_batch']} of {probe['n_corpus']}): "
+          f"split_sid {s['sec']:.2f}s/{s['shuffle_mb']:.1f}MB  "
+          f"all_string {t['sec']:.2f}s/{t['shuffle_mb']:.1f}MB")
 EOF

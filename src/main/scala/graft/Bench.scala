@@ -38,6 +38,13 @@ private class TaskMetricsListener extends org.apache.spark.scheduler.SparkListen
 
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Co-tenant baseline BEFORE this process creates any load of its own
+    // (the sweep-start sample below runs after warm-up, whose load is
+    // ours): loadavg at entry is the cleanest external-demand signal.
+    val loadAtEntry =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty[Double] }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -207,7 +214,7 @@ object Bench {
       else -1.0
     def loadArr(l: Seq[Double]) = l.map(v => f"$v%.2f").mkString("[", ",", "]")
     val hostJson =
-      s"""{"cpus":${Runtime.getRuntime.availableProcessors()},"loadavg_start":${loadArr(load0)},"loadavg_end":${loadArr(load1)},"steal_pct":${f"$stealPct%.3f"}}"""
+      s"""{"cpus":${Runtime.getRuntime.availableProcessors()},"loadavg_entry":${loadArr(loadAtEntry)},"loadavg_start":${loadArr(load0)},"loadavg_end":${loadArr(load1)},"steal_pct":${f"$stealPct%.3f"}}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"timed_artifact_builds":$timedBuilds,"host":$hostJson,"queries":$qs,"samples":$ss,"shuffle_mb":${mbMap(_._4)},"spill_mb":${mbMap(_._5)},"shuffle_mb_samples":${sampleMap(_._2)},"spill_mb_samples":${sampleMap(_._3)},"sf":"$sfDir"}"""
     // The FULL artifact goes to a file (at 330+ queries it is ~70 KB —

@@ -675,6 +675,25 @@ private[graft] object GraphMmRegistry {
     }),
 
 
+    // TIME TRAVEL over the stream-maintained MV: the store's version 2
+    // is, by the marker-gated fold's construction, exactly the rollup of
+    // the first two arrival slices (event_id % 4 IN (0, 1)) — and the
+    // oracle RECOMPUTES that prefix from the raw fact, so one
+    // mis-attributed micro-batch, one double-fold, or one latest-wins
+    // slip in the snapshot store's as-of read changes a counter and
+    // hash-fails. This is the replayable per-batch history a versioned
+    // MV store buys (audits, backfills, "what did the dashboard say
+    // before batch 3"), checkable because arrival slicing is
+    // deterministic.
+    "mv_rollup_live_asof" -> ((s, dir) => {
+      val store = plans.Mv.ensureEventsDayLiveMv(s, dir)
+      sources.SnapshotStore.readAsOf(s, store, "mv_key", 2)
+        .select(col("day"), col("event_type"), col("cnt").as("n_events"),
+          col("sum_cents").as("value_cents"))
+        .orderBy("day", "event_type")
+    }),
+
+
     // Newman MODULARITY of the BRAND partition over the co-purchase
     // graph — "do same-brand parts co-purchase more than a random graph
     // with these degrees would?", the partition-quality score every
@@ -1304,6 +1323,17 @@ private[graft] object GraphMmRegistry {
         |  CAST(sum(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT)
         |    AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    // Version 2 of the store = the fold of arrival slices 0 and 1
+    // (event_id % 4), recomputed here from the raw fact.
+    "mv_rollup_live_asof" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events WHERE event_id % 4 IN (0, 1)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
 
     "graph_modularity" ->

@@ -37,8 +37,8 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("the full surface is present") {
     // round 11: +2 (mv_rollup_2dim_stored,
-    // dedup_incremental_lsh_appended_stored); round 12: +1
-    // (mv_rollup_live_stored)
-    assert(SparkEntry.queries.size == 361, s"got ${SparkEntry.queries.size}")
+    // dedup_incremental_lsh_appended_stored); round 12: +2
+    // (mv_rollup_live_stored, mv_rollup_live_asof)
+    assert(SparkEntry.queries.size == 362, s"got ${SparkEntry.queries.size}")
   }
 }

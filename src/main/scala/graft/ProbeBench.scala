@@ -45,6 +45,9 @@ object ProbeBench {
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new TaskMetricsListener
     spark.sparkContext.addSparkListener(metrics)
+    // Host telemetry in the row itself (VERDICT r12 #1: the committed
+    // probe row must be adjudicatable for steal without a sibling file).
+    val (load0, cpu0) = (util.HostTelemetry.loadavg(), util.HostTelemetry.cpuLine())
 
     val docs = dedup.Dedup.augmented(Sources.documents(spark, sfDir))
     val isBatch = col("doc_id") % 10 === 0
@@ -96,7 +99,9 @@ object ProbeBench {
     }
     require(survivors("split_sid") == survivors("all_string"),
       "probe-shape A/B changed the survivor set — the A/B is void")
-    println(s"""{"sf":"$sfDir","batch_mod":$mod,"n_batch":$nBatch,"n_corpus":$nCorpus,"survivors":${survivors("split_sid").size},$splitJson,$stringJson}""")
+    val (load1, cpu1) = (util.HostTelemetry.loadavg(), util.HostTelemetry.cpuLine())
+    val hostJson = util.HostTelemetry.json(load0, cpu0, load1, cpu1)
+    println(s"""{"sf":"$sfDir","batch_mod":$mod,"n_batch":$nBatch,"n_corpus":$nCorpus,"survivors":${survivors("split_sid").size},"reps":$reps,"host":$hostJson,$splitJson,$stringJson}""")
     spark.stop()
   }
 }

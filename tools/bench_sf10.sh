@@ -54,12 +54,22 @@ SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf10_b.json \
 # split-sid vs all-string byte/wall trade, measured at ~0.1% of corpus
 # instead of the fixture's 10% — the one SCALE.md claim that was argued,
 # not measured. Probes the standard stored index built by pass 1.
+# Round 13 (VERDICT r12 #1): 5 reps, and the row carries its own host
+# telemetry so steal adjudication is a field read.
 SPARK_GRAFT_SF_DIR=data/sf10 \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-SPARK_GRAFT_BENCH_REPS=3 \
+SPARK_GRAFT_BENCH_REPS=5 \
 SPARK_GRAFT_BATCH_MOD=1000 \
   sbt -batch "runMain graft.ProbeBench" 2>&1 | grep '"batch_mod"' \
   > /tmp/bench_sf10_probe.json || true
+
+# ANN retrieval quality at 100x (VERDICT r12 #6): recall@10 of the
+# stored IVF-PQ serving tier vs exact brute-force ground truth over a
+# ~200-query modulus spread of the sf10 embeddings fixture.
+SPARK_GRAFT_SF_DIR=data/sf10 \
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+  sbt -batch "runMain graft.RecallBench" 2>&1 | grep '"ann_recall"' \
+  > /tmp/bench_sf10_recall.json || true
 
 python3 - <<'EOF'
 import json, os
@@ -74,6 +84,13 @@ try:
     probe = json.loads(line[line.index("{"):])
 except Exception as e:
     print(f"[bench_sf10] WARNING: no probe A/B row ({e})")
+recall = None
+try:
+    with open("/tmp/bench_sf10_recall.json") as f:
+        line = f.read().strip()
+    recall = json.loads(line[line.index("{"):])
+except Exception as e:
+    print(f"[bench_sf10] WARNING: no ANN recall row ({e})")
 
 out = {
     "metric": "sf10_total", "unit": "sec", "sf": "data/sf10",
@@ -103,6 +120,8 @@ if os.path.isdir(wh):
 out["artifact_bytes"] = art
 if probe is not None:
     out["probe_ab_smallbatch"] = probe
+if recall is not None:
+    out["ann_recall"] = recall
 
 json.dump(out, open("BENCH_sf10.json", "w"))
 print(f"[bench_sf10] total {out['value']:.1f}s over {len(out['queries'])} "
@@ -118,4 +137,9 @@ if probe is not None:
     print(f"  probe A/B (batch={probe['n_batch']} of {probe['n_corpus']}): "
           f"split_sid {s['sec']:.2f}s/{s['shuffle_mb']:.1f}MB  "
           f"all_string {t['sec']:.2f}s/{t['shuffle_mb']:.1f}MB")
+if recall is not None:
+    for tier, r in recall["tiers"].items():
+        print(f"  ann recall@{recall['k']} {tier} ({recall['n_queries']} queries): "
+              f"mean {r['recall_mean']:.4f} p50 {r['recall_p50']:.4f} "
+              f"min {r['recall_min']:.4f}")
 EOF

@@ -218,8 +218,14 @@ object Mv {
     * IS the rollup — a metadata-bounded read of |MV| rows, no fact scan,
     * no fold beyond the snapshot store's own latest-wins. */
   def liveEventsDay(s: SparkSession, storeDir: String): DataFrame = {
-    val last = graft.sources.SnapshotStore
-      .committedVersions(s, storeDir).last
+    // lastOption + a named require (ADVICE r12): an uninitialized store
+    // must say WHICH store is empty, not throw a bare NoSuchElement.
+    val versions = graft.sources.SnapshotStore
+      .committedVersions(s, storeDir)
+    require(versions.nonEmpty,
+      s"liveEventsDay: no committed versions in MV store $storeDir — " +
+        "has the maintaining stream ever applied a batch?")
+    val last = versions.last
     graft.sources.SnapshotStore.readAsOf(s, storeDir, "mv_key", last)
       .select(col("day"), col("event_type"),
         col("cnt").as("n_events"), col("sum_cents").as("value_cents"))

@@ -806,10 +806,16 @@ private[graft] object TextRegistry {
     // TEXTRANK keyword extraction — PageRank over the word co-occurrence
     // graph, reusing the engine's ALL-INTEGER power iteration
     // (graph/PageRank.scala): adjacent-word pairs become the undirected
-    // edge set, words get DENSE integer ids via one vocabulary-grain
-    // window (deterministic: row_number over the sorted vocab — never a
-    // hash, whose collisions would silently merge words), and six damped
-    // rounds rank the graph in exact 1e-9 units. The corpus pass is one
+    // edge set, words get DENSE integer ids via the range-sort rank
+    // discipline (util.Ranks.withGlobalRank — bit-identical to a
+    // row_number over the sorted vocab, never a hash whose collisions
+    // would silently merge words, and never a single-partition window),
+    // and six damped rounds rank the graph in exact 1e-9 units. The id
+    // and readback joins are plain co-keyed joins on the word (round
+    // 13, VERDICT r12 #3): a web corpus's noisy vocabulary (1e8+ terms)
+    // can neither sort on one partition nor broadcast, and the
+    // vocabulary-grain frames shuffle on the same key the pairs frame
+    // already shuffles on for its distinct. The corpus pass is one
     // lead() window per doc; every iteration thereafter costs |word
     // graph|, not |corpus| — same property that makes text_bpe_merge_step
     // feasible. Top-20 by (pr DESC, word).
@@ -825,19 +831,18 @@ private[graft] object TextRegistry {
         .withColumn("nxt", lead(col("word"), 1).over(w))
         .filter(col("nxt").isNotNull && col("word") =!= col("nxt"))
         .select(col("word").as("wa"), col("nxt").as("wb"))
-      val ids = words.select("word").distinct()
-        .withColumn("wid", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("word")).cast("long"))
+      val ids = util.Views.materialize(util.Ranks.withGlobalRank(
+        words.select("word").distinct(), "wid", col("word")))
       val und = pairs
-        .join(broadcast(ids.select(col("word").as("wa"), col("wid").as("ia"))), "wa")
-        .join(broadcast(ids.select(col("word").as("wb"), col("wid").as("ib"))), "wb")
+        .join(ids.select(col("word").as("wa"), col("wid").as("ia")), "wa")
+        .join(ids.select(col("word").as("wb"), col("wid").as("ib")), "wb")
         .select(least(col("ia"), col("ib")).as("u"),
           greatest(col("ia"), col("ib")).as("v"))
         .distinct()
       val edges = und.select(col("u").as("src"), col("v").as("dst"))
         .union(und.select(col("v").as("src"), col("u").as("dst")))
       graph.PageRank.ranks(edges, iters = 6)
-        .join(broadcast(ids.select(col("wid").as("node"), col("word"))), "node")
+        .join(ids.select(col("wid").as("node"), col("word")), "node")
         .select(col("word"), col("pr"))
         .orderBy(col("pr").desc, col("word"))
         .limit(20)

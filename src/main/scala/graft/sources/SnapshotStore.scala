@@ -106,6 +106,65 @@ object SnapshotStore {
     fs(spark, dir).create(new Path(s"$dir/_compactions/$upTo"), true).close()
   }
 
+  /** RETENTION — bound the commit log of a long-running store (round 13,
+    * VERDICT r12 #5): a stream-maintained MV commits one version per
+    * micro-batch forever, so version-dir count and the full-log fold
+    * both grow O(batches). `retain(keepLast = K)` keeps the newest K
+    * versions time-travelable, folds everything older into a compaction
+    * checkpoint at the CUTOFF (the (K+1)-newest version — the "compacted
+    * base"), and physically removes the pre-cutoff log: upsert/tombstone
+    * version dirs at or below the cutoff (the checkpoint resolves them),
+    * superseded older checkpoints, and the pre-cutoff commit markers.
+    *
+    * Reads inside retention return unchanged bytes — [[readAsOf]] at or
+    * past the cutoff starts from the checkpoint, and surviving rows keep
+    * their original `v`. Reads PAST retention fail LOUDLY on readAsOf's
+    * own manifest guard (the cutoff becomes `committedVersions.head`).
+    * Ordering is the crash contract: commit markers are retracted
+    * NEWEST-FIRST and strictly BEFORE any data byte is deleted, so no
+    * crash point leaves a marked version with missing files — the
+    * silent-partial-fold failure this ordering exists to prevent. A
+    * mid-retraction crash leaves {1..j} ∪ {cutoff..last} marked; a read
+    * between j and the cutoff then serves the exact state at j (the
+    * defined readAsOf semantics for an uncommitted version) — a
+    * consistent OLDER snapshot, never a torn one. Idempotent: the
+    * checkpoint is marker-gated and both removal phases re-derive from
+    * whatever survived. */
+  def retain(spark: SparkSession, dir: String, idCol: String,
+             keepLast: Int): Unit = {
+    require(keepLast >= 1, s"retain: keepLast must be >= 1 (got $keepLast)")
+    val versions = committedVersions(spark, dir)
+    if (versions.size <= keepLast) return
+    val cutoff = versions(versions.size - keepLast - 1)
+    if (!compactedVersions(spark, dir).contains(cutoff))
+      compact(spark, dir, idCol, cutoff)
+    val f = fs(spark, dir)
+    versions.filter(_ < cutoff).reverse.foreach { v =>
+      require(f.delete(new Path(s"$dir/_commits/$v"), false),
+        s"retain: could not retract commit marker $v in $dir")
+    }
+    def dropTree(root: String, prefix: String, drop: Int => Boolean): Unit = {
+      val p = new Path(root)
+      if (f.exists(p)) f.listStatus(p).filter(_.isDirectory).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(s"$prefix=") && scala.util.Try(
+            n.stripPrefix(s"$prefix=").toInt).toOption.exists(drop))
+          require(f.delete(st.getPath, true),
+            s"retain: could not remove ${st.getPath}")
+      }
+    }
+    dropTree(s"$dir/upserts", "v", _ <= cutoff)
+    dropTree(s"$dir/tombstones", "v", _ <= cutoff)
+    // Superseded checkpoints: marker first (an unreferenced dir is
+    // invisible to readers), then the directory.
+    compactedVersions(spark, dir).filter(_ < cutoff).foreach { c =>
+      require(f.delete(new Path(s"$dir/_compactions/$c"), false),
+        s"retain: could not retract compaction marker $c in $dir")
+      require(f.delete(new Path(s"$dir/compactions/c=$c"), true),
+        s"retain: could not remove superseded checkpoint c=$c in $dir")
+    }
+  }
+
   /** PHYSICAL ERASURE (GDPR "right to be forgotten") — the copy-on-write
     * complement of tombstone deletes. A tombstone makes an id invisible
     * to CURRENT reads but every historical byte remains on disk (and

@@ -255,19 +255,31 @@ object Streams {
     * No `compactEvery` here BY DESIGN: [[graft.util.Maintenance
     * .compactInPlace]]'s plain rewrite would strip the bucket-id file
     * naming and silently break the bucketed scans (it now REFUSES these
-    * dirs); the bucketed tier's small-file maintenance is
-    * `rebucketEvery` (round 12) — every N applied batches the four
-    * tables are rewritten through [[graft.util.Maintenance
-    * .rebucketTable]]'s spec-preserving staging swap, collapsing the
-    * one-file-set-per-(batch, bucket) growth back to ~bucket count while
-    * keeping every exchange-free scan property and the replay markers
-    * (content is row-identical and aux files are carried through the
-    * swap). Runs on the foreachBatch thread: serialized with appends,
-    * never racing an in-flight micro-batch. 0 disables. */
+    * dirs); the bucketed tier's small-file maintenance is the
+    * FRAGMENTATION-TRIGGERED auto-rebucket (round 13, VERDICT r12 #4 —
+    * superseding round 12's caller-supplied every-N-batches cadence):
+    * after each applied append, if any of the four tables reaches
+    * `rebucketFilesPerBucket` data files per bucket ([[graft.util
+    * .Maintenance.filesPerBucket]]), all four are rewritten through
+    * [[graft.util.Maintenance.rebucketTable]]'s spec-preserving staging
+    * swap, collapsing the one-file-set-per-(batch, bucket) growth back
+    * to ~bucket count while keeping every exchange-free scan property
+    * and the replay markers (content is row-identical and aux files are
+    * carried through the swap). The threshold is MEASURED, not guessed:
+    * [[graft.util.Maintenance.DefaultRebucketFilesPerBucket]] carries
+    * the RebucketBench-derived break-even (~10 files/bucket; see its
+    * scaladoc for the arithmetic), and the trigger metric means sparse
+    * appends — which touch few buckets — defer maintenance the batch
+    * counter would have fired early. Runs on the foreachBatch thread:
+    * serialized with appends, never racing an in-flight micro-batch.
+    * When enabled, batch entry also runs [[graft.util.Maintenance
+    * .recoverTable]] over the four tables, so a crash mid-swap heals on
+    * stream restart instead of failing every adjudication read until a
+    * manual recovery (ADVICE r12). 0 disables both. */
   def nearDupIngestBucketed(docs: DataFrame, base: String, threshold: Double,
                             appendToIndex: Boolean = false,
                             checkpointLocation: Option[String] = None,
-                            rebucketEvery: Int = 0,
+                            rebucketFilesPerBucket: Double = 0,
                             selfHeal: Boolean = true)
                            (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
@@ -284,6 +296,14 @@ object Streams {
           s"$warehouse/${base}_bands/_batches/$lineage-$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker) && !batch.isEmpty) {
+          // Maintenance-enabled streams heal an interrupted rebucket
+          // BEFORE the first table read (ADVICE r12): a crash mid-swap
+          // leaves a live dir renamed to its bak, and the adjudication
+          // below would otherwise fail loudly on every restart until a
+          // human ran the recovery by hand.
+          if (rebucketFilesPerBucket > 0)
+            Seq("shingles", "bands", "dict", "shids").foreach(p =>
+              graft.util.Maintenance.recoverTable(spark, s"${base}_$p"))
           val b = graft.util.Views.materialize(batch.toDF())
           // All catalog reads go through the BATCH's session: foreachBatch
           // runs in a session CLONE whose writes refresh only its own
@@ -340,8 +360,10 @@ object Streams {
             }
             fs.create(marker, true).close()
           }
-          if (appendToIndex && rebucketEvery > 0 &&
-              (batchId + 1) % rebucketEvery == 0) {
+          if (appendToIndex && rebucketFilesPerBucket > 0 &&
+              Seq("shingles", "bands", "dict", "shids").exists(p =>
+                graft.util.Maintenance.filesPerBucket(spark, s"${base}_$p")
+                  >= rebucketFilesPerBucket)) {
             Seq("shingles", "bands", "dict", "shids").foreach { p =>
               graft.util.Maintenance.rebucketTable(spark, s"${base}_$p")
               // rebucketTable refreshed the outer session; the stream's
@@ -647,9 +669,24 @@ object Streams {
     * durable store IS the state (the nearDupIngest discipline). Replays
     * are marker-gated per (checkpoint lineage, batchId) because counter
     * sums double-count ([[cdcApply]]'s protocol, same crash-window trade
-    * as [[mgRollup]]). Read path: [[graft.plans.Mv.liveEventsDay]]. */
+    * as [[mgRollup]]). Read path: [[graft.plans.Mv.liveEventsDay]].
+    *
+    * LOG MAINTENANCE (round 13, VERDICT r12 #5 + ADVICE r12): without
+    * it, every [[mergeEventsDayMv]] folds ONE upsert file set per prior
+    * batch — O(batches) read cost and small files on a long-running
+    * stream. `compactEvery = N` checkpoints the fold at the latest
+    * version every N applied batches ([[graft.sources.SnapshotStore
+    * .compact]] — time travel across the whole log keeps working);
+    * `retainVersions = K` additionally bounds the LOG ITSELF after each
+    * applied batch ([[graft.sources.SnapshotStore.retain]]): the last K
+    * versions stay time-travelable over a compacted base, older as-of
+    * reads fail loudly on the manifest guard, older bytes are gone.
+    * Both run on the foreachBatch thread, serialized with merges; 0
+    * disables. */
   def mvRollupIngest(events: DataFrame, storeDir: String,
-                     checkpointLocation: Option[String] = None)
+                     checkpointLocation: Option[String] = None,
+                     compactEvery: Int = 0,
+                     retainVersions: Int = 0)
                     : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = events.sparkSession
     val lineage = checkpointLocation match {
@@ -666,6 +703,17 @@ object Streams {
         if (!fs.exists(marker) && !batch.isEmpty) {
           mergeEventsDayMv(graft.plans.Mv.dayAgg(batch.toDF()), storeDir)
           fs.create(marker, true).close()
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            val vs = graft.sources.SnapshotStore
+              .committedVersions(spark, storeDir)
+            if (vs.nonEmpty && !graft.sources.SnapshotStore
+                .compactedVersions(spark, storeDir).contains(vs.last))
+              graft.sources.SnapshotStore
+                .compact(spark, storeDir, "mv_key", vs.last)
+          }
+          if (retainVersions > 0)
+            graft.sources.SnapshotStore
+              .retain(spark, storeDir, "mv_key", retainVersions)
         }
       }
       .start()

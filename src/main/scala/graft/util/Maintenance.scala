@@ -66,7 +66,11 @@ object Maintenance {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = fs.makeQualified(p).toUri
-    catalog.listTables(catalog.getCurrentDatabase).iterator
+    // EVERY database (ADVICE r12): a bucketed table registered over the
+    // same location from another database would otherwise escape the
+    // guard and get its bucket-id file naming silently stripped.
+    catalog.listDatabases().iterator
+      .flatMap(db => catalog.listTables(db).iterator)
       // listTables includes temp views, which have no stored metadata.
       .flatMap(id => scala.util.Try(catalog.getTableMetadata(id)).toOption)
       .collectFirst {
@@ -194,6 +198,45 @@ object Maintenance {
     spark.sql(s"DROP TABLE IF EXISTS $stg")
     spark.catalog.refreshTable(table)
     (before, fileStats(spark, live.toString))
+  }
+
+  /** Fragmentation readout of a BUCKETED table: mean data files per
+    * bucket (1.0 = freshly built or rebucketed; each applied append adds
+    * up to one file per bucket). The auto-rebucket trigger reads THIS,
+    * not an append counter (round 13, VERDICT r12 #4): the measured cost
+    * driver is the file count itself, and appends that touch few buckets
+    * fragment less than the counter would assume. One filesystem listing
+    * per call — the same cost every commit-log check pays. */
+  def filesPerBucket(spark: SparkSession, table: String): Double = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"filesPerBucket: $table declares no bucket spec"))
+    fileStats(spark, new Path(meta.location).toString).nFiles.toDouble /
+      spec.numBuckets
+  }
+
+  /** Measured default for the auto-rebucket trigger, in files per
+    * bucket. Derivation (SCALE.md round 13, from the committed
+    * RebucketBench sf1 A/B): per-probe wall grows ≈ 0.149 s per extra
+    * file/bucket ((4.47 − 3.28 s) over the 9→1 files/bucket collapse)
+    * while one rebuild costs a flat 6.8 s. With one probe per append,
+    * rebucketing every N appends costs 6.8/N per batch and pays an
+    * average fragmentation tax of ≈ 0.0745·(N−1); the sum is minimized
+    * at N* = sqrt(6.8/0.0745) ≈ 9.6 → trigger at 10 files/bucket. */
+  val DefaultRebucketFilesPerBucket: Double = 10.0
+
+  /** [[recoverInterruptedCompact]] addressed by TABLE NAME (resolves the
+    * catalog location, then refreshes the table's cached listing): the
+    * streaming wrappers run this at batch entry when rebucket
+    * maintenance is enabled, so a crash mid-swap heals on restart
+    * instead of failing every adjudication read until a human invokes
+    * the recovery by hand (ADVICE r12). */
+  def recoverTable(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    recoverInterruptedCompact(spark, new Path(meta.location).toString)
+    spark.catalog.refreshTable(table)
   }
 
   /** Finish a compaction interrupted mid-swap (idempotent; called on

@@ -58,12 +58,14 @@ class PlanLintSpec extends SparkSpec {
     "events_survival_km", "events_slo_burn", "orders_backlog",
     "orders_monthly_growth",
     // CATALOG / VOCABULARY grain — aggregated far below fact volume;
-    // vocabulary saturates (textrank measured 1.1x at 10x corpus).
+    // vocabulary saturates (measured 1.1x at 10x corpus on the textrank
+    // vocab before its round-13 move to util.Ranks wids — VERDICT r12
+    // #3 — which took it off this list entirely).
     // orders_abc_class keeps the BI-pattern cumulative window; its
     // rank-free twin (orders_abc_class_scaled, util.Ranks
     // .withGlobalPrefixSum) shipped round 12 for corpus-scale catalogs.
     "orders_abc_class", "text_zipf_slope", "docs_ngram_coverage",
-    "text_textrank_keywords", "docs_mix_schedule",
+    "docs_mix_schedule",
     // FIXED-CARDINALITY tables: 32 bootstrap replicas, 10 deciles,
     // |dims| variance rows, doc-count TTR prefix spine (a per-corpus
     // diagnostic readout).

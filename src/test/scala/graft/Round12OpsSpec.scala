@@ -239,11 +239,18 @@ class Round12OpsSpec extends SparkSpec {
       q.processAllAvailable()
     }
     q.stop()
-    assert(ex.getMessage.contains("already in the stored index") ||
-      ex.getCause != null)
+    // Walk the WHOLE cause chain for the id-space halt (ADVICE r12: the
+    // old `|| ex.getCause != null` arm was vacuous — a streaming
+    // exception virtually always wraps a cause, so any unrelated failure
+    // passed). The halt must be THE reason the stream died.
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("already in the stored index")),
+      s"expected the id-space halt in the cause chain, got: $msgs")
   }
 
-  test("streaming bucketed ingest with rebucketEvery=1 keeps files bounded and the index consistent") {
+  test("streaming bucketed ingest with an always-firing rebucket threshold keeps files bounded and the index consistent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val docs = dedup.Dedup.augmented(Sources.documents(spark, sfDir))
@@ -260,8 +267,10 @@ class Round12OpsSpec extends SparkSpec {
     dedup.Dedup.writeLshIndexBucketed(existing, "doc_id", "text", base)
     try {
       val stream = MemoryStream[StreamDoc]
+      // Any fragmentation past the freshly-built 1.0 files/bucket fires
+      // the trigger — the round-13 equivalent of the old rebucketEvery=1.
       val q = Streams.nearDupIngestBucketed(stream.toDF(), base, 0.6,
-        appendToIndex = true, rebucketEvery = 1)(_ => ())
+        appendToIndex = true, rebucketFilesPerBucket = 1.01)(_ => ())
       try {
         stream.addData(mb1.toIndexedSeq: _*); q.processAllAvailable()
         stream.addData(mb2.toIndexedSeq: _*); q.processAllAvailable()
@@ -271,7 +280,7 @@ class Round12OpsSpec extends SparkSpec {
       Seq("shingles", "bands", "dict", "shids").foreach { p =>
         val st = Maintenance.fileStats(spark, tableDir(s"${base}_$p"))
         assert(st.nFiles <= dedup.Dedup.IndexBuckets,
-          s"${base}_$p grew to ${st.nFiles} files despite rebucketEvery=1")
+          s"${base}_$p grew to ${st.nFiles} files despite the 1.01 threshold")
       }
       // Index integrity after maintenance: encoded tier aligned, dict a
       // dense bijection, counter in lockstep, and the id-keyed aggregate

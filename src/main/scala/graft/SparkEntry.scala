@@ -33,6 +33,7 @@ object SparkEntry {
     DocsRegistry.queries ++
     TextRegistry.queries ++
     DedupSimRegistry.queries ++
+    SimRegistry.queries ++
     GraphMmRegistry.queries ++
     TpchRegistry.queries ++
     TpchDeepJoinRegistry.queries
@@ -47,6 +48,7 @@ object SparkEntry {
     DocsRegistry.oracles ++
     TextRegistry.oracles ++
     DedupSimRegistry.oracles ++
+    SimRegistry.oracles ++
     GraphMmRegistry.oracles ++
     TpchRegistry.oracles ++
     TpchDeepJoinRegistry.oracles

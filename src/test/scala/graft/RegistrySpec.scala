@@ -15,6 +15,7 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     "Docs" -> (DocsRegistry.queries, DocsRegistry.oracles),
     "Text" -> (TextRegistry.queries, TextRegistry.oracles),
     "DedupSim" -> (DedupSimRegistry.queries, DedupSimRegistry.oracles),
+    "Sim" -> (SimRegistry.queries, SimRegistry.oracles),
     "GraphMm" -> (GraphMmRegistry.queries, GraphMmRegistry.oracles),
     "Tpch" -> (TpchRegistry.queries, TpchRegistry.oracles),
     "TpchDeepJoin" -> (TpchDeepJoinRegistry.queries, TpchDeepJoinRegistry.oracles))

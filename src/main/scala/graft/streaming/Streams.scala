@@ -759,8 +759,12 @@ object Streams {
     * discipline), and because sketch union is a CRDT merge, crash-replay
     * duplicates change version history only, never the answer. Requires
     * the session to register [[graft.functions.GraftExtensions]]
-    * (`kmv_agg` is used via SQL). */
-  def kmvRollup(events: DataFrame, storeDir: String, k: Int = 256)
+    * (`kmv_agg` is used via SQL). `retainVersions = K` bounds the
+    * commit log like [[mvRollupIngest]]'s (the [[graft.sources
+    * .SnapshotStore.retain]] contract — last K versions + compacted
+    * base, loud past the horizon); 0 disables. */
+  def kmvRollup(events: DataFrame, storeDir: String, k: Int = 256,
+                retainVersions: Int = 0)
                : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Update())
@@ -771,6 +775,9 @@ object Streams {
               col("user_id").cast("string").as("u"))
             .groupBy("day").agg(expr(s"kmv_agg(u, $k)").as("kmv"))
           mergeKmvStore(fresh, storeDir, k)
+          if (retainVersions > 0)
+            graft.sources.SnapshotStore
+              .retain(fresh.sparkSession, storeDir, "day", retainVersions)
         }
       }
       .start()
@@ -809,8 +816,11 @@ object Streams {
     * [[mergeHllStore]]s them; any date-range distinct question is then
     * `hll_sketch_estimate(hll_union_agg(...))` over the store alone.
     * Zero streaming-engine state; replay-safe without markers because
-    * register-max union is idempotent. */
-  def hllRollup(events: DataFrame, storeDir: String, lgK: Int = 12)
+    * register-max union is idempotent. `retainVersions = K` bounds the
+    * commit log (the [[graft.sources.SnapshotStore.retain]] contract);
+    * 0 disables. */
+  def hllRollup(events: DataFrame, storeDir: String, lgK: Int = 12,
+                retainVersions: Int = 0)
                : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Update())
@@ -820,6 +830,9 @@ object Streams {
             .select(expr("ts div 86400000000000").as("day"), col("user_id"))
             .groupBy("day").agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
           mergeHllStore(fresh, storeDir)
+          if (retainVersions > 0)
+            graft.sources.SnapshotStore
+              .retain(fresh.sparkSession, storeDir, "day", retainVersions)
         }
       }
       .start()

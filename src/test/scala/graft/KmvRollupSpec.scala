@@ -71,4 +71,40 @@ class KmvRollupSpec extends SparkSpec {
     assert(storeAt(after.last) == batchSketch(b1 ++ b2 ++ b3),
       "re-merging a replayed batch must be a state no-op")
   }
+
+  test("kmvRollup with retention: bounded log, unchanged answers, loud past the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_ret")
+      .toFile.getAbsolutePath
+    // 5 micro-batches over two alternating days, overlapping user ranges.
+    val batches = (0 until 5).map(i =>
+      ((i * 60 + 1) to (i * 60 + 90)).map(u => row(100 + i % 2, u.toLong)))
+    val stream = MemoryStream[(Long, Long)]
+    val q = Streams.kmvRollup(stream.toDF().toDF("ts", "user_id"), dir, k,
+      retainVersions = 2)
+    try batches.foreach { b =>
+      stream.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    // Last K=2 versions + the compacted base survive; older bytes gone.
+    assert(graft.sources.SnapshotStore.committedVersions(spark, dir)
+      === Seq(3, 4, 5))
+    assert(graft.sources.SnapshotStore.compactedVersions(spark, dir)
+      === Seq(3))
+    Seq(1, 2, 3).foreach(v => assert(
+      !new java.io.File(s"$dir/upserts/v=$v").exists,
+      s"upserts v=$v must be physically removed"))
+    def storeAt(v: Int) = graft.sources.SnapshotStore
+      .readAsOf(spark, dir, "day", v).orderBy("day")
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Seq[Long]]("kmv"))).toSeq
+    // Inside retention: every surviving version equals the one-shot
+    // batch sketch of its prefix — the vacuum changed no answer.
+    Seq(3, 4, 5).foreach(v => assert(
+      storeAt(v) == batchSketch(batches.take(v).flatten),
+      s"retained version $v diverged from the prefix sketch"))
+    // Past the horizon: loud on the manifest guard.
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.SnapshotStore.readAsOf(spark, dir, "day", 2)
+    }
+    assert(ex.getMessage.contains("no committed version"))
+  }
 }

@@ -67,6 +67,21 @@ object Dedup {
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
 
+  /** [[shingleRows]] over a doc frame first CLUSTERED BY ID — the
+    * writeLshIndexBucketed/probe-side discipline (SCALE.md "sf1.0
+    * rehearsal") applied to the in-query tiers (round 13): one linear
+    * shuffle of DOC rows (~3× narrower than their shingles) buys
+    * (a) id-clustered shingle partitions, so the signature aggregate and
+    * every id-keyed count/join downstream combines map-side instead of
+    * shipping scattered partials, and (b) scan-width independence — a
+    * small-file corpus scan is a SINGLE task (sf0.1: every table is one
+    * <128 MB parquet file), and without the repartition the whole
+    * normalize→shingle→minhash derivation runs on one core of the
+    * session (measured round 13: the md5 family per shingle row is the
+    * dedup tiers' dominant CPU, serialized on 1 of 32 cores). */
+  private def shingleRowsClustered(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleRows(docs.repartition(col(idCol)), idCol, textCol)
+
   /** All pairs with n-gram Jaccard ≥ `threshold`, via shingle-join
     * counting: |A∩B| from the join, |A| and |B| from per-doc counts.
     * `candidates` (optional) restricts the join to ids occurring in the
@@ -97,11 +112,12 @@ object Dedup {
                    threshold: Double,
                    candidates: Option[DataFrame] = None,
                    maxDocFreq: Option[Long] = None): DataFrame = {
-    val shAll = shingleRows(docs, idCol, textCol)
+    val shAll = shingleRowsClustered(docs, idCol, textCol)
     // The shingle view feeds three consumers (per-doc counts + both self-
     // join sides); materialize (eager persist — see [[graft.util.Views]])
     // so the normalize→split→n-gram derivation runs once, not once per
-    // concurrent consumer stage.
+    // concurrent consumer stage. Lineage-TRUNCATED so downstream join
+    // plans stop embedding the derivation tree (round 13).
     candidates match {
       case Some(cand) =>
         // PAIR-KEYED verification (round 10 — the sf10 finding): with a
@@ -114,11 +130,11 @@ object Dedup {
         // quadratic regardless of the candidate restriction (measured:
         // 1 059 s at sf10, all CPU in the verify join). The pair-keyed
         // plan is linear in |pairs| × shingles-per-doc.
-        val sh = graft.util.Views.materialize(
+        val sh = graft.util.Views.materializeTruncated(
           capByDocFreq(shAll.join(candidateIds(cand), "id"), maxDocFreq))
         jaccardForPairs(cand, sh, threshold)
       case None =>
-        val sh = graft.util.Views.materialize(shAll)
+        val sh = graft.util.Views.materializeTruncated(shAll)
         jaccardFromShingles(sh, threshold, maxDocFreq)
     }
   }
@@ -175,7 +191,7 @@ object Dedup {
       case Some(cap) =>
         val keep = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("sh")
-        graft.util.Views.materialize(sh0.join(keep, "sh"))
+        graft.util.Views.materializeTruncated(sh0.join(keep, "sh"))
       case None => sh0
     }
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
@@ -208,7 +224,7 @@ object Dedup {
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double,
                    maxDocFreq: Option[Long] = None): DataFrame =
-    pairStats(shingleRows(docs, idCol, textCol), maxDocFreq)
+    pairStats(shingleRowsClustered(docs, idCol, textCol), maxDocFreq)
       .withColumn("overlap", col("n_common") / least(col("n_a"), col("n_b")))
       .filter(col("overlap") >= threshold)
       .select("id_a", "id_b", "overlap")
@@ -237,7 +253,7 @@ object Dedup {
                     bucketCap: Option[Long] = None,
                     numHashes: Int = NumHashes,
                     numBands: Int = NumBands): DataFrame =
-    lshCandidatesFromShingles(shingleRows(docs, idCol, textCol),
+    lshCandidatesFromShingles(shingleRowsClustered(docs, idCol, textCol),
       bucketCap, numHashes, numBands)
 
   /** (id, band_idx, band_key) band rows from an (id, sh) shingle view —
@@ -263,8 +279,11 @@ object Dedup {
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"h$r")): _*))
     }
     // Materialize before any join so the minhash plan runs once, not
-    // once per concurrently-scheduled join side.
-    graft.util.Views.materialize(sig
+    // once per concurrently-scheduled join side; lineage-truncated so
+    // downstream self-join plans stop embedding the [[NumHashes]]
+    // min-of-md5 aggregate columns (round 13 — the expression text alone
+    // made every consumer plan ~0.5 MB and its re-analysis measurable).
+    graft.util.Views.materializeTruncated(sig
       .select(col("id"), posexplode(array(bandKeyCols: _*)))
       .toDF("id", "band_idx", "band_key"))
   }
@@ -333,7 +352,8 @@ object Dedup {
     // Materialized: feeds BOTH the index banding and the partner-shingle
     // verification side — without it the normalize→shingle derivation of
     // the (large) existing corpus runs twice.
-    val shE = graft.util.Views.materialize(shingleRows(existing, idCol, textCol))
+    val shE = graft.util.Views.materializeTruncated(
+      shingleRowsClustered(existing, idCol, textCol))
     lshNewDocsAgainstIndex(batch, bandRowsFromShingles(shE), shE,
       idCol, textCol, threshold, guardDisjoint = false)
   }
@@ -363,7 +383,7 @@ object Dedup {
     // without shuffling shingle rows; the one exchange paid here is on
     // doc rows, ~3× smaller than their shingles (sf10 measured the
     // un-clustered probe shipping 863 MB — mostly this stage).
-    val shB = graft.util.Views.materialize(
+    val shB = graft.util.Views.materializeTruncated(
       shingleRows(batch.repartition(col(idCol)), idCol, textCol))
     probeVerify(batch.select(col(idCol).as("doc_id")),
       bandRowsFromShingles(shB), bandE, shB, shE, threshold)
@@ -386,7 +406,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val candB = bB.as("a").join(bB.as("b"), bandMatch && col("b.id") < col("a.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val cand = graft.util.Views.materialize(candE.union(candB).distinct())
+    val cand = graft.util.Views.materializeTruncated(candE.union(candB).distinct())
     val shProbe = shB.join(cand.select(col("id_a").as("id")).distinct(), "id")
     val shPartner = shB.unionByName(shE)
       .join(cand.select(col("id_b").as("id")).distinct(), "id")
@@ -457,7 +477,7 @@ object Dedup {
         .isEmpty,
       "lshNewDocsAgainstIndexEncoded: batch ids collide with the stored " +
         "index -- the id spaces must be disjoint")
-    val shB = graft.util.Views.materialize(
+    val shB = graft.util.Views.materializeTruncated(
       shingleRows(batch.repartition(col(idCol)), idCol, textCol))
     val bB = bandRowsFromShingles(shB)
     def bandMatch = col("a.band_idx") === col("b.band_idx") &&
@@ -465,14 +485,14 @@ object Dedup {
     // Corpus-partner and batch-partner candidates stay SEPARATE frames --
     // each feeds its own verification key space (id spaces are disjoint
     // by the guard, so the final union never conflates them).
-    val candE = graft.util.Views.materialize(
+    val candE = graft.util.Views.materializeTruncated(
       bB.as("a").join(bandE.as("b"), bandMatch)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct())
-    val candB = graft.util.Views.materialize(
+    val candB = graft.util.Views.materializeTruncated(
       bB.as("a").join(bB.as("b"), bandMatch && col("b.id") < col("a.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct())
     // Per-doc set sizes: plain row counts -- no shingle-keyed join.
-    val nBatch = graft.util.Views.materialize(
+    val nBatch = graft.util.Views.materializeTruncated(
       shB.groupBy("id").agg(count(lit(1)).as("n_sh")))
     val nCorpus = shE
       .join(candE.select(col("id_b").as("id")).distinct(), "id")
@@ -926,10 +946,12 @@ object Dedup {
     // shingle view once, reuse it across the LSH stages). Candidates feed
     // the id restriction AND the final semi-join; materialize both so no
     // concurrent stage recomputes them (see [[graft.util.Views]]).
-    val shAll = graft.util.Views.materialize(shingleRows(docs, idCol, textCol))
-    val cand = graft.util.Views.materialize(
+    val shAll = graft.util.Views.materializeTruncated(
+      shingleRowsClustered(docs, idCol, textCol))
+    val cand = graft.util.Views.materializeTruncated(
       lshCandidatesFromShingles(shAll, bucketCap, numHashes, numBands))
-    val sh = graft.util.Views.materialize(shAll.join(candidateIds(cand), "id"))
+    val sh = graft.util.Views.materializeTruncated(
+      shAll.join(candidateIds(cand), "id"))
     jaccardForPairs(cand, sh, threshold)
   }
 
@@ -963,9 +985,10 @@ object Dedup {
     // 8-byte sid, not the ~25-byte trigram text — same |A∩B|/|A|/|B| by
     // bijection, an order-of-magnitude narrower dominant shuffle column.
     val shE = spark.table(s"${base}_shids").select(col("id"), col("sid").as("sh"))
-    val cand = graft.util.Views.materialize(
+    val cand = graft.util.Views.materializeTruncated(
       lshCandidatesFromBands(bandE, bucketCap))
-    val sh = graft.util.Views.materialize(shE.join(candidateIds(cand), "id"))
+    val sh = graft.util.Views.materializeTruncated(
+      shE.join(candidateIds(cand), "id"))
     jaccardForPairs(cand, sh, threshold)
   }
 
@@ -1376,7 +1399,7 @@ object Dedup {
     val mask = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.SimhashMask(
         org.apache.spark.sql.GraftColumnBridge.expression(col("sh"))))
-    val sh = shingleRows(docs, idCol, textCol).withColumn("m", mask)
+    val sh = shingleRowsClustered(docs, idCol, textCol).withColumn("m", mask)
     val sums = (0 until SimhashBits).map(j =>
       sum(when(shiftright(col("m"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
     sh.groupBy("id").agg(sums.head, sums.tail: _*)
@@ -1389,7 +1412,7 @@ object Dedup {
     * full-width hamming distance <= [[SimhashMaxHamming]]. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bitsPerBand = SimhashBits / SimhashBands
-    val sk = graft.util.Views.materialize(simhash(docs, idCol, textCol))
+    val sk = graft.util.Views.materializeTruncated(simhash(docs, idCol, textCol))
     val bands = sk.select(col("id"), col("simhash"), posexplode(array(
       (0 until SimhashBands).map(b =>
         substring(col("simhash"), b * bitsPerBand + 1, bitsPerBand)): _*)))

@@ -822,9 +822,15 @@ private[graft] object EventsStatsRegistry {
       val k = when(u < ks(0), 0L).when(u < ks(1), 1L).when(u < ks(2), 2L)
         .when(u < ks(3), 3L).when(u < ks(4), 4L).when(u < ks(5), 5L)
         .otherwise(6L)
-      val reps = Sources.events(s, dir)
-        .select(col("event_id"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      // The md5-per-(row, replica) derivation is the query's whole CPU;
+      // widen the (projected, narrow) scan across cores before the ×32
+      // explode — scale-guarded no-op once the scan has real splits
+      // (round 13, util.Par scaladoc; sum(kc)/sum(k) are order-free longs
+      // so the repartition cannot move the result).
+      val reps = util.Par.widen(Sources.events(s, dir)
+          .select(col("event_id"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents")),
+          col("event_id"))
         .select(col("event_id"), col("cents"),
           explode(sequence(lit(0), lit(31))).as("b"))
         .select(col("b"), (k * col("cents")).as("kc"), k.as("k"))

@@ -48,6 +48,25 @@ object Views {
     (p, n)
   }
 
+  /** [[materialize]], returning a LINEAGE-TRUNCATED view of the cache
+    * (a flat scan of the persisted RDD — the [[graft.graph.PageRank]]
+    * round discipline applied to one-shot views): downstream plans no
+    * longer embed the view's full derivation tree, so Catalyst analysis
+    * and task-closure serialization stop scaling with the derivation's
+    * size. Measured round 13: the LSH band view's 12 min-of-md5 agg
+    * columns made every downstream self-join plan ~0.5 MB of expression
+    * text (emb_mmr_rerank's final plan reached 3.9 MB through nested
+    * cached-view unions) — per-rep re-analysis of those trees was a
+    * visible slice of the heavy dedup queries. Eviction-safe: the
+    * truncation is LOGICAL-plan-level only; the underlying cached RDD
+    * keeps its physical lineage and recomputes a lost block normally. */
+  def materializeTruncated(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    live.add(p)
+    p.count()
+    org.apache.spark.sql.GraftColumnBridge.lineageTruncated(p)
+  }
+
   /** Enroll an externally-persisted frame (e.g. the cluster loop's
     * per-round caches) in the end-of-query reclaim without forcing it.
     * Unpersisting an already-unpersisted frame is a no-op, so frames the

@@ -24,7 +24,19 @@ object GraftColumnBridge {
     * `localCheckpoint` — the storage stays the caller's `persist`ed
     * cache, freeable deterministically with `unpersist` (checkpoint
     * blocks are only released when the RDD is GC'd). */
-  def lineageTruncated(df: DataFrame): DataFrame =
-    df.sparkSession.asInstanceOf[classic.SparkSession]
-      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
+  def lineageTruncated(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    // LogicalRDD.fromDataset (what Dataset.checkpoint itself builds)
+    // rather than internalCreateDataFrame: it CARRIES THE ORIGIN PLAN'S
+    // STATISTICS across the truncation. A bare LogicalRDD reports the
+    // session default size (effectively "huge"), which poisons every
+    // downstream size estimate — measured round 13: truncating the
+    // materialized shingle view flipped the small candidate/cap frames'
+    // broadcast joins to sort-merge and grew dedup_clusters' shuffle
+    // 4.1 → 18.3 MB. With origin stats the planner keeps choosing from
+    // the cache's REAL byte size at any scale.
+    classic.Dataset.ofRows(ds.sparkSession,
+      execution.LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+        isStreaming = false))
+  }
 }

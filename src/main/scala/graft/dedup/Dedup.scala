@@ -204,9 +204,18 @@ object Dedup {
       .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
   }
 
+  /** ONE materialized clustered shingle view for callers that feed
+    * SEVERAL Dedup stages from the same corpus (round 13 — the LSH
+    * retrieval audit derives both its exact-truth and candidate sides
+    * from it, one normalize→shingle pass instead of two). */
+  private[graft] def shingleView(docs: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
+    graft.util.Views.materializeTruncated(
+      shingleRowsClustered(docs, idCol, textCol))
+
   /** Jaccard pairs from an (id, sh) shingle view the caller has already
     * restricted/persisted. */
-  private def jaccardFromShingles(sh0: DataFrame, threshold: Double,
+  private[graft] def jaccardFromShingles(sh0: DataFrame, threshold: Double,
                                   maxDocFreq: Option[Long] = None): DataFrame =
     pairStats(sh0, maxDocFreq)
       .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
@@ -236,6 +245,33 @@ object Dedup {
     val mins = (0 until NumHashes).map(j =>
       array_min(transform(shCol, x => md5(concat(lit(s"$j:"), x)))))
     array(mins: _*)
+  }
+
+  /** Per-doc minhash SIGNATURES as a [[NumHashes]]-element array, via the
+    * FLAT codegen path (round 13): explode shingles (id-clustered), one
+    * native [[graft.functions.MinhashRow]] call per shingle row, then a
+    * partial+final min-per-component aggregate — the
+    * [[bandRowsFromShingles]] signature stage without the banding.
+    * Bit-identical to [[minhashSignature]]'s higher-order array form
+    * (lexicographic min over the same md5 strings) but codegen
+    * end-to-end, parallel across the clustered shingle partitions, and
+    * map-side-combining where the array form is interpreted per row
+    * inside the scan task. Docs with no shingles emit no row (the array
+    * form yields an all-NULL signature for them — callers here join
+    * signatures through candidate pairs, which shingle-less docs cannot
+    * enter, so the surfaces agree). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = NumHashes): DataFrame = {
+    val sh = shingleRowsClustered(docs, idCol, textCol)
+    val hs = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MinhashRow(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sh")), numHashes))
+    sh.select(col("id"), hs.as("hs")).groupBy("id").agg(
+        min(element_at(col("hs"), 1)).as("h0"),
+        (1 until numHashes).map(j =>
+          min(element_at(col("hs"), j + 1)).as(s"h$j")): _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
   }
 
   /** Candidate pairs: docs sharing any (band index, band key).
@@ -298,7 +334,7 @@ object Dedup {
     * their members still meet in their other [[NumBands]]−1 bands unless
     * hot everywhere, which is exactly the boilerplate case a curation
     * pipeline WANTS suppressed. */
-  private def lshCandidatesFromShingles(sh: DataFrame,
+  private[graft] def lshCandidatesFromShingles(sh: DataFrame,
                                         bucketCap: Option[Long] = None,
                                         numHashes: Int = NumHashes,
                                         numBands: Int = NumBands): DataFrame =

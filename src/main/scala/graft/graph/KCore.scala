@@ -31,16 +31,32 @@ object KCore {
     // logical plan still nests round over round and Catalyst
     // re-optimization grows EXPONENTIALLY (measured in the registry
     // entry: 0.9 → 3.2 → 18.6 → 217 s by round 5 without truncation).
-    def round(df: DataFrame): DataFrame =
-      org.apache.spark.sql.GraftColumnBridge.lineageTruncated(
-        graft.util.Views.materialize(df))
-    var nodes = round(
+    def round(df: DataFrame): (DataFrame, Long) = {
+      val (p, n) = graft.util.Views.materializeCounted(df)
+      (org.apache.spark.sql.GraftColumnBridge.lineageTruncated(p), n)
+    }
+    var (nodes, nNodes) = round(
       edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select("node"))
-    for (_ <- 1 to rounds)
-      nodes = round(degreesIn(nodes).filter(col("dg") >= k).select("node"))
+    // EARLY EXIT at the provable fixpoint (round 13): peeling is
+    // MONOTONE — every round's survivors are a subset of its input — so
+    // an unchanged row COUNT means an unchanged SET, and a fixpoint maps
+    // to itself on every remaining round. Skipping them produces the
+    // bit-identical result the fixed unroll would (the oracle's full
+    // unroll lands on the same state), and the count is free: the
+    // per-round materialization already pays it. At corpus scale each
+    // skipped round is a full pass over the surviving subgraph.
+    var it = 0
+    var converged = false
+    while (it < rounds && !converged) {
+      val (next, nNext) =
+        round(degreesIn(nodes).filter(col("dg") >= k).select("node"))
+      if (nNext == nNodes) converged = true
+      else { nodes = next; nNodes = nNext }
+      it += 1
+    }
     degreesIn(nodes)
       .select(col("node"), col("dg").as("core_degree"))
   }

@@ -184,8 +184,16 @@ object PageRank {
         .join(cur.repartition(loopWidth, col("node")),
           col("src") === col("node"))
         .select(col("dst"), expr("pr div outdeg").as("c"))
+      // No pre-aggregate repartition (round 13): repartitioning contribs
+      // before the groupBy shipped one RAW row per EDGE per round —
+      // measured 73 MB over 3 rounds at sf0.1 vs the stored tier's 12 MB
+      // on the same graph — because the explicit exchange sits below the
+      // aggregate and defeats map-side partial aggregation. A plain
+      // groupBy combines per map partition first, so the exchange
+      // carries per-partition PARTIALS (O(nodes) per round, the
+      // ranksStored shape). The narrow loop width still holds where it
+      // matters — the join's inputs — via the cur/eDegLoop repartitions.
       val next = contribs
-        .repartition(loopWidth, col("dst"))
         .groupBy(col("dst").as("node"))
         .agg((lit(TeleportQ) + expr("(85 * sum(c)) div 100")).as("pr"))
       val (nRanks, nCached) = materializeRound(next)
@@ -244,11 +252,18 @@ object PageRank {
 
     for (_ <- 1 to iters) {
       val curW = cur.repartition(loopWidth, col("node"))
+      // Same no-pre-aggregate-repartition rule as [[ranks]] (round 13):
+      // let groupBy partial-aggregate map-side instead of shipping one
+      // raw row per edge into an explicit exchange. The POST-aggregate
+      // repartition is node-sized and keeps the teleport join below
+      // co-partitioned with the cached node table at the loop's width
+      // (without it the join re-exchanged nodesMat every round and the
+      // A/B read +1.1 s despite 12 MB less shuffle).
       val inflow = eDegLoop
         .join(curW, col("src") === col("node"))
         .select(col("dst"), expr("pr div outdeg").as("c"))
-        .repartition(loopWidth, col("dst"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
+        .repartition(loopWidth, col("dst"))
       // Dangling mass: one partial-aggregated scalar over the rank table
       // (odeg rides IN the rank rows, so no join here), broadcast as a
       // 1-row frame. Empty-safe: coalesce to 0 when nothing dangles.

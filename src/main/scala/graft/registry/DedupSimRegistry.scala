@@ -154,10 +154,12 @@ private[graft] object DedupSimRegistry {
       // sides — materialize once.
       val docs = util.Views.materialize(
         dedup.Dedup.augmented(Sources.documents(s, dir)))
-      val cand = graft.util.Views.materialize(
+      val cand = graft.util.Views.materializeTruncated(
         dedup.Dedup.lshCandidates(docs, "doc_id", "text"))
-      val sigs = docs.select(col("doc_id").as("id"),
-        dedup.Dedup.minhashSignature(dedup.Dedup.shingles(col("text"))).as("sig"))
+      // Flat codegen signature path (round 13) — same md5 min family as
+      // the higher-order array form it replaces, parallel and
+      // map-side-combined instead of interpreted inside one scan task.
+      val sigs = dedup.Dedup.minhashSignatures(docs, "doc_id", "text")
       val est = cand
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -487,11 +489,15 @@ private[graft] object DedupSimRegistry {
     // applied to the retrieval stage).
     "dedup_lsh_recall" -> ((s, dir) => {
       val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
-      val truth = graft.util.Views.materialize(
-        dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, None)
+      // ONE clustered shingle view feeds both the exact-truth mining and
+      // the banded candidate generation (round 13) — the audit used to
+      // run the normalize→shingle corpus pass twice, once per side.
+      val sh = dedup.Dedup.shingleView(docs, "doc_id", "text")
+      val truth = graft.util.Views.materializeTruncated(
+        dedup.Dedup.jaccardFromShingles(sh, 0.6)
           .select("id_a", "id_b"))
-      val cand = graft.util.Views.materialize(
-        dedup.Dedup.lshCandidates(docs, "doc_id", "text"))
+      val cand = graft.util.Views.materializeTruncated(
+        dedup.Dedup.lshCandidatesFromShingles(sh))
       val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
@@ -551,23 +557,45 @@ private[graft] object DedupSimRegistry {
     // Rayleigh-quotient eigenvalue from one exact rational.
     "emb_pca_power" -> ((s, dir) => {
       val d38 = DecimalType(38, 0)
-      val comps = Sources.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"),
-          floor(col("x").cast("double") * 1e4 + 0.5).cast("long").as("xq"))
+      // Row-local OUTER PRODUCT (round 13): the moment table used to come
+      // from comps ⋈ comps on vec_id — two corpus-explode exchanges plus
+      // a join emitting the same n·d² rows the quantized array can emit
+      // in place with two chained generators. Now the only exchange of
+      // the build is the d²-cell aggregate's partial-combine shuffle.
+      // The quantized-array frame is materialized once (it feeds the
+      // per-dim sums, the outer product, and the count) and widened
+      // behind the util.Par scale guard so the n·4096-row generate runs
+      // across cores, not inside a single-split scan task.
+      val base = util.Views.materializeTruncated(util.Par.widen(
+        Sources.embeddings(s, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS double) * 1e4 + 0.5) AS BIGINT))").as("q")),
+        col("vec_id")))
+      val comps = base
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "xq")))
       val sums = comps.groupBy("i").agg(sum(col("xq")).as("si"))
-      val cross = comps.as("a").join(comps.as("b"), "vec_id")
-        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-        .agg(sum(col("a.xq") * col("b.xq")).as("sij"))
+      val cross = base
+        .select(posexplode(col("q")).as(Seq("i", "xi")), col("q"))
+        .select(col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
+        .groupBy("i", "j")
+        .agg(sum(col("xi") * col("xj")).as("sij"))
       val n = comps.agg((count(lit(1)) / lit(64)).cast("long").as("n"))
-      val cov = cross
+      // cov feeds every unrolled step AND the Rayleigh numerator;
+      // uncached, each consumer re-executed the whole moment build
+      // (the w-referenced-twice step nesting compounded it to ~2³
+      // re-executions in one action before round 13).
+      val cov = util.Views.materializeTruncated(cross
         .join(sums.select(col("i"), col("si")), "i")
         .join(sums.select(col("i").as("j"), col("si").as("sj")), "j")
         .crossJoin(broadcast(n))
         .select(col("i"), col("j"),
           (col("n").cast(d38) * col("sij").cast(d38) -
-            col("si").cast(d38) * col("sj").cast(d38)).as("c"))
+            col("si").cast(d38) * col("sj").cast(d38)).as("c")))
       // v₀ = all-ones; three unrolled C·v steps with integer rescale.
+      // The w/v chain stays LAZY: over the cached d²-row cov its
+      // re-execution per reference is 64-row arithmetic (an A/B with
+      // per-step materialization read +0.6 s — three extra actions cost
+      // more than the tiny recompute they saved).
       var v = sums.select(col("i").as("dim"), lit(1L).cast(d38).as("v"))
       for (_ <- 1 to 3) {
         val w = cov.join(v, cov("j") === v("dim"))
@@ -726,7 +754,12 @@ private[graft] object DedupSimRegistry {
       // Candidates materialize ONCE: the greedy unroll references them in
       // every step, and without the cache each step's plan would embed —
       // and re-execute — the whole top-k scan.
-      val cands = util.Views.materialize(
+      // Lineage-truncated (round 13): the greedy unroll references the
+      // candidate cache in every step and each step's selected-set cache
+      // embeds the previous step's plan — untruncated, the final plan
+      // text reached 3.9 MB and its per-rep Catalyst re-analysis was a
+      // visible slice of this query's wall time.
+      val cands = util.Views.materializeTruncated(
         sim.Similarity.bruteTopK(emb.filter(col("id") === 0), emb, 20)
           .join(emb.select(col("id").as("vec_id"), col("vec")), "vec_id")
           .select(col("vec_id"), col("vec"), col("sim")))
@@ -736,7 +769,7 @@ private[graft] object DedupSimRegistry {
         .select(col("vec_id"), col("vec"), col("sim"), lit(1).as("rank"),
           col("sim").as("mmr_score"))
       for (step <- 2 to 5) {
-        selected = util.Views.materialize(selected)
+        selected = util.Views.materializeTruncated(selected)
         val selVecs = broadcast(selected
           .select(col("vec_id").as("sid"), col("vec").as("svec")))
         val next = cands

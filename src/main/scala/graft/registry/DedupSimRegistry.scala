@@ -336,7 +336,11 @@ private[graft] object DedupSimRegistry {
     // or among earlier batch docs. Probe-side banding — the corpus never
     // self-joins (SCALE.md "Deduplication").
     "dedup_incremental_lsh" -> ((s, dir) => {
-      val docs = dedup.Dedup.augmented(Sources.documents(s, dir))
+      // Materialized once (round 13): the augmented frame feeds the
+      // batch side, the existing side, AND lshNewDocs' id-disjointness
+      // probe — three derivations of the same 4-branch union otherwise.
+      val docs = util.Views.materializeTruncated(
+        dedup.Dedup.augmented(Sources.documents(s, dir)))
       val isBatch = col("doc_id") % 10 === 0
       dedup.Dedup.lshNewDocs(docs.filter(isBatch), docs.filter(!isBatch),
         "doc_id", "text", 0.6)

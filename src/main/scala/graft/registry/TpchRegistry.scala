@@ -569,6 +569,10 @@ private[graft] object TpchRegistry {
       val kept = graft.util.Views.materialize(items.join(sizes, "l_orderkey"))
       val nOrders = kept.agg(countDistinct(col("l_orderkey")).as("n_orders"))
       val itemCnt = kept.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+      // (Round 13: an A/B moving this aggregate to the raw-pair-keyed
+      // exchange shape of yf_pairs_correlation measured byte-neutral —
+      // 31.5 vs 30.9 MB — so the canonical partial-aggregate form stays;
+      // its reduction ratio here is real, unlike the correlation screen's.)
       val pairs = kept.as("a")
         .join(kept.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))

@@ -390,7 +390,18 @@ private[graft] object YfIndicatorRegistry {
           col("a.Date") === col("b.Date") && col("a.symbol") < col("b.symbol"))
         .select(col("a.symbol").as("s1"), col("b.symbol").as("s2"),
           col("a.xq").as("x"), col("b.xq").as("y"))
-      pairs.groupBy("s1", "s2")
+      // Repartition RAW pair rows before the moment aggregate (round 13):
+      // group cardinality here is C(symbols, 2) — at sf0.1 ~500 k pairs
+      // against ~10 M join rows scattered by Date, so the partial
+      // aggregate reduced almost nothing per partition while WIDENING
+      // every shipped row from 4 columns to its 8-column partial state
+      // (measured: this exchange was the suite's largest byte mover,
+      // 158 MB/rep). Pair-keying the exchange ships the narrow raw rows
+      // and the aggregate then runs exchange-free — the inverse of the
+      // PageRank-loop rule, decided the same way: by the measured
+      // reduction ratio (guide §2.3 "aggregate before you shuffle" pays
+      // only when the partial map actually reduces).
+      pairs.repartition(col("s1"), col("s2")).groupBy("s1", "s2")
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("x")).as("sxx"),

@@ -529,6 +529,10 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 numCentroids: Int = 16, nprobe: Int = 3,
                 rerank: Int = 20): DataFrame = {
+    // (Round 13: materializing the coarse sample here was A/B'd and
+    // rejected — the persist+count action cost more than the one saved
+    // limit-16 corpus scan, 1.28 -> 1.74 s. The residual twin keeps its
+    // caches because its shared frames embed the trained codebook.)
     val coarse = sampledCentroids(corpus, numCentroids)
     val book = ivfPqBook(corpus)
     ivfPqProbe(queries, corpus, ivfPqIndexWith(corpus, coarse, book),
@@ -729,10 +733,18 @@ object Similarity {
   def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                         numCentroids: Int = 16, nprobe: Int = 3,
                         rerank: Int = 20): DataFrame = {
-    val coarse = sampledCentroids(corpus, numCentroids)
-    val book = ivfPqResidualBook(corpus, coarse)
+    // The in-query tier derives what the stored tier reads from parquet;
+    // MATERIALIZE the three shared frames (round 13) — uncached, the
+    // coarse sample re-executed per broadcast (~5 corpus scans), the
+    // residual frame twice (book + index), and the TRAINED codebook
+    // twice (the probe's driver-collected LUT and the index's encode
+    // broadcast each re-ran the whole Lloyd pipeline).
+    val coarse = graft.util.Views.materializeTruncated(
+      sampledCentroids(corpus, numCentroids))
+    val res = graft.util.Views.materializeTruncated(residuals(corpus, coarse))
+    val book = graft.util.Views.materializeTruncated(ivfPqResidualBookFrom(res))
     ivfPqResidualProbe(queries, corpus,
-      ivfPqResidualIndex(corpus, coarse, book), coarse, book,
+      ivfPqResidualIndexFrom(res, book), coarse, book,
       k, nprobe, rerank)
   }
 
@@ -769,9 +781,14 @@ object Similarity {
     * codes actually live in — faiss trains its PQ codebooks for the same
     * reason. The trained codewords are means, so `code_id` (the encode
     * tiebreak) is the dense code itself. */
-  def ivfPqResidualBook(corpus: DataFrame, coarse: DataFrame): DataFrame = {
+  def ivfPqResidualBook(corpus: DataFrame, coarse: DataFrame): DataFrame =
+    ivfPqResidualBookFrom(residuals(corpus, coarse))
+
+  /** [[ivfPqResidualBook]] from a caller-supplied (materialized)
+    * residual frame — the sharing seam [[ivfPqResidualTopK]] uses. */
+  private def ivfPqResidualBookFrom(resFull: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
-    val res = residuals(corpus, coarse).select(col("vec_id"), col("rvv"))
+    val res = resFull.select(col("vec_id"), col("rvv"))
     val seed = denseBook(res
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
       .limit(PqCodewords)
@@ -813,12 +830,14 @@ object Similarity {
     * residual against the RESIDUAL codebook. Same artifact bytes as the
     * raw-encoding index. */
   def ivfPqResidualIndex(corpus: DataFrame, coarse: DataFrame,
-                         book: DataFrame): DataFrame = {
-    val res = residuals(corpus, coarse)
+                         book: DataFrame): DataFrame =
+    ivfPqResidualIndexFrom(residuals(corpus, coarse), book)
+
+  private def ivfPqResidualIndexFrom(res: DataFrame,
+                                     book: DataFrame): DataFrame =
     res.select("vec_id", "bucket")
       .join(pqEncode(res.select(col("vec_id"), col("rvv").as("cv")), book),
         "vec_id")
-  }
 
   /** Probe of the residual index: reconstruct centroid[bucket] +
     * codeword-concat behind the broadcast coarse table and codebook LUT,

@@ -161,20 +161,28 @@ object PageRank {
       math.max(1L, math.min(sessionWidth.toLong, nEdges / 524288L + 1)).toInt
     // The degree-annotated static side is cached ALREADY at the loop's
     // key and width — every round's join probes it with no new exchange.
+    // ONE edge-set exchange builds it (round 13): repartition FIRST,
+    // then both the degree aggregate and the annotate join run
+    // exchange-free on the src-clustered frame (join-then-repartition
+    // exchanged the full edge set three times — both join inputs at
+    // session width, then the width move).
+    val eW = eMat.repartition(loopWidth, col("src"))
     val eDegLoop = graft.util.Views.materialize(
-      eMat.join(eMat.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-        .repartition(loopWidth, col("src")))
+      eW.join(eW.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
 
     // Dangling probe: every dst must emit in some round, i.e. appear as
-    // a src. An anti-join that survives means rank mass drains.
+    // a src. An anti-join that survives means rank mass drains. The src
+    // side reads the loop-cached frame exchange-free (already clustered
+    // by src); only the dst side pays its distinct's exchange.
+    val srcs = eDegLoop.select("src").distinct()
     val dangling = eMat.select(col("dst").as("src")).distinct()
-      .join(eMat.select("src").distinct(), Seq("src"), "left_anti")
+      .join(srcs, Seq("src"), "left_anti")
     require(dangling.isEmpty,
       "PageRank.ranks: graph has dangling nodes (dst never a src) — " +
         "pass both edge directions for an undirected graph, or add " +
         "self-loops/teleport handling for a directed one")
 
-    val seed = eMat.select(col("src").as("node")).distinct()
+    val seed = srcs.select(col("src").as("node"))
       .withColumn("pr", lit(UnitRank))
     var (cur, cached) = materializeRound(seed)
     cached.count() // fill the seed cache before the loop fans out over it
@@ -230,20 +238,26 @@ object PageRank {
         col("dst").cast("long").as("dst")))
     val loopWidth =
       math.max(1L, math.min(sessionWidth.toLong, nEdges / 524288L + 1)).toInt
-    val outdeg = eMat.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDegLoop = graft.util.Views.materialize(
-      eMat.join(outdeg, "src").repartition(loopWidth, col("src")))
+    // Same one-exchange build as [[ranks]] (round 13): cluster the edge
+    // set by src once; the degree aggregate and the annotate join then
+    // run exchange-free on it.
+    val eW = eMat.repartition(loopWidth, col("src"))
+    val outdeg = eW.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDegLoop = graft.util.Views.materialize(eW.join(outdeg, "src"))
     // Node universe (src ∪ dst) with each node's outdeg (0 = dangling),
     // already at the loop's key/width — the static left side of every
-    // round's teleport join.
+    // round's teleport join. Distinct FIRST (its partial aggregate is
+    // the byte reducer — an A/B repartitioning the raw union before the
+    // distinct shipped +4 MB), then one NODE-SIZED repartition so the
+    // outdeg join and every loop consumer read it co-partitioned.
     // `odeg`, not `outdeg`: the rank rows carry it through the loop and
     // must not collide with the edge side's `outdeg` in the inflow join.
     val (nodesMat, nNodes) = graft.util.Views.materializeCounted(
       eMat.select(col("src").as("node"))
         .unionAll(eMat.select(col("dst").as("node"))).distinct()
+        .repartition(loopWidth, col("node"))
         .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("odeg"))
-        .repartition(loopWidth, col("node")))
+        .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("odeg")))
 
     val seed = nodesMat.select(col("node"), col("odeg"))
       .withColumn("pr", lit(UnitRank))

@@ -250,7 +250,15 @@ private[graft] object GraphMmRegistry {
         .select((col("l_partkey").cast("long") * 2).as("src"),
           (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .distinct()
-      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      // Symmetrize by explode, not union(e0, e0.swapped): the union form
+      // executes the distinct's full fact-table pass twice (the
+      // SCALE.md "scan expensive plans once" lesson, applied here
+      // round 13 — this was one of graph_pagerank's two redundant
+      // corpus passes).
+      val edges = e0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graph.PageRank.ranks(edges, iters = 3)
         .select(col("node"), (col("node") % 2).as("is_supplier"), col("pr"))
         .orderBy(col("pr").desc, col("node"))
@@ -292,7 +300,12 @@ private[graft] object GraphMmRegistry {
           .select((col("l_partkey").cast("long") * 2).as("src"),
             (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
           .distinct()
-        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        // explode-symmetrized (round 13) — one distinct pass, not two;
+        // build-once path, same rows.
+        e0.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
       }, requireNoDangling = true)
       graph.PageRank.ranksStored(s, t, iters = 3)
         .select(col("node"), (col("node") % 2).as("is_supplier"), col("pr"))
